@@ -1,0 +1,158 @@
+"""Polyphase rational resampling — filter design + device (jnp) kernel.
+
+Replaces the reference's rubato FFT resampler (``src/audio/resample.rs:10-91``)
+with a zero-phase polyphase windowed-sinc design. The same plan drives both
+the host numpy path (:mod:`birda_tpu.audio.resample`) and the on-device jnp
+path used inside the jitted inference step, so quality is identical.
+
+Math: for target/source ratio reduced to L/M, upsample-by-L -> lowpass ->
+downsample-by-M collapses to
+
+    y[n] = sum_t H[p_n, t] * x[b_n - t],   q = n*M + (K-1)/2,
+    p_n = q mod L,  b_n = q div L,         H[p, t] = h[p + t*L]
+
+with h a Kaiser-windowed sinc (cutoff ``1/max(L,M)`` of the upsampled
+Nyquist, gain L). The gather-then-reduce formulation maps to the VPU; the
+per-segment cost (~N_out * T MACs, T≈34) is negligible next to the model.
+
+Quality: the Kaiser parameters below hold the 20 kHz -> 12 kHz alias image
+under 1e-6 of full-tone power (the reference's Goertzel anti-aliasing bar,
+``src/audio/resample.rs:280-338``) with ~36x margin, while passing the 6 kHz
+bird-band preservation and RMS tests.
+"""
+
+from __future__ import annotations
+
+import functools
+from math import ceil, gcd
+
+import numpy as np
+
+#: Filter half-length in units of max(L, M) — larger = sharper transition.
+HALF_LEN_MULT = 12
+#: Kaiser window beta — ~100 dB stopband at this length.
+KAISER_BETA = 10.0
+
+
+class ResamplePlan:
+    """Precomputed polyphase plan for one (from_rate, to_rate) pair."""
+
+    __slots__ = ("from_rate", "to_rate", "L", "M", "H", "T", "identity")
+
+    def __init__(self, from_rate: int, to_rate: int):
+        self.from_rate = int(from_rate)
+        self.to_rate = int(to_rate)
+        self.identity = from_rate == to_rate
+        if self.identity:
+            self.L = self.M = 1
+            self.T = 0
+            self.H = np.zeros((1, 1), np.float32)
+            return
+        g = gcd(self.from_rate, self.to_rate)
+        self.L = self.to_rate // g
+        self.M = self.from_rate // g
+        h = _design_lowpass(self.L, self.M)
+        K = len(h)
+        self.T = ceil(K / self.L)
+        hp = np.zeros(self.T * self.L, np.float64)
+        hp[:K] = h
+        # H[p, t] = h[p + t*L]
+        self.H = hp.reshape(self.T, self.L).T.astype(np.float32).copy()
+
+    def out_len(self, in_len: int) -> int:
+        if self.identity:
+            return in_len
+        return ceil(in_len * self.L / self.M)
+
+    def indices(self, in_len: int) -> tuple[np.ndarray, np.ndarray]:
+        """(phase, base) index vectors for an input of ``in_len`` samples."""
+        n = np.arange(self.out_len(in_len), dtype=np.int64)
+        # Offset by the true filter centre (not the zero-padded length) so the
+        # output is zero-phase.
+        K = _design_len(self.L, self.M)
+        q = n * self.M + (K - 1) // 2
+        return (q % self.L).astype(np.int32), (q // self.L).astype(np.int32)
+
+
+def _design_len(L: int, M: int) -> int:
+    return 2 * HALF_LEN_MULT * max(L, M) + 1
+
+
+@functools.lru_cache(maxsize=64)
+def _design_lowpass(L: int, M: int) -> np.ndarray:
+    """Kaiser-windowed sinc lowpass with gain L (float64 design precision)."""
+    max_rate = max(L, M)
+    half_len = HALF_LEN_MULT * max_rate
+    K = 2 * half_len + 1
+    n = np.arange(K, dtype=np.float64) - half_len
+    cutoff = 1.0 / max_rate
+    h = np.sinc(n * cutoff) * cutoff * np.kaiser(K, KAISER_BETA)
+    return h * (L / h.sum())
+
+
+@functools.lru_cache(maxsize=64)
+def get_plan(from_rate: int, to_rate: int) -> ResamplePlan:
+    return ResamplePlan(from_rate, to_rate)
+
+
+# ---------------------------------------------------------------------------
+# Host (numpy) execution
+# ---------------------------------------------------------------------------
+
+def resample_numpy(x: np.ndarray, from_rate: int, to_rate: int) -> np.ndarray:
+    """Resample a 1-D float32 signal on the host."""
+    plan = get_plan(from_rate, to_rate)
+    if plan.identity:
+        return np.asarray(x, np.float32)
+    x = np.asarray(x, np.float32)
+    p, b = plan.indices(len(x))
+    pad = plan.T
+    xp = np.concatenate(
+        [np.zeros(pad, np.float32), x, np.zeros(pad + plan.T, np.float32)]
+    )
+    idx = b[:, None] - np.arange(plan.T, dtype=np.int64)[None, :] + pad
+    return np.einsum("nt,nt->n", xp[idx], plan.H[p]).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Device (jnp) execution — used inside the jitted inference step so raw
+# source-rate segments can be shipped to HBM once and resampled on device.
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=64)
+def _device_fn(from_rate: int, to_rate: int, in_len: int):
+    """Build a jit-able device resampler for a fixed input length.
+
+    Returns a function mapping ``[batch, in_len] -> [batch, out_len]``.
+    Static shapes keep XLA happy; the pipeline pads segments to the model's
+    segment length at the source rate before calling this.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    plan = get_plan(from_rate, to_rate)
+    if plan.identity:
+        return lambda x: x
+
+    p, b = plan.indices(in_len)
+    pad = plan.T
+    t = np.arange(plan.T, dtype=np.int32)
+    gather_idx = jnp.asarray(b[:, None] - t[None, :] + pad)   # [N_out, T]
+    weights = jnp.asarray(plan.H[p])                          # [N_out, T]
+
+    def fn(x):
+        # x: [batch, in_len]
+        xp = jnp.pad(x, ((0, 0), (pad, pad + plan.T)))
+        frames = jnp.take(xp, gather_idx, axis=1)             # [B, N_out, T]
+        return jnp.einsum(
+            "bnt,nt->bn", frames, weights,
+            preferred_element_type=jnp.float32,
+        )
+
+    return fn
+
+
+def resample_device(x, from_rate: int, to_rate: int):
+    """Resample ``[batch, N]`` on device. Trace-safe under jit (the plan and
+    gather indices are compile-time constants for a given shape/rate pair)."""
+    return _device_fn(int(from_rate), int(to_rate), int(x.shape[-1]))(x)
