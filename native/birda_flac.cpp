@@ -1,0 +1,471 @@
+// birda_flac — native FLAC decoder for the birda_tpu framework.
+//
+// Implements the FLAC bitstream from the specification: STREAMINFO metadata,
+// frame sync + headers (UTF-8 coded ordinals, CRC-8), subframe types
+// CONSTANT / VERBATIM / FIXED(0-4) / LPC(1-32), partitioned Rice residuals
+// (methods 0 and 1), wasted bits, and the four stereo decorrelation modes.
+// Seek is decode-and-discard from the nearest of (current position, start) —
+// correct for the clipper's coarse-seek pattern; a SEEKTABLE fast path can
+// slot in later.
+//
+// Mirrors the role symphonia's FLAC codec plays in the reference
+// (src/audio/decode.rs), as a from-scratch implementation.
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <string>
+#include <vector>
+#include <memory>
+#include <algorithm>
+
+#include "birda_reader.h"
+
+namespace {
+
+// MSB-first bit reader over a FILE*.
+class BitReader {
+public:
+    explicit BitReader(FILE* f) : f_(f) {}
+
+    bool fill() {
+        if (pos_ < len_) return true;
+        len_ = fread(buf_, 1, sizeof(buf_), f_);
+        pos_ = 0;
+        return len_ > 0;
+    }
+
+    // Read up to 32 bits MSB-first. Returns false at EOF.
+    bool bits(uint32_t n, uint64_t& out) {
+        out = 0;
+        while (n > 0) {
+            if (nbits_ == 0) {
+                if (!fill()) return false;
+                cur_ = buf_[pos_++];
+                nbits_ = 8;
+            }
+            uint32_t take = std::min(n, nbits_);
+            out = (out << take) | ((cur_ >> (nbits_ - take)) & ((1u << take) - 1));
+            nbits_ -= take;
+            n -= take;
+        }
+        return true;
+    }
+
+    bool bit(uint32_t& b) {
+        uint64_t v;
+        if (!bits(1, v)) return false;
+        b = (uint32_t)v;
+        return true;
+    }
+
+    // Unary-coded value: count of 0 bits before a 1.
+    bool unary(uint32_t& out) {
+        out = 0;
+        for (;;) {
+            uint32_t b;
+            if (!bit(b)) return false;
+            if (b) return true;
+            out++;
+            if (out > 1u << 24) return false;  // corrupt stream guard
+        }
+    }
+
+    void align() { nbits_ = 0; }
+
+    bool aligned_bytes_pos(int64_t& file_off) const {
+        if (nbits_ != 0) return false;
+        file_off = (int64_t)ftello(f_) - (int64_t)(len_ - pos_);
+        return true;
+    }
+
+    // Re-anchor after an external fseek.
+    void reset() { len_ = pos_ = 0; nbits_ = 0; }
+
+private:
+    FILE* f_;
+    uint8_t buf_[65536];
+    size_t len_ = 0, pos_ = 0;
+    uint8_t cur_ = 0;
+    uint32_t nbits_ = 0;
+};
+
+const int FIXED_COEFFS[5][4] = {
+    {},                  // order 0
+    {1},                 // order 1
+    {2, -1},             // order 2
+    {3, -3, 1},          // order 3
+    {4, -6, 4, -1},      // order 4
+};
+
+class FlacReader final : public AudioReader {
+public:
+    static FlacReader* open(const char* path, std::string& err) {
+        std::unique_ptr<FlacReader> r(new FlacReader());
+        if (!r->init(path, err)) return nullptr;
+        return r.release();
+    }
+    ~FlacReader() override { if (f_) fclose(f_); }
+
+    int32_t rate() const override { return (int32_t)rate_; }
+    int32_t channels() const override { return (int32_t)channels_; }
+    int64_t frames() const override { return total_samples_ ? (int64_t)total_samples_ : -1; }
+
+    int64_t read_mono(float* out, int64_t n) override {
+        int64_t produced = 0;
+        while (produced < n) {
+            if (block_pos_ >= block_len_) {
+                if (!decode_frame()) break;
+                if (block_len_ == 0) break;
+            }
+            int64_t take = std::min(n - produced, (int64_t)(block_len_ - block_pos_));
+            const double scale = 1.0 / (double)(1u << (bits_active_ - 1));
+            const double inv_ch = 1.0 / (double)channels_;
+            for (int64_t i = 0; i < take; i++) {
+                double acc = 0;
+                for (uint32_t c = 0; c < channels_; c++)
+                    acc += (double)block_[c][block_pos_ + (size_t)i] * scale;
+                out[produced + i] = (float)(acc * inv_ch);
+            }
+            block_pos_ += (size_t)take;
+            produced += take;
+        }
+        if (produced == 0 && !err_.empty()) return -1;
+        return produced;
+    }
+
+    int64_t seek(int64_t frame) override {
+        // Decode-and-discard. Restart from the beginning when seeking
+        // backwards; otherwise skip forward block by block.
+        if (frame < pos_emitted_in_stream()) {
+            fseeko(f_, first_frame_off_, SEEK_SET);
+            br_.reset();
+            next_sample_ = 0;
+            block_len_ = block_pos_ = 0;
+        }
+        while (pos_emitted_in_stream() < frame) {
+            int64_t remaining_in_block = (int64_t)(block_len_ - block_pos_);
+            int64_t need = frame - pos_emitted_in_stream();
+            if (remaining_in_block > 0) {
+                int64_t skip = std::min(need, remaining_in_block);
+                block_pos_ += (size_t)skip;
+                continue;
+            }
+            if (!decode_frame() || block_len_ == 0) break;
+        }
+        return pos_emitted_in_stream();
+    }
+
+private:
+    FlacReader() : br_(nullptr) {}
+
+    int64_t pos_emitted_in_stream() const {
+        return (int64_t)next_sample_ - (int64_t)(block_len_ - block_pos_);
+    }
+
+    bool init(const char* path, std::string& err) {
+        f_ = fopen(path, "rb");
+        if (!f_) { err = "cannot open file"; return false; }
+        char magic[4];
+        if (fread(magic, 1, 4, f_) != 4 || memcmp(magic, "fLaC", 4) != 0) {
+            err = "not a FLAC file";
+            return false;
+        }
+        // Metadata blocks.
+        bool last = false;
+        bool have_streaminfo = false;
+        while (!last) {
+            uint8_t hdr[4];
+            if (fread(hdr, 1, 4, f_) != 4) { err = "truncated metadata"; return false; }
+            last = (hdr[0] & 0x80) != 0;
+            uint8_t type = hdr[0] & 0x7F;
+            uint32_t len = ((uint32_t)hdr[1] << 16) | ((uint32_t)hdr[2] << 8) | hdr[3];
+            if (type == 0) {  // STREAMINFO
+                if (len < 34) { err = "short STREAMINFO"; return false; }
+                uint8_t si[34];
+                if (fread(si, 1, 34, f_) != 34) { err = "truncated STREAMINFO"; return false; }
+                if (len > 34) fseeko(f_, len - 34, SEEK_CUR);
+                rate_ = ((uint32_t)si[10] << 12) | ((uint32_t)si[11] << 4) | (si[12] >> 4);
+                channels_ = ((si[12] >> 1) & 0x7) + 1;
+                bits_ = (((si[12] & 1) << 4) | (si[13] >> 4)) + 1;
+                total_samples_ = ((uint64_t)(si[13] & 0xF) << 32) | ((uint64_t)si[14] << 24) |
+                                 ((uint64_t)si[15] << 16) | ((uint64_t)si[16] << 8) | si[17];
+                have_streaminfo = true;
+            } else {
+                fseeko(f_, len, SEEK_CUR);
+            }
+        }
+        if (!have_streaminfo) { err = "missing STREAMINFO"; return false; }
+        if (rate_ == 0 || channels_ == 0 || channels_ > 8 || bits_ < 4 || bits_ > 32) {
+            err = "invalid STREAMINFO";
+            return false;
+        }
+        first_frame_off_ = (int64_t)ftello(f_);
+        new (&br_) BitReader(f_);
+        block_.resize(channels_);
+        return true;
+    }
+
+    // Decode one frame into block_. Returns false at EOF or error.
+    bool decode_frame() {
+        block_len_ = block_pos_ = 0;
+        br_.align();
+        // Sync: byte-aligned scan for 0xFF followed by 111110 + reserved(0) +
+        // blocking-strategy bit, i.e. second byte & 0xFE == 0xF8.
+        uint64_t b;
+        if (!br_.bits(8, b)) return false;  // EOF
+        for (;;) {
+            if (b == 0xFF) {
+                uint64_t b2;
+                if (!br_.bits(8, b2)) return false;
+                if ((b2 & 0xFE) == 0xF8) break;
+                b = b2;  // b2 may itself begin the real sync
+            } else {
+                if (!br_.bits(8, b)) return false;
+            }
+        }
+
+        uint64_t bs_code, sr_code, ch_code, ss_code, zero;
+        if (!br_.bits(4, bs_code) || !br_.bits(4, sr_code) || !br_.bits(4, ch_code) ||
+            !br_.bits(3, ss_code) || !br_.bits(1, zero))
+            return false;
+
+        // UTF-8 coded frame/sample number (up to 56 bits).
+        uint64_t first;
+        if (!br_.bits(8, first)) return false;
+        uint32_t extra = 0;
+        uint64_t ordinal = 0;
+        if (first < 0x80) { ordinal = first; }
+        else if ((first & 0xE0) == 0xC0) { extra = 1; ordinal = first & 0x1F; }
+        else if ((first & 0xF0) == 0xE0) { extra = 2; ordinal = first & 0x0F; }
+        else if ((first & 0xF8) == 0xF0) { extra = 3; ordinal = first & 0x07; }
+        else if ((first & 0xFC) == 0xF8) { extra = 4; ordinal = first & 0x03; }
+        else if ((first & 0xFE) == 0xFC) { extra = 5; ordinal = first & 0x01; }
+        else if (first == 0xFE) { extra = 6; ordinal = 0; }
+        else { err_ = "bad frame ordinal"; return false; }
+        for (uint32_t i = 0; i < extra; i++) {
+            uint64_t c;
+            if (!br_.bits(8, c)) return false;
+            ordinal = (ordinal << 6) | (c & 0x3F);
+        }
+
+        uint32_t block_size;
+        switch (bs_code) {
+            case 0: err_ = "reserved block size"; return false;
+            case 1: block_size = 192; break;
+            case 6: { uint64_t v; if (!br_.bits(8, v)) return false; block_size = (uint32_t)v + 1; break; }
+            case 7: { uint64_t v; if (!br_.bits(16, v)) return false; block_size = (uint32_t)v + 1; break; }
+            default:
+                if (bs_code <= 5) block_size = 576u << (bs_code - 2);
+                else block_size = 256u << (bs_code - 8);
+        }
+
+        // Sample rate code — we only need to consume the bits.
+        switch (sr_code) {
+            case 12: { uint64_t v; if (!br_.bits(8, v)) return false; break; }
+            case 13: case 14: { uint64_t v; if (!br_.bits(16, v)) return false; break; }
+            case 15: err_ = "invalid sample rate code"; return false;
+            default: break;
+        }
+
+        uint64_t crc8;
+        if (!br_.bits(8, crc8)) return false;  // header CRC (not verified yet)
+
+        uint32_t nch = channels_;
+        int stereo_mode = 0;  // 0 independent, 1 left/side, 2 right/side, 3 mid/side
+        if (ch_code < 8) {
+            nch = (uint32_t)ch_code + 1;
+        } else if (ch_code == 8) { nch = 2; stereo_mode = 1; }
+        else if (ch_code == 9) { nch = 2; stereo_mode = 2; }
+        else if (ch_code == 10) { nch = 2; stereo_mode = 3; }
+        else { err_ = "reserved channel assignment"; return false; }
+        if (nch != channels_) { err_ = "channel count changed mid-stream"; return false; }
+
+        uint32_t bits = bits_;
+        switch (ss_code) {
+            case 0: break;  // from STREAMINFO
+            case 1: bits = 8; break;
+            case 2: bits = 12; break;
+            case 4: bits = 16; break;
+            case 5: bits = 20; break;
+            case 6: bits = 24; break;
+            case 7: bits = 32; break;
+            default: err_ = "reserved sample size"; return false;
+        }
+
+        for (auto& ch : block_) ch.assign(block_size, 0);
+
+        for (uint32_t c = 0; c < nch; c++) {
+            uint32_t ch_bits = bits;
+            // Side channels carry one extra bit.
+            if ((stereo_mode == 1 && c == 1) || (stereo_mode == 2 && c == 0) ||
+                (stereo_mode == 3 && c == 1))
+                ch_bits += 1;
+            if (!decode_subframe(block_[c].data(), block_size, ch_bits)) return false;
+        }
+
+        // Stereo decorrelation.
+        if (stereo_mode == 1) {  // left/side: right = left - side
+            for (uint32_t i = 0; i < block_size; i++)
+                block_[1][i] = block_[0][i] - block_[1][i];
+        } else if (stereo_mode == 2) {  // right/side: left = right + side
+            for (uint32_t i = 0; i < block_size; i++)
+                block_[0][i] = block_[1][i] + block_[0][i];
+        } else if (stereo_mode == 3) {  // mid/side
+            for (uint32_t i = 0; i < block_size; i++) {
+                int64_t side = block_[1][i];
+                int64_t mid = ((int64_t)block_[0][i] << 1) | (side & 1);
+                block_[0][i] = (int32_t)((mid + side) >> 1);
+                block_[1][i] = (int32_t)((mid - side) >> 1);
+            }
+        }
+
+        br_.align();
+        uint64_t crc16;
+        if (!br_.bits(16, crc16)) return false;  // frame CRC (not verified)
+
+        block_len_ = block_size;
+        block_pos_ = 0;
+        bits_active_ = bits;
+        next_sample_ += block_size;
+        return true;
+    }
+
+    bool decode_subframe(int32_t* out, uint32_t n, uint32_t bits) {
+        uint64_t pad, type_code;
+        uint32_t wasted = 0;
+        if (!br_.bits(1, pad) || !br_.bits(6, type_code)) return false;
+        uint32_t has_wasted;
+        if (!br_.bit(has_wasted)) return false;
+        if (has_wasted) {
+            uint32_t u;
+            if (!br_.unary(u)) return false;
+            wasted = u + 1;
+            bits -= wasted;
+        }
+
+        if (type_code == 0) {  // CONSTANT
+            uint64_t v;
+            if (!br_.bits(bits, v)) return false;
+            int32_t s = sign_extend(v, bits);
+            for (uint32_t i = 0; i < n; i++) out[i] = s;
+        } else if (type_code == 1) {  // VERBATIM
+            for (uint32_t i = 0; i < n; i++) {
+                uint64_t v;
+                if (!br_.bits(bits, v)) return false;
+                out[i] = sign_extend(v, bits);
+            }
+        } else if ((type_code & 0x38) == 0x08 && (type_code & 0x07) <= 4) {  // FIXED
+            uint32_t order = type_code & 0x07;
+            for (uint32_t i = 0; i < order; i++) {
+                uint64_t v;
+                if (!br_.bits(bits, v)) return false;
+                out[i] = sign_extend(v, bits);
+            }
+            if (!decode_residual(out, n, order)) return false;
+            const int* coef = FIXED_COEFFS[order];
+            for (uint32_t i = order; i < n; i++) {
+                int64_t pred = 0;
+                for (uint32_t j = 0; j < order; j++)
+                    pred += (int64_t)coef[j] * out[i - 1 - j];
+                out[i] += (int32_t)pred;
+            }
+        } else if (type_code >= 0x20) {  // LPC
+            uint32_t order = (type_code & 0x1F) + 1;
+            for (uint32_t i = 0; i < order; i++) {
+                uint64_t v;
+                if (!br_.bits(bits, v)) return false;
+                out[i] = sign_extend(v, bits);
+            }
+            uint64_t prec_code, shift_raw;
+            if (!br_.bits(4, prec_code)) return false;
+            if (prec_code == 15) { err_ = "invalid LPC precision"; return false; }
+            uint32_t precision = (uint32_t)prec_code + 1;
+            if (!br_.bits(5, shift_raw)) return false;
+            int32_t shift = sign_extend(shift_raw, 5);
+            if (shift < 0) { err_ = "negative LPC shift"; return false; }
+            std::vector<int32_t> coefs(order);
+            for (uint32_t i = 0; i < order; i++) {
+                uint64_t v;
+                if (!br_.bits(precision, v)) return false;
+                coefs[i] = sign_extend(v, precision);
+            }
+            if (!decode_residual(out, n, order)) return false;
+            for (uint32_t i = order; i < n; i++) {
+                int64_t pred = 0;
+                for (uint32_t j = 0; j < order; j++)
+                    pred += (int64_t)coefs[j] * out[i - 1 - j];
+                out[i] += (int32_t)(pred >> shift);
+            }
+        } else {
+            err_ = "reserved subframe type";
+            return false;
+        }
+
+        if (wasted)
+            for (uint32_t i = 0; i < n; i++) out[i] <<= wasted;
+        return true;
+    }
+
+    bool decode_residual(int32_t* out, uint32_t n, uint32_t order) {
+        uint64_t method, porder;
+        if (!br_.bits(2, method) || !br_.bits(4, porder)) return false;
+        if (method > 1) { err_ = "reserved residual method"; return false; }
+        uint32_t param_bits = method == 0 ? 4 : 5;
+        uint32_t escape = method == 0 ? 0xF : 0x1F;
+        uint32_t partitions = 1u << porder;
+        if (n % partitions != 0 || (n >> porder) < order) {
+            err_ = "bad partition order";
+            return false;
+        }
+        uint32_t idx = order;
+        for (uint32_t p = 0; p < partitions; p++) {
+            uint32_t count = (n >> porder) - (p == 0 ? order : 0);
+            uint64_t param;
+            if (!br_.bits(param_bits, param)) return false;
+            if (param == escape) {
+                uint64_t raw_bits;
+                if (!br_.bits(5, raw_bits)) return false;
+                for (uint32_t i = 0; i < count; i++) {
+                    uint64_t v;
+                    if (raw_bits == 0) { out[idx++] = 0; continue; }
+                    if (!br_.bits((uint32_t)raw_bits, v)) return false;
+                    out[idx++] = sign_extend(v, (uint32_t)raw_bits);
+                }
+            } else {
+                for (uint32_t i = 0; i < count; i++) {
+                    uint32_t q;
+                    uint64_t r = 0;
+                    if (!br_.unary(q)) return false;
+                    if (param > 0 && !br_.bits((uint32_t)param, r)) return false;
+                    uint64_t val = ((uint64_t)q << param) | r;
+                    // zigzag decode
+                    out[idx++] = (int32_t)((val >> 1) ^ (~(val & 1) + 1));
+                }
+            }
+        }
+        return true;
+    }
+
+    static int32_t sign_extend(uint64_t v, uint32_t bits) {
+        if (bits == 0) return 0;
+        uint64_t mask = 1ull << (bits - 1);
+        return (int32_t)((v ^ mask) - mask);
+    }
+
+    FILE* f_ = nullptr;
+    BitReader br_;
+    uint32_t rate_ = 0, channels_ = 0, bits_ = 0;
+    uint64_t total_samples_ = 0;
+    int64_t first_frame_off_ = 0;
+    uint64_t next_sample_ = 0;
+    std::vector<std::vector<int32_t>> block_;
+    size_t block_len_ = 0, block_pos_ = 0;
+    uint32_t bits_active_ = 16;
+};
+
+}  // namespace
+
+AudioReader* birda_flac_open(const char* path, std::string& err) {
+    return FlacReader::open(path, err);
+}
