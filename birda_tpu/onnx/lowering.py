@@ -1,0 +1,709 @@
+"""ONNX graph -> JAX function lowering.
+
+The TPU path for the reference's ONNX-Runtime delegation: a parsed
+:class:`~birda_tpu.onnx.proto.Model` becomes a pure jax function that XLA
+compiles per batch shape (mirroring the per-shape warmup registry,
+reference ``src/inference/classifier.rs:222``).
+
+Design notes:
+
+- Static shapes only. Under ``jit`` every intermediate has a known static
+  shape, so shape-manipulating ops (``Shape``/``Gather``/``Concat`` chains
+  that feed ``Reshape``) are *constant-folded on the host with numpy*: any
+  node whose inputs are all host constants is evaluated eagerly with numpy
+  semantics, keeping reshape/slice parameters static for XLA.
+- Layout: ONNX convs are NCHW. XLA on TPU prefers NHWC internally but
+  handles the dimension numbers natively — we pass explicit
+  ``dimension_numbers`` and let the compiler pick layouts.
+- Matmuls/convs request ``preferred_element_type=float32`` so bf16 inputs
+  still accumulate in fp32 on the MXU.
+
+Covered op set: everything the BirdNET v2.4 / v3.0, Perch v2, geomodel and
+BSG/bat-head graph families use, plus common glue ops so unseen exports have
+a fighting chance. Unknown ops raise ``UnsupportedOnnxOp``.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable
+
+import numpy as np
+
+from .proto import DT_FLOAT, Graph, Model, Node, load_model
+
+_NP_FROM_ONNX_DT = {
+    1: np.float32, 2: np.uint8, 3: np.int8, 4: np.uint16, 5: np.int16,
+    6: np.int32, 7: np.int64, 9: np.bool_, 10: np.float16, 11: np.float64,
+    12: np.uint32, 13: np.uint64,
+}
+
+
+class UnsupportedOnnxOp(NotImplementedError):
+    pass
+
+
+def _is_host(x) -> bool:
+    return isinstance(x, (np.ndarray, np.generic, int, float, bool))
+
+
+def _np(x):
+    return np.asarray(x)
+
+
+def _autopad_amounts(op_shape, kernel, strides, dilations, mode):
+    """SAME_UPPER/SAME_LOWER pad amounts per spatial dim."""
+    pads = []
+    for dim, k, s, d in zip(op_shape, kernel, strides, dilations):
+        eff_k = (k - 1) * d + 1
+        out = -(-dim // s)
+        total = max(0, (out - 1) * s + eff_k - dim)
+        if mode == b"SAME_LOWER":
+            pads.append((total - total // 2, total // 2))
+        else:
+            pads.append((total // 2, total - total // 2))
+    return pads
+
+
+class _Evaluator:
+    """Executes a graph node-by-node over a value environment."""
+
+    def __init__(self, graph: Graph):
+        self.graph = graph
+        self.const: dict[str, np.ndarray] = {
+            name: t.array for name, t in graph.initializers.items()
+            if t.array is not None
+        }
+        # Pre-fold Constant nodes into the constant pool.
+        for node in graph.nodes:
+            if node.op_type == "Constant" and node.outputs:
+                t = node.attr("value")
+                if t is not None and getattr(t, "array", None) is not None:
+                    self.const[node.outputs[0]] = t.array
+
+    # -- execution ----------------------------------------------------------
+
+    def run(self, feeds: dict[str, Any]) -> dict[str, Any]:
+        env: dict[str, Any] = dict(self.const)
+        env.update(feeds)
+        env[""] = None  # optional (absent) inputs
+        for node in self.graph.nodes:
+            if node.op_type == "Constant":
+                continue
+            handler = getattr(self, f"op_{node.op_type}", None)
+            if handler is None:
+                raise UnsupportedOnnxOp(
+                    f"ONNX op '{node.op_type}' (node '{node.name}') is not supported"
+                )
+            args = [env[i] if i else None for i in node.inputs]
+            result = handler(node, *args)
+            if not isinstance(result, tuple):
+                result = (result,)
+            for out_name, val in zip(node.outputs, result):
+                if out_name:
+                    env[out_name] = val
+        return env
+
+    # -- numeric dispatch: numpy for host constants, jnp for traced ---------
+
+    @staticmethod
+    def _lib(*xs):
+        if all(_is_host(x) for x in xs if x is not None):
+            return np
+        import jax.numpy as jnp
+
+        return jnp
+
+    # -- elementwise --------------------------------------------------------
+
+    def op_Add(self, node, a, b):
+        return self._lib(a, b).add(a, b)
+
+    def op_Sub(self, node, a, b):
+        return self._lib(a, b).subtract(a, b)
+
+    def op_Mul(self, node, a, b):
+        return self._lib(a, b).multiply(a, b)
+
+    def op_Div(self, node, a, b):
+        m = self._lib(a, b)
+        res = m.divide(a, b)
+        # ONNX integer Div truncates toward zero.
+        if _np(a).dtype.kind in "iu" and _np(b).dtype.kind in "iu" and m is np:
+            res = (np.sign(res) * np.floor(np.abs(res))).astype(_np(a).dtype)
+        return res
+
+    def op_Pow(self, node, a, b):
+        return self._lib(a, b).power(a, b)
+
+    def op_Sqrt(self, node, x):
+        return self._lib(x).sqrt(x)
+
+    def op_Exp(self, node, x):
+        return self._lib(x).exp(x)
+
+    def op_Log(self, node, x):
+        return self._lib(x).log(x)
+
+    def op_Neg(self, node, x):
+        return self._lib(x).negative(x)
+
+    def op_Abs(self, node, x):
+        return self._lib(x).abs(x)
+
+    def op_Floor(self, node, x):
+        return self._lib(x).floor(x)
+
+    def op_Ceil(self, node, x):
+        return self._lib(x).ceil(x)
+
+    def op_Reciprocal(self, node, x):
+        return 1.0 / x
+
+    def op_Min(self, node, *xs):
+        m = self._lib(*xs)
+        out = xs[0]
+        for x in xs[1:]:
+            out = m.minimum(out, x)
+        return out
+
+    def op_Max(self, node, *xs):
+        m = self._lib(*xs)
+        out = xs[0]
+        for x in xs[1:]:
+            out = m.maximum(out, x)
+        return out
+
+    def op_Erf(self, node, x):
+        if _is_host(x):
+            from scipy.special import erf as _erf
+
+            return _erf(x).astype(_np(x).dtype)
+        import jax
+
+        return jax.scipy.special.erf(x)
+
+    def op_Relu(self, node, x):
+        return self._lib(x).maximum(x, 0)
+
+    def op_LeakyRelu(self, node, x):
+        alpha = node.attr("alpha", 0.01)
+        m = self._lib(x)
+        return m.where(x >= 0, x, alpha * x)
+
+    def op_PRelu(self, node, x, slope):
+        m = self._lib(x, slope)
+        return m.where(x >= 0, x, slope * x)
+
+    def op_Elu(self, node, x):
+        alpha = node.attr("alpha", 1.0)
+        m = self._lib(x)
+        return m.where(x >= 0, x, alpha * (m.exp(x) - 1))
+
+    def op_Sigmoid(self, node, x):
+        if _is_host(x):
+            return 1.0 / (1.0 + np.exp(-_np(x).astype(np.float64))).astype(np.float32)
+        import jax
+
+        return jax.nn.sigmoid(x)
+
+    def op_HardSigmoid(self, node, x):
+        alpha = node.attr("alpha", 0.2)
+        beta = node.attr("beta", 0.5)
+        return self._lib(x).clip(alpha * x + beta, 0, 1)
+
+    def op_HardSwish(self, node, x):
+        return x * self._lib(x).clip(x / 6.0 + 0.5, 0, 1)
+
+    def op_Tanh(self, node, x):
+        return self._lib(x).tanh(x)
+
+    def op_Softplus(self, node, x):
+        m = self._lib(x)
+        return m.log1p(m.exp(-m.abs(x))) + m.maximum(x, 0)
+
+    def op_Softmax(self, node, x):
+        axis = node.attr("axis", -1)
+        if _is_host(x):
+            e = np.exp(x - np.max(x, axis=axis, keepdims=True))
+            return e / e.sum(axis=axis, keepdims=True)
+        import jax
+
+        return jax.nn.softmax(x, axis=axis)
+
+    def op_Clip(self, node, x, lo=None, hi=None):
+        if lo is None:
+            lo = node.attr("min", -np.inf)
+        if hi is None:
+            hi = node.attr("max", np.inf)
+        return self._lib(x).clip(x, lo, hi)
+
+    def op_Where(self, node, cond, a, b):
+        return self._lib(cond, a, b).where(cond, a, b)
+
+    def op_Equal(self, node, a, b):
+        return self._lib(a, b).equal(a, b)
+
+    def op_Greater(self, node, a, b):
+        return self._lib(a, b).greater(a, b)
+
+    def op_Less(self, node, a, b):
+        return self._lib(a, b).less(a, b)
+
+    def op_Not(self, node, x):
+        return self._lib(x).logical_not(x)
+
+    def op_And(self, node, a, b):
+        return self._lib(a, b).logical_and(a, b)
+
+    def op_Mod(self, node, a, b):
+        fmod = node.attr("fmod", 0)
+        m = self._lib(a, b)
+        return m.fmod(a, b) if fmod else m.mod(a, b)
+
+    # -- shape / structure ---------------------------------------------------
+
+    def op_Identity(self, node, x):
+        return x
+
+    def op_Cast(self, node, x):
+        to = _NP_FROM_ONNX_DT[node.attr("to")]
+        if _is_host(x):
+            return _np(x).astype(to)
+        return x.astype(to)
+
+    def op_Shape(self, node, x):
+        # Static under jit: emit a host constant.
+        return np.asarray(x.shape, np.int64)
+
+    def op_Size(self, node, x):
+        return np.asarray(int(np.prod(x.shape)), np.int64)
+
+    def op_Reshape(self, node, x, shape):
+        shape = [int(s) for s in np.asarray(shape).reshape(-1)]
+        allowzero = node.attr("allowzero", 0)
+        if not allowzero:
+            shape = [
+                x.shape[i] if s == 0 else s for i, s in enumerate(shape)
+            ]
+        return x.reshape(shape)
+
+    def op_Flatten(self, node, x):
+        axis = node.attr("axis", 1)
+        lead = int(np.prod(x.shape[:axis])) if axis > 0 else 1
+        return x.reshape(lead, -1)
+
+    def op_Transpose(self, node, x):
+        perm = node.attr("perm")
+        m = self._lib(x)
+        return m.transpose(x, perm)
+
+    def op_Squeeze(self, node, x, axes=None):
+        if axes is None:
+            axes = node.attr("axes")
+        if axes is None:
+            axes = [i for i, s in enumerate(x.shape) if s == 1]
+        axes = tuple(int(a) % x.ndim for a in np.asarray(axes).reshape(-1))
+        m = self._lib(x)
+        return m.squeeze(x, axis=axes)
+
+    def op_Unsqueeze(self, node, x, axes=None):
+        if axes is None:
+            axes = node.attr("axes")
+        axes = sorted(int(a) for a in np.asarray(axes).reshape(-1))
+        m = self._lib(x)
+        out = x
+        nd = x.ndim + len(axes)
+        for a in axes:
+            out = m.expand_dims(out, a % nd if a < 0 else a)
+        return out
+
+    def op_Concat(self, node, *xs):
+        axis = node.attr("axis")
+        return self._lib(*xs).concatenate([x for x in xs if x is not None], axis=axis)
+
+    def op_Split(self, node, x, split=None):
+        axis = node.attr("axis", 0)
+        if split is None:
+            split = node.attr("split")
+        n_out = len(node.outputs)
+        m = self._lib(x)
+        if split is None:
+            return tuple(m.split(x, n_out, axis=axis))
+        split = [int(s) for s in np.asarray(split).reshape(-1)]
+        bounds = np.cumsum(split)[:-1].tolist()
+        return tuple(m.split(x, bounds, axis=axis))
+
+    def op_Gather(self, node, x, idx):
+        axis = node.attr("axis", 0)
+        m = self._lib(x, idx)
+        return m.take(x, _np(idx) if _is_host(idx) else idx, axis=axis)
+
+    def op_GatherElements(self, node, x, idx):
+        axis = node.attr("axis", 0)
+        if _is_host(x) and _is_host(idx):
+            return np.take_along_axis(_np(x), _np(idx), axis=axis)
+        import jax.numpy as jnp
+
+        return jnp.take_along_axis(x, idx, axis=axis)
+
+    def op_Slice(self, node, x, starts=None, ends=None, axes=None, steps=None):
+        if starts is None:  # opset < 10: attributes
+            starts = node.attr("starts")
+            ends = node.attr("ends")
+            axes = node.attr("axes")
+        starts = [int(v) for v in np.asarray(starts).reshape(-1)]
+        ends = [int(v) for v in np.asarray(ends).reshape(-1)]
+        axes = (
+            list(range(len(starts)))
+            if axes is None
+            else [int(v) % x.ndim for v in np.asarray(axes).reshape(-1)]
+        )
+        steps = (
+            [1] * len(starts)
+            if steps is None
+            else [int(v) for v in np.asarray(steps).reshape(-1)]
+        )
+        slicers = [slice(None)] * x.ndim
+        for st, en, ax, sp in zip(starts, ends, axes, steps):
+            # ONNX uses INT64_MAX-ish sentinels for "to the end".
+            dim = x.shape[ax]
+            if st > dim:
+                st = dim
+            if en > dim:
+                en = dim
+            slicers[ax] = slice(st, en, sp)
+        return x[tuple(slicers)]
+
+    def op_Expand(self, node, x, shape):
+        shape = [int(s) for s in np.asarray(shape).reshape(-1)]
+        m = self._lib(x)
+        target = list(np.broadcast_shapes(tuple(x.shape), tuple(shape)))
+        return m.broadcast_to(x, target)
+
+    def op_Tile(self, node, x, repeats):
+        repeats = [int(r) for r in np.asarray(repeats).reshape(-1)]
+        return self._lib(x).tile(x, repeats)
+
+    def op_Range(self, node, start, limit, delta):
+        return np.arange(int(start), int(limit), int(delta), dtype=np.int64)
+
+    def op_ConstantOfShape(self, node, shape):
+        shape = [int(s) for s in np.asarray(shape).reshape(-1)]
+        t = node.attr("value")
+        if t is not None and getattr(t, "array", None) is not None:
+            fill = t.array.reshape(-1)[0]
+            return np.full(shape, fill, t.array.dtype)
+        return np.zeros(shape, np.float32)
+
+    def op_Pad(self, node, x, pads=None, value=None, axes=None):
+        mode = node.attr("mode", b"constant")
+        if isinstance(mode, bytes):
+            mode = mode.decode()
+        if pads is None:
+            pads = node.attr("pads")
+        pads = [int(p) for p in np.asarray(pads).reshape(-1)]
+        nd = x.ndim
+        if axes is not None:
+            ax = [int(a) % nd for a in np.asarray(axes).reshape(-1)]
+        else:
+            ax = list(range(nd))
+        half = len(pads) // 2
+        pad_width = [(0, 0)] * nd
+        for i, a in enumerate(ax):
+            pad_width[a] = (pads[i], pads[i + half])
+        m = self._lib(x)
+        if mode == "constant":
+            cv = 0 if value is None else float(np.asarray(value).reshape(-1)[0])
+            return m.pad(x, pad_width, mode="constant", constant_values=cv)
+        np_mode = {"reflect": "reflect", "edge": "edge", "wrap": "wrap"}[mode]
+        return m.pad(x, pad_width, mode=np_mode)
+
+    # -- reductions ----------------------------------------------------------
+
+    def _reduce(self, node, x, fn_name, axes=None):
+        if axes is None:
+            axes = node.attr("axes")
+        keepdims = bool(node.attr("keepdims", 1))
+        if axes is not None:
+            axes = tuple(int(a) % x.ndim for a in np.asarray(axes).reshape(-1))
+        m = self._lib(x)
+        return getattr(m, fn_name)(x, axis=axes, keepdims=keepdims)
+
+    def op_ReduceMean(self, node, x, axes=None):
+        return self._reduce(node, x, "mean", axes)
+
+    def op_ReduceSum(self, node, x, axes=None):
+        return self._reduce(node, x, "sum", axes)
+
+    def op_ReduceMax(self, node, x, axes=None):
+        return self._reduce(node, x, "max", axes)
+
+    def op_ReduceMin(self, node, x, axes=None):
+        return self._reduce(node, x, "min", axes)
+
+    def op_ReduceProd(self, node, x, axes=None):
+        return self._reduce(node, x, "prod", axes)
+
+    def op_ArgMax(self, node, x):
+        axis = node.attr("axis", 0)
+        keepdims = bool(node.attr("keepdims", 1))
+        m = self._lib(x)
+        out = m.argmax(x, axis=axis)
+        if keepdims:
+            out = m.expand_dims(out, axis)
+        return out.astype(np.int64) if m is np else out
+
+    # -- linear algebra ------------------------------------------------------
+
+    def op_MatMul(self, node, a, b):
+        if _is_host(a) and _is_host(b):
+            return np.matmul(a, b)
+        import jax.numpy as jnp
+
+        return jnp.matmul(a, b, preferred_element_type=jnp.float32)
+
+    def op_Gemm(self, node, a, b, c=None):
+        alpha = node.attr("alpha", 1.0)
+        beta = node.attr("beta", 1.0)
+        if node.attr("transA", 0):
+            a = a.T
+        if node.attr("transB", 0):
+            b = b.T
+        if _is_host(a) and _is_host(b):
+            out = alpha * np.matmul(a, b)
+        else:
+            import jax.numpy as jnp
+
+            out = alpha * jnp.matmul(a, b, preferred_element_type=jnp.float32)
+        if c is not None:
+            out = out + beta * c
+        return out
+
+    # -- convolution / pooling ----------------------------------------------
+
+    def _conv_params(self, node, x, w):
+        spatial = x.ndim - 2
+        kernel = list(w.shape[2:])
+        strides = list(node.attr("strides") or [1] * spatial)
+        dilations = list(node.attr("dilations") or [1] * spatial)
+        group = node.attr("group", 1)
+        autopad = node.attr("auto_pad", b"NOTSET")
+        pads_attr = node.attr("pads")
+        if autopad in (b"SAME_UPPER", b"SAME_LOWER"):
+            pads = _autopad_amounts(x.shape[2:], kernel, strides, dilations, autopad)
+        elif autopad == b"VALID" or pads_attr is None:
+            pads = [(0, 0)] * spatial
+        else:
+            p = [int(v) for v in pads_attr]
+            pads = list(zip(p[:spatial], p[spatial:]))
+        return strides, pads, dilations, group
+
+    def op_Conv(self, node, x, w, b=None):
+        import jax.numpy as jnp
+        from jax import lax
+
+        strides, pads, dilations, group = self._conv_params(node, x, w)
+        spatial = x.ndim - 2
+        chars = "DHW"[3 - spatial :]
+        dn = lax.conv_dimension_numbers(
+            x.shape, w.shape,
+            ("NC" + chars, "OI" + chars, "NC" + chars),
+        )
+        out = lax.conv_general_dilated(
+            jnp.asarray(x), jnp.asarray(w),
+            window_strides=strides, padding=pads,
+            rhs_dilation=dilations, dimension_numbers=dn,
+            feature_group_count=group,
+            preferred_element_type=jnp.float32,
+        )
+        if b is not None:
+            out = out + jnp.asarray(b).reshape((1, -1) + (1,) * spatial)
+        return out
+
+    def op_ConvTranspose(self, node, x, w, b=None):
+        import jax.numpy as jnp
+        from jax import lax
+
+        spatial = x.ndim - 2
+        strides = list(node.attr("strides") or [1] * spatial)
+        dilations = list(node.attr("dilations") or [1] * spatial)
+        group = node.attr("group", 1)
+        pads_attr = node.attr("pads") or [0] * (2 * spatial)
+        p = [int(v) for v in pads_attr]
+        kernel = list(w.shape[2:])
+        # ONNX ConvTranspose pads describe the *output* crop.
+        pads = [
+            (
+                (k - 1) * d - p[i],
+                (k - 1) * d - p[i + spatial],
+            )
+            for i, (k, d) in enumerate(zip(kernel, dilations))
+        ]
+        chars = "DHW"[3 - spatial :]
+        dn = lax.conv_dimension_numbers(
+            x.shape, w.shape, ("NC" + chars, "IO" + chars, "NC" + chars)
+        )
+        out = lax.conv_general_dilated(
+            jnp.asarray(x), jnp.asarray(w),
+            window_strides=[1] * spatial, padding=pads,
+            lhs_dilation=strides, rhs_dilation=dilations,
+            dimension_numbers=dn, feature_group_count=group,
+            preferred_element_type=jnp.float32,
+        )
+        if b is not None:
+            out = out + jnp.asarray(b).reshape((1, -1) + (1,) * spatial)
+        return out
+
+    def _pool(self, node, x, reducer, init, is_avg):
+        import jax.numpy as jnp
+        from jax import lax
+
+        spatial = x.ndim - 2
+        kernel = list(node.attr("kernel_shape"))
+        strides = list(node.attr("strides") or [1] * spatial)
+        autopad = node.attr("auto_pad", b"NOTSET")
+        pads_attr = node.attr("pads")
+        dilations = [1] * spatial
+        if autopad in (b"SAME_UPPER", b"SAME_LOWER"):
+            pads = _autopad_amounts(x.shape[2:], kernel, strides, dilations, autopad)
+        elif autopad == b"VALID" or pads_attr is None:
+            pads = [(0, 0)] * spatial
+        else:
+            p = [int(v) for v in pads_attr]
+            pads = list(zip(p[:spatial], p[spatial:]))
+
+        window = (1, 1) + tuple(kernel)
+        stride = (1, 1) + tuple(strides)
+        padding = ((0, 0), (0, 0)) + tuple(pads)
+        x = jnp.asarray(x)
+        out = lax.reduce_window(x, init, reducer, window, stride, padding)
+        if is_avg:
+            count_include_pad = node.attr("count_include_pad", 0)
+            if count_include_pad:
+                denom = float(np.prod(kernel))
+                out = out / denom
+            else:
+                ones = jnp.ones(x.shape, x.dtype)
+                counts = lax.reduce_window(
+                    ones, 0.0, lax.add, window, stride, padding
+                )
+                out = out / counts
+        return out
+
+    def op_MaxPool(self, node, x):
+        from jax import lax
+
+        return self._pool(node, x, lax.max, -np.inf, False)
+
+    def op_AveragePool(self, node, x):
+        from jax import lax
+
+        return self._pool(node, x, lax.add, 0.0, True)
+
+    def op_GlobalAveragePool(self, node, x):
+        m = self._lib(x)
+        return m.mean(x, axis=tuple(range(2, x.ndim)), keepdims=True)
+
+    def op_GlobalMaxPool(self, node, x):
+        m = self._lib(x)
+        return m.max(x, axis=tuple(range(2, x.ndim)), keepdims=True)
+
+    # -- normalization -------------------------------------------------------
+
+    def op_BatchNormalization(self, node, x, scale, bias, mean, var):
+        eps = node.attr("epsilon", 1e-5)
+        shape = (1, -1) + (1,) * (x.ndim - 2)
+        m = self._lib(x)
+        inv = scale.reshape(shape) / m.sqrt(var.reshape(shape) + eps)
+        return x * inv + (bias.reshape(shape) - mean.reshape(shape) * inv)
+
+    def op_LayerNormalization(self, node, x, scale, bias=None):
+        axis = node.attr("axis", -1)
+        eps = node.attr("epsilon", 1e-5)
+        m = self._lib(x)
+        axes = tuple(range(axis % x.ndim, x.ndim))
+        mu = m.mean(x, axis=axes, keepdims=True)
+        var = m.mean((x - mu) ** 2, axis=axes, keepdims=True)
+        out = (x - mu) / m.sqrt(var + eps) * scale
+        if bias is not None:
+            out = out + bias
+        return out
+
+    def op_InstanceNormalization(self, node, x, scale, bias):
+        eps = node.attr("epsilon", 1e-5)
+        m = self._lib(x)
+        axes = tuple(range(2, x.ndim))
+        mu = m.mean(x, axis=axes, keepdims=True)
+        var = m.mean((x - mu) ** 2, axis=axes, keepdims=True)
+        shape = (1, -1) + (1,) * (x.ndim - 2)
+        return (x - mu) / m.sqrt(var + eps) * scale.reshape(shape) + bias.reshape(shape)
+
+    def op_LRN(self, node, x):
+        alpha = node.attr("alpha", 1e-4)
+        beta = node.attr("beta", 0.75)
+        bias = node.attr("bias", 1.0)
+        size = node.attr("size")
+        import jax.numpy as jnp
+        from jax import lax
+
+        sq = jnp.square(jnp.asarray(x))
+        half = size // 2
+        window = (1, size) + (1,) * (x.ndim - 2)
+        pads = ((0, 0), (half, size - 1 - half)) + ((0, 0),) * (x.ndim - 2)
+        sums = lax.reduce_window(sq, 0.0, lax.add, window, (1,) * x.ndim, pads)
+        return x / jnp.power(bias + alpha * sums / size, beta)
+
+    # -- signal --------------------------------------------------------------
+
+    def op_DFT(self, node, x, dft_length=None, axis=None):
+        import jax.numpy as jnp
+
+        onesided = node.attr("onesided", 0)
+        inverse = node.attr("inverse", 0)
+        ax = int(axis) if axis is not None else node.attr("axis", 1)
+        if inverse:
+            raise UnsupportedOnnxOp("inverse DFT not supported")
+        n = int(dft_length) if dft_length is not None else None
+        # x: [..., 1 or 2] last dim = real/imag pair per ONNX DFT contract.
+        xr = x[..., 0] if x.shape[-1] in (1, 2) else x
+        out = jnp.fft.rfft(xr, n=n, axis=ax) if onesided else jnp.fft.fft(xr, n=n, axis=ax)
+        return jnp.stack([out.real, out.imag], axis=-1).astype(jnp.float32)
+
+
+def lower(model: Model | bytes | str) -> "OnnxFunction":
+    """Lower an ONNX model (path, bytes, or parsed Model) to a jax function."""
+    if not isinstance(model, Model):
+        model = load_model(model)
+    return OnnxFunction(model)
+
+
+class OnnxFunction:
+    """A callable jax function built from an ONNX graph.
+
+    Call with positional arrays matching the graph's (non-initializer)
+    inputs; returns a tuple of outputs (or a single array if one output).
+    """
+
+    def __init__(self, model: Model):
+        self.model = model
+        self.graph = model.graph
+        self._eval = _Evaluator(self.graph)
+        init_names = set(self.graph.initializers)
+        self.input_names = [
+            vi.name for vi in self.graph.inputs if vi.name not in init_names
+        ]
+        self.output_names = [vi.name for vi in self.graph.outputs]
+
+    def input_info(self):
+        return [vi for vi in self.graph.inputs if vi.name in self.input_names]
+
+    def __call__(self, *args, **feeds):
+        if args:
+            feeds = dict(zip(self.input_names, args)) | feeds
+        missing = [n for n in self.input_names if n not in feeds]
+        if missing:
+            raise ValueError(f"missing graph inputs: {missing}")
+        env = self._eval.run(feeds)
+        outs = tuple(env[n] for n in self.output_names)
+        return outs[0] if len(outs) == 1 else outs

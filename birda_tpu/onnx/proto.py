@@ -1,0 +1,366 @@
+"""Minimal ONNX protobuf reader (wire format, no ``onnx`` dependency).
+
+The reference executes ONNX graphs through ONNX Runtime's C++ library
+(reference ``src/inference/runtime.rs:14-120``). The TPU-native equivalent
+lowers the same graphs to XLA: this module parses the ONNX protobuf wire
+format into light Python structures, and :mod:`birda_tpu.onnx.lowering`
+translates the graph to a jax function.
+
+Only the message fields the five birda model families use are decoded;
+unknown fields are skipped per protobuf rules, so richer models still parse.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+from pathlib import Path
+
+import numpy as np
+
+# ONNX TensorProto.DataType values.
+DT_FLOAT = 1
+DT_UINT8 = 2
+DT_INT8 = 3
+DT_UINT16 = 4
+DT_INT16 = 5
+DT_INT32 = 6
+DT_INT64 = 7
+DT_STRING = 8
+DT_BOOL = 9
+DT_FLOAT16 = 10
+DT_DOUBLE = 11
+DT_UINT32 = 12
+DT_UINT64 = 13
+
+_NP_DTYPES = {
+    DT_FLOAT: np.float32,
+    DT_UINT8: np.uint8,
+    DT_INT8: np.int8,
+    DT_UINT16: np.uint16,
+    DT_INT16: np.int16,
+    DT_INT32: np.int32,
+    DT_INT64: np.int64,
+    DT_BOOL: np.bool_,
+    DT_FLOAT16: np.float16,
+    DT_DOUBLE: np.float64,
+    DT_UINT32: np.uint32,
+    DT_UINT64: np.uint64,
+}
+
+
+class WireError(ValueError):
+    pass
+
+
+def _read_varint(buf: memoryview, pos: int) -> tuple[int, int]:
+    result = 0
+    shift = 0
+    while True:
+        if pos >= len(buf):
+            raise WireError("truncated varint")
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not (b & 0x80):
+            return result, pos
+        shift += 7
+        if shift > 70:
+            raise WireError("varint too long")
+
+
+def _scan(buf: memoryview):
+    """Yield (field_number, wire_type, value) for every field in a message.
+
+    wire_type 0 -> int, 1 -> 8 bytes, 2 -> memoryview, 5 -> 4 bytes.
+    """
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        tag, pos = _read_varint(buf, pos)
+        fnum, wtype = tag >> 3, tag & 0x7
+        if wtype == 0:
+            val, pos = _read_varint(buf, pos)
+        elif wtype == 1:
+            val = bytes(buf[pos : pos + 8])
+            pos += 8
+        elif wtype == 2:
+            length, pos = _read_varint(buf, pos)
+            val = buf[pos : pos + length]
+            pos += length
+        elif wtype == 5:
+            val = bytes(buf[pos : pos + 4])
+            pos += 4
+        else:
+            raise WireError(f"unsupported wire type {wtype}")
+        if pos > n:
+            raise WireError("field overruns message")
+        yield fnum, wtype, val
+
+
+def _signed(v: int) -> int:
+    """Interpret a varint as a two's-complement int64."""
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+# ---------------------------------------------------------------------------
+# Decoded structures
+# ---------------------------------------------------------------------------
+
+@dataclass
+class Tensor:
+    name: str = ""
+    dims: tuple[int, ...] = ()
+    data_type: int = DT_FLOAT
+    array: np.ndarray | None = None
+
+
+@dataclass
+class Attribute:
+    name: str = ""
+    f: float | None = None
+    i: int | None = None
+    s: bytes | None = None
+    t: Tensor | None = None
+    floats: list[float] = field(default_factory=list)
+    ints: list[int] = field(default_factory=list)
+    strings: list[bytes] = field(default_factory=list)
+
+    @property
+    def value(self):
+        for v in (self.i, self.f, self.s, self.t):
+            if v is not None:
+                return v
+        for v in (self.ints, self.floats, self.strings):
+            if v:
+                return v
+        return None
+
+
+@dataclass
+class Node:
+    op_type: str = ""
+    name: str = ""
+    inputs: list[str] = field(default_factory=list)
+    outputs: list[str] = field(default_factory=list)
+    attrs: dict[str, Attribute] = field(default_factory=dict)
+
+    def attr(self, name: str, default=None):
+        a = self.attrs.get(name)
+        return default if a is None else a.value
+
+
+@dataclass
+class ValueInfo:
+    name: str = ""
+    elem_type: int = DT_FLOAT
+    #: Shape dims: int for fixed, str for symbolic (e.g. "batch"), None unknown.
+    shape: list[int | str | None] = field(default_factory=list)
+
+
+@dataclass
+class Graph:
+    name: str = ""
+    nodes: list[Node] = field(default_factory=list)
+    initializers: dict[str, Tensor] = field(default_factory=dict)
+    inputs: list[ValueInfo] = field(default_factory=list)
+    outputs: list[ValueInfo] = field(default_factory=list)
+
+
+@dataclass
+class Model:
+    ir_version: int = 0
+    opset: int = 0
+    graph: Graph = field(default_factory=Graph)
+
+
+# ---------------------------------------------------------------------------
+# Message decoders
+# ---------------------------------------------------------------------------
+
+def _decode_tensor(buf: memoryview) -> Tensor:
+    t = Tensor()
+    dims: list[int] = []
+    float_data: list[float] = []
+    int32_data: list[int] = []
+    int64_data: list[int] = []
+    double_data: list[float] = []
+    raw: bytes | None = None
+    for fnum, wtype, val in _scan(buf):
+        if fnum == 1 and wtype == 0:
+            dims.append(_signed(val))
+        elif fnum == 1 and wtype == 2:  # packed dims
+            pos = 0
+            while pos < len(val):
+                v, pos = _read_varint(val, pos)
+                dims.append(_signed(v))
+        elif fnum == 2 and wtype == 0:
+            t.data_type = val
+        elif fnum == 4:
+            if wtype == 2:  # packed floats
+                float_data.extend(
+                    struct.unpack(f"<{len(val) // 4}f", bytes(val))
+                )
+            else:
+                float_data.append(struct.unpack("<f", val)[0])
+        elif fnum == 5:
+            if wtype == 2:
+                pos = 0
+                while pos < len(val):
+                    v, pos = _read_varint(val, pos)
+                    int32_data.append(_signed(v))
+            else:
+                int32_data.append(_signed(val))
+        elif fnum == 7:
+            if wtype == 2:
+                pos = 0
+                while pos < len(val):
+                    v, pos = _read_varint(val, pos)
+                    int64_data.append(_signed(v))
+            else:
+                int64_data.append(_signed(val))
+        elif fnum == 8 and wtype == 2:
+            t.name = bytes(val).decode("utf-8", "replace")
+        elif fnum == 9 and wtype == 2:
+            raw = bytes(val)
+        elif fnum == 10:
+            if wtype == 2:
+                double_data.extend(
+                    struct.unpack(f"<{len(val) // 8}d", bytes(val))
+                )
+            else:
+                double_data.append(struct.unpack("<d", val)[0])
+
+    t.dims = tuple(dims)
+    np_dtype = _NP_DTYPES.get(t.data_type)
+    if np_dtype is None:
+        return t  # leave array None for exotic types
+
+    if raw is not None:
+        arr = np.frombuffer(raw, dtype=np.dtype(np_dtype).newbyteorder("<"))
+    elif float_data:
+        arr = np.asarray(float_data, np.float32)
+    elif double_data:
+        arr = np.asarray(double_data, np.float64)
+    elif int64_data:
+        arr = np.asarray(int64_data, np.int64)
+    elif int32_data:
+        # int32_data also carries bool/int8/int16/float16 payloads
+        arr = np.asarray(int32_data, np.int32)
+        if t.data_type == DT_FLOAT16:
+            arr = arr.astype(np.uint16).view(np.float16)
+    else:
+        arr = np.zeros(0, np_dtype)
+
+    if t.data_type in _NP_DTYPES and arr.dtype != np_dtype:
+        arr = arr.astype(np_dtype)
+    t.array = arr.reshape(t.dims) if t.dims else arr.reshape(())
+    return t
+
+
+def _decode_attribute(buf: memoryview) -> Attribute:
+    a = Attribute()
+    for fnum, wtype, val in _scan(buf):
+        if fnum == 1 and wtype == 2:
+            a.name = bytes(val).decode()
+        elif fnum == 2 and wtype == 5:
+            a.f = struct.unpack("<f", val)[0]
+        elif fnum == 3 and wtype == 0:
+            a.i = _signed(val)
+        elif fnum == 4 and wtype == 2:
+            a.s = bytes(val)
+        elif fnum == 5 and wtype == 2:
+            a.t = _decode_tensor(val)
+        elif fnum == 7:
+            if wtype == 2:
+                a.floats.extend(struct.unpack(f"<{len(val) // 4}f", bytes(val)))
+            else:
+                a.floats.append(struct.unpack("<f", val)[0])
+        elif fnum == 8:
+            if wtype == 2:
+                pos = 0
+                while pos < len(val):
+                    v, pos = _read_varint(val, pos)
+                    a.ints.append(_signed(v))
+            else:
+                a.ints.append(_signed(val))
+        elif fnum == 9 and wtype == 2:
+            a.strings.append(bytes(val))
+    return a
+
+
+def _decode_node(buf: memoryview) -> Node:
+    n = Node()
+    for fnum, wtype, val in _scan(buf):
+        if fnum == 1 and wtype == 2:
+            n.inputs.append(bytes(val).decode())
+        elif fnum == 2 and wtype == 2:
+            n.outputs.append(bytes(val).decode())
+        elif fnum == 3 and wtype == 2:
+            n.name = bytes(val).decode()
+        elif fnum == 4 and wtype == 2:
+            n.op_type = bytes(val).decode()
+        elif fnum == 5 and wtype == 2:
+            a = _decode_attribute(val)
+            n.attrs[a.name] = a
+    return n
+
+
+def _decode_value_info(buf: memoryview) -> ValueInfo:
+    vi = ValueInfo()
+    for fnum, wtype, val in _scan(buf):
+        if fnum == 1 and wtype == 2:
+            vi.name = bytes(val).decode()
+        elif fnum == 2 and wtype == 2:  # TypeProto
+            for f2, w2, v2 in _scan(val):
+                if f2 == 1 and w2 == 2:  # tensor_type
+                    for f3, w3, v3 in _scan(v2):
+                        if f3 == 1 and w3 == 0:
+                            vi.elem_type = v3
+                        elif f3 == 2 and w3 == 2:  # shape
+                            for f4, w4, v4 in _scan(v3):
+                                if f4 == 1 and w4 == 2:  # dim
+                                    dim: int | str | None = None
+                                    for f5, w5, v5 in _scan(v4):
+                                        if f5 == 1 and w5 == 0:
+                                            dim = _signed(v5)
+                                        elif f5 == 2 and w5 == 2:
+                                            dim = bytes(v5).decode()
+                                    vi.shape.append(dim)
+    return vi
+
+
+def _decode_graph(buf: memoryview) -> Graph:
+    g = Graph()
+    for fnum, wtype, val in _scan(buf):
+        if fnum == 1 and wtype == 2:
+            g.nodes.append(_decode_node(val))
+        elif fnum == 2 and wtype == 2:
+            g.name = bytes(val).decode()
+        elif fnum == 5 and wtype == 2:
+            t = _decode_tensor(val)
+            g.initializers[t.name] = t
+        elif fnum == 11 and wtype == 2:
+            g.inputs.append(_decode_value_info(val))
+        elif fnum == 12 and wtype == 2:
+            g.outputs.append(_decode_value_info(val))
+    return g
+
+
+def load_model(path: Path | str | bytes) -> Model:
+    """Parse an ONNX file (or raw bytes) into a :class:`Model`."""
+    if isinstance(path, bytes):
+        data = path
+    else:
+        data = Path(path).read_bytes()
+    m = Model()
+    for fnum, wtype, val in _scan(memoryview(data)):
+        if fnum == 1 and wtype == 0:
+            m.ir_version = val
+        elif fnum == 7 and wtype == 2:
+            m.graph = _decode_graph(val)
+        elif fnum == 8 and wtype == 2:  # opset_import
+            for f2, w2, v2 in _scan(val):
+                if f2 == 2 and w2 == 0:
+                    m.opset = max(m.opset, v2)
+    return m

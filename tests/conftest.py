@@ -1,8 +1,19 @@
 """Test configuration: force CPU JAX with a virtual 8-device mesh so sharding
-tests run without TPU hardware. Must run before jax is imported anywhere."""
+tests run without TPU hardware (and without occupying the real chip).
+
+The environment ships JAX_PLATFORMS=axon (the TPU tunnel) and the axon
+plugin overrides the env var at import, so the platform must be forced via
+jax.config before any backend is initialized. Opt back into the real chip
+with BIRDA_TEST_TPU=1.
+"""
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+if not os.environ.get("BIRDA_TEST_TPU"):
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")

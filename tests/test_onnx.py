@@ -1,0 +1,259 @@
+"""ONNX parser + lowering tests, with torch as the numerical oracle."""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import fixtures_onnx as fo
+from birda_tpu.onnx.lowering import UnsupportedOnnxOp, lower
+from birda_tpu.onnx.proto import load_model
+
+
+def run_model(model_bytes, *args):
+    fn = lower(model_bytes)
+    out = fn(*args)
+    return np.asarray(out)
+
+
+class TestParser:
+    def test_geomodel_fixture_parses(self):
+        m = load_model(fo.make_fixture_geomodel())
+        assert m.opset == 13
+        assert [n.op_type for n in m.graph.nodes] == ["Gemm", "Sigmoid"]
+        assert m.graph.inputs[0].shape == ["batch", 3]
+        assert m.graph.initializers["W"].array.shape == (3, 64)
+
+    def test_raw_data_roundtrip(self):
+        arr = np.arange(12, dtype=np.float32).reshape(3, 4)
+        mb = fo.model(
+            [fo.node("Identity", ["x"], ["y"])],
+            inputs=[fo.value_info("x", [3, 4])],
+            outputs=[fo.value_info("y", [3, 4])],
+        )
+        fn = lower(mb)
+        assert np.array_equal(np.asarray(fn(arr)), arr)
+
+
+class TestLoweringVsTorch:
+    def test_gemm_sigmoid(self):
+        mb = fo.make_fixture_geomodel()
+        m = load_model(mb)
+        w = m.graph.initializers["W"].array
+        b = m.graph.initializers["B"].array
+        x = np.array([[60.2, 24.9, 0.5], [0.0, 0.0, 0.0]], np.float32)
+        got = run_model(mb, x)
+        want = 1 / (1 + np.exp(-(x @ w + b)))
+        assert np.max(np.abs(got - want)) < 1e-5
+        assert got.shape == (2, 64)
+
+    def test_conv2d(self):
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(2, 3, 16, 16)).astype(np.float32)
+        w = rng.normal(size=(8, 3, 3, 3)).astype(np.float32)
+        b = rng.normal(size=8).astype(np.float32)
+        mb = fo.model(
+            [fo.node("Conv", ["x", "w", "b"], ["y"], attrs=[
+                fo.attr_ints("strides", [2, 2]),
+                fo.attr_ints("pads", [1, 1, 1, 1]),
+                fo.attr_ints("kernel_shape", [3, 3]),
+            ])],
+            inputs=[fo.value_info("x", [2, 3, 16, 16])],
+            outputs=[fo.value_info("y", [2, 8, 8, 8])],
+            initializers=[fo.tensor("w", w), fo.tensor("b", b)],
+        )
+        got = run_model(mb, x)
+        want = F.conv2d(torch.from_numpy(x), torch.from_numpy(w),
+                        torch.from_numpy(b), stride=2, padding=1).numpy()
+        assert np.max(np.abs(got - want)) < 1e-4
+
+    def test_depthwise_conv(self):
+        rng = np.random.default_rng(1)
+        x = rng.normal(size=(1, 8, 12, 12)).astype(np.float32)
+        w = rng.normal(size=(8, 1, 3, 3)).astype(np.float32)
+        mb = fo.model(
+            [fo.node("Conv", ["x", "w"], ["y"], attrs=[
+                fo.attr_ints("pads", [1, 1, 1, 1]),
+                fo.attr_int("group", 8),
+            ])],
+            inputs=[fo.value_info("x", [1, 8, 12, 12])],
+            outputs=[fo.value_info("y", [1, 8, 12, 12])],
+            initializers=[fo.tensor("w", w)],
+        )
+        got = run_model(mb, x)
+        want = F.conv2d(torch.from_numpy(x), torch.from_numpy(w),
+                        padding=1, groups=8).numpy()
+        assert np.max(np.abs(got - want)) < 1e-4
+
+    def test_conv1d(self):
+        rng = np.random.default_rng(2)
+        x = rng.normal(size=(2, 1, 256)).astype(np.float32)
+        w = rng.normal(size=(4, 1, 9)).astype(np.float32)
+        mb = fo.model(
+            [fo.node("Conv", ["x", "w"], ["y"], attrs=[
+                fo.attr_ints("strides", [4]),
+                fo.attr_ints("pads", [4, 4]),
+            ])],
+            inputs=[fo.value_info("x", [2, 1, 256])],
+            outputs=[fo.value_info("y", [2, 4, 65])],
+            initializers=[fo.tensor("w", w)],
+        )
+        got = run_model(mb, x)
+        want = F.conv1d(torch.from_numpy(x), torch.from_numpy(w),
+                        stride=4, padding=4).numpy()
+        assert np.max(np.abs(got - want)) < 1e-4
+
+    def test_batchnorm(self):
+        rng = np.random.default_rng(3)
+        x = rng.normal(size=(2, 4, 8, 8)).astype(np.float32)
+        scale = rng.normal(size=4).astype(np.float32)
+        bias = rng.normal(size=4).astype(np.float32)
+        mean = rng.normal(size=4).astype(np.float32)
+        var = rng.uniform(0.5, 2.0, 4).astype(np.float32)
+        mb = fo.model(
+            [fo.node("BatchNormalization", ["x", "s", "b", "m", "v"], ["y"],
+                     attrs=[fo.attr_float("epsilon", 1e-5)])],
+            inputs=[fo.value_info("x", [2, 4, 8, 8])],
+            outputs=[fo.value_info("y", [2, 4, 8, 8])],
+            initializers=[fo.tensor("s", scale), fo.tensor("b", bias),
+                          fo.tensor("m", mean), fo.tensor("v", var)],
+        )
+        got = run_model(mb, x)
+        want = F.batch_norm(torch.from_numpy(x), torch.from_numpy(mean),
+                            torch.from_numpy(var), torch.from_numpy(scale),
+                            torch.from_numpy(bias), eps=1e-5).numpy()
+        assert np.max(np.abs(got - want)) < 1e-4
+
+    def test_maxpool_and_avgpool(self):
+        rng = np.random.default_rng(4)
+        x = rng.normal(size=(1, 2, 10, 10)).astype(np.float32)
+        for op, tfn in [("MaxPool", F.max_pool2d), ("AveragePool", F.avg_pool2d)]:
+            mb = fo.model(
+                [fo.node(op, ["x"], ["y"], attrs=[
+                    fo.attr_ints("kernel_shape", [2, 2]),
+                    fo.attr_ints("strides", [2, 2]),
+                ])],
+                inputs=[fo.value_info("x", [1, 2, 10, 10])],
+                outputs=[fo.value_info("y", [1, 2, 5, 5])],
+            )
+            got = run_model(mb, x)
+            want = tfn(torch.from_numpy(x), 2, 2).numpy()
+            assert np.max(np.abs(got - want)) < 1e-5, op
+
+    def test_global_average_pool(self):
+        x = np.random.default_rng(5).normal(size=(2, 3, 6, 6)).astype(np.float32)
+        mb = fo.model(
+            [fo.node("GlobalAveragePool", ["x"], ["y"])],
+            inputs=[fo.value_info("x", [2, 3, 6, 6])],
+            outputs=[fo.value_info("y", [2, 3, 1, 1])],
+        )
+        got = run_model(mb, x)
+        assert np.max(np.abs(got - x.mean((2, 3), keepdims=True))) < 1e-6
+
+    def test_softmax_axis(self):
+        x = np.random.default_rng(6).normal(size=(3, 5)).astype(np.float32)
+        mb = fo.model(
+            [fo.node("Softmax", ["x"], ["y"], attrs=[fo.attr_int("axis", 1)])],
+            inputs=[fo.value_info("x", [3, 5])],
+            outputs=[fo.value_info("y", [3, 5])],
+        )
+        got = run_model(mb, x)
+        want = F.softmax(torch.from_numpy(x), dim=1).numpy()
+        assert np.max(np.abs(got - want)) < 1e-6
+
+    def test_shape_gather_reshape_chain(self):
+        # Dynamic-looking reshape chains must constant-fold to static shapes.
+        x = np.random.default_rng(7).normal(size=(2, 3, 4)).astype(np.float32)
+        mb = fo.model(
+            [
+                fo.node("Shape", ["x"], ["shp"]),
+                fo.node("Gather", ["shp", "zero"], ["b"], attrs=[fo.attr_int("axis", 0)]),
+                fo.node("Unsqueeze", ["b", "axes0"], ["b1"]),
+                fo.node("Concat", ["b1", "minus1"], ["newshape"],
+                        attrs=[fo.attr_int("axis", 0)]),
+                fo.node("Reshape", ["x", "newshape"], ["y"]),
+            ],
+            inputs=[fo.value_info("x", [2, 3, 4])],
+            outputs=[fo.value_info("y", [2, 12])],
+            initializers=[
+                fo.tensor("zero", np.array(0, np.int64)),
+                fo.tensor("axes0", np.array([0], np.int64)),
+                fo.tensor("minus1", np.array([-1], np.int64)),
+            ],
+        )
+        got = run_model(mb, x)
+        assert got.shape == (2, 12)
+        assert np.array_equal(got, x.reshape(2, 12))
+
+    def test_transpose_concat_slice(self):
+        x = np.arange(24, dtype=np.float32).reshape(2, 3, 4)
+        mb = fo.model(
+            [
+                fo.node("Transpose", ["x"], ["t"], attrs=[fo.attr_ints("perm", [0, 2, 1])]),
+                fo.node("Slice", ["t", "st", "en", "ax"], ["y"]),
+            ],
+            inputs=[fo.value_info("x", [2, 3, 4])],
+            outputs=[fo.value_info("y", [2, 2, 3])],
+            initializers=[
+                fo.tensor("st", np.array([1], np.int64)),
+                fo.tensor("en", np.array([3], np.int64)),
+                fo.tensor("ax", np.array([1], np.int64)),
+            ],
+        )
+        got = run_model(mb, x)
+        want = x.transpose(0, 2, 1)[:, 1:3, :]
+        assert np.array_equal(got, want)
+
+    def test_clip_relu_variants(self):
+        x = np.linspace(-3, 3, 13, dtype=np.float32)
+        mb = fo.model(
+            [
+                fo.node("Relu", ["x"], ["r"]),
+                fo.node("Clip", ["x", "lo", "hi"], ["c"]),
+                fo.node("HardSwish", ["x"], ["h"]),
+                fo.node("Add", ["r", "c"], ["rc"]),
+                fo.node("Add", ["rc", "h"], ["y"]),
+            ],
+            inputs=[fo.value_info("x", [13])],
+            outputs=[fo.value_info("y", [13])],
+            initializers=[
+                fo.tensor("lo", np.array(0.0, np.float32)),
+                fo.tensor("hi", np.array(6.0, np.float32)),
+            ],
+        )
+        got = run_model(mb, x)
+        tx = torch.from_numpy(x)
+        want = (F.relu(tx) + tx.clamp(0, 6) + F.hardswish(tx)).numpy()
+        assert np.max(np.abs(got - want)) < 1e-5
+
+    def test_reduce_mean(self):
+        x = np.random.default_rng(8).normal(size=(2, 3, 4)).astype(np.float32)
+        mb = fo.model(
+            [fo.node("ReduceMean", ["x"], ["y"],
+                     attrs=[fo.attr_ints("axes", [2]), fo.attr_int("keepdims", 0)])],
+            inputs=[fo.value_info("x", [2, 3, 4])],
+            outputs=[fo.value_info("y", [2, 3])],
+        )
+        got = run_model(mb, x)
+        assert np.max(np.abs(got - x.mean(2))) < 1e-6
+
+    def test_unsupported_op_raises(self):
+        mb = fo.model(
+            [fo.node("SomeFutureOp", ["x"], ["y"])],
+            inputs=[fo.value_info("x", [1])],
+            outputs=[fo.value_info("y", [1])],
+        )
+        with pytest.raises(UnsupportedOnnxOp):
+            lower(mb)(np.zeros(1, np.float32))
+
+    def test_jit_compatible(self):
+        # The whole point: the lowered function must trace and jit.
+        import jax
+
+        mb = fo.make_fixture_geomodel()
+        fn = lower(mb)
+        jitted = jax.jit(lambda x: fn(x))
+        x = np.array([[45.0, -70.0, 0.25]], np.float32)
+        got = np.asarray(jitted(x))
+        want = np.asarray(fn(x))
+        assert np.max(np.abs(got - want)) < 1e-6
