@@ -1,0 +1,155 @@
+"""Model zoo: the shipped model families as loadable graph objects.
+
+A :class:`LoadedModel` is what the classifier layer consumes: a pure
+``apply(waveform_batch) -> {scores, logits, embeddings}`` function plus its
+contract and labels. Two construction paths:
+
+- :func:`native_model` — flax architecture (:mod:`.backbone`) with either
+  imported weights or deterministic synthetic initialization (the test/bench
+  path, mirroring the reference's fixture-model strategy).
+- :func:`onnx_model` — any exported ONNX graph lowered to jax
+  (:mod:`birda_tpu.onnx.lowering`), for bit-faithful parity with upstream
+  releases when the asset is installed.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.melspec import MelSpecConfig
+from . import contracts
+from .backbone import AudioClassifier
+from .contracts import ModelConfig, ModelFamily, ScoreActivation
+
+#: Mel front-end defaults per family (native path; the real graphs carry
+#: their own front-end in-graph and go through the ONNX path instead).
+MEL_CONFIGS = {
+    ModelFamily.BIRDNET_V24: MelSpecConfig(sample_rate=48_000, n_fft=1024,
+                                           hop=512, n_mels=128, fmax=15_000.0),
+    ModelFamily.BSG_FI_V44: MelSpecConfig(sample_rate=48_000, n_fft=1024,
+                                          hop=512, n_mels=128, fmax=15_000.0),
+    ModelFamily.BIRDNET_V30: MelSpecConfig(sample_rate=32_000, n_fft=1024,
+                                           hop=320, n_mels=128, fmax=16_000.0),
+    ModelFamily.PERCH_V2: MelSpecConfig(sample_rate=32_000, n_fft=1024,
+                                        hop=320, n_mels=128, fmax=16_000.0),
+}
+
+
+@dataclass
+class LoadedModel:
+    """A ready-to-run classifier graph."""
+
+    config: ModelConfig
+    labels: list[str]
+    #: waveform [batch, sample_count] -> {"scores", "logits", "embeddings"}
+    apply: Callable[[Any], dict]
+    #: human-readable source ("native-synthetic", "native-weights", "onnx")
+    source: str = "native-synthetic"
+
+    @property
+    def num_classes(self) -> int:
+        return self.config.num_classes
+
+
+def synthetic_labels(n: int, prefix: str = "Species") -> list[str]:
+    """Deterministic placeholder labels, BirdNET `Scientific_Common` shape."""
+    return [f"{prefix} sp{i:05d}_{prefix} common {i:05d}" for i in range(n)]
+
+
+def native_model(
+    family: ModelFamily | str,
+    params=None,
+    labels: list[str] | None = None,
+    dtype=jnp.float32,
+    seed: int = 0,
+    blocks=None,
+) -> LoadedModel:
+    """Build the native flax model for a family.
+
+    With ``params=None``, parameters are deterministically initialized from
+    ``seed`` — the synthetic path used by tests and benchmarks (contract-
+    and FLOP-faithful, not score-faithful).
+    """
+    family = ModelFamily(family)
+    cfg = contracts.contract_for(family)
+    kwargs = {}
+    if blocks is not None:
+        kwargs["blocks"] = blocks
+    module = AudioClassifier(
+        mel=MEL_CONFIGS[family],
+        num_classes=cfg.num_classes,
+        embedding_dim=cfg.embedding_dim or 1024,
+        activation=cfg.activation.value,
+        dtype=dtype,
+        **kwargs,
+    )
+    if params is None:
+        dummy = jnp.zeros((1, cfg.sample_count), jnp.float32)
+        variables = module.init(jax.random.PRNGKey(seed), dummy)
+        source = "native-synthetic"
+    else:
+        variables = params
+        source = "native-weights"
+
+    def apply(waveform):
+        return module.apply(variables, waveform)
+
+    return LoadedModel(
+        config=cfg,
+        labels=labels or synthetic_labels(cfg.num_classes),
+        apply=apply,
+        source=source,
+    )
+
+
+def onnx_model(
+    path: Path | str | bytes,
+    config: ModelConfig,
+    labels: list[str],
+) -> LoadedModel:
+    """Load an exported ONNX classifier graph (bit-faithful path).
+
+    The graph is expected to take ``[batch, sample_count]`` float32 and
+    produce scores (first output) and optionally embeddings (second output),
+    matching the birdnet-onnx contract the reference drives
+    (``src/inference/classifier.rs:281``).
+    """
+    from ..onnx.lowering import lower
+
+    fn = lower(path if isinstance(path, bytes) else str(path))
+
+    def apply(waveform):
+        out = fn(waveform)
+        if isinstance(out, tuple):
+            scores, embeddings = out[0], out[1] if len(out) > 1 else None
+        else:
+            scores, embeddings = out, None
+        result = {"scores": scores, "logits": scores}
+        if embeddings is not None:
+            result["embeddings"] = embeddings
+        else:
+            result["embeddings"] = jnp.zeros(
+                (scores.shape[0], config.embedding_dim or 1), jnp.float32
+            )
+        return result
+
+    return LoadedModel(config=config, labels=labels, apply=apply, source="onnx")
+
+
+# ---------------------------------------------------------------------------
+# Tiny variants for tests: same contracts, ~1000x fewer FLOPs.
+# ---------------------------------------------------------------------------
+
+TINY_BLOCKS = ((16, 1, 3, 2, 1), (24, 1, 3, 2, 2), (40, 1, 3, 2, 2))
+
+
+def tiny_model(family: ModelFamily | str = ModelFamily.BIRDNET_V24,
+               seed: int = 0, dtype=jnp.float32) -> LoadedModel:
+    """Contract-exact but tiny — the fixture-model equivalent for CI."""
+    return native_model(family, seed=seed, dtype=dtype, blocks=TINY_BLOCKS)
