@@ -1,0 +1,94 @@
+"""Accelerator backend selection.
+
+The TPU analogue of the reference's 12-provider execution-provider ladder
+(``src/inference/classifier.rs:662-921``): probe the jax platforms actually
+present, honor an explicit request with explicit failure, and fall back
+``auto -> tpu -> cpu`` with the reason recorded in a
+``requested/actual/fallback_reason`` status surfaced through the JSON
+protocol (reference ``ExecutionProviderStatus``, ``classifier.rs:23``).
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass
+from typing import Optional
+
+from ..constants import backend as backend_consts
+from ..errors import RuntimeInitialization
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class BackendStatus:
+    """Requested vs actual backend, with fallback reason when they differ."""
+
+    requested: str
+    actual: str
+    fallback_reason: Optional[str] = None
+
+    def to_json_dict(self) -> dict:
+        d = {"requested": self.requested, "actual": self.actual}
+        if self.fallback_reason is not None:
+            d["fallback_reason"] = self.fallback_reason
+        return d
+
+
+def available_backends() -> list[str]:
+    """Platforms jax can actually initialize, in preference order."""
+    import jax
+
+    found = []
+    for platform in ("tpu", "cpu"):
+        try:
+            if jax.devices(platform):
+                found.append(platform)
+        except RuntimeError:
+            continue
+    return found
+
+
+def ensure_runtime_available() -> None:
+    """Fail fast if jax cannot initialize any backend at all
+    (reference ``ensure_runtime_available``, ``src/inference/runtime.rs:14``)."""
+    try:
+        import jax
+
+        jax.devices()
+    except Exception as e:  # noqa: BLE001 — any backend-init failure is fatal
+        raise RuntimeInitialization(str(e)) from e
+
+
+def select_backend(requested: str = backend_consts.AUTO):
+    """Resolve the requested backend to concrete jax devices.
+
+    Returns ``(devices, BackendStatus)``. Semantics match the reference:
+    an explicit request fails loudly when unavailable; ``auto`` falls back
+    with the reason recorded.
+    """
+    import jax
+
+    requested = (requested or backend_consts.AUTO).lower()
+    if requested not in (backend_consts.AUTO, *backend_consts.ALL):
+        raise RuntimeInitialization(f"unknown device '{requested}'")
+
+    avail = available_backends()
+    if not avail:
+        raise RuntimeInitialization("no jax backends available")
+
+    if requested == backend_consts.AUTO:
+        actual = "tpu" if "tpu" in avail else "cpu"
+        reason = None if actual == "tpu" else "no TPU devices detected"
+        status = BackendStatus("auto", actual, reason)
+        return jax.devices(actual), status
+
+    if requested in avail:
+        return jax.devices(requested), BackendStatus(requested, requested)
+
+    if requested == backend_consts.TPU:
+        # Explicit request, explicit failure — mirroring --cuda with no CUDA.
+        raise RuntimeInitialization(
+            "TPU was requested but no TPU devices are available"
+        )
+    return jax.devices("cpu"), BackendStatus(requested, "cpu")

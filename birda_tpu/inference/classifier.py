@@ -1,0 +1,295 @@
+"""The classifier: batched inference with a per-shape warmup registry.
+
+TPU-native rebuild of the reference's ``BirdClassifier``
+(``src/inference/classifier.rs``). The ONNX-Runtime session becomes a jitted
+jax step; the TensorRT per-batch-shape engine discipline becomes XLA's
+per-shape compilation, tracked by the same warmup registry pattern
+(reference ``classifier.rs:222-246,404-466``): every batch size a run
+submits goes through ``ensure_warm`` before it carries real audio, and
+warm-up timing distinguishes a fresh XLA compile from a persistent-cache
+load (reference's TensorRT build-vs-cache-load reporting, ``lib.rs:88``).
+
+Device step (one fused XLA program): waveform batch -> mel front-end ->
+backbone -> scores -> top-k. Only ``[B, K]`` values/indices (plus
+``[B, E]`` embeddings when a secondary head needs them) come back to host —
+the 6,522-wide score matrix never crosses the PCIe/ICI boundary.
+"""
+
+from __future__ import annotations
+
+import logging
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+from ..constants import DEFAULT_MIN_CONFIDENCE, DEFAULT_TOP_K, compile_cache
+from ..errors import Inference as InferenceErr
+from ..models.zoo import LoadedModel
+from .backend import BackendStatus, select_backend
+from .geomodel import GeomodelScores, MappingSummary
+from .geomodel_filter import FilterSettings, Prediction, filter_predictions
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class InferenceOptions:
+    min_confidence: float = DEFAULT_MIN_CONFIDENCE
+    top_k: int = DEFAULT_TOP_K
+
+
+@dataclass
+class PredictionResult:
+    """Per-segment predictions (+ embeddings when requested)."""
+
+    predictions: list[Prediction]
+    embeddings: Optional[np.ndarray] = None
+
+
+@dataclass
+class RangeFilterData:
+    """Projected geomodel scores + policy, computed once at startup."""
+
+    scores: GeomodelScores
+    settings: FilterSettings
+    summary: MappingSummary
+
+
+@dataclass
+class WarmupReport:
+    batch_size: int
+    seconds: float
+    #: True when the compile took long enough to be a fresh build rather than
+    #: a persistent-cache load.
+    was_build: bool
+
+
+class _WarmupRegistry:
+    """Thread-safe set of already-warmed batch shapes."""
+
+    def __init__(self):
+        self._sizes: set[int] = set()
+        self._lock = threading.Lock()
+
+    def is_warm(self, batch_size: int) -> bool:
+        with self._lock:
+            return batch_size in self._sizes
+
+    def mark_warm(self, batch_size: int) -> None:
+        with self._lock:
+            self._sizes.add(batch_size)
+
+
+class BirdClassifier:
+    """Batched classifier over one model graph."""
+
+    def __init__(
+        self,
+        model: LoadedModel,
+        device: str = "auto",
+        min_confidence: float = DEFAULT_MIN_CONFIDENCE,
+        top_k: int = DEFAULT_TOP_K,
+        range_filter_data: Optional[RangeFilterData] = None,
+        species_list: Optional[set[str]] = None,
+        want_embeddings: bool = False,
+        mesh=None,
+    ):
+        import jax
+
+        self.model = model
+        self.labels = model.labels
+        self.min_confidence = min_confidence
+        self.top_k = min(top_k, model.num_classes)
+        self.range_filter_data = range_filter_data
+        self.species_list = species_list
+        self.want_embeddings = want_embeddings
+        self._warmed = _WarmupRegistry()
+        self._warmup_reports: list[WarmupReport] = []
+        self.mesh = mesh
+
+        devices, status = select_backend(device)
+        self.devices = devices
+        self.backend_status: BackendStatus = status
+        self._device = devices[0]
+
+        want_emb = want_embeddings
+        k = self.top_k
+
+        def step(waveform):
+            out = model.apply(waveform)
+            scores = out["scores"]
+            vals, idx = jax.lax.top_k(scores, k)
+            if want_emb:
+                return vals, idx, out["embeddings"]
+            return vals, idx
+
+        if mesh is not None:
+            from ..parallel.sharding import shard_data_parallel
+
+            self._step = shard_data_parallel(step, mesh)
+        else:
+            self._step = jax.jit(step)
+
+    # -- introspection (reference classifier.rs:355-390) --------------------
+
+    @property
+    def sample_rate(self) -> int:
+        return self.model.config.sample_rate
+
+    @property
+    def segment_duration(self) -> float:
+        return self.model.config.segment_duration
+
+    @property
+    def sample_count(self) -> int:
+        return self.model.config.sample_count
+
+    def execution_provider_status(self) -> BackendStatus:
+        return self.backend_status
+
+    def range_filter_info(self) -> Optional[dict]:
+        """Geomodel coverage record for the JSON protocol."""
+        if self.range_filter_data is None:
+            return None
+        from ..constants import range_filter as rf_consts
+
+        d = self.range_filter_data
+        return {
+            "geomodel_version": rf_consts.GEOMODEL_VERSION,
+            "species_in_range": d.summary.in_range,
+            "total_species": d.summary.total,
+            "mapped_species": d.summary.mapped,
+            "unmatched_species": d.summary.unmatched,
+            "unmatched_policy": d.settings.unmatched.value,
+            "threshold": d.settings.threshold,
+        }
+
+    # -- warmup --------------------------------------------------------------
+
+    def ensure_warm(self, batch_size: int) -> Optional[WarmupReport]:
+        """Warm the compiled program for this batch shape, once.
+
+        XLA keys compiled programs on input shape exactly the way TensorRT
+        keys engines, so every distinct batch size pays its own first-call
+        cost; repeat calls for a warmed shape return immediately.
+        """
+        if self._warmed.is_warm(batch_size):
+            return None
+        report = self._warmup(batch_size)
+        # Recorded only after success, so a failed warmup is retried rather
+        # than skipped straight to real audio on a never-warmed shape.
+        self._warmed.mark_warm(batch_size)
+        self._warmup_reports.append(report)
+        return report
+
+    def _warmup(self, batch_size: int) -> WarmupReport:
+        dummy = np.zeros((batch_size, self.sample_count), np.float32)
+        start = time.monotonic()
+        try:
+            out = self._run_device(dummy)
+            _ = [np.asarray(o) for o in out]  # block until executed
+        except Exception as e:  # noqa: BLE001
+            raise InferenceErr(f"warmup inference failed: {e}") from e
+        elapsed = time.monotonic() - start
+        return WarmupReport(
+            batch_size=batch_size,
+            seconds=elapsed,
+            was_build=elapsed >= compile_cache.BUILD_THRESHOLD_SECS,
+        )
+
+    def warmup_reports(self) -> list[WarmupReport]:
+        return list(self._warmup_reports)
+
+    # -- prediction ----------------------------------------------------------
+
+    def _run_device(self, batch: np.ndarray):
+        import jax
+
+        x = jax.device_put(batch, self._device) if self.mesh is None else batch
+        out = self._step(x)
+        return out if isinstance(out, tuple) else (out,)
+
+    def predict_batch(
+        self,
+        segments: np.ndarray,
+        options: Optional[InferenceOptions] = None,
+    ) -> list[PredictionResult]:
+        """Run one padded batch; returns one result per input row.
+
+        ``segments``: [batch, sample_count] float32 (caller pads partial
+        batches with silence to a warmed shape and slices the results,
+        reference ``processor.rs:242-258``).
+        """
+        options = options or InferenceOptions(self.min_confidence, self.top_k)
+        if segments.ndim != 2 or segments.shape[1] != self.sample_count:
+            raise InferenceErr(
+                f"batch shape {segments.shape} does not match "
+                f"[*, {self.sample_count}]"
+            )
+        try:
+            out = self._run_device(np.ascontiguousarray(segments, np.float32))
+            vals = np.asarray(out[0])
+            idx = np.asarray(out[1])
+            emb = np.asarray(out[2]) if len(out) > 2 else None
+        except InferenceErr:
+            raise
+        except Exception as e:  # noqa: BLE001
+            raise InferenceErr(str(e)) from e
+
+        results = []
+        for row in range(vals.shape[0]):
+            preds = [
+                Prediction(
+                    species=self.labels[int(i)],
+                    confidence=float(v),
+                    index=int(i),
+                )
+                for v, i in zip(vals[row], idx[row])
+                if v >= options.min_confidence
+            ]
+            results.append(
+                PredictionResult(
+                    predictions=preds,
+                    embeddings=emb[row] if emb is not None else None,
+                )
+            )
+        return results
+
+    def predict(self, segment: np.ndarray,
+                options: Optional[InferenceOptions] = None) -> PredictionResult:
+        return self.predict_batch(segment[None, :], options)[0]
+
+    # -- post-filters (reference classifier.rs:587-645) ----------------------
+
+    def apply_range_filter(
+        self, results: list[PredictionResult]
+    ) -> list[PredictionResult]:
+        """Range filter if configured, else species-list retain, else no-op."""
+        if self.range_filter_data is not None:
+            d = self.range_filter_data
+            for r in results:
+                r.predictions = filter_predictions(
+                    r.predictions, d.scores, d.settings
+                )
+        elif self.species_list is not None:
+            for r in results:
+                r.predictions = [
+                    p for p in r.predictions if p.species in self.species_list
+                ]
+        return results
+
+
+def enable_persistent_cache(cache_dir) -> None:
+    """Turn on XLA's persistent compilation cache (the TensorRT engine-cache
+    equivalent; reference ``classifier.rs:994-1057``)."""
+    import jax
+
+    from pathlib import Path
+
+    path = Path(cache_dir)
+    path.mkdir(parents=True, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(path))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

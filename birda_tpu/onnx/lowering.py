@@ -202,7 +202,8 @@ class _Evaluator:
 
     def op_Sigmoid(self, node, x):
         if _is_host(x):
-            return 1.0 / (1.0 + np.exp(-_np(x).astype(np.float64))).astype(np.float32)
+            z = _np(x).astype(np.float64)
+            return (1.0 / (1.0 + np.exp(-z))).astype(np.float32)
         import jax
 
         return jax.nn.sigmoid(x)
