@@ -1,0 +1,26 @@
+"""Audacity label track writer (reference ``src/output/audacity.rs``)."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from ..constants import confidence
+from .types import Detection
+from .writer import OutputWriter
+
+
+class AudacityWriter(OutputWriter):
+    def __init__(self, path: Path | str):
+        self._f = open(path, "w", encoding="utf-8", newline="")
+
+    def write_detection(self, d: Detection) -> None:
+        dp = confidence.DECIMAL_PLACES
+        species = d.common_name.replace("_", ", ")
+        self._f.write(
+            f"{d.start_time:.1f}\t{d.end_time:.1f}\t{species}\t"
+            f"{d.confidence:.{dp}f}\n"
+        )
+
+    def finalize(self) -> None:
+        self._f.flush()
+        self._f.close()

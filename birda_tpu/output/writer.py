@@ -1,0 +1,26 @@
+"""Output writer interface (reference ``src/output/writer.rs``)."""
+
+from __future__ import annotations
+
+from .types import Detection
+
+
+class OutputWriter:
+    """Base class for detection output writers."""
+
+    def write_header(self) -> None:  # noqa: B027 — optional hook
+        pass
+
+    def write_detection(self, detection: Detection) -> None:
+        raise NotImplementedError
+
+    def finalize(self) -> None:
+        raise NotImplementedError
+
+    def __enter__(self):
+        self.write_header()
+        return self
+
+    def __exit__(self, exc_type, exc, tb):
+        if exc_type is None:
+            self.finalize()

@@ -1,0 +1,256 @@
+"""Output writer tests: exact formats for CSV/Raven/Audacity/Kaleidoscope,
+Parquet schema/roundtrip, JSON result file, NDJSON envelope protocol."""
+
+import io
+import json
+from pathlib import Path
+
+import pyarrow.parquet as pq
+import pytest
+
+from birda_tpu.errors import InvalidColumnName, NoInputFilesToCombine
+from birda_tpu.output.audacity import AudacityWriter
+from birda_tpu.output.csv import CsvWriter, escape_csv
+from birda_tpu.output.json_envelope import (
+    EventType,
+    FileStatus,
+    SPEC_VERSION,
+    envelope,
+)
+from birda_tpu.output.json_file import JsonResultWriter
+from birda_tpu.output.kaleidoscope import KaleidoscopeWriter
+from birda_tpu.output.parquet import ParquetWriter, build_schema, combine_parquet_files
+from birda_tpu.output.raven import RavenWriter, generate_species_code
+from birda_tpu.output.reporter import JsonReporter, ProgressThrottler
+from birda_tpu.output.types import Detection
+
+
+def make_detection(conf=0.8542, start=0.0, end=3.0, path="/path/to/audio.wav",
+                   label="Passer domesticus_House Sparrow"):
+    return Detection.from_label(label, conf, start, end, path)
+
+
+class TestCsv:
+    def test_golden_row(self, tmp_path):
+        p = tmp_path / "out.csv"
+        with CsvWriter(p, include_bom=True) as w:
+            w.write_detection(make_detection())
+        raw = p.read_bytes()
+        assert raw.startswith(b"\xef\xbb\xbf")
+        lines = raw.decode("utf-8-sig").splitlines()
+        assert lines[0] == "Start (s),End (s),Scientific name,Common name,Confidence,File"
+        assert lines[1] == "0.0,3.0,Passer domesticus,House Sparrow,0.8542,/path/to/audio.wav"
+
+    def test_no_bom(self, tmp_path):
+        p = tmp_path / "out.csv"
+        with CsvWriter(p, include_bom=False) as w:
+            w.write_detection(make_detection())
+        assert not p.read_bytes().startswith(b"\xef\xbb\xbf")
+
+    def test_metadata_columns(self, tmp_path):
+        p = tmp_path / "out.csv"
+        d = make_detection()
+        d.metadata.lat = 60.2
+        d.metadata.week = 24
+        d.metadata.model = "birdnet-v24"
+        with CsvWriter(p, include_columns=["lat", "week", "model", "lon"]) as w:
+            w.write_detection(d)
+        lines = p.read_text(encoding="utf-8-sig").splitlines()
+        assert lines[0].endswith(",lat,week,model,lon")
+        assert lines[1].endswith(",60.2,24,birdnet-v24,")  # lon empty, col present
+
+    def test_escaping(self):
+        assert escape_csv("plain") == "plain"
+        assert escape_csv("a,b") == '"a,b"'
+        assert escape_csv('say "hi"') == '"say ""hi"""'
+
+    def test_escaped_species(self, tmp_path):
+        p = tmp_path / "out.csv"
+        with CsvWriter(p, include_bom=False) as w:
+            w.write_detection(make_detection(label='Genus sp_Weird, "bird"'))
+        line = p.read_text().splitlines()[1]
+        assert '"Weird, ""bird"""' in line
+
+
+class TestRaven:
+    def test_golden_row(self, tmp_path):
+        p = tmp_path / "out.txt"
+        with RavenWriter(p) as w:
+            w.write_detection(make_detection())
+        lines = p.read_text().splitlines()
+        assert lines[0].split("\t") == [
+            "Selection", "View", "Channel", "Begin Time (s)", "End Time (s)",
+            "Low Freq (Hz)", "High Freq (Hz)", "Common Name", "Species Code",
+            "Confidence", "Begin Path", "File Offset (s)",
+        ]
+        assert lines[1] == (
+            "1\tSpectrogram 1\t1\t0.0\t3.0\t150\t15000\tHouse_Sparrow\t"
+            "houspa\t0.8542\t/path/to/audio.wav\t0.0"
+        )
+
+    def test_selection_ids_increment(self, tmp_path):
+        p = tmp_path / "out.txt"
+        with RavenWriter(p) as w:
+            w.write_detection(make_detection())
+            w.write_detection(make_detection(start=3.0, end=6.0))
+        lines = p.read_text().splitlines()
+        assert lines[1].split("\t")[0] == "1"
+        assert lines[2].split("\t")[0] == "2"
+
+    def test_species_code(self):
+        assert generate_species_code("House Sparrow") == "houspa"
+        assert generate_species_code("Wren") == "wren"
+        assert generate_species_code("") == "unkn"
+        assert generate_species_code("Great Spotted Woodpecker") == "grewoo"
+
+
+class TestAudacity:
+    def test_golden_row(self, tmp_path):
+        p = tmp_path / "out.txt"
+        with AudacityWriter(p) as w:
+            w.write_detection(make_detection())
+        assert p.read_text().splitlines() == ["0.0\t3.0\tHouse Sparrow\t0.8542"]
+
+
+class TestKaleidoscope:
+    def test_golden_row(self, tmp_path):
+        p = tmp_path / "out.csv"
+        with KaleidoscopeWriter(p) as w:
+            w.write_detection(make_detection(path="/data/site1/audio.wav"))
+        lines = p.read_text().splitlines()
+        assert lines[0] == "INDIR,FOLDER,IN FILE,OFFSET,DURATION,TOP1MATCH,TOP1DIST"
+        assert lines[1] == "/data,site1,audio.wav,0.0,3.0,House_Sparrow,0.8542"
+
+    def test_bare_filename(self, tmp_path):
+        p = tmp_path / "out.csv"
+        with KaleidoscopeWriter(p) as w:
+            w.write_detection(make_detection(path="audio.wav"))
+        assert p.read_text().splitlines()[1] == ",,audio.wav,0.0,3.0,House_Sparrow,0.8542"
+
+
+class TestJsonFile:
+    def test_document_shape(self, tmp_path):
+        p = tmp_path / "out.json"
+        w = JsonResultWriter(
+            p, source_file="audio.wav", model="birdnet-v24",
+            min_confidence=0.1, overlap=0.0, audio_duration=120.0,
+            lat=60.2, lon=24.9, week=24,
+        )
+        w.write_detection(make_detection())
+        w.write_detection(make_detection(label="Parus major_Great Tit"))
+        w.finalize()
+        doc = json.loads(p.read_text())
+        assert doc["source_file"] == "audio.wav"
+        assert doc["model"] == "birdnet-v24"
+        assert doc["settings"] == {
+            "min_confidence": 0.1, "overlap": 0.0,
+            "lat": 60.2, "lon": 24.9, "week": 24,
+        }
+        assert doc["summary"] == {
+            "total_detections": 2,
+            "unique_species": 2,
+            "audio_duration_seconds": 120.0,
+        }
+        assert doc["detections"][0]["scientific_name"] == "Passer domesticus"
+        assert doc["analysis_date"].endswith("Z")
+
+    def test_optional_settings_skipped(self, tmp_path):
+        p = tmp_path / "out.json"
+        w = JsonResultWriter(p, "a.wav", "m", 0.1, 0.0, 1.0)
+        w.finalize()
+        doc = json.loads(p.read_text())
+        assert "lat" not in doc["settings"]
+
+
+class TestParquet:
+    def test_schema(self):
+        s = build_schema(["lat", "week", "bogus"])
+        assert [f.name for f in s] == [
+            "start_s", "end_s", "scientific_name", "common_name",
+            "confidence", "file", "lat", "week",
+        ]
+        assert str(s.field("lat").type) == "double"
+        assert str(s.field("week").type) == "uint8"
+
+    def test_roundtrip(self, tmp_path):
+        p = tmp_path / "out.parquet"
+        with ParquetWriter(p, ["lat", "model"]) as w:
+            d = make_detection()
+            d.metadata.lat = 60.2
+            d.metadata.model = "m"
+            w.write_detection(d)
+            w.write_detection(make_detection(label="Parus major_Great Tit"))
+        t = pq.read_table(str(p))
+        assert t.num_rows == 2
+        assert t.column("scientific_name").to_pylist() == [
+            "Passer domesticus", "Parus major",
+        ]
+        assert t.column("lat").to_pylist() == [60.2, None]
+
+    def test_batching_over_1000(self, tmp_path):
+        p = tmp_path / "big.parquet"
+        with ParquetWriter(p) as w:
+            for i in range(2500):
+                w.write_detection(make_detection(start=float(i)))
+        assert pq.read_table(str(p)).num_rows == 2500
+
+    def test_combine(self, tmp_path):
+        files = []
+        for i in range(3):
+            f = tmp_path / f"part{i}.parquet"
+            with ParquetWriter(f) as w:
+                w.write_detection(make_detection(start=float(i)))
+            files.append(f)
+        out = tmp_path / "combined.parquet"
+        combine_parquet_files(files, out)
+        t = pq.read_table(str(out))
+        assert t.num_rows == 3
+
+    def test_combine_empty_raises(self, tmp_path):
+        with pytest.raises(NoInputFilesToCombine):
+            combine_parquet_files([], tmp_path / "x.parquet")
+
+
+class TestEnvelope:
+    def test_envelope_shape(self):
+        doc = envelope(EventType.PIPELINE_STARTED, {"a": 1})
+        assert doc["spec_version"] == SPEC_VERSION == "1.1"
+        assert doc["event"] == "pipeline_started"
+        assert doc["timestamp"].endswith("Z")
+        assert doc["payload"] == {"a": 1}
+
+    def test_ndjson_stream(self):
+        buf = io.StringIO()
+        r = JsonReporter(buf)
+        r.pipeline_started(
+            3, "birdnet-v24", 0.1,
+            {"requested": "auto", "actual": "tpu"},
+        )
+        r.file_started("a.wav", 0, 100, 300.0)
+        r.file_completed_success("a.wav", 7, 1234)
+        r.detections("a.wav", [make_detection()])
+        lines = [json.loads(l) for l in buf.getvalue().splitlines()]
+        assert [l["event"] for l in lines] == [
+            "pipeline_started", "file_started", "file_completed", "detections",
+        ]
+        det = lines[3]["payload"]["detections"][0]
+        assert det["species"] == "Passer domesticus_House Sparrow"
+        assert lines[2]["payload"]["status"] == "processed"
+
+    def test_buffered_json_mode(self):
+        buf = io.StringIO()
+        r = JsonReporter(buf, buffered=True)
+        r.file_skipped("a.wav", FileStatus.LOCKED)
+        assert buf.getvalue() == ""
+        r.finish()
+        docs = json.loads(buf.getvalue())
+        assert len(docs) == 1
+        assert docs[0]["payload"]["status"] == "locked"
+
+    def test_throttler(self):
+        t = ProgressThrottler()
+        assert t.should_emit(0.0)       # always at 0
+        assert not t.should_emit(5.0)   # <10% delta, <500ms
+        assert t.should_emit(15.0)      # >=10% delta
+        assert not t.should_emit(16.0)
+        assert t.should_emit(100.0)     # always at 100
