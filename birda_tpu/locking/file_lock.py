@@ -1,0 +1,147 @@
+"""Advisory per-input file locks for multi-process / multi-host work sharing.
+
+Port of the reference's lock-file protocol (``src/locking/file_lock.rs``):
+``<filename>.birda.lock`` in the output directory, created with O_EXCL, body
+a JSON record (pid, hostname, start time, input path) for debugging;
+staleness judged by mtime; a global registry lets the SIGINT handler clean
+up every held lock. The mechanism works unchanged across TPU hosts over a
+shared filesystem (SURVEY §2.3).
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import socket
+import threading
+from pathlib import Path
+
+from ..constants import LOCK_FILE_EXTENSION
+from ..errors import FileLocked, LockCreate, LockRemove, OutputDirCreateFailed
+
+_registry: set[Path] = set()
+_registry_lock = threading.Lock()
+
+
+def _register(path: Path) -> None:
+    with _registry_lock:
+        _registry.add(path)
+
+
+def _unregister(path: Path) -> None:
+    with _registry_lock:
+        _registry.discard(path)
+
+
+def cleanup_all_locks() -> int:
+    """Remove every lock this process holds (Ctrl+C handler; reference
+    ``lib.rs:339-346``). Returns the number removed."""
+    with _registry_lock:
+        paths = list(_registry)
+        _registry.clear()
+    removed = 0
+    for p in paths:
+        try:
+            p.unlink()
+            removed += 1
+        except OSError:
+            pass
+    return removed
+
+
+class FileLock:
+    """RAII-style lock guard; use as a context manager or call release()."""
+
+    def __init__(self, lock_path: Path):
+        self.lock_path = lock_path
+        self._released = False
+
+    @staticmethod
+    def lock_path_for(input_path: Path | str, output_dir: Path | str) -> Path:
+        name = Path(input_path).name or "unknown"
+        return Path(output_dir) / f"{name}{LOCK_FILE_EXTENSION}"
+
+    @classmethod
+    def acquire(cls, input_path: Path | str, output_dir: Path | str) -> "FileLock":
+        input_path = Path(input_path)
+        output_dir = Path(output_dir)
+        lock_path = cls.lock_path_for(input_path, output_dir)
+        try:
+            output_dir.mkdir(parents=True, exist_ok=True)
+        except OSError as e:
+            raise OutputDirCreateFailed(str(output_dir), str(e)) from e
+
+        # Register BEFORE creation so a Ctrl+C between create and register
+        # cannot leak the lock.
+        _register(lock_path)
+        try:
+            fd = os.open(lock_path, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
+        except FileExistsError:
+            _unregister(lock_path)
+            raise FileLocked(str(lock_path)) from None
+        except OSError as e:
+            _unregister(lock_path)
+            raise LockCreate(str(lock_path), str(e)) from e
+
+        info = {
+            "pid": os.getpid(),
+            "hostname": socket.gethostname() or "unknown",
+            "started": datetime.datetime.now(datetime.timezone.utc)
+            .isoformat()
+            .replace("+00:00", "Z"),
+            "input": str(input_path),
+        }
+        try:
+            os.write(fd, json.dumps(info, indent=2).encode())
+        except OSError:
+            pass  # body is best-effort debugging info
+        finally:
+            os.close(fd)
+        return cls(lock_path)
+
+    @staticmethod
+    def is_locked(input_path: Path | str, output_dir: Path | str) -> bool:
+        return FileLock.lock_path_for(input_path, output_dir).exists()
+
+    @staticmethod
+    def is_stale(input_path: Path | str, output_dir: Path | str,
+                 max_age_secs: float) -> bool:
+        lock_path = FileLock.lock_path_for(input_path, output_dir)
+        try:
+            mtime = lock_path.stat().st_mtime
+        except OSError:
+            return False
+        import time
+
+        return (time.time() - mtime) > max_age_secs
+
+    @staticmethod
+    def remove_stale(input_path: Path | str, output_dir: Path | str) -> None:
+        lock_path = FileLock.lock_path_for(input_path, output_dir)
+        try:
+            lock_path.unlink()
+        except OSError as e:
+            raise LockRemove(str(lock_path), str(e)) from e
+
+    def release(self) -> None:
+        if self._released:
+            return
+        self._released = True
+        _unregister(self.lock_path)
+        try:
+            self.lock_path.unlink()
+        except OSError:
+            pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.release()
+
+    def __del__(self):
+        try:
+            self.release()
+        except Exception:
+            pass

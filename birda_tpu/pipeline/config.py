@@ -1,0 +1,37 @@
+"""Processing pipeline configuration (reference ``src/pipeline/config.rs``)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Optional
+
+from .coordinator import OutputFormat
+
+
+@dataclass
+class ProcessingConfig:
+    """Everything ``process_file`` needs for one audio file."""
+
+    input_path: Path
+    output_dir: Path
+    formats: list[OutputFormat]
+    min_confidence: float
+    overlap: float
+    batch_size: int
+    csv_columns: list[str] = field(default_factory=list)
+    progress_enabled: bool = False
+    csv_bom_enabled: bool = True
+    model_name: str = ""
+    #: (lat, lon, week) for JSON output metadata when range filtering.
+    range_filter_params: Optional[tuple[float, float, int]] = None
+    #: (lat, lon, day_of_year-or-None) for BSG SDM.
+    bsg_params: Optional[tuple[float, float, Optional[int]]] = None
+    reporter: object = None
+    dual_output_mode: bool = False
+    #: Secondary embedding->species head (bat two-stage).
+    custom_classifier: object = None
+    #: Bat audio mode: no resample, bat window contract.
+    bat_mode: bool = False
+    #: Hard override of the watchdog timeout (tests).
+    watchdog_timeout: Optional[float] = None

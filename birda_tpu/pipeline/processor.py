@@ -1,0 +1,310 @@
+"""Per-file streaming processing (reference ``src/pipeline/processor.rs``).
+
+Two-stage host pipeline per file: a decode thread streams overlapped windows
+(resampling each to the model rate) into a bounded queue — blocking send is
+the backpressure, errors travel in-band — while the consumer accumulates
+batches, pads partial batches with silence to the warmed shape, and runs the
+jitted device step under a watchdog. Detections are thresholded, sorted by
+(start time, confidence desc), and written per requested format.
+
+Bat mode switches the window contract (144,000 samples at 256 kHz = 0.5625 s
+with 25 % overlap, no resample — ``constants.bat``) and routes backbone
+embeddings through the regional bat head.
+"""
+
+from __future__ import annotations
+
+import logging
+import queue
+import threading
+import time
+from dataclasses import dataclass
+from pathlib import Path
+
+import numpy as np
+
+from .. import constants
+from ..audio.decode import StreamingDecoder
+from ..audio.resample import resample_chunk
+from ..errors import BirdaError, DecodeChannelClosed
+from ..inference.classifier import BirdClassifier, InferenceOptions
+from ..inference.watchdog import start_inference_watchdog
+from ..output.audacity import AudacityWriter
+from ..output.csv import CsvWriter
+from ..output.json_file import JsonResultWriter
+from ..output.kaleidoscope import KaleidoscopeWriter
+from ..output.parquet import ParquetWriter
+from ..output.raven import RavenWriter
+from ..output.types import Detection
+from ..output import json_envelope as env
+from ..locking.file_lock import FileLock
+from .config import ProcessingConfig
+from .coordinator import OutputFormat, output_path_for
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class ProcessResult:
+    detections: int
+    segments: int
+    duration_secs: float
+    audio_duration_secs: float
+
+    @property
+    def segments_per_sec(self) -> float:
+        return self.segments / self.duration_secs if self.duration_secs > 0 else 0.0
+
+    @property
+    def realtime_factor(self) -> float:
+        if self.duration_secs > 0 and self.audio_duration_secs > 0:
+            return self.audio_duration_secs / self.duration_secs
+        return 0.0
+
+
+_SENTINEL = object()
+
+
+def _decode_and_stream(
+    decoder: StreamingDecoder,
+    tx: queue.Queue,
+    seg_samples_src: int,
+    ovl_samples_src: int,
+    target_rate: int,
+    target_count: int,
+    resample_needed: bool,
+):
+    """HOT LOOP A (producer): decode -> resample -> exact-length -> send.
+
+    Blocking ``put`` is the backpressure; any exception is shipped in-band.
+    """
+    try:
+        while True:
+            seg = decoder.next_segment(seg_samples_src, ovl_samples_src)
+            if seg is None:
+                break
+            samples = seg.samples
+            if resample_needed:
+                samples = resample_chunk(samples, decoder.sample_rate, target_rate)
+            if len(samples) < target_count:
+                samples = np.concatenate(
+                    [samples, np.zeros(target_count - len(samples), np.float32)]
+                )
+            elif len(samples) > target_count:
+                samples = samples[:target_count]
+            tx.put((samples, seg.start_sample))
+    except BaseException as e:  # noqa: BLE001 — shipped to the consumer
+        tx.put(e)
+    finally:
+        tx.put(_SENTINEL)
+
+
+def process_file(classifier: BirdClassifier, config: ProcessingConfig) -> ProcessResult:
+    """Process one audio file end to end. Caller handles ``FileLocked``."""
+    start_time = time.monotonic()
+
+    lock = FileLock.acquire(config.input_path, config.output_dir)
+    decoder = None
+    try:
+        decoder = StreamingDecoder(config.input_path)
+        src_rate = decoder.sample_rate
+
+        if config.bat_mode:
+            seg_duration = constants.bat.SEGMENT_DURATION
+            overlap = constants.bat.OVERLAP
+            seg_samples_src = constants.bat.CHUNK_SAMPLES
+            ovl_samples_src = int(round(overlap * src_rate))
+            target_count = constants.bat.CHUNK_SAMPLES
+            resample_needed = False
+            target_rate = src_rate
+        else:
+            seg_duration = classifier.segment_duration
+            overlap = config.overlap
+            seg_samples_src = int(round(seg_duration * src_rate))
+            ovl_samples_src = int(round(overlap * src_rate))
+            target_count = classifier.sample_count
+            target_rate = classifier.sample_rate
+            resample_needed = src_rate != target_rate
+
+        audio_duration = decoder.duration_secs or 0.0
+        step_secs = max(seg_duration - overlap, 1e-9)
+        if audio_duration > 0:
+            import math
+
+            est_segments = (
+                1 if audio_duration <= seg_duration
+                else math.ceil((audio_duration - seg_duration) / step_secs) + 1
+            )
+        else:
+            est_segments = 1
+
+        # Effective batch: no point padding a 10-segment file to batch 256
+        # (reference processor.rs:527-545).
+        effective_batch = max(1, min(config.batch_size, est_segments))
+        if classifier.mesh is not None:
+            from ..parallel.mesh import pad_to_multiple
+
+            effective_batch = pad_to_multiple(effective_batch, classifier.mesh)
+        classifier.ensure_warm(effective_batch)
+
+        tx: queue.Queue = queue.Queue(
+            maxsize=constants.audio.QUEUE_BATCH_CAPACITY * effective_batch
+        )
+        producer = threading.Thread(
+            target=_decode_and_stream,
+            args=(decoder, tx, seg_samples_src, ovl_samples_src,
+                  target_rate, target_count, resample_needed),
+            daemon=True,
+            name="birda-decode",
+        )
+        producer.start()
+
+        options = InferenceOptions(
+            min_confidence=config.min_confidence, top_k=classifier.top_k
+        )
+        detections: list[Detection] = []
+        segments_done = 0
+        batch_samples: list[np.ndarray] = []
+        batch_starts: list[int] = []
+
+        def flush_batch():
+            nonlocal segments_done
+            if not batch_samples:
+                return
+            n_real = len(batch_samples)
+            rows = batch_samples
+            if n_real < effective_batch:
+                # Silence-pad to the warmed shape (processor.rs:242-258).
+                rows = rows + [
+                    np.zeros(target_count, np.float32)
+                ] * (effective_batch - n_real)
+            batch = np.stack(rows)
+            with start_inference_watchdog(
+                effective_batch, config.watchdog_timeout
+            ):
+                results = classifier.predict_batch(batch, options)
+            results = results[:n_real]
+            results = classifier.apply_range_filter(results)
+
+            if config.custom_classifier is not None:
+                results = config.custom_classifier.reclassify(results)
+
+            for res, start_sample in zip(results, batch_starts):
+                t0 = start_sample / src_rate
+                t1 = t0 + seg_duration
+                for p in res.predictions:
+                    if p.confidence >= config.min_confidence:
+                        detections.append(
+                            Detection.from_label(
+                                p.species, p.confidence, t0, t1,
+                                config.input_path,
+                            )
+                        )
+            segments_done += n_real
+            batch_samples.clear()
+            batch_starts.clear()
+            if config.reporter is not None and est_segments:
+                config.reporter.progress(
+                    file=env.file_progress(
+                        str(config.input_path), segments_done, est_segments
+                    )
+                )
+
+        while True:
+            item = tx.get()
+            if item is _SENTINEL:
+                break
+            if isinstance(item, BaseException):
+                if isinstance(item, BirdaError):
+                    raise item
+                from ..errors import AudioDecode
+
+                raise AudioDecode(str(config.input_path), str(item)) from item
+            samples, start_sample = item
+            batch_samples.append(samples)
+            batch_starts.append(start_sample)
+            if len(batch_samples) >= effective_batch:
+                flush_batch()
+        flush_batch()
+        producer.join(timeout=5)
+
+        # Embedding-based heads want the embeddings too; classifier handles
+        # that internally when want_embeddings=True.
+
+        detections.sort(key=lambda d: d.sort_key())
+
+        _attach_metadata(detections, config)
+
+        should_write_files = config.dual_output_mode or config.reporter is None
+        if should_write_files:
+            for fmt in config.formats:
+                _write_output(fmt, detections, config, audio_duration)
+
+        if not config.dual_output_mode and config.reporter is not None:
+            config.reporter.detections(str(config.input_path), detections)
+
+        duration = time.monotonic() - start_time
+        result = ProcessResult(
+            detections=len(detections),
+            segments=segments_done,
+            duration_secs=duration,
+            audio_duration_secs=audio_duration,
+        )
+        logger.info(
+            "Processed %d segments in %.2fs (%.1f segments/sec, %.1fx realtime)",
+            result.segments, result.duration_secs,
+            result.segments_per_sec, result.realtime_factor,
+        )
+        return result
+    finally:
+        if decoder is not None:
+            decoder.close()
+        lock.release()
+
+
+def _attach_metadata(detections: list[Detection], config: ProcessingConfig):
+    """Populate the optional metadata columns the writers may emit."""
+    if not config.csv_columns:
+        return
+    lat = lon = week = None
+    if config.range_filter_params is not None:
+        lat, lon, week = config.range_filter_params
+    for d in detections:
+        md = d.metadata
+        md.lat, md.lon, md.week = lat, lon, week
+        md.model = config.model_name or None
+        md.overlap = config.overlap
+        md.min_conf = config.min_confidence
+
+
+def _write_output(fmt: OutputFormat, detections: list[Detection],
+                  config: ProcessingConfig, audio_duration: float) -> None:
+    path = output_path_for(config.input_path, config.output_dir, fmt)
+    if fmt == OutputFormat.CSV:
+        writer = CsvWriter(path, config.csv_columns, config.csv_bom_enabled)
+    elif fmt == OutputFormat.RAVEN:
+        writer = RavenWriter(path)
+    elif fmt == OutputFormat.AUDACITY:
+        writer = AudacityWriter(path)
+    elif fmt == OutputFormat.KALEIDOSCOPE:
+        writer = KaleidoscopeWriter(path)
+    elif fmt == OutputFormat.PARQUET:
+        writer = ParquetWriter(path, config.csv_columns)
+    elif fmt == OutputFormat.JSON:
+        rf = config.range_filter_params
+        writer = JsonResultWriter(
+            path,
+            source_file=Path(config.input_path).name,
+            model=config.model_name,
+            min_confidence=config.min_confidence,
+            overlap=config.overlap,
+            audio_duration=audio_duration,
+            lat=rf[0] if rf else None,
+            lon=rf[1] if rf else None,
+            week=rf[2] if rf else None,
+        )
+    else:  # pragma: no cover
+        raise ValueError(fmt)
+    with writer as w:
+        for d in detections:
+            w.write_detection(d)

@@ -1,0 +1,267 @@
+"""Pipeline tests: locking, coordinator, and the end-to-end slice
+(WAV -> classifier -> output files)."""
+
+import json
+import threading
+import time
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from birda_tpu.errors import ConfigLocked, FileLocked, PathTraversal
+from birda_tpu.inference.classifier import BirdClassifier
+from birda_tpu.locking.config_lock import ConfigLock
+from birda_tpu.locking.file_lock import FileLock, cleanup_all_locks
+from birda_tpu.models.zoo import tiny_model
+from birda_tpu.pipeline.config import ProcessingConfig
+from birda_tpu.pipeline.coordinator import (
+    OutputFormat,
+    ProcessCheck,
+    collect_input_files,
+    output_dir_for,
+    output_path_for,
+    sanitize_filename,
+    should_process,
+)
+from birda_tpu.pipeline.processor import process_file
+
+from fixtures_audio import write_wav
+
+
+@pytest.fixture(scope="module")
+def clf():
+    return BirdClassifier(tiny_model(), device="cpu", min_confidence=0.0, top_k=3)
+
+
+def make_audio(tmp_path, name="rec.wav", secs=7.0, rate=48000):
+    p = tmp_path / name
+    t = np.arange(int(rate * secs)) / rate
+    x = (0.4 * np.sin(2 * np.pi * 2000.0 * t)).astype(np.float32)
+    write_wav(p, x, rate)
+    return p
+
+
+class TestFileLock:
+    def test_acquire_release(self, tmp_path):
+        p = tmp_path / "a.wav"
+        lock = FileLock.acquire(p, tmp_path)
+        lock_path = FileLock.lock_path_for(p, tmp_path)
+        assert lock_path.exists()
+        info = json.loads(lock_path.read_text())
+        assert info["input"].endswith("a.wav")
+        assert "pid" in info and "hostname" in info
+        lock.release()
+        assert not lock_path.exists()
+
+    def test_contention(self, tmp_path):
+        p = tmp_path / "a.wav"
+        lock = FileLock.acquire(p, tmp_path)
+        with pytest.raises(FileLocked):
+            FileLock.acquire(p, tmp_path)
+        lock.release()
+        FileLock.acquire(p, tmp_path).release()
+
+    def test_staleness(self, tmp_path):
+        import os
+
+        p = tmp_path / "a.wav"
+        lock = FileLock.acquire(p, tmp_path)
+        assert not FileLock.is_stale(p, tmp_path, max_age_secs=3600)
+        old = time.time() - 7200
+        os.utime(lock.lock_path, (old, old))
+        assert FileLock.is_stale(p, tmp_path, max_age_secs=3600)
+        FileLock.remove_stale(p, tmp_path)
+        assert not FileLock.is_locked(p, tmp_path)
+        lock._released = True  # already gone
+
+    def test_cleanup_all(self, tmp_path):
+        locks = [
+            FileLock.acquire(tmp_path / f"f{i}.wav", tmp_path) for i in range(3)
+        ]
+        assert cleanup_all_locks() == 3
+        for lk in locks:
+            assert not lk.lock_path.exists()
+            lk._released = True
+
+
+class TestConfigLock:
+    def test_serializes(self, tmp_path):
+        cfg = tmp_path / "config.toml"
+        with ConfigLock(cfg):
+            with pytest.raises(ConfigLocked):
+                ConfigLock(cfg).acquire(timeout=0.2, retry_interval=0.05)
+        with ConfigLock(cfg):
+            pass
+
+    def test_waits_for_release(self, tmp_path):
+        cfg = tmp_path / "config.toml"
+        first = ConfigLock(cfg).acquire()
+        t = threading.Timer(0.2, first.release)
+        t.start()
+        second = ConfigLock(cfg).acquire(timeout=2.0)
+        second.release()
+
+
+class TestCoordinator:
+    def test_output_dir_default_is_input_parent(self, tmp_path):
+        assert output_dir_for(tmp_path / "x" / "a.wav") == tmp_path / "x"
+        assert output_dir_for(tmp_path / "a.wav", tmp_path / "out") == tmp_path / "out"
+
+    def test_output_path_extensions(self, tmp_path):
+        p = output_path_for(tmp_path / "rec.wav", tmp_path, OutputFormat.CSV)
+        assert p.name == "rec.BirdNET.results.csv"
+        p = output_path_for(tmp_path / "rec.wav", tmp_path, OutputFormat.RAVEN)
+        assert p.name == "rec.BirdNET.selection.table.txt"
+
+    def test_sanitize(self):
+        assert sanitize_filename("a/b\\c") == "a_b_c"
+
+    def test_should_process_fresh(self, tmp_path):
+        p = tmp_path / "a.wav"
+        assert should_process(p, tmp_path, [OutputFormat.CSV]) == ProcessCheck.PROCESS
+
+    def test_skip_exists_needs_all(self, tmp_path):
+        p = tmp_path / "a.wav"
+        output_path_for(p, tmp_path, OutputFormat.CSV).write_text("done")
+        assert should_process(p, tmp_path, [OutputFormat.CSV]) == ProcessCheck.SKIP_EXISTS
+        # Second format missing -> process.
+        assert should_process(
+            p, tmp_path, [OutputFormat.CSV, OutputFormat.RAVEN]
+        ) == ProcessCheck.PROCESS
+        # Force overrides.
+        assert should_process(
+            p, tmp_path, [OutputFormat.CSV], force=True
+        ) == ProcessCheck.PROCESS
+
+    def test_empty_formats_never_skips(self, tmp_path):
+        # Reference #339: `all` over an empty list is vacuously true.
+        p = tmp_path / "a.wav"
+        assert should_process(p, tmp_path, []) == ProcessCheck.PROCESS
+
+    def test_skip_locked(self, tmp_path):
+        p = tmp_path / "a.wav"
+        lock = FileLock.acquire(p, tmp_path)
+        assert should_process(p, tmp_path, [OutputFormat.CSV]) == ProcessCheck.SKIP_LOCKED
+        lock.release()
+
+    def test_collect_recursive(self, tmp_path):
+        (tmp_path / "sub").mkdir()
+        (tmp_path / "a.wav").write_bytes(b"")
+        (tmp_path / "sub" / "b.FLAC").write_bytes(b"")
+        (tmp_path / "sub" / "notes.txt").write_bytes(b"")
+        (tmp_path / "c.mp3").write_bytes(b"")
+        files = collect_input_files([tmp_path])
+        names = sorted(f.name for f in files)
+        assert names == ["a.wav", "b.FLAC", "c.mp3"]
+
+    def test_collect_explicit_file(self, tmp_path):
+        f = tmp_path / "a.wav"
+        f.write_bytes(b"")
+        assert collect_input_files([f]) == [f]
+        assert collect_input_files([tmp_path / "missing.wav"]) == []
+
+
+class TestEndToEnd:
+    def test_wav_to_csv(self, clf, tmp_path):
+        audio = make_audio(tmp_path, secs=7.0)
+        out = tmp_path / "out"
+        cfg = ProcessingConfig(
+            input_path=audio, output_dir=out,
+            formats=[OutputFormat.CSV, OutputFormat.JSON],
+            min_confidence=0.0, overlap=0.0, batch_size=8,
+            model_name="tiny-test",
+        )
+        result = process_file(clf, cfg)
+        assert result.segments == 3  # 7 s at 3 s windows -> 3 (last padded)
+        assert result.audio_duration_secs == pytest.approx(7.0, abs=0.01)
+
+        csv_path = out / "rec.BirdNET.results.csv"
+        assert csv_path.exists()
+        lines = csv_path.read_text(encoding="utf-8-sig").splitlines()
+        assert lines[0].startswith("Start (s),End (s)")
+        # min_confidence 0 with top_k 3 -> 3 detections per segment
+        assert len(lines) - 1 == result.detections == 9
+        # Sorted by start time then confidence desc.
+        starts = [float(l.split(",")[0]) for l in lines[1:]]
+        assert starts == sorted(starts)
+
+        doc = json.loads((out / "rec.BirdNET.json").read_text())
+        assert doc["summary"]["total_detections"] == 9
+        assert doc["model"] == "tiny-test"
+
+    def test_lock_released_after_processing(self, clf, tmp_path):
+        audio = make_audio(tmp_path, secs=3.0)
+        out = tmp_path / "out"
+        cfg = ProcessingConfig(
+            input_path=audio, output_dir=out, formats=[OutputFormat.CSV],
+            min_confidence=0.0, overlap=0.0, batch_size=4,
+        )
+        process_file(clf, cfg)
+        assert not FileLock.is_locked(audio, out)
+
+    def test_locked_file_raises(self, clf, tmp_path):
+        audio = make_audio(tmp_path, secs=3.0)
+        out = tmp_path / "out"
+        lock = FileLock.acquire(audio, out)
+        cfg = ProcessingConfig(
+            input_path=audio, output_dir=out, formats=[OutputFormat.CSV],
+            min_confidence=0.0, overlap=0.0, batch_size=4,
+        )
+        with pytest.raises(FileLocked):
+            process_file(clf, cfg)
+        lock.release()
+
+    def test_overlap_segments(self, clf, tmp_path):
+        audio = make_audio(tmp_path, secs=6.0)
+        out = tmp_path / "out"
+        cfg = ProcessingConfig(
+            input_path=audio, output_dir=out, formats=[OutputFormat.CSV],
+            min_confidence=0.0, overlap=1.5, batch_size=4,
+        )
+        result = process_file(clf, cfg)
+        assert result.segments == 4  # step 1.5 s: 0, 1.5, 3.0, 4.5
+
+    def test_resampled_input(self, clf, tmp_path):
+        # 44.1 kHz input must be resampled to the model's 48 kHz.
+        audio = tmp_path / "cd.wav"
+        t = np.arange(int(44100 * 4.0)) / 44100
+        write_wav(audio, (0.4 * np.sin(2 * np.pi * 1000 * t)).astype(np.float32), 44100)
+        out = tmp_path / "out"
+        cfg = ProcessingConfig(
+            input_path=audio, output_dir=out, formats=[OutputFormat.CSV],
+            min_confidence=0.0, overlap=0.0, batch_size=4,
+        )
+        result = process_file(clf, cfg)
+        assert result.segments == 2
+
+    def test_decode_error_propagates(self, clf, tmp_path):
+        bad = tmp_path / "bad.wav"
+        bad.write_bytes(b"RIFFxxxxWAVE")  # truncated garbage
+        out = tmp_path / "out"
+        cfg = ProcessingConfig(
+            input_path=bad, output_dir=out, formats=[OutputFormat.CSV],
+            min_confidence=0.0, overlap=0.0, batch_size=4,
+        )
+        from birda_tpu.errors import AudioError
+
+        with pytest.raises(AudioError):
+            process_file(clf, cfg)
+        assert not FileLock.is_locked(bad, out)  # lock released on error
+
+    def test_stdout_mode_writes_no_files(self, clf, tmp_path):
+        from birda_tpu.output.reporter import JsonReporter
+        import io
+
+        audio = make_audio(tmp_path, secs=3.0)
+        out = tmp_path / "out"
+        buf = io.StringIO()
+        cfg = ProcessingConfig(
+            input_path=audio, output_dir=out, formats=[OutputFormat.CSV],
+            min_confidence=0.0, overlap=0.0, batch_size=4,
+            reporter=JsonReporter(buf),
+        )
+        process_file(clf, cfg)
+        assert not (out / "rec.BirdNET.results.csv").exists()
+        events = [json.loads(l)["event"] for l in buf.getvalue().splitlines()]
+        assert "detections" in events
