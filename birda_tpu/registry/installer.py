@@ -1,0 +1,182 @@
+"""Model asset download + install (reference ``src/registry/installer.rs``).
+
+Download protocol: stream to a **pid-qualified** ``.part`` file (concurrent
+installs cannot collide), verify sha256 BEFORE the rename, fsync the file
+then the directory, then rename onto the final name — an interrupted or
+corrupt transfer can never leave a truncated asset at the destination.
+Hugging Face URLs honor the ``HF_ENDPOINT`` mirror variable the HF client
+libraries already use.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import logging
+import os
+from pathlib import Path
+from typing import Callable, Optional
+
+from ..config import paths as config_paths
+from ..constants import download as dl
+from ..errors import DownloadFailed, DownloadInstallFailed, UpdateChecksumMismatch
+from ..utils.fs import sync_parent_directory
+from .schema import FileRef, RangeFilterEntry, Registry, RegistryModel, Variant
+
+logger = logging.getLogger(__name__)
+
+GEOMODEL_INSTALL_ID = "birdnet-geomodel-v3"
+
+
+def models_dir() -> Path:
+    return config_paths.data_dir()
+
+
+def apply_hf_mirror(url: str) -> str:
+    """Rewrite the canonical HF origin to the user's configured mirror."""
+    endpoint = os.environ.get(dl.HF_ENDPOINT_ENV)
+    if endpoint and url.startswith(dl.HUGGING_FACE_ENDPOINT):
+        return endpoint.rstrip("/") + url[len(dl.HUGGING_FACE_ENDPOINT):]
+    return url
+
+
+def sha256_file(path: Path) -> str:
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+def download_verified(
+    file_ref: FileRef,
+    dest_dir: Path,
+    progress: Optional[Callable[[int, int], None]] = None,
+    session=None,
+) -> Path:
+    """Download one asset with the atomic .part protocol. Returns the final
+    path (short-circuits when the file already exists with a good hash)."""
+    dest_dir.mkdir(parents=True, exist_ok=True)
+    final = dest_dir / file_ref.filename
+
+    if final.exists() and file_ref.sha256:
+        if sha256_file(final) == file_ref.sha256:
+            return final
+        logger.warning("existing %s fails checksum; re-downloading", final.name)
+
+    part = dest_dir / f"{file_ref.filename}.{os.getpid()}.{dl.PARTIAL_SUFFIX}"
+    url = apply_hf_mirror(file_ref.url)
+
+    try:
+        import requests
+
+        sess = session or requests
+        with sess.get(
+            url, stream=True,
+            timeout=(dl.CONNECT_TIMEOUT_SECS, dl.REQUEST_TIMEOUT_MINS * 60),
+        ) as resp:
+            resp.raise_for_status()
+            total = int(resp.headers.get("content-length", 0)) or (
+                file_ref.size_bytes or 0
+            )
+            done = 0
+            h = hashlib.sha256()
+            with open(part, "wb") as f:
+                for chunk in resp.iter_content(1 << 20):
+                    f.write(chunk)
+                    h.update(chunk)
+                    done += len(chunk)
+                    if progress:
+                        progress(done, total)
+                f.flush()
+                os.fsync(f.fileno())
+    except Exception as e:  # noqa: BLE001
+        try:
+            part.unlink()
+        except OSError:
+            pass
+        raise DownloadFailed(file_ref.filename, str(e)) from e
+
+    if file_ref.sha256:
+        got = h.hexdigest()
+        if got != file_ref.sha256:
+            try:
+                part.unlink()
+            except OSError:
+                pass
+            raise UpdateChecksumMismatch(file_ref.sha256, got)
+
+    try:
+        os.replace(part, final)
+        sync_parent_directory(final)
+    except OSError as e:
+        raise DownloadInstallFailed(file_ref.filename, str(e)) from e
+    return final
+
+
+class InstalledModel:
+    """Paths produced by an install, to be recorded in config.toml."""
+
+    def __init__(self, model_path: Path, labels_path: Path,
+                 extra: dict[str, Path] | None = None,
+                 variant: Optional[str] = None, region: Optional[str] = None):
+        self.model_path = model_path
+        self.labels_path = labels_path
+        self.extra = extra or {}
+        self.variant = variant
+        self.region = region
+
+
+def install_model(
+    model: RegistryModel,
+    language: str = "en",
+    dest_dir: Path | None = None,
+    variant: Optional[Variant] = None,
+    progress=None,
+    session=None,
+) -> InstalledModel:
+    """Install a registry model (simple files or a selected variant)."""
+    from ..errors import LanguageNotFound, ModelHasNoLanguages
+
+    dest = dest_dir if dest_dir is not None else models_dir()
+
+    if model.has_variants:
+        v = variant or _default_variant(model)
+        model_path = download_verified(v.model, dest, progress, session)
+        if v.labels is None:
+            raise ModelHasNoLanguages(model.id)
+        labels_path = download_verified(v.labels, dest, progress, session)
+        return InstalledModel(model_path, labels_path,
+                              variant=v.id, region=v.region)
+
+    files = model.files
+    if files is None:
+        raise ModelHasNoLanguages(model.id)
+    model_path = download_verified(files.model, dest, progress, session)
+    lang = model.language(language) or model.language(files.default_language)
+    if lang is None:
+        raise LanguageNotFound(language, model.id)
+    labels_path = download_verified(
+        FileRef(url=lang.url, filename=lang.filename), dest, progress, session
+    )
+    extra = {
+        key: download_verified(ref, dest, progress, session)
+        for key, ref in files.extra.items()
+    }
+    return InstalledModel(model_path, labels_path, extra)
+
+
+def _default_variant(model: RegistryModel) -> Variant:
+    from .selection import select_variant
+
+    return select_variant(model)
+
+
+def install_range_filter(
+    entry: RangeFilterEntry, dest_dir: Path | None = None,
+    progress=None, session=None,
+) -> tuple[Path, Path]:
+    """Install the shared geomodel + labels; returns (model, labels) paths."""
+    dest = dest_dir if dest_dir is not None else models_dir()
+    model_path = download_verified(entry.model, dest, progress, session)
+    labels_path = download_verified(entry.labels, dest, progress, session)
+    return model_path, labels_path

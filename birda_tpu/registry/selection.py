@@ -1,0 +1,89 @@
+"""Hardware-aware variant selection (reference ``src/registry/selection.rs``).
+
+Priority: explicit variant id > region request > precision preferred by the
+backend > registry default > first full (non-regional) variant. On TPU the
+precision axis maps as: bf16-friendly fp32 weights are the safe default
+(XLA casts to bf16 on the MXU at run time); fp16 assets halve download and
+disk without changing the TPU compute path; int8-arm variants target ARM
+CPU hosts and are never auto-selected for TPU.
+"""
+
+from __future__ import annotations
+
+import platform
+from dataclasses import dataclass
+from typing import Optional
+
+from ..errors import RegionNotFound, RegionsNotSupported, VariantNotFound
+from .schema import RegistryModel, Variant
+
+
+@dataclass
+class SystemProbe:
+    """What the selection can see of the machine."""
+
+    backend: str = "cpu"      # "tpu" | "cpu"
+    arch: str = ""
+
+    @classmethod
+    def detect(cls, backend: Optional[str] = None) -> "SystemProbe":
+        if backend is None:
+            try:
+                import jax
+
+                backend = jax.default_backend()
+            except Exception:  # noqa: BLE001
+                backend = "cpu"
+        return cls(backend=backend, arch=platform.machine())
+
+
+def _precision_order(probe: SystemProbe) -> list[str]:
+    if probe.backend == "tpu":
+        # fp32 weights: XLA handles the bf16 cast; int8-arm never on TPU.
+        return ["fp32", "fp16"]
+    if probe.arch in ("aarch64", "arm64"):
+        return ["int8-arm", "fp32", "fp16"]
+    return ["fp32", "fp16"]
+
+
+def select_variant(
+    model: RegistryModel,
+    explicit_variant: Optional[str] = None,
+    region: Optional[str] = None,
+    probe: Optional[SystemProbe] = None,
+) -> Variant:
+    if not model.has_variants:
+        raise VariantNotFound(f"{model.id} has no variants")
+    probe = probe or SystemProbe.detect()
+
+    candidates = model.variants
+    if region is not None:
+        candidates = [v for v in candidates if v.region == region]
+        if not candidates:
+            known = sorted({v.region for v in model.variants if v.region})
+            if not known:
+                raise RegionsNotSupported(model.id)
+            raise RegionNotFound(f"{region} (known: {', '.join(known)})")
+    else:
+        candidates = [v for v in candidates if v.region is None]
+        if not candidates:
+            candidates = model.variants
+
+    if explicit_variant is not None:
+        for v in candidates:
+            if v.id == explicit_variant:
+                return v
+        raise VariantNotFound(f"{explicit_variant} for {model.id}"
+                              + (f" region {region}" if region else ""))
+
+    for precision in _precision_order(probe):
+        for v in candidates:
+            if v.id == precision:
+                return v
+
+    if model.default_variant:
+        for v in candidates:
+            if v.id == model.default_variant:
+                return v
+
+    return candidates[0]

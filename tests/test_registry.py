@@ -1,0 +1,244 @@
+"""Registry tests: schema, loader three-outcome policy, download protocol,
+variant selection, license gate, cleanup."""
+
+import hashlib
+import json
+from pathlib import Path
+
+import pytest
+
+from birda_tpu.config.types import Config, ModelConfig, ModelType
+from birda_tpu.errors import (
+    DownloadFailed,
+    ModelNotFoundInRegistry,
+    RegionNotFound,
+    UpdateChecksumMismatch,
+    VariantNotFound,
+)
+from birda_tpu.registry import cleanup, license as license_mod
+from birda_tpu.registry.installer import (
+    FileRef,
+    apply_hf_mirror,
+    download_verified,
+)
+from birda_tpu.registry.loader import load_embedded, load_registry
+from birda_tpu.registry.schema import LicenseInfo, Registry
+from birda_tpu.registry.selection import SystemProbe, select_variant
+
+
+class TestEmbeddedRegistry:
+    def test_parses(self):
+        r = load_embedded()
+        ids = [m.id for m in r.models]
+        assert ids == ["birdnet-v24", "birdnet-v30", "bsg-fi-v44", "perch-v2"]
+        assert r.range_filter is not None
+        assert r.range_filter.species_count == 12_012
+        assert r.range_filter.version == "3.0.2"
+
+    def test_birdnet_v24_files(self):
+        r = load_embedded()
+        m = r.find_model("birdnet-v24")
+        assert not m.has_variants
+        assert len(m.files.languages) == 37
+        assert m.language("fi") is not None
+        assert not m.license.commercial_use  # CC-BY-NC-SA
+
+    def test_v30_variants(self):
+        r = load_embedded()
+        m = r.find_model("birdnet-v30")
+        assert m.has_variants
+        full = [v for v in m.variants if v.region is None]
+        assert {v.id for v in full} >= {"fp32", "fp16"}
+        regional = [v for v in m.variants if v.region]
+        assert len(regional) > 10
+        assert all(v.model.sha256 for v in m.variants)
+
+    def test_find_missing(self):
+        with pytest.raises(ModelNotFoundInRegistry):
+            load_embedded().find_model("ghost")
+
+
+class TestLoaderPolicy:
+    def test_no_cache_uses_embedded(self, tmp_path):
+        r = load_registry(cache=tmp_path / "registry.json")
+        assert r.registry_version >= 1
+
+    def test_corrupt_cache_replaced(self, tmp_path):
+        cache = tmp_path / "registry.json"
+        cache.write_text("{ not json")
+        r = load_registry(cache=cache)
+        assert r.models  # embedded used
+        assert json.loads(cache.read_text())["models"]  # file repaired
+
+    def test_old_cache_upgraded(self, tmp_path):
+        cache = tmp_path / "registry.json"
+        cache.write_text(json.dumps({
+            "schema_version": "tpu-1.0", "registry_version": 0, "models": [],
+        }))
+        r = load_registry(cache=cache)
+        assert r.models  # embedded won
+        assert json.loads(cache.read_text())["registry_version"] >= 1
+
+    def test_newer_cache_wins(self, tmp_path):
+        cache = tmp_path / "registry.json"
+        doc = json.loads(Path("birda_tpu/registry/registry.json").read_text())
+        doc["registry_version"] = 999
+        doc["models"] = doc["models"][:1]
+        cache.write_text(json.dumps(doc))
+        r = load_registry(cache=cache)
+        assert len(r.models) == 1
+
+
+class _FakeResponse:
+    def __init__(self, data: bytes, status=200):
+        self._data = data
+        self.status_code = status
+        self.headers = {"content-length": str(len(data))}
+
+    def raise_for_status(self):
+        if self.status_code != 200:
+            raise IOError(f"http {self.status_code}")
+
+    def iter_content(self, n):
+        for i in range(0, len(self._data), n):
+            yield self._data[i : i + n]
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        pass
+
+
+class _FakeSession:
+    def __init__(self, data: bytes, status=200):
+        self.data = data
+        self.status = status
+        self.requests = []
+
+    def get(self, url, **kw):
+        self.requests.append(url)
+        return _FakeResponse(self.data, self.status)
+
+
+class TestDownload:
+    def test_verified_download(self, tmp_path):
+        data = b"model bytes here"
+        ref = FileRef(
+            url="https://example.com/m.onnx", filename="m.onnx",
+            sha256=hashlib.sha256(data).hexdigest(),
+        )
+        out = download_verified(ref, tmp_path, session=_FakeSession(data))
+        assert out.read_bytes() == data
+        assert not list(tmp_path.glob("*.part"))
+
+    def test_checksum_mismatch_leaves_nothing(self, tmp_path):
+        ref = FileRef(url="https://example.com/m.onnx", filename="m.onnx",
+                      sha256="0" * 64)
+        with pytest.raises(UpdateChecksumMismatch):
+            download_verified(ref, tmp_path, session=_FakeSession(b"wrong"))
+        assert list(tmp_path.iterdir()) == []
+
+    def test_existing_good_file_short_circuits(self, tmp_path):
+        data = b"cached"
+        (tmp_path / "m.onnx").write_bytes(data)
+        ref = FileRef(url="https://example.com/m.onnx", filename="m.onnx",
+                      sha256=hashlib.sha256(data).hexdigest())
+        sess = _FakeSession(b"never fetched")
+        out = download_verified(ref, tmp_path, session=sess)
+        assert out.read_bytes() == data
+        assert sess.requests == []
+
+    def test_http_error(self, tmp_path):
+        ref = FileRef(url="https://example.com/m.onnx", filename="m.onnx")
+        with pytest.raises(DownloadFailed):
+            download_verified(ref, tmp_path, session=_FakeSession(b"", 404))
+
+    def test_hf_mirror(self, monkeypatch):
+        monkeypatch.setenv("HF_ENDPOINT", "https://mirror.local")
+        assert apply_hf_mirror(
+            "https://huggingface.co/a/b"
+        ) == "https://mirror.local/a/b"
+        assert apply_hf_mirror("https://github.com/x") == "https://github.com/x"
+
+
+class TestSelection:
+    def setup_method(self):
+        self.model = load_embedded().find_model("birdnet-v30")
+
+    def test_tpu_prefers_fp32_full(self):
+        v = select_variant(self.model, probe=SystemProbe(backend="tpu"))
+        assert v.id == "fp32"
+        assert v.region is None
+
+    def test_explicit_variant(self):
+        v = select_variant(self.model, explicit_variant="fp16",
+                           probe=SystemProbe(backend="tpu"))
+        assert v.id == "fp16"
+
+    def test_region_selection(self):
+        regions = {v.region for v in self.model.variants if v.region}
+        region = sorted(regions)[0]
+        v = select_variant(self.model, region=region,
+                           probe=SystemProbe(backend="tpu"))
+        assert v.region == region
+
+    def test_unknown_region(self):
+        with pytest.raises(RegionNotFound):
+            select_variant(self.model, region="atlantis")
+
+    def test_unknown_variant(self):
+        with pytest.raises(VariantNotFound):
+            select_variant(self.model, explicit_variant="int4")
+
+    def test_arm_prefers_int8_when_present(self):
+        probe = SystemProbe(backend="cpu", arch="aarch64")
+        v = select_variant(self.model, probe=probe)
+        assert v.id in ("int8-arm", "fp32")  # int8-arm if the registry has it
+
+
+class TestLicense:
+    def test_permissive_skips_prompt(self):
+        lic = LicenseInfo(type="MIT", commercial_use=True)
+        assert not license_mod.needs_prompt(lic)
+        assert license_mod.prompt_license_acceptance("m", "M", lic)
+
+    def test_restrictive_prompts_and_records(self, tmp_path, monkeypatch):
+        monkeypatch.setattr(
+            license_mod, "_acceptances_path", lambda: tmp_path / "acc.json"
+        )
+        lic = LicenseInfo(type="CC-BY-NC-SA-4.0", commercial_use=False)
+        assert license_mod.needs_prompt(lic)
+        ok = license_mod.prompt_license_acceptance(
+            "m", "Model", lic, assume_yes=True
+        )
+        assert ok
+        # Second time: recorded, no prompt needed.
+        assert license_mod.is_accepted("m", lic)
+        assert license_mod.prompt_license_acceptance("m", "Model", lic)
+
+
+class TestCleanup:
+    def test_orphans_detected(self, tmp_path):
+        reg = load_embedded()
+        models_dir = tmp_path / "models"
+        models_dir.mkdir()
+        # A registry-known filename nothing references -> orphan.
+        orphan = models_dir / "birdnet-v24.onnx"
+        orphan.write_bytes(b"x")
+        # An unknown file -> never touched.
+        stranger = models_dir / "my_notes.txt"
+        stranger.write_bytes(b"x")
+        # A referenced file -> kept.
+        kept = models_dir / "birdnet-v24-en.txt"
+        kept.write_text("labels")
+        cfg = Config()
+        cfg.models["bn"] = ModelConfig(
+            path=models_dir / "other.onnx", labels=kept,
+            model_type=ModelType.BIRDNET_V24,
+        )
+        orphans = cleanup.orphaned_files(models_dir, cfg, reg)
+        assert orphans == [orphan]
+        assert cleanup.remove_orphans(orphans) == 1
+        assert stranger.exists()
+        assert kept.exists()
