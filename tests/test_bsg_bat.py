@@ -1,0 +1,210 @@
+"""BSG post-processing + bat custom classifier + geomodel resolution tests."""
+
+import numpy as np
+import pytest
+
+from birda_tpu.config.geomodel import resolve_geomodel, require_geomodel
+from birda_tpu.config.types import Config
+from birda_tpu.errors import (
+    BsgCalibration,
+    BsgDistributionMaps,
+    GeomodelNotInstalled,
+    GeomodelPathsIncomplete,
+)
+from birda_tpu.inference.bsg import (
+    BsgPostProcessor,
+    DistributionMaps,
+    MigrationWindow,
+    load_calibration,
+    load_migration,
+)
+from birda_tpu.inference.geomodel_filter import Prediction
+from birda_tpu.models.custom import CustomClassifier, read_labels
+from birda_tpu.registry.loader import load_embedded
+
+
+def write_calibration(path, rows):
+    path.write_text(
+        "species,coef,intercept\n"
+        + "\n".join(f"{s},{c},{i}" for s, c, i in rows)
+        + "\n"
+    )
+
+
+class TestCalibration:
+    def test_platt_scaling(self, tmp_path):
+        p = tmp_path / "cal.csv"
+        # Identity calibration: coef=1, intercept=0 -> unchanged.
+        write_calibration(p, [("Parus major_Talitiainen", 1.0, 0.0),
+                              ("Turdus merula_Mustarastas", 2.0, 1.0)])
+        proc = BsgPostProcessor(load_calibration(p))
+        preds = [
+            Prediction("Parus major_Talitiainen", 0.8, 0),
+            Prediction("Turdus merula_Mustarastas", 0.5, 1),
+            Prediction("Corvus corax_Korppi", 0.6, 2),  # uncalibrated passes
+        ]
+        out = proc.calibrate(preds)
+        assert out[0].confidence == pytest.approx(0.8, abs=1e-6)
+        # logit(0.5)=0 -> sigmoid(1.0) = 0.731
+        assert out[1].confidence == pytest.approx(0.7310586, abs=1e-5)
+        assert out[2].confidence == 0.6
+
+    def test_bad_header(self, tmp_path):
+        p = tmp_path / "cal.csv"
+        p.write_text("a,b,c\n1,2,3\n")
+        with pytest.raises(BsgCalibration):
+            load_calibration(p)
+
+    def test_empty(self, tmp_path):
+        p = tmp_path / "cal.csv"
+        p.write_text("species,coef,intercept\n")
+        with pytest.raises(BsgCalibration):
+            load_calibration(p)
+
+
+class TestMigration:
+    def test_window(self, tmp_path):
+        p = tmp_path / "mig.csv"
+        p.write_text("species,start_day,end_day\nA a_X,100,200\nB b_Y,300,60\n")
+        mig = load_migration(p)
+        assert mig["a a"].contains(150)
+        assert not mig["a a"].contains(250)
+        # Wrapping window (winter presence).
+        assert mig["b b"].contains(350)
+        assert mig["b b"].contains(30)
+        assert not mig["b b"].contains(150)
+
+
+class TestDistributionMaps:
+    def make_maps(self, tmp_path):
+        # 2x2 grid over Finland-ish box; species present only in the north.
+        grids = {"Parus major": bytes([1, 1, 0, 0])}
+        p = tmp_path / "maps.bin"
+        DistributionMaps.write(p, 2, 2, 59.0, 70.0, 19.0, 32.0, grids)
+        return DistributionMaps.load(p)
+
+    def test_presence_lookup(self, tmp_path):
+        maps = self.make_maps(tmp_path)
+        assert maps.present("Parus major_Great Tit", 69.0, 25.0) is True   # north
+        assert maps.present("Parus major_Great Tit", 60.0, 25.0) is False  # south
+        assert maps.present("Parus major_Great Tit", 40.0, 25.0) is False  # outside
+        assert maps.present("Corvus corax_Raven", 69.0, 25.0) is None      # no map
+
+    def test_bad_magic(self, tmp_path):
+        p = tmp_path / "maps.bin"
+        p.write_bytes(b"NOPE")
+        with pytest.raises(BsgDistributionMaps):
+            DistributionMaps.load(p)
+
+    def test_full_process(self, tmp_path):
+        cal = tmp_path / "cal.csv"
+        write_calibration(cal, [("Parus major_Talitiainen", 1.0, 0.0)])
+        mig = tmp_path / "mig.csv"
+        mig.write_text("species,start_day,end_day\nParus major_X,1,366\n")
+        maps_path = tmp_path / "maps.bin"
+        DistributionMaps.write(
+            maps_path, 1, 1, 59.0, 70.0, 19.0, 32.0, {"Parus major": b"\x01"}
+        )
+        proc = BsgPostProcessor.from_paths(cal, mig, maps_path)
+        assert proc.has_sdm
+        preds = [Prediction("Parus major_Talitiainen", 0.9, 0)]
+        out = proc.process(preds, 62.0, 25.0, 150)
+        assert len(out) == 1
+        out = proc.process(preds, 45.0, 25.0, 150)  # outside the box
+        assert out == []
+
+
+class TestCustomClassifier:
+    def test_linear_head(self):
+        rng = np.random.default_rng(0)
+        w = rng.normal(size=(16, 4)).astype(np.float32)
+
+        def head(emb):
+            import jax
+
+            return jax.nn.sigmoid(emb @ w)
+
+        labels = [f"Bat sp{i}_Bat {i}" for i in range(4)]
+        c = CustomClassifier(head, labels, min_confidence=0.0, top_k=2)
+        emb = rng.normal(size=(3, 16)).astype(np.float32)
+        preds = c.predict_batch(emb)
+        assert len(preds) == 3
+        assert all(len(p) == 2 for p in preds)
+        want = 1 / (1 + np.exp(-(emb @ w)))
+        assert preds[0][0].confidence == pytest.approx(
+            float(want[0].max()), abs=1e-5
+        )
+
+    def test_from_onnx(self, tmp_path):
+        import fixtures_onnx as fo
+
+        head_path = tmp_path / "bat.onnx"
+        head_path.write_bytes(fo.make_fixture_geomodel(num_species=6))
+        labels_path = tmp_path / "labels.txt"
+        labels_path.write_text("\n".join(f"Bat{i} x_B{i}" for i in range(6)))
+        c = CustomClassifier.from_onnx(head_path, labels_path,
+                                       min_confidence=0.0, top_k=3)
+        preds = c.predict_batch(np.zeros((1, 3), np.float32))
+        assert len(preds[0]) == 3
+
+    def test_reclassify(self):
+        from birda_tpu.inference.classifier import PredictionResult
+
+        def head(emb):
+            import jax.numpy as jnp
+
+            return jnp.tile(jnp.asarray([[0.9, 0.1]]), (emb.shape[0], 1))
+
+        c = CustomClassifier(head, ["Bat a_A", "Bat b_B"],
+                             min_confidence=0.5, top_k=2)
+        results = [
+            PredictionResult(
+                predictions=[Prediction("Bird x_X", 0.8, 0)],
+                embeddings=np.zeros(8, np.float32),
+            )
+        ]
+        out = c.reclassify(results)
+        assert [p.species for p in out[0].predictions] == ["Bat a_A"]
+
+    def test_read_labels(self, tmp_path):
+        p = tmp_path / "l.txt"
+        p.write_text("A a_X\n\nB b_Y\n")
+        assert read_labels(p) == ["A a_X", "B b_Y"]
+
+
+class TestGeomodelResolution:
+    def test_explicit_paths(self, tmp_path):
+        reg = load_embedded()
+        cfg = Config()
+        m = tmp_path / "geo.onnx"
+        l = tmp_path / "geo-labels.txt"
+        m.write_bytes(b"x")
+        l.write_text("A a_X\n")
+        cfg.defaults.geomodel = m
+        cfg.defaults.geomodel_labels = l
+        resolved = resolve_geomodel(cfg, reg)
+        assert resolved.model_path == m
+
+    def test_incomplete_explicit(self, tmp_path):
+        reg = load_embedded()
+        cfg = Config()
+        cfg.defaults.geomodel = tmp_path / "geo.onnx"
+        with pytest.raises(GeomodelPathsIncomplete):
+            resolve_geomodel(cfg, reg)
+
+    def test_missing_explicit_is_fatal(self, tmp_path):
+        reg = load_embedded()
+        cfg = Config()
+        cfg.defaults.geomodel = tmp_path / "ghost.onnx"
+        cfg.defaults.geomodel_labels = tmp_path / "ghost.txt"
+        with pytest.raises(GeomodelNotInstalled):
+            resolve_geomodel(cfg, reg)
+
+    def test_unavailable_returns_none(self, monkeypatch, tmp_path):
+        from birda_tpu.registry import installer
+
+        monkeypatch.setattr(installer, "models_dir", lambda: tmp_path / "none")
+        reg = load_embedded()
+        assert resolve_geomodel(Config(), reg) is None
+        with pytest.raises(GeomodelNotInstalled):
+            require_geomodel(Config(), reg)
