@@ -1,0 +1,221 @@
+"""Clip command execution (reference ``src/clipper/command.rs``).
+
+Two modes: direct extraction (``--start/--end``) and CSV mode over detection
+files. Per-file failures are warnings and the batch keeps going; the batch
+fails only when *no* file produced anything (the #319 distinction between
+"some recordings had no detections" and "every file was rejected"). Float
+arguments are re-checked at this library boundary because NaN fails quietly
+at every later stage.
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Optional
+
+from ..constants import clipper as clip_consts
+from ..constants import confidence as conf_consts
+from ..constants import output_extensions
+from ..errors import (
+    BirdaError,
+    ClipBatchAllFailed,
+    InvalidConfidence,
+    InvalidPadding,
+    SourceAudioNotFound,
+)
+from .extractor import ClipExtractor, validate_time_range
+from .grouper import DetectionGroup, group_detections
+from .parser import parse_detection_file
+from .writer import WavWriter
+
+logger = logging.getLogger(__name__)
+
+CLIP_FILE_FAILED_CODE = "clip_file_failed"
+
+_OUTPUT_SUFFIXES = (
+    output_extensions.CSV,
+    output_extensions.RAVEN,
+    output_extensions.AUDACITY,
+    output_extensions.KALEIDOSCOPE,
+    output_extensions.JSON,
+    output_extensions.PARQUET,
+)
+
+
+@dataclass
+class ClipArgs:
+    files: list[Path]
+    output: Path = Path(clip_consts.DEFAULT_OUTPUT_DIR)
+    audio: Optional[Path] = None
+    base_dir: Optional[Path] = None
+    pre: float = clip_consts.DEFAULT_PRE_PADDING
+    post: float = clip_consts.DEFAULT_POST_PADDING
+    confidence: float = 0.0
+    species: Optional[str] = None
+    start: Optional[float] = None
+    end: Optional[float] = None
+
+
+@dataclass
+class ClipSummary:
+    total_clips: int = 0
+    processed_files: int = 0
+    clips: list[dict] = field(default_factory=list)
+    failures: list[dict] = field(default_factory=list)
+
+
+def validate_float_args(args: ClipArgs) -> None:
+    """NaN/∞ re-checks at the library boundary (reference ``command.rs:41``).
+    Negated-range spelling so NaN is rejected on both halves."""
+    for value in (args.pre, args.post):
+        if not (0.0 <= value <= clip_consts.MAX_PADDING):
+            raise InvalidPadding(value)
+    if not (conf_consts.MIN <= args.confidence <= conf_consts.MAX):
+        raise InvalidConfidence(args.confidence)
+
+
+def find_source_audio(
+    detection_file: Path,
+    explicit_audio: Optional[Path] = None,
+    base_dir: Optional[Path] = None,
+) -> Path:
+    """Resolution order: explicit --audio > inferred name in --base-dir >
+    inferred name beside the detection file (reference ``command.rs:390``)."""
+    if explicit_audio is not None:
+        if explicit_audio.exists():
+            return explicit_audio
+        raise SourceAudioNotFound(str(detection_file))
+
+    file_name = detection_file.name
+    search_dir = base_dir if base_dir is not None else (
+        detection_file.parent if str(detection_file.parent) else Path(".")
+    )
+
+    for suffix in _OUTPUT_SUFFIXES:
+        if file_name.endswith(suffix):
+            base = file_name[: -len(suffix)]
+            candidate = search_dir / base
+            if candidate.exists():
+                return candidate
+
+    stem = detection_file.stem
+    for s in (clip_consts.BIRDNET_RESULTS_SUFFIX, clip_consts.BIRDNET_SUFFIX):
+        if stem.endswith(s):
+            stem = stem[: -len(s)]
+            break
+    for ext in clip_consts.AUDIO_EXTENSIONS:
+        if stem.endswith(f".{ext}"):
+            stem = stem[: -(len(ext) + 1)]
+            break
+
+    if ".." in stem or "/" in stem or "\\" in stem:
+        raise SourceAudioNotFound(str(detection_file))
+
+    for ext in clip_consts.AUDIO_EXTENSIONS:
+        candidate = search_dir / f"{stem}.{ext}"
+        if candidate.exists():
+            return candidate
+    raise SourceAudioNotFound(str(detection_file))
+
+
+def execute(args: ClipArgs, reporter=None) -> ClipSummary:
+    validate_float_args(args)
+    if args.start is not None and args.end is not None:
+        return _execute_direct(args)
+    return _execute_csv_mode(args, reporter)
+
+
+def _execute_direct(args: ClipArgs) -> ClipSummary:
+    validate_time_range(args.start, args.end)
+    extractor = ClipExtractor()
+    writer = WavWriter(args.output)
+    summary = ClipSummary()
+    for audio_file in args.files:
+        group = DetectionGroup(
+            scientific_name=args.species or "clip",
+            common_name=args.species or "clip",
+            start=args.start, end=args.end,
+            max_confidence=1.0, detection_count=1,
+        )
+        clip = extractor.extract_clip(audio_file, group)
+        path = writer.write_clip(
+            clip.samples, clip.sample_rate, group.scientific_name,
+            group.max_confidence, group.start, group.end,
+        )
+        summary.total_clips += 1
+        summary.processed_files += 1
+        summary.clips.append({
+            "species": group.scientific_name,
+            "path": str(path),
+            "start": group.start,
+            "end": group.end,
+        })
+    return summary
+
+
+def _execute_csv_mode(args: ClipArgs, reporter=None) -> ClipSummary:
+    extractor = ClipExtractor()
+    writer = WavWriter(args.output)
+    summary = ClipSummary()
+
+    for detection_file in args.files:
+        try:
+            count, clips = _process_detection_file(
+                detection_file, args, extractor, writer
+            )
+            summary.total_clips += count
+            summary.processed_files += 1
+            summary.clips.extend(clips)
+        except BirdaError as e:
+            logger.warning("Failed to process %s: %s", detection_file, e)
+            summary.failures.append({
+                "file": str(detection_file),
+                "code": CLIP_FILE_FAILED_CODE,
+                "message": str(e),
+            })
+
+    if summary.processed_files == 0 and summary.failures:
+        raise ClipBatchAllFailed()
+    return summary
+
+
+def _process_detection_file(
+    detection_file: Path, args: ClipArgs, extractor: ClipExtractor,
+    writer: WavWriter,
+) -> tuple[int, list[dict]]:
+    detections = parse_detection_file(detection_file)
+    detections = [d for d in detections if d.confidence >= args.confidence]
+    if args.species is not None:
+        want = args.species.lower()
+        detections = [
+            d for d in detections
+            if want in d.scientific_name.lower() or want in d.common_name.lower()
+        ]
+    if not detections:
+        return 0, []
+
+    audio_path = find_source_audio(detection_file, args.audio, args.base_dir)
+    groups = group_detections(detections, args.pre, args.post)
+
+    clips = []
+    for group in groups:
+        try:
+            clip = extractor.extract_clip(audio_path, group)
+            path = writer.write_clip(
+                clip.samples, clip.sample_rate, group.scientific_name,
+                group.max_confidence, group.start, group.end,
+            )
+            clips.append({
+                "species": group.scientific_name,
+                "path": str(path),
+                "start": group.start,
+                "end": group.end,
+                "source_audio": str(audio_path),
+            })
+        except BirdaError as e:
+            logger.warning("clip %s %.1f-%.1f failed: %s",
+                           group.scientific_name, group.start, group.end, e)
+    return len(clips), clips
