@@ -1,0 +1,663 @@
+"""CLI entry point (reference ``src/cli/args.rs`` + ``src/lib.rs::run``).
+
+``birda <files...>`` analyzes directly (no subcommand word needed, like the
+reference); ``config``/``models``/``providers``/``clip``/``species``/
+``update`` are subcommands. Every analyze option is also reachable through a
+``BIRDA_*`` environment variable, with CLI > env > config > smart default
+precedence.
+"""
+
+from __future__ import annotations
+
+import logging
+import signal
+import sys
+from pathlib import Path
+
+import click
+
+from .. import __version__, constants
+from ..config import file as config_file
+from ..config import paths as config_paths
+from ..config.types import Config, InferenceDevice, ModelConfig, ModelType, OutputMode
+from ..errors import BirdaError
+from ..locking.file_lock import cleanup_all_locks
+from ..orchestrator import AnalyzeOptions, analyze_files
+from ..output import json_envelope as env
+from ..output.json_envelope import ErrorSeverity, ResultType
+from ..output.reporter import create_reporter
+from ..pipeline.coordinator import OutputFormat
+from . import validators as v
+
+logger = logging.getLogger(__name__)
+
+SUBCOMMANDS = {
+    "config", "models", "providers", "clip", "update", "species", "analyze",
+}
+
+
+def _validator(fn):
+    """Adapt a validators.py parser to a click callback."""
+
+    def callback(ctx, param, value):
+        if value is None:
+            return None
+        try:
+            return fn(value)
+        except v.ValidationFailure as e:
+            raise click.BadParameter(str(e)) from e
+
+    return callback
+
+
+def init_logging(verbose: int, quiet: bool):
+    """Verbosity ladder -v/-vv/-vvv; logs to stderr, stdout stays clean for
+    the JSON protocol (reference ``lib.rs:1102-1127``)."""
+    if quiet:
+        level = logging.ERROR
+    elif verbose >= 2:
+        level = logging.DEBUG
+    elif verbose == 1:
+        level = logging.INFO
+    else:
+        level = logging.WARNING
+    logging.basicConfig(
+        level=level,
+        stream=sys.stderr,
+        format="%(levelname)s %(name)s: %(message)s",
+    )
+    if verbose < 3:
+        logging.getLogger("jax").setLevel(logging.ERROR)
+
+
+def print_error_chain(e: BirdaError):
+    """Deduplicated cause-chain printing (reference ``main.rs:43-52``)."""
+    chain = e.cause_chain()
+    sys.stderr.write(f"Error: {chain[0]}\n")
+    for cause in chain[1:]:
+        sys.stderr.write(f"  caused by: {cause}\n")
+
+
+@click.group(invoke_without_command=True)
+@click.version_option(__version__, prog_name="birda")
+@click.pass_context
+def cli(ctx):
+    if ctx.invoked_subcommand is None and not ctx.args:
+        click.echo(ctx.get_help())
+
+
+@cli.command("analyze", context_settings={"show_default": True})
+@click.argument("inputs", nargs=-1, type=click.Path(path_type=Path))
+@click.option("-m", "--model", envvar="BIRDA_MODEL", help="Configured model name.")
+@click.option("--model-path", type=click.Path(path_type=Path),
+              envvar="BIRDA_MODEL_PATH", help="Ad-hoc model graph path.")
+@click.option("--labels-path", type=click.Path(path_type=Path),
+              envvar="BIRDA_LABELS_PATH")
+@click.option("--model-type", type=click.Choice([t.value for t in ModelType]),
+              envvar="BIRDA_MODEL_TYPE")
+@click.option("--bat", type=str, envvar="BIRDA_BAT",
+              help="Bat region (enables BattyBirdNET two-stage mode).")
+@click.option("-f", "--format", "formats", multiple=True,
+              type=click.Choice([f.value for f in OutputFormat]),
+              envvar="BIRDA_FORMAT")
+@click.option("-o", "--output-dir", type=click.Path(path_type=Path),
+              envvar="BIRDA_OUTPUT_DIR")
+@click.option("--min-confidence", callback=_validator(v.parse_confidence),
+              envvar="BIRDA_MIN_CONFIDENCE")
+@click.option("--overlap", callback=_validator(v.parse_overlap),
+              envvar="BIRDA_OVERLAP")
+@click.option("--batch-size", callback=_validator(v.parse_batch_size),
+              envvar="BIRDA_BATCH_SIZE")
+@click.option("--combine", is_flag=True, envvar="BIRDA_COMBINE")
+@click.option("--force", is_flag=True)
+@click.option("--fail-fast", is_flag=True)
+@click.option("-q", "--quiet", is_flag=True)
+@click.option("-v", "--verbose", count=True)
+@click.option("--no-csv-bom", is_flag=True, envvar="BIRDA_NO_CSV_BOM")
+@click.option("--gpu", is_flag=True, help="Prefer the accelerator; warn on fallback.")
+@click.option("--tpu", is_flag=True, help="Require TPU (fail if unavailable).")
+@click.option("--cpu", is_flag=True, help="Force CPU inference.")
+@click.option("--lat", callback=_validator(v.parse_latitude),
+              envvar="BIRDA_LATITUDE")
+@click.option("--lon", callback=_validator(v.parse_longitude),
+              envvar="BIRDA_LONGITUDE")
+@click.option("--week", callback=_validator(v.parse_week), envvar="BIRDA_WEEK")
+@click.option("--month", callback=_validator(v.parse_month), envvar="BIRDA_MONTH")
+@click.option("--day", callback=_validator(v.parse_day), envvar="BIRDA_DAY")
+@click.option("--day-of-year", callback=_validator(v.parse_day_of_year),
+              envvar="BIRDA_DAY_OF_YEAR")
+@click.option("--range-threshold", callback=_validator(v.parse_confidence),
+              envvar="BIRDA_RANGE_THRESHOLD")
+@click.option("--rerank", is_flag=True, envvar="BIRDA_RERANK")
+@click.option("--range-unmatched", type=click.Choice(["keep", "drop"]),
+              envvar="BIRDA_RANGE_UNMATCHED")
+@click.option("--slist", type=click.Path(path_type=Path), envvar="BIRDA_SLIST")
+@click.option("--stale-lock-timeout",
+              callback=_validator(v.parse_stale_lock_timeout),
+              envvar="BIRDA_STALE_LOCK_TIMEOUT")
+@click.option("--stdout", "stdout_mode", is_flag=True,
+              help="Stream detections to stdout; write no files.")
+@click.option("--output-mode", type=click.Choice(["human", "json", "ndjson"]),
+              envvar="BIRDA_OUTPUT_MODE")
+@click.option("--accept-license", is_flag=True)
+def analyze(inputs, model, model_path, labels_path, model_type, bat, formats,
+            output_dir, min_confidence, overlap, batch_size, combine, force,
+            fail_fast, quiet, verbose, no_csv_bom, gpu, tpu, cpu, lat, lon,
+            week, month, day, day_of_year, range_threshold, rerank,
+            range_unmatched, slist, stale_lock_timeout, stdout_mode,
+            output_mode, accept_license):
+    """Analyze audio files for bird detections."""
+    init_logging(verbose, quiet)
+    if not inputs:
+        raise click.UsageError("no input files given")
+
+    # Week/month/day conflicts (the reference encodes these in clap groups).
+    if week is not None and (month is not None or day is not None):
+        raise click.UsageError("--week conflicts with --month/--day")
+    if (month is None) != (day is None):
+        raise click.UsageError("--month and --day must be given together")
+    if stdout_mode and combine:
+        raise click.UsageError("--stdout conflicts with --combine")
+
+    config = _load_validated_config()
+
+    mode = OutputMode(output_mode) if output_mode else config.output.default_format
+    dual = mode.is_structured and output_dir is not None and not stdout_mode
+    reporter = (
+        create_reporter(mode.value) if mode.is_structured else None
+    )
+
+    _install_sigint_cleanup(reporter, len(inputs))
+
+    options = AnalyzeOptions(
+        inputs=list(inputs),
+        model=model,
+        model_path=model_path,
+        labels_path=labels_path,
+        model_type=ModelType(model_type) if model_type else None,
+        bat=bat,
+        formats=[OutputFormat(f) for f in formats] or None,
+        output_dir=output_dir,
+        min_confidence=min_confidence,
+        overlap=overlap,
+        batch_size=batch_size,
+        combine=combine,
+        force=force,
+        fail_fast=fail_fast,
+        no_csv_bom=no_csv_bom,
+        device_flags={"gpu": gpu, "tpu": tpu, "cpu": cpu},
+        lat=lat, lon=lon, week=week, month=month, day=day,
+        day_of_year=day_of_year,
+        range_threshold=range_threshold,
+        rerank=rerank,
+        range_unmatched=range_unmatched,
+        slist=slist,
+        stale_lock_timeout=stale_lock_timeout,
+        stdout_mode=stdout_mode,
+        dual_output_mode=dual,
+        allow_download=accept_license,
+    )
+    try:
+        code = analyze_files(options, config, reporter)
+    except BirdaError as e:
+        if reporter is not None:
+            reporter.error("analysis_failed", ErrorSeverity.FATAL, str(e))
+            reporter.finish()
+        print_error_chain(e)
+        sys.exit(1)
+    if reporter is not None:
+        reporter.finish()
+    sys.exit(code)
+
+
+def _load_validated_config() -> Config:
+    """Load + validate, with validation gated so repair commands stay
+    reachable with a broken file (validation runs for consumers only)."""
+    from ..config.validate import validate_config
+
+    config = config_file.load_default_config()
+    for key in config.deprecated_keys():
+        logger.warning("config key '%s' is deprecated and ignored", key)
+    validate_config(config)
+    return config
+
+
+def _install_sigint_cleanup(reporter, total_files):
+    def handler(signum, frame):
+        removed = cleanup_all_locks()
+        if removed:
+            sys.stderr.write(f"\nReleased {removed} lock(s)\n")
+        if reporter is not None:
+            reporter.cancelled(env.CancelReason.USER_INTERRUPT, 0, total_files)
+            reporter.finish()
+        sys.exit(130)
+
+    try:
+        signal.signal(signal.SIGINT, handler)
+    except ValueError:
+        pass  # not the main thread (tests)
+
+
+# ---------------------------------------------------------------------------
+# config subcommand
+# ---------------------------------------------------------------------------
+
+@cli.group()
+def config():
+    """Manage configuration."""
+
+
+@config.command("init")
+def config_init():
+    path = config_paths.config_file_path()
+    if path.exists():
+        click.echo(f"Config already exists: {path}")
+        return
+    config_file.save_config(Config(), path)
+    click.echo(f"Created {path}")
+
+
+@config.command("show")
+def config_show():
+    from ..utils import toml_writer
+
+    cfg = config_file.load_default_config()
+    click.echo(toml_writer.dumps(cfg.to_dict()))
+
+
+@config.command("path")
+def config_path():
+    click.echo(str(config_paths.config_file_path()))
+
+
+# ignore_unknown_options so values beginning with a hyphen are accepted:
+# without it `config set defaults.latitude -33.9` reads -33.9 as a flag and
+# every southern/western coordinate is unreachable (reference args.rs:157).
+@config.command("set", context_settings={"ignore_unknown_options": True})
+@click.argument("key")
+@click.argument("value")
+def config_set(key, value):
+    """Set a configuration value by dotted path."""
+    try:
+        config_file.update_config(lambda cfg: _apply_config_set(cfg, key, value))
+    except BirdaError as e:
+        print_error_chain(e)
+        sys.exit(1)
+    click.echo(f"Set {key} = {value}")
+
+
+def _apply_config_set(cfg: Config, key: str, value: str):
+    from ..errors import InvalidConfigKey
+
+    d = cfg.defaults
+    try:
+        if key == "defaults.model":
+            d.model = value
+        elif key == "defaults.min_confidence":
+            d.min_confidence = v.parse_confidence(value)
+        elif key == "defaults.overlap":
+            d.overlap = v.parse_overlap(value)
+        elif key == "defaults.batch_size":
+            d.batch_size = v.parse_batch_size(value)
+        elif key == "defaults.latitude":
+            d.latitude = v.parse_latitude(value)
+        elif key == "defaults.longitude":
+            d.longitude = v.parse_longitude(value)
+        elif key == "defaults.range_threshold":
+            d.range_threshold = v.parse_confidence(value)
+        elif key == "defaults.range_unmatched":
+            from ..inference.geomodel_filter import UnmatchedPolicy
+
+            d.range_unmatched = UnmatchedPolicy(value)
+        elif key == "defaults.day_of_year":
+            d.day_of_year = v.parse_day_of_year(value)
+        elif key == "defaults.species_list_file":
+            d.species_list_file = Path(value)
+        elif key == "defaults.formats":
+            d.formats = [OutputFormat(f.strip()) for f in value.split(",")]
+        elif key == "inference.device":
+            cfg.inference.device = InferenceDevice(value)
+        elif key == "output.default_format":
+            cfg.output.default_format = OutputMode(value)
+        else:
+            raise InvalidConfigKey(key)
+    except v.ValidationFailure as e:
+        from ..errors import ConfigValidation
+
+        raise ConfigValidation(str(e)) from e
+
+
+# ---------------------------------------------------------------------------
+# models subcommand
+# ---------------------------------------------------------------------------
+
+@cli.group()
+def models():
+    """Manage models."""
+
+
+@models.command("list")
+def models_list():
+    cfg = config_file.load_default_config()
+    if not cfg.models:
+        click.echo("No models configured. Run 'birda models install <id>'.")
+        return
+    for name, m in cfg.models.items():
+        default = " (default)" if cfg.defaults.model == name else ""
+        click.echo(f"{name}{default}: {m.model_type.value} at {m.path}")
+
+
+@models.command("list-available")
+def models_list_available():
+    from ..registry.loader import load_registry
+
+    reg = load_registry()
+    for m in reg.models:
+        rec = " [recommended]" if m.recommended else ""
+        variants = f" ({len(m.variants)} variants)" if m.has_variants else ""
+        click.echo(f"{m.id}{rec}: {m.name} v{m.version}{variants}")
+        click.echo(f"    {m.description}")
+        click.echo(f"    License: {m.license.type}")
+
+
+@models.command("add")
+@click.argument("name")
+@click.option("--path", "path_", type=click.Path(path_type=Path), required=True)
+@click.option("--labels", type=click.Path(path_type=Path), required=True)
+@click.option("--type", "type_", type=click.Choice([t.value for t in ModelType]),
+              required=True)
+@click.option("--default", "set_default", is_flag=True)
+def models_add(name, path_, labels, type_, set_default):
+    def mutate(cfg: Config):
+        from ..errors import ModelAlreadyExists
+
+        if name in cfg.models:
+            raise ModelAlreadyExists(name)
+        cfg.models[name] = ModelConfig(
+            path=path_, labels=labels, model_type=ModelType(type_)
+        )
+        if set_default or cfg.defaults.model is None:
+            cfg.defaults.model = name
+
+    try:
+        config_file.update_config(mutate)
+    except BirdaError as e:
+        print_error_chain(e)
+        sys.exit(1)
+    click.echo(f"Added model '{name}'")
+
+
+@models.command("check")
+def models_check():
+    from ..config.validate import validate_model_config
+
+    cfg = config_file.load_default_config()
+    failures = 0
+    for name, m in cfg.models.items():
+        try:
+            validate_model_config(name, m)
+            click.echo(f"{name}: OK")
+        except BirdaError as e:
+            failures += 1
+            click.echo(f"{name}: FAILED — {e}")
+    sys.exit(1 if failures else 0)
+
+
+@models.command("info")
+@click.argument("model_id")
+@click.option("--languages", is_flag=True)
+def models_info(model_id, languages):
+    from ..registry.loader import load_registry
+
+    cfg = config_file.load_default_config()
+    if model_id in cfg.models:
+        m = cfg.models[model_id]
+        click.echo(f"{model_id} (configured)")
+        click.echo(f"  type: {m.model_type.value}")
+        click.echo(f"  path: {m.path}")
+        click.echo(f"  labels: {m.labels}")
+        if m.installed_version:
+            click.echo(f"  installed version: {m.installed_version}")
+        return
+    try:
+        rm = load_registry().find_model(model_id)
+    except BirdaError as e:
+        print_error_chain(e)
+        sys.exit(1)
+    click.echo(f"{rm.id}: {rm.name} v{rm.version}")
+    click.echo(f"  {rm.description}")
+    click.echo(f"  vendor: {rm.vendor}")
+    click.echo(f"  license: {rm.license.type}"
+               + ("" if rm.license.commercial_use else " (non-commercial)"))
+    if languages and rm.files:
+        click.echo("  languages: "
+                   + ", ".join(l.code for l in rm.files.languages))
+
+
+@models.command("remove")
+@click.argument("name")
+@click.option("--purge", is_flag=True)
+def models_remove(name, purge):
+    removed_paths = []
+
+    def mutate(cfg: Config):
+        from ..errors import ModelNotFound
+
+        if name not in cfg.models:
+            raise ModelNotFound(name)
+        m = cfg.models.pop(name)
+        if cfg.defaults.model == name:
+            cfg.defaults.model = next(iter(cfg.models), None)
+        if purge:
+            removed_paths.extend([m.path, m.labels])
+
+    try:
+        config_file.update_config(mutate)
+    except BirdaError as e:
+        print_error_chain(e)
+        sys.exit(1)
+    if purge:
+        from ..registry import cleanup
+        from ..registry.installer import models_dir
+        from ..registry.loader import load_registry
+
+        cfg = config_file.load_default_config()
+        orphans = cleanup.orphaned_files(models_dir(), cfg, load_registry())
+        n = cleanup.remove_orphans(orphans)
+        click.echo(f"Removed model '{name}' and {n} orphaned file(s)")
+    else:
+        click.echo(f"Removed model '{name}'")
+
+
+@models.command("regions")
+@click.argument("model_id")
+def models_regions(model_id):
+    from ..registry.loader import load_registry
+
+    try:
+        rm = load_registry().find_model(model_id)
+    except BirdaError as e:
+        print_error_chain(e)
+        sys.exit(1)
+    regional = [vv for vv in rm.variants if vv.region]
+    if not regional:
+        click.echo(f"{model_id} has no regional variants")
+        return
+    seen = {}
+    for vv in regional:
+        seen.setdefault(vv.region, vv)
+    for region, vv in sorted(seen.items()):
+        click.echo(f"{region}: {vv.region_name or region}"
+                   + (f" ({vv.classes} classes)" if vv.classes else ""))
+
+
+@models.command("install")
+@click.argument("model_id")
+@click.option("-l", "--language", default="en")
+@click.option("--region")
+@click.option("--variant")
+@click.option("-d", "--default", "set_default", is_flag=True)
+@click.option("--accept-license", is_flag=True)
+def models_install(model_id, language, region, variant, set_default,
+                   accept_license):
+    from ..registry import installer, license as license_mod
+    from ..registry.loader import load_registry
+    from ..registry.selection import select_variant
+
+    reg = load_registry()
+    try:
+        rm = reg.find_model(model_id)
+        if not license_mod.prompt_license_acceptance(
+            rm.id, rm.name, rm.license, assume_yes=accept_license
+        ):
+            click.echo("License not accepted; aborting.")
+            sys.exit(1)
+        chosen = None
+        if rm.has_variants:
+            chosen = select_variant(rm, explicit_variant=variant, region=region)
+        installed = installer.install_model(
+            rm, language=language, variant=chosen
+        )
+        # The geomodel auto-installs alongside range-filter-capable models.
+        if reg.range_filter is not None and rm.model_type in (
+            "birdnet-v24", "birdnet-v30", "perch-v2"
+        ):
+            installer.install_range_filter(reg.range_filter)
+
+        def mutate(cfg: Config):
+            cfg.models[model_id] = ModelConfig(
+                path=installed.model_path,
+                labels=installed.labels_path,
+                model_type=ModelType(rm.model_type),
+                registry_id=rm.id,
+                installed_version=rm.version,
+                variant=installed.variant,
+                region=installed.region,
+                bsg_calibration=installed.extra.get("calibration"),
+                bsg_migration=installed.extra.get("migration"),
+                bsg_distribution_maps=installed.extra.get("distribution_maps"),
+            )
+            if set_default or cfg.defaults.model is None:
+                cfg.defaults.model = model_id
+
+        config_file.update_config(mutate)
+    except BirdaError as e:
+        print_error_chain(e)
+        sys.exit(1)
+    click.echo(f"Installed {model_id}")
+
+
+# ---------------------------------------------------------------------------
+# providers / species / clip / update
+# ---------------------------------------------------------------------------
+
+@cli.command()
+@click.option("--output-mode", type=click.Choice(["human", "json", "ndjson"]))
+def providers(output_mode):
+    """Show available inference backends."""
+    from ..inference.backend import available_backends
+
+    avail = available_backends()
+    if output_mode in ("json", "ndjson"):
+        reporter = create_reporter(output_mode)
+        reporter.result(env.result_payload(
+            ResultType.PROVIDERS, providers=avail,
+        ))
+        reporter.finish()
+        return
+    for name in ("tpu", "cpu"):
+        mark = "available" if name in avail else "not available"
+        click.echo(f"{name}: {mark}")
+
+
+@cli.command()
+@click.option("-o", "--output", type=click.Path(path_type=Path))
+@click.option("--lat", callback=_validator(v.parse_latitude), required=True)
+@click.option("--lon", callback=_validator(v.parse_longitude), required=True)
+@click.option("--week", callback=_validator(v.parse_week))
+@click.option("--month", callback=_validator(v.parse_month))
+@click.option("--day", callback=_validator(v.parse_day))
+@click.option("--threshold", callback=_validator(v.parse_confidence))
+@click.option("--sort", type=click.Choice(["freq", "alpha"]), default="freq")
+@click.option("-m", "--model")
+def species(output, lat, lon, week, month, day, threshold, sort, model):
+    """Generate a species list from the range filter."""
+    from .species import generate_species_list
+
+    if week is None and (month is None or day is None):
+        raise click.UsageError("provide --week, or --month with --day")
+    try:
+        path, count = generate_species_list(
+            output=output, lat=lat, lon=lon, week=week, month=month, day=day,
+            threshold=threshold, sort=sort, model_name=model,
+        )
+    except BirdaError as e:
+        print_error_chain(e)
+        sys.exit(1)
+    click.echo(f"Wrote {count} species to {path}")
+
+
+@cli.command()
+@click.argument("files", nargs=-1, required=True, type=click.Path(path_type=Path))
+@click.option("-o", "--output", type=click.Path(path_type=Path),
+              default=Path(constants.clipper.DEFAULT_OUTPUT_DIR))
+@click.option("--audio", type=click.Path(path_type=Path))
+@click.option("--base-dir", type=click.Path(path_type=Path))
+@click.option("--pre", type=float, default=constants.clipper.DEFAULT_PRE_PADDING)
+@click.option("--post", type=float, default=constants.clipper.DEFAULT_POST_PADDING)
+@click.option("--confidence", callback=_validator(v.parse_confidence), default=0.0)
+@click.option("--species", "species_")
+@click.option("--start", type=float)
+@click.option("--end", type=float)
+def clip(files, output, audio, base_dir, pre, post, confidence, species_,
+         start, end):
+    """Extract audio clips from detection results."""
+    from ..clipper.command import ClipArgs, execute
+
+    args = ClipArgs(
+        files=list(files), output=output, audio=audio, base_dir=base_dir,
+        pre=pre, post=post, confidence=confidence or 0.0, species=species_,
+        start=start, end=end,
+    )
+    try:
+        summary = execute(args)
+    except BirdaError as e:
+        print_error_chain(e)
+        sys.exit(1)
+    click.echo(
+        f"Extracted {summary.total_clips} clip(s) from "
+        f"{summary.processed_files} file(s)"
+    )
+
+
+@cli.command()
+@click.option("--check", is_flag=True, help="Only check, don't install.")
+def update(check):
+    """Check for and install updates."""
+    from ..update import check_for_update, perform_update
+
+    try:
+        info = check_for_update()
+        if info is None:
+            click.echo("birda is up to date")
+            return
+        click.echo(f"Update available: {info.version}")
+        if not check:
+            perform_update(info)
+            click.echo("Updated. Restart birda to use the new version.")
+    except BirdaError as e:
+        print_error_chain(e)
+        sys.exit(1)
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    # `birda file.wav` == `birda analyze file.wav` (the reference's
+    # no-subcommand analyze path).
+    if argv and argv[0] not in SUBCOMMANDS and not argv[0] in ("--help", "-h", "--version"):
+        argv = ["analyze", *argv]
+    return cli.main(args=argv, standalone_mode=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,88 @@
+"""Species-list generation (reference ``src/cli/species.rs:38``).
+
+One geomodel forward pass at (lat, lon, week), scores projected into the
+classifier's label space, thresholded (default 0.03 — deliberately higher
+than the live-filter 0.01), sorted by occurrence probability or
+alphabetically, written one label per line.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Optional
+
+from .. import constants
+from ..config import file as config_file
+from ..config import geomodel as geomodel_cfg
+from ..config.validate import get_model
+from ..errors import SpeciesListWrite
+from ..inference.geomodel import GeomodelScores, SpeciesMapping
+from ..inference.range_filter import RangeFilter, read_geomodel_labels
+from ..registry.loader import load_registry
+from ..utils.date import date_to_week
+from ..utils.fs import write_atomic
+
+DEFAULT_OUTPUT = "species_list.txt"
+
+
+def generate_species_list(
+    output: Optional[Path],
+    lat: float,
+    lon: float,
+    week: Optional[int] = None,
+    month: Optional[int] = None,
+    day: Optional[int] = None,
+    threshold: Optional[float] = None,
+    sort: str = "freq",
+    model_name: Optional[str] = None,
+) -> tuple[Path, int]:
+    """Returns (output path, species count). Geomodel unavailability is FATAL
+    here — unlike the analyze path, the geomodel IS the feature
+    (reference ``species.rs:66-75``)."""
+    config = config_file.load_default_config()
+    registry = load_registry()
+
+    installed = geomodel_cfg.require_geomodel(config, registry)
+    geomodel_labels = read_geomodel_labels(installed.labels_path)
+
+    # Classifier labels define the output label space when a model is
+    # configured; otherwise the geomodel's own labels are used directly.
+    classifier_labels = None
+    name = model_name or config.defaults.model
+    if name is not None and name in config.models:
+        mc = get_model(config, name)
+        if mc.labels.exists():
+            classifier_labels = read_geomodel_labels(mc.labels)
+
+    if week is None:
+        week = date_to_week(month, day)
+    if threshold is None:
+        threshold = constants.species_list_cmd.DEFAULT_THRESHOLD
+
+    rf = RangeFilter.from_onnx(installed.model_path, geomodel_labels,
+                               threshold=0.0)
+    scores = rf.predict_week(lat, lon, week)
+
+    if classifier_labels is not None:
+        mapping = SpeciesMapping.build(geomodel_labels, classifier_labels)
+        projected = GeomodelScores.project(scores, mapping)
+        entries = [
+            (label, projected.score_of(label))
+            for label in mapping.mapped_classifier_labels()
+        ]
+        entries = [(l, s) for l, s in entries if s is not None and s >= threshold]
+    else:
+        entries = [(s.species, s.score) for s in scores if s.score >= threshold]
+
+    if sort == "alpha":
+        entries.sort(key=lambda e: e[0].lower())
+    else:
+        entries.sort(key=lambda e: (-e[1], e[0].lower()))
+
+    out_path = output if output is not None else Path(DEFAULT_OUTPUT)
+    text = "".join(f"{label}\n" for label, _ in entries)
+    try:
+        write_atomic(out_path, text.encode("utf-8"))
+    except OSError as e:
+        raise SpeciesListWrite(str(out_path), str(e)) from e
+    return out_path, len(entries)

@@ -32,14 +32,11 @@ def _mk(name: str, base: type, fmt: str | None = None) -> type:
     """Build an error class with an optional ``{field}`` message template."""
 
     def __init__(self, *args, **kwargs):  # noqa: N807
-        if fmt is not None and (kwargs or args):
+        if fmt is not None:
             try:
-                if kwargs:
-                    msg = fmt.format(*args, **kwargs)
-                else:
-                    msg = fmt.format(*args)
+                msg = fmt.format(*args, **kwargs)
             except (IndexError, KeyError):
-                msg = fmt + " " + " ".join(str(a) for a in args)
+                msg = (fmt + " " + " ".join(str(a) for a in args)).strip()
             Exception.__init__(self, msg)
             self.args_raw = args
             self.kwargs_raw = kwargs

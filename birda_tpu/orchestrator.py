@@ -1,0 +1,583 @@
+"""Analysis orchestration (the reference's ``src/lib.rs`` core).
+
+Glues every layer together for an analyze run: model resolution (named >
+ad-hoc > default), device resolution, range-filter/species-list precedence,
+smart batch-size defaults, warmup reporting, the per-file loop with
+skip/lock/stale-reclaim/error-isolation semantics, and the run summary with
+realtime-factor aggregates.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Optional
+
+from . import constants
+from .config import file as config_file
+from .config import geomodel as geomodel_cfg
+from .config import range_filter as rf_cfg
+from .config.types import Config, InferenceDevice, ModelConfig, ModelType
+from .config.validate import get_model, validate_model_config
+from .errors import BirdaError, ConfigValidation, FileLocked
+from .inference.classifier import (
+    BirdClassifier,
+    RangeFilterData,
+)
+from .inference.geomodel import GeomodelScores, MappingSummary, SpeciesMapping
+from .inference.geomodel_filter import FilterSettings
+from .inference.range_filter import RangeFilter, read_geomodel_labels
+from .locking.file_lock import FileLock
+from .models import contracts
+from .models.zoo import LoadedModel, native_model, onnx_model, tiny_model
+from .output import json_envelope as env
+from .output.json_envelope import ErrorSeverity, FileStatus, PipelineStatus
+from .pipeline.config import ProcessingConfig
+from .pipeline.coordinator import (
+    OutputFormat,
+    ProcessCheck,
+    collect_input_files,
+    output_dir_for,
+    should_process,
+)
+from .pipeline.processor import ProcessResult, process_file
+
+logger = logging.getLogger(__name__)
+
+ADHOC_MODEL_NAME = "ad-hoc"
+PROCESSING_ERROR_CODE = "processing_error"
+
+_MODEL_TYPE_TO_FAMILY = {
+    ModelType.BIRDNET_V24: contracts.ModelFamily.BIRDNET_V24,
+    ModelType.BIRDNET_V30: contracts.ModelFamily.BIRDNET_V30,
+    ModelType.PERCH_V2: contracts.ModelFamily.PERCH_V2,
+    ModelType.BSG_FINLAND: contracts.ModelFamily.BSG_FI_V44,
+}
+
+
+@dataclass
+class AnalyzeOptions:
+    """Parsed analyze inputs (CLI flags + env already merged by the CLI)."""
+
+    inputs: list[Path] = field(default_factory=list)
+    model: Optional[str] = None
+    model_path: Optional[Path] = None
+    labels_path: Optional[Path] = None
+    model_type: Optional[ModelType] = None
+    bat: Optional[str] = None
+    formats: Optional[list[OutputFormat]] = None
+    output_dir: Optional[Path] = None
+    min_confidence: Optional[float] = None
+    overlap: Optional[float] = None
+    batch_size: Optional[int] = None
+    combine: bool = False
+    force: bool = False
+    fail_fast: bool = False
+    no_csv_bom: bool = False
+    device_flags: dict = field(default_factory=dict)  # {"cpu": bool, "tpu": ..}
+    lat: Optional[float] = None
+    lon: Optional[float] = None
+    week: Optional[int] = None
+    month: Optional[int] = None
+    day: Optional[int] = None
+    day_of_year: Optional[int] = None
+    range_threshold: Optional[float] = None
+    rerank: bool = False
+    range_unmatched: Optional[str] = None
+    slist: Optional[Path] = None
+    stale_lock_timeout: Optional[float] = None
+    stdout_mode: bool = False
+    dual_output_mode: bool = False
+    top_k: int = constants.DEFAULT_TOP_K
+    geomodel_path: Optional[Path] = None
+    geomodel_labels_path: Optional[Path] = None
+    allow_download: bool = False
+
+
+@dataclass
+class RunStats:
+    files_processed: int = 0
+    files_failed: int = 0
+    files_skipped: int = 0
+    total_detections: int = 0
+    total_segments: int = 0
+    total_audio_secs: float = 0.0
+    started: float = field(default_factory=time.monotonic)
+
+    @property
+    def duration_secs(self) -> float:
+        return time.monotonic() - self.started
+
+    @property
+    def realtime_factor(self) -> float:
+        d = self.duration_secs
+        return self.total_audio_secs / d if d > 0 else 0.0
+
+    @property
+    def segments_per_sec(self) -> float:
+        d = self.duration_secs
+        return self.total_segments / d if d > 0 else 0.0
+
+
+# ---------------------------------------------------------------------------
+# Resolution helpers
+# ---------------------------------------------------------------------------
+
+def resolve_model_config(options: AnalyzeOptions, config: Config
+                         ) -> tuple[ModelConfig, str]:
+    """Priority: -m name > ad-hoc (--model-path + --model-type) > config
+    default (reference ``lib.rs:91-169``)."""
+    if options.model is not None:
+        mc = get_model(config, options.model)
+        if options.model_type is not None:
+            logger.warning(
+                "--model-type is ignored when -m is provided "
+                "(using model type from config)"
+            )
+        return mc, options.model
+
+    if options.model_type is not None and options.model_path is not None:
+        if options.labels_path is None:
+            raise ConfigValidation(
+                "--labels-path required when using --model-path with --model-type"
+            )
+        return (
+            ModelConfig(
+                path=options.model_path,
+                labels=options.labels_path,
+                model_type=options.model_type,
+            ),
+            ADHOC_MODEL_NAME,
+        )
+
+    if config.defaults.model is not None:
+        mc = get_model(config, config.defaults.model)
+        if options.model_type is not None:
+            logger.warning(
+                "--model-type is ignored when using default model '%s'",
+                config.defaults.model,
+            )
+        return mc, config.defaults.model
+
+    if options.model_path is not None:
+        raise ConfigValidation(
+            "--model-type required when using --model-path without -m"
+        )
+    raise ConfigValidation(
+        "no model specified (use -m, set defaults.model in config, or provide "
+        "--model-path with --labels-path and --model-type)"
+    )
+
+
+def load_model_graph(mc: ModelConfig, name: str) -> LoadedModel:
+    """Turn a config entry into a runnable graph.
+
+    ``path`` semantics: a real ``.onnx`` file goes through the ONNX->XLA
+    lowering; the ``synthetic:`` scheme (framework extension) builds the
+    native flax architecture with deterministic weights — ``synthetic:tiny``
+    for CI-sized runs, ``synthetic:full`` for benchmarking.
+    """
+    family = _MODEL_TYPE_TO_FAMILY[mc.model_type]
+    path_str = str(mc.path)
+    if path_str.startswith("synthetic:"):
+        flavor = path_str.split(":", 1)[1] or "tiny"
+        if flavor == "full":
+            return native_model(family)
+        return tiny_model(family)
+    validate_model_config(name, mc)
+    labels = read_geomodel_labels(mc.labels)  # same one-label-per-line format
+    return onnx_model(mc.path, contracts.contract_for(family), labels)
+
+
+def resolve_device(options: AnalyzeOptions, config: Config) -> str:
+    """First set device flag wins, else the config, mapped to the backend
+    names the selector understands."""
+    flags = options.device_flags or {}
+    for flag_name, device in (
+        ("gpu", "auto"),   # accelerator-preferring alias
+        ("tpu", "tpu"),
+        ("cpu", "cpu"),
+    ):
+        if flags.get(flag_name):
+            return device
+    cfg = config.inference.device
+    if cfg == InferenceDevice.TPU:
+        return "tpu"
+    if cfg == InferenceDevice.CPU:
+        return "cpu"
+    return "auto"
+
+
+def determine_default_batch_size(model_type: ModelType, actual_backend: str) -> int:
+    """Smart default keyed on (model family, ACTUAL backend) —
+    reference ``lib.rs:256-288`` with the TPU tiers from constants."""
+    bs = constants.batch_size
+    if actual_backend == "cpu":
+        return bs.CPU
+    if actual_backend == "tpu":
+        if model_type in (ModelType.BIRDNET_V24, ModelType.BSG_FINLAND):
+            return bs.TPU_BIRDNET_V24
+        if model_type == ModelType.BIRDNET_V30:
+            return bs.TPU_BIRDNET_V30
+        return bs.TPU_PERCH_V2
+    return bs.OTHER_ACCEL
+
+
+def resolve_species_filter(options: AnalyzeOptions, config: Config,
+                           has_range_filter: bool) -> Optional[set[str]]:
+    """Priority: range filter (dynamic) > species list (static) > none."""
+    if has_range_filter:
+        if options.slist is not None:
+            logger.warning(
+                "Ignoring --slist: range filtering takes precedence when "
+                "coordinates and a date are given. Drop --lat/--lon to use "
+                "the species list instead."
+            )
+        return None
+    slist_path = options.slist or config.defaults.species_list_file
+    if slist_path is not None:
+        from .utils.species_list import read_species_list
+
+        species = set(read_species_list(slist_path))
+        logger.info("Species list filter enabled: %d species loaded", len(species))
+        return species
+    return None
+
+
+def build_range_filter_data(
+    request: rf_cfg.RangeFilterRequest,
+    installed: geomodel_cfg.InstalledRangeFilter,
+    classifier_labels: list[str],
+) -> RangeFilterData:
+    """Query the geomodel ONCE and project scores into the classifier's
+    label space (reference ``classifier.rs:117-188``)."""
+    geomodel_labels = read_geomodel_labels(installed.labels_path)
+    rf = RangeFilter.from_onnx(
+        installed.model_path, geomodel_labels,
+        threshold=constants.range_filter.GEOMODEL_QUERY_THRESHOLD,
+    )
+    location_scores = rf.predict_week(
+        request.latitude, request.longitude, request.week
+    )
+    mapping = SpeciesMapping.build(geomodel_labels, classifier_labels)
+    scores = GeomodelScores.project(location_scores, mapping)
+    settings = FilterSettings(
+        threshold=request.threshold,
+        unmatched=request.unmatched,
+        rerank=request.rerank,
+    )
+    return RangeFilterData(
+        scores=scores,
+        settings=settings,
+        summary=MappingSummary.new(mapping, scores, request.threshold),
+    )
+
+
+# ---------------------------------------------------------------------------
+# The analyze run
+# ---------------------------------------------------------------------------
+
+def analyze_files(options: AnalyzeOptions, config: Config, reporter=None) -> int:
+    """Full analyze flow; returns a process exit code."""
+    mc, model_name = resolve_model_config(options, config)
+
+    bat_config = None
+    custom_classifier = None
+    if options.bat is not None:
+        from .config.bat import BatConfig, BatRegion
+        from .models.custom import CustomClassifier
+        from .registry.installer import models_dir
+
+        bat_config = BatConfig.resolve(
+            BatRegion(options.bat), models_dir() / "bat"
+        )
+        custom_classifier = CustomClassifier.from_onnx(
+            bat_config.classifier_path, bat_config.labels_path,
+            min_confidence=options.min_confidence
+            or config.defaults.min_confidence,
+            top_k=options.top_k,
+        )
+
+    files = collect_input_files(options.inputs)
+    if not files:
+        from .errors import NoValidAudioFiles
+
+        raise NoValidAudioFiles()
+
+    # Range filter wiring: validated before resolution, resolved before the
+    # classifier, degrading to unfiltered when the geomodel is unavailable.
+    rf_cfg.validate_threshold(options.range_threshold, config)
+    bat_mode = options.bat is not None
+    range_request = None
+    installed_geomodel = None
+    if rf_cfg.wants_range_filter(
+        config, mc.model_type, bat_mode,
+        options.lat, options.lon, options.week, options.month, options.day,
+    ):
+        from .inference.geomodel_filter import UnmatchedPolicy
+        from .registry.loader import load_registry
+
+        range_request = rf_cfg.build_range_filter_request(
+            config, mc.model_type, bat_mode,
+            options.lat, options.lon, options.week, options.month, options.day,
+            options.range_threshold,
+            UnmatchedPolicy(options.range_unmatched)
+            if options.range_unmatched else None,
+            options.rerank,
+        )
+        cfg_for_geo = config
+        if options.geomodel_path is not None:
+            import copy
+
+            cfg_for_geo = copy.deepcopy(config)
+            cfg_for_geo.defaults.geomodel = options.geomodel_path
+            cfg_for_geo.defaults.geomodel_labels = options.geomodel_labels_path
+        installed_geomodel = geomodel_cfg.resolve_geomodel(
+            cfg_for_geo, load_registry(), allow_download=options.allow_download
+        )
+        if installed_geomodel is None:
+            logger.warning(
+                "Range filtering requested but the geomodel is not installed; "
+                "continuing WITHOUT range filtering. Run 'birda models "
+                "install birdnet-geomodel-v3' to enable it."
+            )
+            range_request = None
+
+    model = load_model_graph(mc, model_name)
+    device = resolve_device(options, config)
+
+    species_list = resolve_species_filter(
+        options, config, has_range_filter=range_request is not None
+    )
+
+    min_confidence = (
+        options.min_confidence
+        if options.min_confidence is not None
+        else config.defaults.min_confidence
+    )
+
+    range_filter_data = None
+    if range_request is not None and installed_geomodel is not None:
+        range_filter_data = build_range_filter_data(
+            range_request, installed_geomodel, model.labels
+        )
+
+    classifier = BirdClassifier(
+        model,
+        device=device,
+        min_confidence=min_confidence,
+        top_k=options.top_k,
+        range_filter_data=range_filter_data,
+        species_list=species_list,
+        want_embeddings=custom_classifier is not None,
+    )
+
+    batch_size = (
+        options.batch_size
+        if options.batch_size is not None
+        else config.defaults.batch_size
+        if config.defaults.batch_size is not None
+        else determine_default_batch_size(
+            mc.model_type, classifier.backend_status.actual
+        )
+    )
+
+    overlap = (
+        options.overlap if options.overlap is not None
+        else config.defaults.overlap
+    )
+    formats = options.formats or config.defaults.formats
+
+    if reporter is not None:
+        reporter.pipeline_started(
+            len(files), model_name, min_confidence,
+            classifier.backend_status.to_json_dict(),
+            classifier.range_filter_info(),
+        )
+
+    # Warm the steady-state batch shape up front so the first real file does
+    # not absorb the compile (reference warmup spinner, lib.rs:561-597).
+    report = classifier.ensure_warm(batch_size)
+    if report is not None:
+        what = "compiled" if report.was_build else "loaded from cache"
+        logger.info(
+            "warmup batch %d %s in %.2fs", batch_size, what, report.seconds
+        )
+
+    stats = process_all_files(
+        classifier, files, options, config, batch_size, overlap, formats,
+        model_name, min_confidence, custom_classifier, reporter,
+        range_request,
+    )
+
+    if options.combine and not options.stdout_mode:
+        _combine_outputs(files, options, formats)
+
+    _report_summary(stats, reporter)
+    if stats.files_failed > 0 and stats.files_processed == 0:
+        return 1
+    return 0
+
+
+def process_all_files(
+    classifier, files, options, config, batch_size, overlap, formats,
+    model_name, min_confidence, custom_classifier, reporter,
+    range_request=None,
+) -> RunStats:
+    stats = RunStats()
+    range_filter_params = None
+    if range_request is not None:
+        range_filter_params = (
+            range_request.latitude, range_request.longitude, range_request.week
+        )
+
+    for index, input_path in enumerate(files):
+        output_dir = output_dir_for(input_path, options.output_dir)
+
+        # Stale-lock reclamation before the skip check (lib.rs:668-681).
+        if (
+            options.stale_lock_timeout is not None
+            and FileLock.is_locked(input_path, output_dir)
+            and FileLock.is_stale(input_path, output_dir, options.stale_lock_timeout)
+        ):
+            logger.info("Reclaiming stale lock for %s", input_path)
+            try:
+                FileLock.remove_stale(input_path, output_dir)
+            except BirdaError as e:
+                logger.warning("could not reclaim stale lock: %s", e)
+
+        check = should_process(
+            input_path, output_dir, formats,
+            force=options.force, stdout_mode=options.stdout_mode,
+        )
+        if check == ProcessCheck.SKIP_EXISTS:
+            stats.files_skipped += 1
+            if reporter is not None:
+                reporter.file_skipped(str(input_path), FileStatus.SKIPPED)
+            continue
+        if check == ProcessCheck.SKIP_LOCKED:
+            stats.files_skipped += 1
+            if reporter is not None:
+                reporter.file_skipped(str(input_path), FileStatus.LOCKED)
+            continue
+
+        pcfg = ProcessingConfig(
+            input_path=input_path,
+            output_dir=output_dir,
+            formats=formats,
+            min_confidence=min_confidence,
+            overlap=overlap,
+            batch_size=batch_size,
+            csv_columns=list(config.defaults.csv_columns.include),
+            csv_bom_enabled=not options.no_csv_bom,
+            model_name=model_name,
+            range_filter_params=range_filter_params,
+            reporter=reporter if (options.stdout_mode or options.dual_output_mode) else None,
+            dual_output_mode=options.dual_output_mode,
+            custom_classifier=custom_classifier,
+            bat_mode=options.bat is not None,
+        )
+        if reporter is not None:
+            reporter.file_started(str(input_path), index, 0, None)
+        start = time.monotonic()
+        try:
+            result = process_file(classifier, pcfg)
+        except FileLocked:
+            # Check-to-use race: another worker took the file between our
+            # check and the acquire — a graceful skip, not an error
+            # (lib.rs:821-843, issue #344).
+            stats.files_skipped += 1
+            if reporter is not None:
+                reporter.file_skipped(str(input_path), FileStatus.LOCKED)
+            continue
+        except BirdaError as e:
+            stats.files_failed += 1
+            logger.error("Failed to process %s: %s", input_path, e)
+            if reporter is not None:
+                reporter.file_completed_failure(
+                    str(input_path), PROCESSING_ERROR_CODE, str(e)
+                )
+            if options.fail_fast:
+                raise
+            continue
+
+        stats.files_processed += 1
+        stats.total_detections += result.detections
+        stats.total_segments += result.segments
+        stats.total_audio_secs += result.audio_duration_secs
+        if reporter is not None:
+            reporter.file_completed_success(
+                str(input_path), result.detections,
+                int((time.monotonic() - start) * 1000),
+            )
+    return stats
+
+
+def _combine_outputs(files, options, formats):
+    """Combine per-file outputs into single tables (``--combine``)."""
+    from .constants import combined_filenames
+    from .pipeline.coordinator import output_path_for
+
+    out_root = options.output_dir or output_dir_for(files[0], None)
+    if OutputFormat.PARQUET in formats:
+        from .output.parquet import combine_parquet_files
+
+        parts = [
+            p for f in files
+            if (p := output_path_for(f, output_dir_for(f, options.output_dir),
+                                     OutputFormat.PARQUET)).exists()
+        ]
+        if parts:
+            combine_parquet_files(parts, Path(out_root) / combined_filenames.PARQUET)
+    for fmt, combined_name, has_header in (
+        (OutputFormat.CSV, combined_filenames.CSV, True),
+        (OutputFormat.RAVEN, combined_filenames.RAVEN, True),
+        (OutputFormat.KALEIDOSCOPE, combined_filenames.KALEIDOSCOPE, True),
+    ):
+        if fmt not in formats:
+            continue
+        parts = [
+            p for f in files
+            if (p := output_path_for(f, output_dir_for(f, options.output_dir),
+                                     fmt)).exists()
+        ]
+        if not parts:
+            continue
+        combined = Path(out_root) / combined_name
+        with open(combined, "w", encoding="utf-8") as out:
+            for i, part in enumerate(parts):
+                text = part.read_text(encoding="utf-8-sig")
+                lines = text.splitlines(keepends=True)
+                if i > 0 and has_header and lines:
+                    lines = lines[1:]
+                out.writelines(lines)
+
+
+def _report_summary(stats: RunStats, reporter=None):
+    status = (
+        PipelineStatus.SUCCESS if stats.files_failed == 0
+        else PipelineStatus.PARTIAL_SUCCESS if stats.files_processed > 0
+        else PipelineStatus.FAILED
+    )
+    logger.info(
+        "Processed %d files (%d failed, %d skipped): %d detections, "
+        "%d segments in %.1fs (%.1f seg/s, %.1fx realtime)",
+        stats.files_processed, stats.files_failed, stats.files_skipped,
+        stats.total_detections, stats.total_segments, stats.duration_secs,
+        stats.segments_per_sec, stats.realtime_factor,
+    )
+    if reporter is not None:
+        reporter.pipeline_completed(
+            env.pipeline_completed_payload(
+                status,
+                stats.files_processed,
+                stats.files_failed,
+                stats.files_skipped,
+                stats.total_detections,
+                stats.total_segments,
+                int(stats.duration_secs * 1000),
+                stats.realtime_factor,
+            )
+        )

@@ -1,0 +1,276 @@
+"""CLI integration tests: drive the click entry point end to end
+(the analogue of the reference's assert_cmd suite)."""
+
+import json
+import os
+from pathlib import Path
+
+import numpy as np
+import pytest
+from click.testing import CliRunner
+
+from birda_tpu.cli import validators as v
+from birda_tpu.cli.main import cli
+from birda_tpu.config import paths as config_paths
+
+from fixtures_audio import write_wav
+
+
+@pytest.fixture()
+def home(tmp_path, monkeypatch):
+    """Isolated config/cache/data dirs."""
+    monkeypatch.setenv("XDG_CONFIG_HOME", str(tmp_path / "config"))
+    monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path / "cache"))
+    monkeypatch.setenv("XDG_DATA_HOME", str(tmp_path / "data"))
+    return tmp_path
+
+
+@pytest.fixture()
+def runner():
+    return CliRunner()
+
+
+def make_audio(tmp_path, secs=4.0, rate=48000, name="rec.wav"):
+    p = tmp_path / name
+    t = np.arange(int(rate * secs)) / rate
+    write_wav(p, (0.4 * np.sin(2 * np.pi * 2000 * t)).astype(np.float32), rate)
+    return p
+
+
+def setup_synthetic_model(runner, home):
+    """Register the synthetic tiny model as the default."""
+    r = runner.invoke(cli, [
+        "models", "add", "tiny",
+        "--path", "synthetic:tiny", "--labels", "synthetic:tiny",
+        "--type", "birdnet-v24", "--default",
+    ])
+    assert r.exit_code == 0, r.output
+
+
+class TestValidators:
+    def test_confidence(self):
+        assert v.parse_confidence(" 0.5 ") == 0.5
+        with pytest.raises(v.ValidationFailure):
+            v.parse_confidence("1.5")
+        with pytest.raises(v.ValidationFailure):
+            v.parse_confidence("nan")
+
+    def test_overlap(self):
+        assert v.parse_overlap("2.5") == 2.5
+        for bad in ("-1", "nan", "inf"):
+            with pytest.raises(v.ValidationFailure):
+                v.parse_overlap(bad)
+
+    def test_batch_size(self):
+        assert v.parse_batch_size("512") == 512
+        with pytest.raises(v.ValidationFailure):
+            v.parse_batch_size("0")
+        with pytest.raises(v.ValidationFailure):
+            v.parse_batch_size("513")
+
+    def test_latitude(self):
+        assert v.parse_latitude("-33.9") == -33.9
+        with pytest.raises(v.ValidationFailure):
+            v.parse_latitude("91")
+
+    def test_stale_lock_timeout(self):
+        assert v.parse_stale_lock_timeout("30") == 30
+        assert v.parse_stale_lock_timeout("5m") == 300
+        assert v.parse_stale_lock_timeout("2h") == 7200
+        assert v.parse_stale_lock_timeout("1d") == 86400
+        with pytest.raises(v.ValidationFailure):
+            v.parse_stale_lock_timeout("-5s")
+
+
+class TestConfigCommands:
+    def test_init_show_path(self, runner, home):
+        r = runner.invoke(cli, ["config", "init"])
+        assert r.exit_code == 0
+        assert "Created" in r.output
+        r = runner.invoke(cli, ["config", "path"])
+        assert r.exit_code == 0
+        assert str(home / "config") in r.output
+        r = runner.invoke(cli, ["config", "show"])
+        assert r.exit_code == 0
+        assert "min_confidence" in r.output
+
+    def test_set_valid(self, runner, home):
+        r = runner.invoke(cli, ["config", "set", "defaults.latitude", "-33.9"])
+        assert r.exit_code == 0, r.output
+        r = runner.invoke(cli, ["config", "show"])
+        assert "-33.9" in r.output
+
+    def test_set_invalid_value(self, runner, home):
+        r = runner.invoke(cli, ["config", "set", "defaults.batch_size", "100000"])
+        assert r.exit_code == 1
+        r = runner.invoke(cli, ["config", "set", "defaults.latitude", "95"])
+        assert r.exit_code == 1
+
+    def test_set_unknown_key(self, runner, home):
+        r = runner.invoke(cli, ["config", "set", "defaults.bogus", "1"])
+        assert r.exit_code == 1
+
+
+class TestModelsCommands:
+    def test_list_empty(self, runner, home):
+        r = runner.invoke(cli, ["models", "list"])
+        assert r.exit_code == 0
+        assert "No models configured" in r.output
+
+    def test_add_and_list(self, runner, home):
+        setup_synthetic_model(runner, home)
+        r = runner.invoke(cli, ["models", "list"])
+        assert "tiny (default)" in r.output
+
+    def test_add_duplicate_fails(self, runner, home):
+        setup_synthetic_model(runner, home)
+        r = runner.invoke(cli, [
+            "models", "add", "tiny", "--path", "x", "--labels", "y",
+            "--type", "birdnet-v24",
+        ])
+        assert r.exit_code == 1
+
+    def test_remove(self, runner, home):
+        setup_synthetic_model(runner, home)
+        r = runner.invoke(cli, ["models", "remove", "tiny"])
+        assert r.exit_code == 0
+        r = runner.invoke(cli, ["models", "list"])
+        assert "No models configured" in r.output
+
+    def test_list_available(self, runner, home):
+        r = runner.invoke(cli, ["models", "list-available"])
+        assert r.exit_code == 0
+        assert "birdnet-v24" in r.output
+        assert "perch-v2" in r.output
+
+    def test_info_registry_model(self, runner, home):
+        r = runner.invoke(cli, ["models", "info", "birdnet-v24", "--languages"])
+        assert r.exit_code == 0
+        assert "fi" in r.output  # 37 languages listed
+        assert "non-commercial" in r.output
+
+    def test_regions(self, runner, home):
+        r = runner.invoke(cli, ["models", "regions", "birdnet-v30"])
+        assert r.exit_code == 0
+        assert "classes" in r.output
+        r = runner.invoke(cli, ["models", "regions", "birdnet-v24"])
+        assert "no regional variants" in r.output
+
+
+class TestProviders:
+    def test_human(self, runner, home):
+        r = runner.invoke(cli, ["providers"])
+        assert r.exit_code == 0
+        assert "cpu: available" in r.output
+
+    def test_json(self, runner, home):
+        r = runner.invoke(cli, ["providers", "--output-mode", "ndjson"])
+        assert r.exit_code == 0
+        doc = json.loads(r.output.splitlines()[0])
+        assert doc["event"] == "result"
+        assert doc["payload"]["result_type"] == "providers"
+        assert "cpu" in doc["payload"]["providers"]
+
+
+class TestAnalyze:
+    def test_no_inputs(self, runner, home):
+        r = runner.invoke(cli, ["analyze"])
+        assert r.exit_code != 0
+
+    def test_no_model_configured(self, runner, home, tmp_path):
+        audio = make_audio(tmp_path)
+        r = runner.invoke(cli, ["analyze", str(audio), "--cpu"])
+        assert r.exit_code == 1
+        assert "no model specified" in r.output
+
+    def test_analyze_wav_to_csv(self, runner, home, tmp_path):
+        setup_synthetic_model(runner, home)
+        audio = make_audio(tmp_path)
+        out = tmp_path / "out"
+        r = runner.invoke(cli, [
+            "analyze", str(audio), "--cpu", "-o", str(out),
+            "--min-confidence", "0",
+        ])
+        assert r.exit_code == 0, r.output
+        csv_path = out / "rec.BirdNET.results.csv"
+        assert csv_path.exists()
+        lines = csv_path.read_text(encoding="utf-8-sig").splitlines()
+        assert len(lines) > 1
+
+    def test_analyze_ndjson_stdout(self, runner, home, tmp_path):
+        setup_synthetic_model(runner, home)
+        audio = make_audio(tmp_path)
+        r = runner.invoke(cli, [
+            "analyze", str(audio), "--cpu", "--stdout",
+            "--output-mode", "ndjson", "--min-confidence", "0",
+        ])
+        assert r.exit_code == 0, r.output
+        events = [json.loads(l)["event"] for l in r.output.splitlines() if l.startswith("{")]
+        assert "pipeline_started" in events
+        assert "detections" in events
+        assert "pipeline_completed" in events
+
+    def test_week_month_conflict(self, runner, home, tmp_path):
+        audio = make_audio(tmp_path)
+        r = runner.invoke(cli, [
+            "analyze", str(audio), "--week", "5", "--month", "6", "--day", "1",
+        ])
+        assert r.exit_code != 0
+
+    def test_skip_existing(self, runner, home, tmp_path):
+        setup_synthetic_model(runner, home)
+        audio = make_audio(tmp_path)
+        out = tmp_path / "out"
+        args = ["analyze", str(audio), "--cpu", "-o", str(out),
+                "--min-confidence", "0"]
+        assert runner.invoke(cli, args).exit_code == 0
+        csv_path = out / "rec.BirdNET.results.csv"
+        mtime = csv_path.stat().st_mtime_ns
+        assert runner.invoke(cli, args).exit_code == 0
+        assert csv_path.stat().st_mtime_ns == mtime  # skipped, not rewritten
+        assert runner.invoke(cli, args + ["--force"]).exit_code == 0
+        assert csv_path.stat().st_mtime_ns != mtime
+
+    def test_invalid_flag_value(self, runner, home, tmp_path):
+        audio = make_audio(tmp_path)
+        r = runner.invoke(cli, ["analyze", str(audio), "--batch-size", "100000"])
+        assert r.exit_code != 0
+        assert "512" in r.output
+
+
+class TestSpeciesCommand:
+    def test_requires_time(self, runner, home):
+        r = runner.invoke(cli, ["species", "--lat", "60", "--lon", "24"])
+        assert r.exit_code != 0
+
+    def test_geomodel_missing_is_fatal(self, runner, home):
+        r = runner.invoke(cli, [
+            "species", "--lat", "60", "--lon", "24", "--week", "24",
+        ])
+        assert r.exit_code == 1
+        assert "not installed" in r.output.lower() or "geomodel" in r.output.lower()
+
+    def test_with_fixture_geomodel(self, runner, home, tmp_path):
+        import fixtures_onnx as fo
+
+        geo = tmp_path / "geo.onnx"
+        geo.write_bytes(fo.make_fixture_geomodel(num_species=8))
+        labels = tmp_path / "geo-labels.txt"
+        labels.write_text("".join(f"Geo sp{i} x_Common {i}\n" for i in range(8)))
+        # Point config at the fixture geomodel.
+        from birda_tpu.config import file as config_file
+        from birda_tpu.config.types import Config
+
+        cfg = Config()
+        cfg.defaults.geomodel = geo
+        cfg.defaults.geomodel_labels = labels
+        config_file.save_config(cfg, config_paths.config_file_path())
+
+        out = tmp_path / "species.txt"
+        r = runner.invoke(cli, [
+            "species", "--lat", "60", "--lon", "24", "--week", "24",
+            "--threshold", "0.0", "-o", str(out),
+        ])
+        assert r.exit_code == 0, r.output
+        assert out.exists()
+        assert len(out.read_text().splitlines()) == 8
