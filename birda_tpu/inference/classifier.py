@@ -108,6 +108,7 @@ class BirdClassifier:
         self.want_embeddings = want_embeddings
         self._warmed = _WarmupRegistry()
         self._warmup_reports: list[WarmupReport] = []
+        self._chunk_runners: dict[tuple, "ChunkRunner"] = {}
         self.mesh = mesh
 
         devices, status = select_backend(device)
@@ -262,6 +263,35 @@ class BirdClassifier:
                 options: Optional[InferenceOptions] = None) -> PredictionResult:
         return self.predict_batch(segment[None, :], options)[0]
 
+    # -- chunked streaming path ---------------------------------------------
+
+    def chunk_runner(self, batch_size: int, step_samples: int,
+                     transport: str = "int16") -> "ChunkRunner":
+        key = (batch_size, step_samples, transport)
+        cached = self._chunk_runners.get(key)
+        if cached is not None:
+            return cached
+        runner = self._build_chunk_runner(batch_size, step_samples, transport)
+        self._chunk_runners[key] = runner
+        return runner
+
+    def _build_chunk_runner(self, batch_size: int, step_samples: int,
+                            transport: str) -> "ChunkRunner":
+        """Build the high-throughput streaming interface.
+
+        Instead of shipping ``[batch, sample_count]`` f32 windows (which
+        duplicates every overlapped sample and costs 4 bytes each over the
+        host->device link), the host ships one contiguous **int16 chunk** of
+        ``(batch-1)*step + sample_count`` samples with a reconstruction
+        scale; the device dequantizes, gathers the overlapped windows with
+        static indices, and runs the model — windowing fused into the same
+        XLA program as the mel front-end and backbone. Transfer cost drops to
+        2 bytes per audio sample, the minimum without entropy coding, and
+        int16 PCM also compresses far better through transparent link
+        compression than float32 mantissa noise does.
+        """
+        return ChunkRunner(self, batch_size, step_samples, transport)
+
     # -- post-filters (reference classifier.rs:587-645) ----------------------
 
     def apply_range_filter(
@@ -279,6 +309,128 @@ class BirdClassifier:
                 r.predictions = [
                     p for p in r.predictions if p.species in self.species_list
                 ]
+        return results
+
+
+class ChunkRunner:
+    """Streaming chunk interface over one classifier (see ``chunk_runner``)."""
+
+    def __init__(self, classifier: BirdClassifier, batch_size: int,
+                 step_samples: int, transport: str = "int16"):
+        import jax
+        import jax.numpy as jnp
+
+        self.classifier = classifier
+        self.batch_size = batch_size
+        self.step_samples = step_samples
+        self.transport = transport
+        seg = classifier.sample_count
+        self.chunk_samples = (batch_size - 1) * step_samples + seg
+
+        idx = (
+            np.arange(batch_size)[:, None] * step_samples
+            + np.arange(seg)[None, :]
+        )
+        gather_idx = jnp.asarray(idx)
+        model = classifier.model
+        k = classifier.top_k
+        want_emb = classifier.want_embeddings
+        is_int16 = transport == "int16"
+
+        def step(chunk, scale):
+            if is_int16:
+                x = chunk.astype(jnp.float32) * (scale / 32767.0)
+            else:
+                x = chunk * scale
+            frames = jnp.take(x, gather_idx, axis=0)
+            out = model.apply(frames)
+            vals, topk_idx = jax.lax.top_k(out["scores"], k)
+            if want_emb:
+                return vals, topk_idx, out["embeddings"]
+            return vals, topk_idx
+
+        self._step = jax.jit(step)
+        self._warm = False
+
+    def ensure_warm(self) -> Optional[WarmupReport]:
+        if self._warm:
+            return None
+        start = time.monotonic()
+        dtype = np.int16 if self.transport == "int16" else np.float32
+        out = self._step(
+            np.zeros(self.chunk_samples, dtype), np.float32(1.0)
+        )
+        _ = [np.asarray(o) for o in (out if isinstance(out, tuple) else (out,))]
+        elapsed = time.monotonic() - start
+        self._warm = True
+        return WarmupReport(
+            batch_size=self.batch_size,
+            seconds=elapsed,
+            was_build=elapsed >= compile_cache.BUILD_THRESHOLD_SECS,
+        )
+
+    def predict_chunk(
+        self,
+        chunk: np.ndarray,
+        n_real: int,
+        options: Optional[InferenceOptions] = None,
+    ) -> list[PredictionResult]:
+        """Run one chunk of model-rate f32 audio; returns ``n_real`` results.
+
+        ``chunk`` shorter than ``chunk_samples`` is zero-padded (tail chunk).
+        """
+        options = options or InferenceOptions(
+            self.classifier.min_confidence, self.classifier.top_k
+        )
+        chunk = np.asarray(chunk, np.float32)
+        if len(chunk) < self.chunk_samples:
+            chunk = np.concatenate(
+                [chunk, np.zeros(self.chunk_samples - len(chunk), np.float32)]
+            )
+        elif len(chunk) > self.chunk_samples:
+            raise InferenceErr(
+                f"chunk of {len(chunk)} exceeds runner size {self.chunk_samples}"
+            )
+
+        if self.transport == "int16":
+            amax = float(np.max(np.abs(chunk)))
+            if amax < 1e-9:
+                payload = np.zeros(self.chunk_samples, np.int16)
+                scale = np.float32(0.0)
+            else:
+                payload = np.clip(
+                    np.rint(chunk * (32767.0 / amax)), -32767, 32767
+                ).astype(np.int16)
+                scale = np.float32(amax)
+        else:
+            payload = chunk
+            scale = np.float32(1.0)
+
+        try:
+            out = self._step(payload, scale)
+            out = out if isinstance(out, tuple) else (out,)
+            vals = np.asarray(out[0])
+            idx = np.asarray(out[1])
+            emb = np.asarray(out[2]) if len(out) > 2 else None
+        except Exception as e:  # noqa: BLE001
+            raise InferenceErr(str(e)) from e
+
+        labels = self.classifier.labels
+        results = []
+        for row in range(min(n_real, self.batch_size)):
+            preds = [
+                Prediction(
+                    species=labels[int(i)], confidence=float(v), index=int(i)
+                )
+                for v, i in zip(vals[row], idx[row])
+                if v >= options.min_confidence
+            ]
+            results.append(
+                PredictionResult(
+                    predictions=preds,
+                    embeddings=emb[row] if emb is not None else None,
+                )
+            )
         return results
 
 

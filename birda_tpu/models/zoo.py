@@ -62,6 +62,46 @@ def synthetic_labels(n: int, prefix: str = "Species") -> list[str]:
     return [f"{prefix} sp{i:05d}_{prefix} common {i:05d}" for i in range(n)]
 
 
+def _synthesize_params(module, sample_count: int, seed: int):
+    """Deterministic parameter synthesis from shapes alone.
+
+    ``module.init`` would trace AND XLA-compile the full forward pass (200+ s
+    for the full backbone on TPU). ``jax.eval_shape`` gives the parameter
+    pytree abstractly in milliseconds; leaves are then filled host-side:
+    kernels get fan-in-scaled normals, norm scales/variances ones, biases and
+    means zeros — seeded per-path so the same (family, seed) always yields
+    identical weights.
+    """
+    import numpy as np
+
+    dummy = jax.ShapeDtypeStruct((1, sample_count), jnp.float32)
+    shapes = jax.eval_shape(
+        lambda k, x: module.init(k, x), jax.random.PRNGKey(seed), dummy
+    )
+
+    flat, treedef = jax.tree_util.tree_flatten_with_path(shapes)
+    leaves = []
+    for path, leaf in flat:
+        names = [getattr(p, "key", str(p)) for p in path]
+        leaf_name = names[-1] if names else ""
+        rng = np.random.default_rng(
+            abs(hash(("birda-param", seed, tuple(names)))) % (2**32)
+        )
+        shape = leaf.shape
+        if leaf_name in ("scale", "var"):
+            arr = np.ones(shape, np.float32)
+        elif leaf_name in ("bias", "mean"):
+            arr = np.zeros(shape, np.float32)
+        elif len(shape) >= 2:
+            fan_in = int(np.prod(shape[:-1]))
+            arr = rng.normal(0.0, (1.0 / max(fan_in, 1)) ** 0.5, shape)
+            arr = arr.astype(np.float32)
+        else:
+            arr = np.zeros(shape, np.float32)
+        leaves.append(jnp.asarray(arr, dtype=leaf.dtype))
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
 def native_model(
     family: ModelFamily | str,
     params=None,
@@ -90,8 +130,7 @@ def native_model(
         **kwargs,
     )
     if params is None:
-        dummy = jnp.zeros((1, cfg.sample_count), jnp.float32)
-        variables = module.init(jax.random.PRNGKey(seed), dummy)
+        variables = _synthesize_params(module, cfg.sample_count, seed)
         source = "native-synthetic"
     else:
         variables = params

@@ -35,3 +35,6 @@ class ProcessingConfig:
     bat_mode: bool = False
     #: Hard override of the watchdog timeout (tests).
     watchdog_timeout: Optional[float] = None
+    #: Chunked int16 device windowing (the high-throughput path); False
+    #: falls back to per-segment f32 batches.
+    use_chunk_runner: bool = True

@@ -145,7 +145,18 @@ def process_file(classifier: BirdClassifier, config: ProcessingConfig) -> Proces
             from ..parallel.mesh import pad_to_multiple
 
             effective_batch = pad_to_multiple(effective_batch, classifier.mesh)
-        classifier.ensure_warm(effective_batch)
+
+        # Window step at the model rate drives the chunked device path: the
+        # host ships each audio sample once (int16) and the device does the
+        # overlapped windowing fused with the model.
+        overlap_model = int(round(overlap * target_rate))
+        step_model = max(1, target_count - overlap_model)
+        runner = None
+        if config.use_chunk_runner and classifier.mesh is None:
+            runner = classifier.chunk_runner(effective_batch, step_model)
+            runner.ensure_warm()
+        else:
+            classifier.ensure_warm(effective_batch)
 
         tx: queue.Queue = queue.Queue(
             maxsize=constants.audio.QUEUE_BATCH_CAPACITY * effective_batch
@@ -172,17 +183,27 @@ def process_file(classifier: BirdClassifier, config: ProcessingConfig) -> Proces
             if not batch_samples:
                 return
             n_real = len(batch_samples)
-            rows = batch_samples
-            if n_real < effective_batch:
-                # Silence-pad to the warmed shape (processor.rs:242-258).
-                rows = rows + [
-                    np.zeros(target_count, np.float32)
-                ] * (effective_batch - n_real)
-            batch = np.stack(rows)
             with start_inference_watchdog(
                 effective_batch, config.watchdog_timeout
             ):
-                results = classifier.predict_batch(batch, options)
+                if runner is not None:
+                    # Reassemble the contiguous stream: the first `step` of
+                    # each window plus the last window's tail — each sample
+                    # crosses the link exactly once.
+                    parts = [s[:step_model] for s in batch_samples[:-1]]
+                    parts.append(batch_samples[-1])
+                    chunk = (
+                        np.concatenate(parts) if len(parts) > 1 else parts[0]
+                    )
+                    results = runner.predict_chunk(chunk, n_real, options)
+                else:
+                    rows = batch_samples
+                    if n_real < effective_batch:
+                        # Silence-pad to the warmed shape (ref :242-258).
+                        rows = rows + [
+                            np.zeros(target_count, np.float32)
+                        ] * (effective_batch - n_real)
+                    results = classifier.predict_batch(np.stack(rows), options)
             results = results[:n_real]
             results = classifier.apply_range_filter(results)
 

@@ -314,3 +314,65 @@ class TestMeshSharding:
         c = BirdClassifier(m, device="cpu", min_confidence=0.0, top_k=3, mesh=mesh)
         with pytest.raises(Exception):
             c.predict_batch(np.zeros((3, 144_000), np.float32))
+
+
+class TestChunkRunner:
+    def test_parity_with_batch_path(self):
+        m = tiny_model()
+        clf = BirdClassifier(m, device="cpu", min_confidence=0.0, top_k=5)
+        rng = np.random.default_rng(3)
+        seg = clf.sample_count
+        step = seg  # no overlap
+        batch = 3
+        chunk = rng.normal(0, 0.1, (batch - 1) * step + seg).astype(np.float32)
+        windows = np.stack([chunk[i * step : i * step + seg] for i in range(batch)])
+
+        batch_results = clf.predict_batch(windows)
+        runner = clf.chunk_runner(batch, step, transport="float32")
+        chunk_results = runner.predict_chunk(chunk, batch)
+        for br, cr in zip(batch_results, chunk_results):
+            assert [p.index for p in br.predictions] == [p.index for p in cr.predictions]
+            for pb, pc in zip(br.predictions, cr.predictions):
+                assert pb.confidence == pytest.approx(pc.confidence, abs=1e-5)
+
+    def test_int16_transport_close(self):
+        m = tiny_model()
+        clf = BirdClassifier(m, device="cpu", min_confidence=0.0, top_k=5)
+        rng = np.random.default_rng(4)
+        seg = clf.sample_count
+        chunk = rng.normal(0, 0.1, 2 * seg).astype(np.float32)
+        f32 = clf.chunk_runner(2, seg, transport="float32").predict_chunk(chunk, 2)
+        i16 = clf.chunk_runner(2, seg, transport="int16").predict_chunk(chunk, 2)
+        for rf, ri in zip(f32, i16):
+            for pf, pi in zip(rf.predictions, ri.predictions):
+                assert pf.confidence == pytest.approx(pi.confidence, abs=1e-3)
+
+    def test_overlap_windowing(self):
+        m = tiny_model()
+        clf = BirdClassifier(m, device="cpu", min_confidence=0.0, top_k=3)
+        seg = clf.sample_count
+        step = seg // 2
+        rng = np.random.default_rng(5)
+        chunk = rng.normal(0, 0.1, 2 * step + seg).astype(np.float32)
+        windows = np.stack([chunk[i * step : i * step + seg] for i in range(3)])
+        batch_results = clf.predict_batch(windows)
+        chunk_results = clf.chunk_runner(3, step, transport="float32").predict_chunk(chunk, 3)
+        for br, cr in zip(batch_results, chunk_results):
+            assert [p.index for p in br.predictions] == [p.index for p in cr.predictions]
+
+    def test_tail_chunk_padded(self):
+        m = tiny_model()
+        clf = BirdClassifier(m, device="cpu", min_confidence=0.0, top_k=3)
+        seg = clf.sample_count
+        runner = clf.chunk_runner(4, seg)
+        short = np.zeros(seg + 100, np.float32)
+        results = runner.predict_chunk(short, 2)
+        assert len(results) == 2
+
+    def test_runner_cached(self):
+        m = tiny_model()
+        clf = BirdClassifier(m, device="cpu", min_confidence=0.0, top_k=3)
+        r1 = clf.chunk_runner(2, 144000)
+        r2 = clf.chunk_runner(2, 144000)
+        assert r1 is r2
+        assert clf.chunk_runner(2, 144000, transport="float32") is not r1
