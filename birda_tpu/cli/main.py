@@ -83,7 +83,15 @@ def print_error_chain(e: BirdaError):
 @click.pass_context
 def cli(ctx):
     if ctx.invoked_subcommand is None and not ctx.args:
-        click.echo(ctx.get_help())
+        # First-run smart help: setup guide when no models are configured,
+        # usage reminder otherwise (reference src/cli/help.rs:8).
+        from .help import smart_help
+
+        try:
+            cfg = config_file.load_default_config()
+        except BirdaError:
+            cfg = Config()
+        click.echo(smart_help(cfg))
 
 
 @cli.command("analyze", context_settings={"show_default": True})
@@ -135,6 +143,7 @@ def cli(ctx):
 @click.option("--stale-lock-timeout",
               callback=_validator(v.parse_stale_lock_timeout),
               envvar="BIRDA_STALE_LOCK_TIMEOUT")
+@click.option("--no-progress", is_flag=True, envvar="BIRDA_NO_PROGRESS")
 @click.option("--stdout", "stdout_mode", is_flag=True,
               help="Stream detections to stdout; write no files.")
 @click.option("--output-mode", type=click.Choice(["human", "json", "ndjson"]),
@@ -144,8 +153,8 @@ def analyze(inputs, model, model_path, labels_path, model_type, bat, formats,
             output_dir, min_confidence, overlap, batch_size, combine, force,
             fail_fast, quiet, verbose, no_csv_bom, gpu, tpu, cpu, lat, lon,
             week, month, day, day_of_year, range_threshold, rerank,
-            range_unmatched, slist, stale_lock_timeout, stdout_mode,
-            output_mode, accept_license):
+            range_unmatched, slist, stale_lock_timeout, no_progress,
+            stdout_mode, output_mode, accept_license):
     """Analyze audio files for bird detections."""
     init_logging(verbose, quiet)
     if not inputs:
@@ -162,10 +171,15 @@ def analyze(inputs, model, model_path, labels_path, model_type, bat, formats,
     config = _load_validated_config()
 
     mode = OutputMode(output_mode) if output_mode else config.output.default_format
+    if stdout_mode and not mode.is_structured:
+        mode = OutputMode.NDJSON  # --stdout implies the streaming protocol
     dual = mode.is_structured and output_dir is not None and not stdout_mode
-    reporter = (
-        create_reporter(mode.value) if mode.is_structured else None
-    )
+    if mode.is_structured:
+        reporter = create_reporter(mode.value)
+    else:
+        from ..output.progress import HumanReporter
+
+        reporter = HumanReporter(enabled=not (no_progress or quiet))
 
     _install_sigint_cleanup(reporter, len(inputs))
 

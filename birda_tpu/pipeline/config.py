@@ -28,6 +28,9 @@ class ProcessingConfig:
     #: (lat, lon, day_of_year-or-None) for BSG SDM.
     bsg_params: Optional[tuple[float, float, Optional[int]]] = None
     reporter: object = None
+    #: Separate sink for progress events only (human-mode bars); detection
+    #: streaming and file-write gating follow ``reporter``.
+    progress_reporter: object = None
     dual_output_mode: bool = False
     #: Secondary embedding->species head (bat two-stage).
     custom_classifier: object = None

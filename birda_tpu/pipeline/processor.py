@@ -224,8 +224,9 @@ def process_file(classifier: BirdClassifier, config: ProcessingConfig) -> Proces
             segments_done += n_real
             batch_samples.clear()
             batch_starts.clear()
-            if config.reporter is not None and est_segments:
-                config.reporter.progress(
+            progress_sink = config.progress_reporter or config.reporter
+            if progress_sink is not None and est_segments:
+                progress_sink.progress(
                     file=env.file_progress(
                         str(config.input_path), segments_done, est_segments
                     )
