@@ -266,17 +266,21 @@ class BirdClassifier:
     # -- chunked streaming path ---------------------------------------------
 
     def chunk_runner(self, batch_size: int, step_samples: int,
-                     transport: str = "int16") -> "ChunkRunner":
-        key = (batch_size, step_samples, transport)
+                     transport: str = "int16",
+                     src_rate: Optional[int] = None) -> "ChunkRunner":
+        key = (batch_size, step_samples, transport, src_rate)
         cached = self._chunk_runners.get(key)
         if cached is not None:
             return cached
-        runner = self._build_chunk_runner(batch_size, step_samples, transport)
+        runner = self._build_chunk_runner(
+            batch_size, step_samples, transport, src_rate
+        )
         self._chunk_runners[key] = runner
         return runner
 
     def _build_chunk_runner(self, batch_size: int, step_samples: int,
-                            transport: str) -> "ChunkRunner":
+                            transport: str,
+                            src_rate: Optional[int]) -> "ChunkRunner":
         """Build the high-throughput streaming interface.
 
         Instead of shipping ``[batch, sample_count]`` f32 windows (which
@@ -289,8 +293,13 @@ class BirdClassifier:
         2 bytes per audio sample, the minimum without entropy coding, and
         int16 PCM also compresses far better through transparent link
         compression than float32 mantissa noise does.
+
+        With ``src_rate`` set (and differing from the model rate), the chunk
+        is shipped at the *source* rate and the polyphase resampler runs on
+        device ahead of the windowing — the host's only per-sample work left
+        is the decode itself.
         """
-        return ChunkRunner(self, batch_size, step_samples, transport)
+        return ChunkRunner(self, batch_size, step_samples, transport, src_rate)
 
     # -- post-filters (reference classifier.rs:587-645) ----------------------
 
@@ -316,7 +325,10 @@ class ChunkRunner:
     """Streaming chunk interface over one classifier (see ``chunk_runner``)."""
 
     def __init__(self, classifier: BirdClassifier, batch_size: int,
-                 step_samples: int, transport: str = "int16"):
+                 step_samples: int, transport: str = "int16",
+                 src_rate: Optional[int] = None):
+        import math
+
         import jax
         import jax.numpy as jnp
 
@@ -325,7 +337,22 @@ class ChunkRunner:
         self.step_samples = step_samples
         self.transport = transport
         seg = classifier.sample_count
-        self.chunk_samples = (batch_size - 1) * step_samples + seg
+        model_rate = classifier.sample_rate
+        self.src_rate = src_rate if src_rate is not None else model_rate
+        self.resample_on_device = self.src_rate != model_rate
+        chunk_model = (batch_size - 1) * step_samples + seg
+
+        if self.resample_on_device:
+            from ..ops.resample import get_plan
+
+            plan = get_plan(self.src_rate, model_rate)
+            # Source chunk sized so its resampled length covers the model
+            # chunk (out_len = ceil(in * L/M) >= chunk_model), plus one
+            # resampler period of slack for host-side step rounding; the
+            # device slices the resampled stream back to chunk_model.
+            self.chunk_samples = math.ceil(chunk_model * plan.M / plan.L) + plan.M
+        else:
+            self.chunk_samples = chunk_model
 
         idx = (
             np.arange(batch_size)[:, None] * step_samples
@@ -336,12 +363,19 @@ class ChunkRunner:
         k = classifier.top_k
         want_emb = classifier.want_embeddings
         is_int16 = transport == "int16"
+        resample = self.resample_on_device
+        src = self.src_rate
 
         def step(chunk, scale):
             if is_int16:
                 x = chunk.astype(jnp.float32) * (scale / 32767.0)
             else:
                 x = chunk * scale
+            if resample:
+                from ..ops.resample import resample_device
+
+                x = resample_device(x[None, :], src, model_rate)[0]
+                x = x[:chunk_model]
             frames = jnp.take(x, gather_idx, axis=0)
             out = model.apply(frames)
             vals, topk_idx = jax.lax.top_k(out["scores"], k)

@@ -153,10 +153,26 @@ def process_file(classifier: BirdClassifier, config: ProcessingConfig) -> Proces
         step_model = max(1, target_count - overlap_model)
         runner = None
         if config.use_chunk_runner and classifier.mesh is None:
-            runner = classifier.chunk_runner(effective_batch, step_model)
+            # Ship source-rate chunks and resample on device: the host's
+            # only per-sample work is the decode itself.
+            runner = classifier.chunk_runner(
+                effective_batch, step_model,
+                src_rate=src_rate if resample_needed else None,
+            )
             runner.ensure_warm()
+            if runner.resample_on_device:
+                resample_needed = False  # producer ships raw source windows
         else:
             classifier.ensure_warm(effective_batch)
+        step_src = max(1, seg_samples_src - ovl_samples_src)
+
+        # With device-side resampling the producer ships raw source-rate
+        # windows; otherwise it resamples each window to the model rate.
+        producer_count = (
+            seg_samples_src
+            if runner is not None and runner.resample_on_device
+            else target_count
+        )
 
         tx: queue.Queue = queue.Queue(
             maxsize=constants.audio.QUEUE_BATCH_CAPACITY * effective_batch
@@ -164,7 +180,7 @@ def process_file(classifier: BirdClassifier, config: ProcessingConfig) -> Proces
         producer = threading.Thread(
             target=_decode_and_stream,
             args=(decoder, tx, seg_samples_src, ovl_samples_src,
-                  target_rate, target_count, resample_needed),
+                  target_rate, producer_count, resample_needed),
             daemon=True,
             name="birda-decode",
         )
@@ -190,7 +206,10 @@ def process_file(classifier: BirdClassifier, config: ProcessingConfig) -> Proces
                     # Reassemble the contiguous stream: the first `step` of
                     # each window plus the last window's tail — each sample
                     # crosses the link exactly once.
-                    parts = [s[:step_model] for s in batch_samples[:-1]]
+                    step_n = (
+                        step_src if runner.resample_on_device else step_model
+                    )
+                    parts = [s[:step_n] for s in batch_samples[:-1]]
                     parts.append(batch_samples[-1])
                     chunk = (
                         np.concatenate(parts) if len(parts) > 1 else parts[0]

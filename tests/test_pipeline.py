@@ -265,3 +265,38 @@ class TestEndToEnd:
         assert not (out / "rec.BirdNET.results.csv").exists()
         events = [json.loads(l)["event"] for l in buf.getvalue().splitlines()]
         assert "detections" in events
+
+
+class TestDeviceResample:
+    def test_device_resample_matches_host_path(self, clf, tmp_path):
+        # A 44.1 kHz file through the device-resample chunk path must give
+        # the same detections as the host-resample per-segment path.
+        rate = 44100
+        rng = np.random.default_rng(7)
+        x = (0.2 * np.sin(2 * np.pi * 2500 * np.arange(rate * 7) / rate)
+             + 0.05 * rng.normal(0, 1, rate * 7)).astype(np.float32)
+        x = np.clip(x, -1, 1)
+        audio = tmp_path / "cd.wav"
+        from fixtures_audio import write_wav as _ww
+
+        _ww(audio, x, rate, fmt="s16")
+
+        def run(use_chunk):
+            out = tmp_path / ("chunk" if use_chunk else "legacy")
+            cfg = ProcessingConfig(
+                input_path=audio, output_dir=out, formats=[OutputFormat.CSV],
+                min_confidence=0.0, overlap=0.0, batch_size=4,
+                use_chunk_runner=use_chunk,
+            )
+            res = process_file(clf, cfg)
+            csv = (out / "cd.BirdNET.results.csv").read_text(encoding="utf-8-sig")
+            return res, csv.splitlines()
+
+        res_chunk, lines_chunk = run(True)
+        res_legacy, lines_legacy = run(False)
+        assert res_chunk.segments == res_legacy.segments == 3
+        # Same detected species per row (confidences may differ at int16
+        # quantization + chunk-boundary filter context level).
+        species_chunk = [l.split(",")[2] for l in lines_chunk[1:]]
+        species_legacy = [l.split(",")[2] for l in lines_legacy[1:]]
+        assert species_chunk == species_legacy
