@@ -143,6 +143,8 @@ def cli(ctx):
 @click.option("--stale-lock-timeout",
               callback=_validator(v.parse_stale_lock_timeout),
               envvar="BIRDA_STALE_LOCK_TIMEOUT")
+@click.option("-j", "--jobs", type=int, default=1, envvar="BIRDA_JOBS",
+              help="Concurrent per-file workers (overlap decode with inference).")
 @click.option("--no-progress", is_flag=True, envvar="BIRDA_NO_PROGRESS")
 @click.option("--stdout", "stdout_mode", is_flag=True,
               help="Stream detections to stdout; write no files.")
@@ -153,7 +155,7 @@ def analyze(inputs, model, model_path, labels_path, model_type, bat, formats,
             output_dir, min_confidence, overlap, batch_size, combine, force,
             fail_fast, quiet, verbose, no_csv_bom, gpu, tpu, cpu, lat, lon,
             week, month, day, day_of_year, range_threshold, rerank,
-            range_unmatched, slist, stale_lock_timeout, no_progress,
+            range_unmatched, slist, stale_lock_timeout, jobs, no_progress,
             stdout_mode, output_mode, accept_license):
     """Analyze audio files for bird detections."""
     init_logging(verbose, quiet)
@@ -207,6 +209,7 @@ def analyze(inputs, model, model_path, labels_path, model_type, bat, formats,
         range_unmatched=range_unmatched,
         slist=slist,
         stale_lock_timeout=stale_lock_timeout,
+        jobs=max(1, jobs),
         stdout_mode=stdout_mode,
         dual_output_mode=dual,
         allow_download=accept_license,

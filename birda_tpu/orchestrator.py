@@ -89,6 +89,11 @@ class AnalyzeOptions:
     slist: Optional[Path] = None
     stale_lock_timeout: Optional[float] = None
     stdout_mode: bool = False
+    #: Concurrent per-file workers. The device serializes compute either
+    #: way; extra workers overlap one file's decode/IO with another's
+    #: inference (the reference's single decode thread is its documented
+    #: scaling ceiling, SURVEY §3.1).
+    jobs: int = 1
     dual_output_mode: bool = False
     top_k: int = constants.DEFAULT_TOP_K
     geomodel_path: Optional[Path] = None
@@ -446,6 +451,13 @@ def process_all_files(
             range_request.latitude, range_request.longitude, range_request.week
         )
 
+    if options.jobs > 1 and len(files) > 1 and not options.fail_fast:
+        return _process_files_parallel(
+            classifier, files, options, config, batch_size, overlap, formats,
+            model_name, min_confidence, custom_classifier, reporter,
+            range_filter_params, stats,
+        )
+
     for index, input_path in enumerate(files):
         output_dir = output_dir_for(input_path, options.output_dir)
 
@@ -542,6 +554,104 @@ def process_all_files(
                 str(input_path), result.detections,
                 int((time.monotonic() - start) * 1000),
             )
+    return stats
+
+
+def _process_files_parallel(
+    classifier, files, options, config, batch_size, overlap, formats,
+    model_name, min_confidence, custom_classifier, reporter,
+    range_filter_params, stats: RunStats,
+) -> RunStats:
+    """``--jobs N``: per-file worker threads.
+
+    Per-file semantics (lock, skip check, outputs) are unchanged — the lock
+    layer already arbitrates concurrent workers, exactly as it does between
+    processes on a shared filesystem. Reporter events may interleave across
+    files; every event carries its file path, which the NDJSON protocol
+    requires consumers to key on anyway.
+    """
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    lock = threading.Lock()
+
+    def work(index_path):
+        index, input_path = index_path
+        output_dir = output_dir_for(input_path, options.output_dir)
+
+        if (
+            options.stale_lock_timeout is not None
+            and FileLock.is_locked(input_path, output_dir)
+            and FileLock.is_stale(input_path, output_dir, options.stale_lock_timeout)
+        ):
+            try:
+                FileLock.remove_stale(input_path, output_dir)
+            except BirdaError:
+                pass
+
+        check = should_process(
+            input_path, output_dir, formats,
+            force=options.force, stdout_mode=options.stdout_mode,
+        )
+        if check != ProcessCheck.PROCESS:
+            with lock:
+                stats.files_skipped += 1
+            if reporter is not None:
+                reporter.file_skipped(
+                    str(input_path),
+                    FileStatus.LOCKED if check == ProcessCheck.SKIP_LOCKED
+                    else FileStatus.SKIPPED,
+                )
+            return
+
+        pcfg = ProcessingConfig(
+            input_path=input_path,
+            output_dir=output_dir,
+            formats=formats,
+            min_confidence=min_confidence,
+            overlap=overlap,
+            batch_size=batch_size,
+            csv_columns=list(config.defaults.csv_columns.include),
+            csv_bom_enabled=not options.no_csv_bom,
+            model_name=model_name,
+            range_filter_params=range_filter_params,
+            reporter=reporter if (options.stdout_mode or options.dual_output_mode) else None,
+            progress_reporter=None,  # interleaved bars are worse than none
+            dual_output_mode=options.dual_output_mode,
+            custom_classifier=custom_classifier,
+            bat_mode=options.bat is not None,
+        )
+        start = time.monotonic()
+        try:
+            result = process_file(classifier, pcfg)
+        except FileLocked:
+            with lock:
+                stats.files_skipped += 1
+            if reporter is not None:
+                reporter.file_skipped(str(input_path), FileStatus.LOCKED)
+            return
+        except BirdaError as e:
+            with lock:
+                stats.files_failed += 1
+            logger.error("Failed to process %s: %s", input_path, e)
+            if reporter is not None:
+                reporter.file_completed_failure(
+                    str(input_path), PROCESSING_ERROR_CODE, str(e)
+                )
+            return
+        with lock:
+            stats.files_processed += 1
+            stats.total_detections += result.detections
+            stats.total_segments += result.segments
+            stats.total_audio_secs += result.audio_duration_secs
+        if reporter is not None:
+            reporter.file_completed_success(
+                str(input_path), result.detections,
+                int((time.monotonic() - start) * 1000),
+            )
+
+    with ThreadPoolExecutor(max_workers=options.jobs) as pool:
+        list(pool.map(work, enumerate(files)))
     return stats
 
 

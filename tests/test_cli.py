@@ -274,3 +274,18 @@ class TestSpeciesCommand:
         assert r.exit_code == 0, r.output
         assert out.exists()
         assert len(out.read_text().splitlines()) == 8
+
+
+class TestParallelJobs:
+    def test_jobs_flag(self, runner, home, tmp_path):
+        setup_synthetic_model(runner, home)
+        for i in range(4):
+            make_audio(tmp_path, name=f"rec{i}.wav", secs=3.0)
+        out = tmp_path / "out"
+        r = runner.invoke(cli, [
+            "analyze", str(tmp_path), "--cpu", "-o", str(out),
+            "--min-confidence", "0", "-j", "3",
+        ])
+        assert r.exit_code == 0, r.output
+        for i in range(4):
+            assert (out / f"rec{i}.BirdNET.results.csv").exists()
