@@ -30,6 +30,16 @@ def main() -> None:
     from birda_tpu.models.contracts import ModelFamily
     from birda_tpu.models.zoo import native_model
 
+    # Persistent XLA cache: repeat bench runs load the compiled program
+    # instead of rebuilding it (the TensorRT engine-cache analogue).
+    try:
+        from birda_tpu.config.paths import xla_cache_dir
+        from birda_tpu.inference.classifier import enable_persistent_cache
+
+        enable_persistent_cache(xla_cache_dir())
+    except Exception:
+        pass
+
     platform = jax.default_backend()
     batch = 256 if platform == "tpu" else 16
     iters = 20 if platform == "tpu" else 3
