@@ -275,16 +275,29 @@ def config_init():
 
 
 @config.command("show")
-def config_show():
+@click.option("--output-mode", type=click.Choice(["human", "json", "ndjson"]))
+def config_show(output_mode):
     from ..utils import toml_writer
 
     cfg = config_file.load_default_config()
+    if output_mode in ("json", "ndjson"):
+        reporter = create_reporter(output_mode)
+        reporter.result(env.result_payload(ResultType.CONFIG, config=cfg.to_dict()))
+        reporter.finish()
+        return
     click.echo(toml_writer.dumps(cfg.to_dict()))
 
 
 @config.command("path")
-def config_path():
-    click.echo(str(config_paths.config_file_path()))
+@click.option("--output-mode", type=click.Choice(["human", "json", "ndjson"]))
+def config_path(output_mode):
+    path = str(config_paths.config_file_path())
+    if output_mode in ("json", "ndjson"):
+        reporter = create_reporter(output_mode)
+        reporter.result(env.result_payload(ResultType.CONFIG_PATH, path=path))
+        reporter.finish()
+        return
+    click.echo(path)
 
 
 # ignore_unknown_options so values beginning with a hyphen are accepted:
@@ -354,8 +367,25 @@ def models():
 
 
 @models.command("list")
-def models_list():
+@click.option("--output-mode", type=click.Choice(["human", "json", "ndjson"]))
+def models_list(output_mode):
     cfg = config_file.load_default_config()
+    if output_mode in ("json", "ndjson"):
+        reporter = create_reporter(output_mode)
+        reporter.result(env.result_payload(
+            ResultType.MODEL_LIST,
+            models=[
+                {
+                    "id": name,
+                    "model_type": m.model_type.value,
+                    "is_default": cfg.defaults.model == name,
+                    "path": str(m.path),
+                }
+                for name, m in cfg.models.items()
+            ],
+        ))
+        reporter.finish()
+        return
     if not cfg.models:
         click.echo("No models configured. Run 'birda models install <id>'.")
         return
@@ -365,10 +395,28 @@ def models_list():
 
 
 @models.command("list-available")
-def models_list_available():
+@click.option("--output-mode", type=click.Choice(["human", "json", "ndjson"]))
+def models_list_available(output_mode):
     from ..registry.loader import load_registry
 
     reg = load_registry()
+    if output_mode in ("json", "ndjson"):
+        reporter = create_reporter(output_mode)
+        reporter.result(env.result_payload(
+            ResultType.AVAILABLE_MODELS,
+            models=[
+                {
+                    "id": m.id, "name": m.name, "version": m.version,
+                    "model_type": m.model_type,
+                    "recommended": m.recommended,
+                    "license": m.license.type,
+                    "variants": len(m.variants),
+                }
+                for m in reg.models
+            ],
+        ))
+        reporter.finish()
+        return
     for m in reg.models:
         rec = " [recommended]" if m.recommended else ""
         variants = f" ({len(m.variants)} variants)" if m.has_variants else ""
@@ -405,18 +453,28 @@ def models_add(name, path_, labels, type_, set_default):
 
 
 @models.command("check")
-def models_check():
+@click.option("--output-mode", type=click.Choice(["human", "json", "ndjson"]))
+def models_check(output_mode):
     from ..config.validate import validate_model_config
 
     cfg = config_file.load_default_config()
     failures = 0
+    results = []
     for name, m in cfg.models.items():
         try:
             validate_model_config(name, m)
-            click.echo(f"{name}: OK")
+            results.append({"id": name, "ok": True})
+            if output_mode not in ("json", "ndjson"):
+                click.echo(f"{name}: OK")
         except BirdaError as e:
             failures += 1
-            click.echo(f"{name}: FAILED — {e}")
+            results.append({"id": name, "ok": False, "error": str(e)})
+            if output_mode not in ("json", "ndjson"):
+                click.echo(f"{name}: FAILED — {e}")
+    if output_mode in ("json", "ndjson"):
+        reporter = create_reporter(output_mode)
+        reporter.result(env.result_payload(ResultType.MODEL_CHECK, models=results))
+        reporter.finish()
     sys.exit(1 if failures else 0)
 
 

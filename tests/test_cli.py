@@ -289,3 +289,39 @@ class TestParallelJobs:
         assert r.exit_code == 0, r.output
         for i in range(4):
             assert (out / f"rec{i}.BirdNET.results.csv").exists()
+
+
+class TestStructuredCommandResults:
+    def check(self, runner, args, result_type):
+        r = runner.invoke(cli, args + ["--output-mode", "ndjson"])
+        assert r.exit_code in (0, 1), r.output
+        lines = [l for l in r.output.splitlines() if l.startswith("{")]
+        assert lines, r.output
+        doc = json.loads(lines[0])
+        assert doc["event"] == "result"
+        assert doc["payload"]["result_type"] == result_type
+        return doc["payload"]
+
+    def test_config_show(self, runner, home):
+        p = self.check(runner, ["config", "show"], "config")
+        assert "defaults" in p["config"]
+
+    def test_config_path(self, runner, home):
+        p = self.check(runner, ["config", "path"], "config_path")
+        assert p["path"].endswith("config.toml")
+
+    def test_models_list(self, runner, home):
+        setup_synthetic_model(runner, home)
+        p = self.check(runner, ["models", "list"], "model_list")
+        assert p["models"][0]["id"] == "tiny"
+        assert p["models"][0]["is_default"]
+
+    def test_models_available(self, runner, home):
+        p = self.check(runner, ["models", "list-available"], "available_models")
+        assert any(m["id"] == "birdnet-v24" for m in p["models"])
+
+    def test_models_check(self, runner, home):
+        setup_synthetic_model(runner, home)
+        # synthetic: path doesn't exist on disk -> check fails, but payload emits
+        p = self.check(runner, ["models", "check"], "model_check")
+        assert len(p["models"]) == 1
