@@ -151,12 +151,15 @@ def cli(ctx):
 @click.option("--output-mode", type=click.Choice(["human", "json", "ndjson"]),
               envvar="BIRDA_OUTPUT_MODE")
 @click.option("--accept-license", is_flag=True)
+@click.option("--profile", "profile_dir", type=click.Path(path_type=Path),
+              envvar="BIRDA_PROFILE",
+              help="Write a jax profiler trace to this directory.")
 def analyze(inputs, model, model_path, labels_path, model_type, bat, formats,
             output_dir, min_confidence, overlap, batch_size, combine, force,
             fail_fast, quiet, verbose, no_csv_bom, gpu, tpu, cpu, lat, lon,
             week, month, day, day_of_year, range_threshold, rerank,
             range_unmatched, slist, stale_lock_timeout, jobs, no_progress,
-            stdout_mode, output_mode, accept_license):
+            stdout_mode, output_mode, accept_license, profile_dir):
     """Analyze audio files for bird detections."""
     init_logging(verbose, quiet)
     if not inputs:
@@ -214,6 +217,12 @@ def analyze(inputs, model, model_path, labels_path, model_type, bat, formats,
         dual_output_mode=dual,
         allow_download=accept_license,
     )
+    profiling = False
+    if profile_dir is not None:
+        import jax
+
+        jax.profiler.start_trace(str(profile_dir))
+        profiling = True
     try:
         code = analyze_files(options, config, reporter)
     except BirdaError as e:
@@ -222,6 +231,11 @@ def analyze(inputs, model, model_path, labels_path, model_type, bat, formats,
             reporter.finish()
         print_error_chain(e)
         sys.exit(1)
+    finally:
+        if profiling:
+            import jax
+
+            jax.profiler.stop_trace()
     if reporter is not None:
         reporter.finish()
     sys.exit(code)

@@ -655,6 +655,81 @@ class _Evaluator:
         sums = lax.reduce_window(sq, 0.0, lax.add, window, (1,) * x.ndim, pads)
         return x / jnp.power(bias + alpha * sums / size, beta)
 
+    def op_Gelu(self, node, x):
+        approx = node.attr("approximate", b"none")
+        if _is_host(x):
+            from scipy.special import erf as _erf
+
+            return (x * 0.5 * (1.0 + _erf(np.asarray(x) / np.sqrt(2.0)))).astype(
+                _np(x).dtype
+            )
+        import jax
+
+        approximate = approx == b"tanh"
+        return jax.nn.gelu(x, approximate=approximate)
+
+    def op_Sign(self, node, x):
+        return self._lib(x).sign(x)
+
+    def op_Round(self, node, x):
+        # ONNX Round is round-half-to-even, matching numpy/jnp.
+        return self._lib(x).round(x)
+
+    def op_CumSum(self, node, x, axis):
+        ax = int(np.asarray(axis).reshape(()))
+        m = self._lib(x)
+        exclusive = node.attr("exclusive", 0)
+        reverse = node.attr("reverse", 0)
+        if exclusive or reverse:
+            raise UnsupportedOnnxOp("CumSum exclusive/reverse not supported")
+        return m.cumsum(x, axis=ax)
+
+    def op_TopK(self, node, x, k):
+        k = int(np.asarray(k).reshape(-1)[0])
+        axis = node.attr("axis", -1)
+        largest = node.attr("largest", 1)
+        if axis not in (-1, x.ndim - 1) or not largest:
+            raise UnsupportedOnnxOp("TopK only on last axis, largest=1")
+        if _is_host(x):
+            idx = np.argsort(-_np(x), axis=-1)[..., :k]
+            vals = np.take_along_axis(_np(x), idx, axis=-1)
+            return vals, idx.astype(np.int64)
+        import jax
+
+        vals, idx = jax.lax.top_k(x, k)
+        return vals, idx.astype(np.int64)
+
+    def op_Resize(self, node, x, roi=None, scales=None, sizes=None):
+        mode = node.attr("mode", b"nearest")
+        if isinstance(mode, bytes):
+            mode = mode.decode()
+        if sizes is not None:
+            out_shape = [int(s) for s in np.asarray(sizes).reshape(-1)]
+        elif scales is not None:
+            sc = np.asarray(scales).reshape(-1)
+            out_shape = [
+                int(round(d * float(s))) for d, s in zip(x.shape, sc)
+            ]
+        else:
+            raise UnsupportedOnnxOp("Resize needs scales or sizes")
+        import jax
+
+        method = {"nearest": "nearest", "linear": "bilinear",
+                  "cubic": "bicubic"}.get(mode)
+        if method is None:
+            raise UnsupportedOnnxOp(f"Resize mode {mode}")
+        return jax.image.resize(x, out_shape, method=method)
+
+    def op_Einsum(self, node, *xs):
+        eq = node.attr("equation")
+        if isinstance(eq, bytes):
+            eq = eq.decode()
+        if all(_is_host(x) for x in xs):
+            return np.einsum(eq, *xs)
+        import jax.numpy as jnp
+
+        return jnp.einsum(eq, *xs, preferred_element_type=jnp.float32)
+
     # -- signal --------------------------------------------------------------
 
     def op_DFT(self, node, x, dft_length=None, axis=None):

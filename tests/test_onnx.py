@@ -257,3 +257,54 @@ class TestLoweringVsTorch:
         got = np.asarray(jitted(x))
         want = np.asarray(fn(x))
         assert np.max(np.abs(got - want)) < 1e-6
+
+
+class TestExtendedOps:
+    def test_gelu(self):
+        x = np.linspace(-3, 3, 16, dtype=np.float32)
+        mb = fo.model(
+            [fo.node("Gelu", ["x"], ["y"])],
+            inputs=[fo.value_info("x", [16])],
+            outputs=[fo.value_info("y", [16])],
+        )
+        got = run_model(mb, x)
+        want = F.gelu(torch.from_numpy(x)).numpy()
+        assert np.max(np.abs(got - want)) < 1e-5
+
+    def test_topk(self):
+        x = np.random.default_rng(0).normal(size=(2, 10)).astype(np.float32)
+        mb = fo.model(
+            [fo.node("TopK", ["x", "k"], ["vals", "idx"],
+                     attrs=[fo.attr_int("axis", -1), fo.attr_int("largest", 1)])],
+            inputs=[fo.value_info("x", [2, 10])],
+            outputs=[fo.value_info("vals", [2, 3]), fo.value_info("idx", [2, 3])],
+        )
+        fn = lower(mb)
+        vals, idx = fn(x, np.array([3], np.int64))
+        tv, ti = torch.topk(torch.from_numpy(x), 3, dim=-1)
+        assert np.allclose(np.asarray(vals), tv.numpy(), atol=1e-6)
+        assert np.array_equal(np.asarray(idx), ti.numpy())
+
+    def test_resize_nearest(self):
+        x = np.arange(16, dtype=np.float32).reshape(1, 1, 4, 4)
+        mb = fo.model(
+            [fo.node("Resize", ["x", "", "", "sizes"], ["y"],
+                     attrs=[fo.attr_str("mode", "nearest")])],
+            inputs=[fo.value_info("x", [1, 1, 4, 4])],
+            outputs=[fo.value_info("y", [1, 1, 8, 8])],
+            initializers=[fo.tensor("sizes", np.array([1, 1, 8, 8], np.int64))],
+        )
+        got = run_model(mb, x)
+        assert got.shape == (1, 1, 8, 8)
+
+    def test_einsum(self):
+        a = np.random.default_rng(1).normal(size=(2, 3)).astype(np.float32)
+        b = np.random.default_rng(2).normal(size=(3, 4)).astype(np.float32)
+        mb = fo.model(
+            [fo.node("Einsum", ["a", "b"], ["y"],
+                     attrs=[fo.attr_str("equation", "ij,jk->ik")])],
+            inputs=[fo.value_info("a", [2, 3]), fo.value_info("b", [3, 4])],
+            outputs=[fo.value_info("y", [2, 4])],
+        )
+        got = run_model(mb, a, b)
+        assert np.max(np.abs(got - a @ b)) < 1e-5
