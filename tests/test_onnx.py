@@ -276,7 +276,8 @@ class TestExtendedOps:
         mb = fo.model(
             [fo.node("TopK", ["x", "k"], ["vals", "idx"],
                      attrs=[fo.attr_int("axis", -1), fo.attr_int("largest", 1)])],
-            inputs=[fo.value_info("x", [2, 10])],
+            inputs=[fo.value_info("x", [2, 10]),
+                    fo.value_info("k", [1], elem_type=7)],
             outputs=[fo.value_info("vals", [2, 3]), fo.value_info("idx", [2, 3])],
         )
         fn = lower(mb)
