@@ -67,8 +67,8 @@ def parse_semver(version: str) -> tuple[int, int, int]:
 
 
 def is_dev_build(version: str = __version__) -> bool:
-    """0.x and -dev suffixed builds refuse to self-update."""
-    return "dev" in version or version.startswith("0.0")
+    """Pre-1.0 and -dev suffixed builds refuse to self-update."""
+    return "dev" in version or version.startswith("0.")
 
 
 def check_for_update(session=None, current: str = __version__

@@ -242,3 +242,24 @@ class TestCleanup:
         assert cleanup.remove_orphans(orphans) == 1
         assert stranger.exists()
         assert kept.exists()
+
+
+class TestGenRegistryConsistency:
+    def test_committed_registry_matches_regeneration(self):
+        """The committed registry must match regeneration from the upstream
+        source (the reference pins this in CI, .github/workflows/ci.yml:83)."""
+        import json
+        import sys
+        from pathlib import Path
+
+        src = Path("/root/reference/registry.json")
+        if not src.exists():
+            pytest.skip("upstream registry source not available")
+        sys.path.insert(0, "scripts")
+        import gen_registry
+
+        regenerated = gen_registry.transform(json.loads(src.read_text()))
+        committed = json.loads(
+            Path("birda_tpu/registry/registry.json").read_text()
+        )
+        assert committed == regenerated
