@@ -383,7 +383,32 @@ class ChunkRunner:
                 return vals, topk_idx, out["embeddings"]
             return vals, topk_idx
 
-        self._step = jax.jit(step)
+        if classifier.mesh is not None:
+            # Multi-chip: the chunk (tiny) is replicated; the window gather
+            # and everything after it shards on the batch axis, XLA inserting
+            # only the output gather over ICI.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.mesh import DATA_AXIS
+
+            mesh = classifier.mesh
+            if batch_size % mesh.devices.size != 0:
+                raise ValueError(
+                    f"chunk runner batch {batch_size} not divisible by mesh "
+                    f"size {mesh.devices.size}"
+                )
+            replicated = NamedSharding(mesh, P())
+            sharded = NamedSharding(mesh, P(DATA_AXIS))
+            out_shard = (
+                (sharded, sharded, sharded) if want_emb else (sharded, sharded)
+            )
+            self._step = jax.jit(
+                step,
+                in_shardings=(replicated, replicated),
+                out_shardings=out_shard,
+            )
+        else:
+            self._step = jax.jit(step)
         self._warm = False
 
     def ensure_warm(self) -> Optional[WarmupReport]:

@@ -152,7 +152,7 @@ def process_file(classifier: BirdClassifier, config: ProcessingConfig) -> Proces
         overlap_model = int(round(overlap * target_rate))
         step_model = max(1, target_count - overlap_model)
         runner = None
-        if config.use_chunk_runner and classifier.mesh is None:
+        if config.use_chunk_runner:
             # Ship source-rate chunks and resample on device: the host's
             # only per-sample work is the decode itself.
             runner = classifier.chunk_runner(

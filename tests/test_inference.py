@@ -376,3 +376,28 @@ class TestChunkRunner:
         r2 = clf.chunk_runner(2, 144000)
         assert r1 is r2
         assert clf.chunk_runner(2, 144000, transport="float32") is not r1
+
+    def test_chunk_runner_on_mesh(self):
+        from birda_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(8, backend="cpu")
+        m = tiny_model()
+        plain = BirdClassifier(m, device="cpu", min_confidence=0.0, top_k=3)
+        sharded = BirdClassifier(m, device="cpu", min_confidence=0.0, top_k=3,
+                                 mesh=mesh)
+        seg = plain.sample_count
+        rng = np.random.default_rng(9)
+        chunk = rng.normal(0, 0.1, 8 * seg).astype(np.float32)
+        rp = plain.chunk_runner(8, seg, transport="float32").predict_chunk(chunk, 8)
+        rs = sharded.chunk_runner(8, seg, transport="float32").predict_chunk(chunk, 8)
+        for a, b in zip(rp, rs):
+            assert [p.index for p in a.predictions] == [p.index for p in b.predictions]
+
+    def test_chunk_runner_mesh_indivisible_batch(self):
+        from birda_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(8, backend="cpu")
+        c = BirdClassifier(tiny_model(), device="cpu", min_confidence=0.0,
+                           top_k=3, mesh=mesh)
+        with pytest.raises(ValueError):
+            c.chunk_runner(3, 144000)

@@ -1,0 +1,221 @@
+"""Orchestrator e2e tests: the full analyze flow wired through real
+components (fixture geomodel, bat two-stage, combine, fail-fast)."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import fixtures_onnx as fo
+from birda_tpu.config.types import Config, ModelConfig, ModelType
+from birda_tpu.errors import NoValidAudioFiles
+from birda_tpu.orchestrator import (
+    AnalyzeOptions,
+    analyze_files,
+    determine_default_batch_size,
+    resolve_device,
+    resolve_model_config,
+    resolve_species_filter,
+)
+from birda_tpu.pipeline.coordinator import OutputFormat
+
+from fixtures_audio import write_wav
+
+
+@pytest.fixture()
+def home(tmp_path, monkeypatch):
+    monkeypatch.setenv("XDG_CONFIG_HOME", str(tmp_path / "config"))
+    monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path / "cache"))
+    monkeypatch.setenv("XDG_DATA_HOME", str(tmp_path / "data"))
+    monkeypatch.setenv("BIRDA_NO_COMPILE_CACHE", "1")
+    return tmp_path
+
+
+def synthetic_config():
+    cfg = Config()
+    cfg.models["tiny"] = ModelConfig(
+        path=Path("synthetic:tiny"), labels=Path("synthetic:tiny"),
+        model_type=ModelType.BIRDNET_V24,
+    )
+    cfg.defaults.model = "tiny"
+    return cfg
+
+
+def make_audio(tmp_path, name="rec.wav", secs=4.0, rate=48000):
+    p = tmp_path / name
+    t = np.arange(int(rate * secs)) / rate
+    write_wav(p, (0.4 * np.sin(2 * np.pi * 2000 * t)).astype(np.float32), rate)
+    return p
+
+
+class TestResolution:
+    def test_model_priority(self, tmp_path):
+        cfg = synthetic_config()
+        mc, name = resolve_model_config(AnalyzeOptions(), cfg)
+        assert name == "tiny"  # config default
+        mc, name = resolve_model_config(AnalyzeOptions(model="tiny"), cfg)
+        assert name == "tiny"
+        # ad-hoc needs labels
+        from birda_tpu.errors import ConfigValidation
+
+        with pytest.raises(ConfigValidation):
+            resolve_model_config(
+                AnalyzeOptions(model_path=Path("x.onnx"),
+                               model_type=ModelType.BIRDNET_V24), cfg
+            )
+
+    def test_device_flags(self):
+        cfg = Config()
+        assert resolve_device(AnalyzeOptions(device_flags={"cpu": True}), cfg) == "cpu"
+        assert resolve_device(AnalyzeOptions(device_flags={"tpu": True}), cfg) == "tpu"
+        assert resolve_device(AnalyzeOptions(), cfg) == "auto"
+
+    def test_batch_defaults(self):
+        assert determine_default_batch_size(ModelType.BIRDNET_V24, "cpu") == 8
+        assert determine_default_batch_size(ModelType.BIRDNET_V24, "tpu") == 256
+        assert determine_default_batch_size(ModelType.BIRDNET_V30, "tpu") == 128
+
+    def test_species_filter_precedence(self, tmp_path, caplog):
+        slist = tmp_path / "list.txt"
+        slist.write_text("Parus major_Great Tit\n")
+        cfg = Config()
+        # Range filter wins and warns.
+        opts = AnalyzeOptions(slist=slist)
+        import logging
+
+        with caplog.at_level(logging.WARNING):
+            out = resolve_species_filter(opts, cfg, has_range_filter=True)
+        assert out is None
+        assert any("Ignoring --slist" in r.message for r in caplog.records)
+        # Without range filter the list loads.
+        out = resolve_species_filter(opts, cfg, has_range_filter=False)
+        assert out == {"Parus major_Great Tit"}
+
+
+class TestAnalyzeEndToEnd:
+    def test_no_valid_files(self, home, tmp_path):
+        with pytest.raises(NoValidAudioFiles):
+            analyze_files(
+                AnalyzeOptions(inputs=[tmp_path / "none"],
+                               device_flags={"cpu": True}),
+                synthetic_config(),
+            )
+
+    def test_range_filter_through_analyze(self, home, tmp_path):
+        # Fixture geomodel wired via config; coordinates + week activate it.
+        from birda_tpu.models.zoo import synthetic_labels, tiny_model
+
+        model_labels = tiny_model().labels
+        n_geo = 50
+        geo = tmp_path / "geo.onnx"
+        geo.write_bytes(fo.make_fixture_geomodel(num_species=n_geo))
+        geo_labels = tmp_path / "geo-labels.txt"
+        # Geomodel labels overlap the first 50 classifier species.
+        geo_labels.write_text("".join(f"{l}\n" for l in model_labels[:n_geo]))
+
+        cfg = synthetic_config()
+        cfg.defaults.geomodel = geo
+        cfg.defaults.geomodel_labels = geo_labels
+
+        audio = make_audio(tmp_path)
+        out = tmp_path / "out"
+        opts = AnalyzeOptions(
+            inputs=[audio], output_dir=out, formats=[OutputFormat.CSV],
+            min_confidence=0.0, device_flags={"cpu": True},
+            lat=60.0, lon=24.0, week=24,
+            range_threshold=0.0, range_unmatched="drop",
+        )
+        code = analyze_files(opts, cfg)
+        assert code == 0
+        lines = (out / "rec.BirdNET.results.csv").read_text(
+            encoding="utf-8-sig").splitlines()
+        # With unmatched=drop and threshold 0, survivors are geomodel-mapped.
+        allowed = {l.split("_")[0] for l in model_labels[:n_geo]}
+        for row in lines[1:]:
+            assert row.split(",")[2] in allowed
+
+    def test_bat_two_stage(self, home, tmp_path, monkeypatch):
+        from birda_tpu.registry import installer
+
+        models_root = tmp_path / "models"
+        monkeypatch.setattr(installer, "models_dir", lambda: models_root)
+        bat_dir = models_root / "bat"
+        bat_dir.mkdir(parents=True)
+
+        # Fixture bat head: [B,1024] embeddings -> 6 sigmoid scores.
+        rng = np.random.default_rng(0)
+        w = rng.normal(0, 0.05, (1024, 6)).astype(np.float32)
+        b = np.zeros(6, np.float32)
+        head = fo.model(
+            [fo.node("Gemm", ["input", "W", "B"], ["logits"]),
+             fo.node("Sigmoid", ["logits"], ["probabilities"])],
+            inputs=[fo.value_info("input", ["batch", 1024])],
+            outputs=[fo.value_info("probabilities", ["batch", 6])],
+            initializers=[fo.tensor("W", w), fo.tensor("B", b)],
+        )
+        (bat_dir / "BattyBirdNET-UK-256kHz_fp32.onnx").write_bytes(head)
+        (bat_dir / "BattyBirdNET-UK-256kHz_Labels.txt").write_text(
+            "".join(f"Bat sp{i} x_Bat {i}\n" for i in range(6))
+        )
+
+        audio = make_audio(tmp_path, name="bat.wav", secs=2.0, rate=256_000)
+        out = tmp_path / "out"
+        opts = AnalyzeOptions(
+            inputs=[audio], output_dir=out, formats=[OutputFormat.CSV],
+            min_confidence=0.0, device_flags={"cpu": True}, bat="uk",
+        )
+        code = analyze_files(opts, synthetic_config())
+        assert code == 0
+        lines = (out / "bat.BirdNET.results.csv").read_text(
+            encoding="utf-8-sig").splitlines()
+        assert len(lines) > 1
+        # Every detection is a bat species from the regional head.
+        for row in lines[1:]:
+            assert row.split(",")[2].startswith("Bat sp")
+        # Bat window timing: starts advance by 0.5625*0.75 s.
+        starts = sorted({float(r.split(",")[0]) for r in lines[1:]})
+        assert starts[0] == 0.0
+        if len(starts) > 1:
+            # CSV times carry 1 decimal; the true step is 0.421875 s.
+            assert starts[1] == pytest.approx(0.4, abs=0.051)
+
+    def test_combine_outputs(self, home, tmp_path):
+        for i in range(2):
+            make_audio(tmp_path, name=f"r{i}.wav", secs=3.0)
+        out = tmp_path / "out"
+        opts = AnalyzeOptions(
+            inputs=[tmp_path], output_dir=out,
+            formats=[OutputFormat.CSV, OutputFormat.PARQUET],
+            min_confidence=0.0, device_flags={"cpu": True}, combine=True,
+        )
+        code = analyze_files(opts, synthetic_config())
+        assert code == 0
+        combined = out / "BirdNET_CombinedTable.csv"
+        assert combined.exists()
+        lines = combined.read_text(encoding="utf-8-sig").splitlines()
+        header_rows = [l for l in lines if l.startswith("Start (s)")]
+        assert len(header_rows) == 1  # headers deduplicated
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(str(out / "BirdNET_CombinedTable.parquet"))
+        assert t.num_rows == len(lines) - 1
+
+    def test_fail_fast(self, home, tmp_path):
+        bad = tmp_path / "bad.wav"
+        bad.write_bytes(b"RIFFxxxxWAVEjunk")
+        good = make_audio(tmp_path, name="zz_good.wav", secs=3.0)
+        out = tmp_path / "out"
+        opts = AnalyzeOptions(
+            inputs=[bad, good], output_dir=out, formats=[OutputFormat.CSV],
+            min_confidence=0.0, device_flags={"cpu": True}, fail_fast=True,
+        )
+        from birda_tpu.errors import AudioError
+
+        with pytest.raises(AudioError):
+            analyze_files(opts, synthetic_config())
+        # Without fail-fast the good file still processes.
+        opts.fail_fast = False
+        code = analyze_files(opts, synthetic_config())
+        assert code == 0
+        assert (out / "zz_good.BirdNET.results.csv").exists()
