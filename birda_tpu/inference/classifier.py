@@ -366,6 +366,14 @@ class ChunkRunner:
         resample = self.resample_on_device
         src = self.src_rate
 
+        mel_cfg = getattr(model, "mel_config", None)
+        window_starts = np.arange(batch_size, dtype=np.int64) * step_samples
+        # bf16 mel on the accelerator (halves front-end HBM traffic); exact
+        # f32 on CPU so the chunk path matches the batch path bit-for-bit.
+        mel_dtype = (
+            jnp.bfloat16 if classifier.backend_status.actual == "tpu" else None
+        )
+
         def step(chunk, scale):
             if is_int16:
                 x = chunk.astype(jnp.float32) * (scale / 32767.0)
@@ -376,8 +384,20 @@ class ChunkRunner:
 
                 x = resample_device(x[None, :], src, model_rate)[0]
                 x = x[:chunk_model]
-            frames = jnp.take(x, gather_idx, axis=0)
-            out = model.apply(frames)
+            if mel_cfg is not None:
+                # Native models take precomputed mel: frames gather straight
+                # from the chunk and the [B, sample_count] window
+                # intermediate never hits HBM (the step is bandwidth-bound).
+                from ..ops.melspec import melspec_from_chunk
+
+                mel = melspec_from_chunk(
+                    x, mel_cfg, window_starts, seg,
+                    compute_dtype=mel_dtype,
+                )
+                out = model.apply(mel)
+            else:
+                frames = jnp.take(x, gather_idx, axis=0)
+                out = model.apply(frames)
             vals, topk_idx = jax.lax.top_k(out["scores"], k)
             if want_emb:
                 return vals, topk_idx, out["embeddings"]

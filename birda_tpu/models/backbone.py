@@ -118,7 +118,13 @@ class AudioClassifier(nn.Module):
 
     @nn.compact
     def __call__(self, waveform):
-        x = melspec(waveform, self.mel)  # [B, frames, mels]
+        # 2-D input: raw waveform [B, sample_count]. 3-D input: precomputed
+        # mel [B, frames, mels] (the chunk runner frames directly from the
+        # contiguous chunk to avoid materializing windows in HBM).
+        if waveform.ndim == 3:
+            x = waveform
+        else:
+            x = melspec(waveform, self.mel)  # [B, frames, mels]
         # Per-sample standardization (the front-end contract most audio
         # classifiers bake into the graph).
         mu = jnp.mean(x, axis=(1, 2), keepdims=True)

@@ -51,6 +51,9 @@ class LoadedModel:
     apply: Callable[[Any], dict]
     #: human-readable source ("native-synthetic", "native-weights", "onnx")
     source: str = "native-synthetic"
+    #: mel front-end config when apply() accepts precomputed [B,F,M] mel
+    #: input (native models); None for opaque graphs (ONNX).
+    mel_config: object = None
 
     @property
     def num_classes(self) -> int:
@@ -144,6 +147,7 @@ def native_model(
         labels=labels or synthetic_labels(cfg.num_classes),
         apply=apply,
         source=source,
+        mel_config=MEL_CONFIGS[family],
     )
 
 

@@ -137,6 +137,53 @@ def melspec(x, cfg: MelSpecConfig):
     return jnp.sqrt(mel)
 
 
+def melspec_from_chunk(chunk, cfg: MelSpecConfig, window_starts: np.ndarray,
+                       n_samples: int, compute_dtype=None):
+    """Mel spectrograms for overlapped windows of a contiguous 1-D chunk.
+
+    Frames are gathered **directly from the chunk** — the ``[B, n_samples]``
+    window intermediate never materializes in HBM, which matters because the
+    full inference step is bandwidth-bound. With ``compute_dtype=bfloat16``
+    the DFT/mel contractions run on the MXU at half the traffic; the power
+    accumulation stays fp32 via ``preferred_element_type``.
+
+    Args:
+        chunk: [chunk_samples] float32 at the model rate.
+        window_starts: [batch] static window start offsets into the chunk.
+        n_samples: samples per window (the model's sample_count).
+    Returns:
+        [batch, frames, n_mels] float32.
+    """
+    import jax.numpy as jnp
+
+    cos_b, sin_b, fb = _bases(cfg)
+    frames = cfg.frames(n_samples)
+    # Combined two-level index: window start + frame offset + intra-frame.
+    idx = (
+        np.asarray(window_starts, np.int64)[:, None, None]
+        + (np.arange(frames) * cfg.hop)[None, :, None]
+        + np.arange(cfg.n_fft)[None, None, :]
+    )
+    framed = jnp.take(chunk, jnp.asarray(idx), axis=0)  # [B, F, n_fft]
+    if compute_dtype is not None:
+        framed = framed.astype(compute_dtype)
+        cos_b = cos_b.astype(compute_dtype)
+        sin_b = sin_b.astype(compute_dtype)
+        fb = fb.astype(compute_dtype)
+    re = jnp.einsum("bfn,nk->bfk", framed, jnp.asarray(cos_b),
+                    preferred_element_type=jnp.float32)
+    im = jnp.einsum("bfn,nk->bfk", framed, jnp.asarray(sin_b),
+                    preferred_element_type=jnp.float32)
+    power = re * re + im * im
+    mel = jnp.einsum("bfk,km->bfm", power.astype(framed.dtype),
+                     jnp.asarray(fb), preferred_element_type=jnp.float32)
+    if cfg.scale == "log":
+        return jnp.log(mel + cfg.log_offset)
+    if cfg.scale == "power":
+        return mel
+    return jnp.sqrt(mel)
+
+
 def melspec_reference(x: np.ndarray, cfg: MelSpecConfig) -> np.ndarray:
     """Numpy reference implementation (FFT-based) for parity tests."""
     x = np.asarray(x, np.float32)
