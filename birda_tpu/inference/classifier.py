@@ -338,13 +338,20 @@ class ChunkRunner:
         self.transport = transport
         seg = classifier.sample_count
         model_rate = classifier.sample_rate
+        from ..ops.resample import device_resample_supported, get_plan
+
         self.src_rate = src_rate if src_rate is not None else model_rate
-        self.resample_on_device = self.src_rate != model_rate
+        # Large rational ratios (44.1 kHz's 320/441) resample on the host —
+        # the dilated-conv device formulation wastes L-fold MACs.
+        self.resample_on_device = (
+            self.src_rate != model_rate
+            and device_resample_supported(self.src_rate, model_rate)
+        )
+        if not self.resample_on_device:
+            self.src_rate = model_rate
         chunk_model = (batch_size - 1) * step_samples + seg
 
         if self.resample_on_device:
-            from ..ops.resample import get_plan
-
             plan = get_plan(self.src_rate, model_rate)
             # Source chunk sized so its resampled length covers the model
             # chunk (out_len = ceil(in * L/M) >= chunk_model), plus one
@@ -354,11 +361,6 @@ class ChunkRunner:
         else:
             self.chunk_samples = chunk_model
 
-        idx = (
-            np.arange(batch_size)[:, None] * step_samples
-            + np.arange(seg)[None, :]
-        )
-        gather_idx = jnp.asarray(idx)
         model = classifier.model
         k = classifier.top_k
         want_emb = classifier.want_embeddings
@@ -367,7 +369,8 @@ class ChunkRunner:
         src = self.src_rate
 
         mel_cfg = getattr(model, "mel_config", None)
-        window_starts = np.arange(batch_size, dtype=np.int64) * step_samples
+        # The conv-grid mel path needs the window step on the hop grid.
+        use_mel_path = mel_cfg is not None and step_samples % mel_cfg.hop == 0
         # bf16 mel on the accelerator (halves front-end HBM traffic); exact
         # f32 on CPU so the chunk path matches the batch path bit-for-bit.
         mel_dtype = (
@@ -375,6 +378,8 @@ class ChunkRunner:
         )
 
         def step(chunk, scale):
+            from jax import lax
+
             if is_int16:
                 x = chunk.astype(jnp.float32) * (scale / 32767.0)
             else:
@@ -384,19 +389,26 @@ class ChunkRunner:
 
                 x = resample_device(x[None, :], src, model_rate)[0]
                 x = x[:chunk_model]
-            if mel_cfg is not None:
-                # Native models take precomputed mel: frames gather straight
-                # from the chunk and the [B, sample_count] window
-                # intermediate never hits HBM (the step is bandwidth-bound).
+            if use_mel_path:
+                # Native models take precomputed mel: the DFT runs as one
+                # strided conv over the chunk, so neither the windowed
+                # [B, sample_count] intermediate nor any giant index tensor
+                # hits HBM (the step is bandwidth-bound).
                 from ..ops.melspec import melspec_from_chunk
 
                 mel = melspec_from_chunk(
-                    x, mel_cfg, window_starts, seg,
+                    x, mel_cfg, batch_size, step_samples, seg,
                     compute_dtype=mel_dtype,
                 )
                 out = model.apply(mel)
             else:
-                frames = jnp.take(x, gather_idx, axis=0)
+                # Window gather with indices built on device (a host-side
+                # index constant this size would bloat the serialized HLO).
+                row = lax.broadcasted_iota(
+                    jnp.int32, (batch_size, seg), 0
+                ) * step_samples
+                col = lax.broadcasted_iota(jnp.int32, (batch_size, seg), 1)
+                frames = jnp.take(x, row + col, axis=0)
                 out = model.apply(frames)
             vals, topk_idx = jax.lax.top_k(out["scores"], k)
             if want_emb:

@@ -29,15 +29,17 @@ from .contracts import ModelConfig, ModelFamily, ScoreActivation
 
 #: Mel front-end defaults per family (native path; the real graphs carry
 #: their own front-end in-graph and go through the ONNX path instead).
+#: Hops are chosen to divide the segment length so the chunked conv-grid
+#: framing applies at zero overlap (144000 % 576 == 0, 160000 % 640 == 0).
 MEL_CONFIGS = {
     ModelFamily.BIRDNET_V24: MelSpecConfig(sample_rate=48_000, n_fft=1024,
-                                           hop=512, n_mels=128, fmax=15_000.0),
+                                           hop=576, n_mels=128, fmax=15_000.0),
     ModelFamily.BSG_FI_V44: MelSpecConfig(sample_rate=48_000, n_fft=1024,
-                                          hop=512, n_mels=128, fmax=15_000.0),
+                                          hop=576, n_mels=128, fmax=15_000.0),
     ModelFamily.BIRDNET_V30: MelSpecConfig(sample_rate=32_000, n_fft=1024,
-                                           hop=320, n_mels=128, fmax=16_000.0),
+                                           hop=640, n_mels=128, fmax=16_000.0),
     ModelFamily.PERCH_V2: MelSpecConfig(sample_rate=32_000, n_fft=1024,
-                                        hop=320, n_mels=128, fmax=16_000.0),
+                                        hop=640, n_mels=128, fmax=16_000.0),
 }
 
 

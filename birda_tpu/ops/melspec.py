@@ -137,46 +137,63 @@ def melspec(x, cfg: MelSpecConfig):
     return jnp.sqrt(mel)
 
 
-def melspec_from_chunk(chunk, cfg: MelSpecConfig, window_starts: np.ndarray,
-                       n_samples: int, compute_dtype=None):
+def melspec_from_chunk(chunk, cfg: MelSpecConfig, batch: int,
+                       step_samples: int, n_samples: int, compute_dtype=None):
     """Mel spectrograms for overlapped windows of a contiguous 1-D chunk.
 
-    Frames are gathered **directly from the chunk** — the ``[B, n_samples]``
-    window intermediate never materializes in HBM, which matters because the
-    full inference step is bandwidth-bound. With ``compute_dtype=bfloat16``
-    the DFT/mel contractions run on the MXU at half the traffic; the power
-    accumulation stays fp32 via ``preferred_element_type``.
+    The windowed DFT runs as **one strided conv over the whole chunk** —
+    frames are computed on a global hop grid and each window then slices its
+    rows with a tiny gather. Neither the ``[B, n_samples]`` window
+    intermediate nor any giant index tensor materializes (large host-side
+    index constants also bloat the serialized HLO, which a remote-compile
+    service may reject outright). Requires ``step_samples % hop == 0`` so
+    every window's frames land on the global grid; callers fall back to
+    per-window framing otherwise.
+
+    With ``compute_dtype=bfloat16`` the DFT kernel and mel projection run on
+    the MXU at half the traffic; accumulation stays fp32.
 
     Args:
         chunk: [chunk_samples] float32 at the model rate.
-        window_starts: [batch] static window start offsets into the chunk.
+        batch: number of windows.
+        step_samples: distance between window starts (multiple of cfg.hop).
         n_samples: samples per window (the model's sample_count).
     Returns:
         [batch, frames, n_mels] float32.
     """
     import jax.numpy as jnp
+    from jax import lax
 
+    if step_samples % cfg.hop != 0:
+        raise ValueError(
+            f"step {step_samples} not a multiple of hop {cfg.hop}"
+        )
     cos_b, sin_b, fb = _bases(cfg)
     frames = cfg.frames(n_samples)
-    # Combined two-level index: window start + frame offset + intra-frame.
-    idx = (
-        np.asarray(window_starts, np.int64)[:, None, None]
-        + (np.arange(frames) * cfg.hop)[None, :, None]
-        + np.arange(cfg.n_fft)[None, None, :]
+    frames_per_step = step_samples // cfg.hop
+    n_bins = cfg.n_fft // 2 + 1
+
+    # [2*bins, 1, n_fft] conv kernel: real rows then imaginary rows.
+    kernel = np.concatenate([cos_b.T, sin_b.T], axis=0)[:, None, :]
+    dtype = compute_dtype or chunk.dtype
+    x = chunk.astype(dtype)[None, None, :]  # NCW
+    out = lax.conv_general_dilated(
+        x, jnp.asarray(kernel, dtype),
+        window_strides=(cfg.hop,), padding="VALID",
+        dimension_numbers=("NCW", "OIW", "NCW"),
+        preferred_element_type=jnp.float32,
+    )[0]                                     # [2*bins, N_global]
+    re, im = out[:n_bins], out[n_bins:]
+    power = (re * re + im * im).T            # [N_global, bins]
+    mel = jnp.einsum(
+        "nk,km->nm", power.astype(dtype), jnp.asarray(fb, dtype),
+        preferred_element_type=jnp.float32,
     )
-    framed = jnp.take(chunk, jnp.asarray(idx), axis=0)  # [B, F, n_fft]
-    if compute_dtype is not None:
-        framed = framed.astype(compute_dtype)
-        cos_b = cos_b.astype(compute_dtype)
-        sin_b = sin_b.astype(compute_dtype)
-        fb = fb.astype(compute_dtype)
-    re = jnp.einsum("bfn,nk->bfk", framed, jnp.asarray(cos_b),
-                    preferred_element_type=jnp.float32)
-    im = jnp.einsum("bfn,nk->bfk", framed, jnp.asarray(sin_b),
-                    preferred_element_type=jnp.float32)
-    power = re * re + im * im
-    mel = jnp.einsum("bfk,km->bfm", power.astype(framed.dtype),
-                     jnp.asarray(fb), preferred_element_type=jnp.float32)
+    # Window b reads global frames [b*frames_per_step, +frames) — a small
+    # [batch, frames] index built on device.
+    row = lax.broadcasted_iota(jnp.int32, (batch, frames), 0) * frames_per_step
+    col = lax.broadcasted_iota(jnp.int32, (batch, frames), 1)
+    mel = jnp.take(mel, row + col, axis=0)   # [batch, frames, mels]
     if cfg.scale == "log":
         return jnp.log(mel + cfg.log_offset)
     if cfg.scale == "power":

@@ -124,32 +124,59 @@ def _device_fn(from_rate: int, to_rate: int, in_len: int):
     """Build a jit-able device resampler for a fixed input length.
 
     Returns a function mapping ``[batch, in_len] -> [batch, out_len]``.
-    Static shapes keep XLA happy; the pipeline pads segments to the model's
-    segment length at the source rate before calling this.
+
+    Implementation: upsample-filter-decimate expressed as ONE
+    ``conv_general_dilated`` with ``lhs_dilation=L`` and ``stride=M`` — no
+    index tensors at all, so the formulation scales from 3-second segments
+    to multi-minute chunks without materializing gather indices in HBM (or,
+    worse, in the serialized HLO). The zero-stuffed positions cost L-fold
+    wasted MACs, which is why device resampling is reserved for small L
+    (48 kHz <-> 32 kHz is L/M = 2/3); large ratios (44.1 kHz's 320/441)
+    resample on the host.
     """
     import jax
     import jax.numpy as jnp
+    from jax import lax
 
     plan = get_plan(from_rate, to_rate)
     if plan.identity:
         return lambda x: x
 
-    p, b = plan.indices(in_len)
-    pad = plan.T
-    t = np.arange(plan.T, dtype=np.int32)
-    gather_idx = jnp.asarray(b[:, None] - t[None, :] + pad)   # [N_out, T]
-    weights = jnp.asarray(plan.H[p])                          # [N_out, T]
+    h = _design_lowpass(plan.L, plan.M)
+    K = len(h)
+    c = (K - 1) // 2
+    n_out = plan.out_len(in_len)
+    # Cross-correlation with the reversed kernel gives y[n] = sum_j h[j] *
+    # u[n*M + c - j] with u the L-dilated input; pad so index 0 aligns.
+    kernel = jnp.asarray(h[::-1].copy(), jnp.float32)[None, None, :]
+    pad_lo = K - 1 - c
+    # Enough right padding to cover the last output's taps.
+    dilated_len = (in_len - 1) * plan.L + 1
+    need = (n_out - 1) * plan.M + K
+    pad_hi = max(0, need - dilated_len - pad_lo)
 
     def fn(x):
-        # x: [batch, in_len]
-        xp = jnp.pad(x, ((0, 0), (pad, pad + plan.T)))
-        frames = jnp.take(xp, gather_idx, axis=1)             # [B, N_out, T]
-        return jnp.einsum(
-            "bnt,nt->bn", frames, weights,
+        out = lax.conv_general_dilated(
+            x[:, None, :].astype(jnp.float32), kernel,
+            window_strides=(plan.M,),
+            padding=[(pad_lo, pad_hi)],
+            lhs_dilation=(plan.L,),
+            dimension_numbers=("NCW", "OIW", "NCW"),
             preferred_element_type=jnp.float32,
-        )
+        )[:, 0, :]
+        return out[:, :n_out]
 
     return fn
+
+
+#: Device resampling is only worth it for small upsample factors — the
+#: dilated-conv formulation wastes L-fold MACs on implicit zeros.
+MAX_DEVICE_RATIO = 8
+
+
+def device_resample_supported(from_rate: int, to_rate: int) -> bool:
+    plan = get_plan(from_rate, to_rate)
+    return plan.identity or max(plan.L, plan.M) <= MAX_DEVICE_RATIO
 
 
 def resample_device(x, from_rate: int, to_rate: int):
