@@ -163,3 +163,26 @@ class TestShapes:
         x = np.stack([sine(1000, 48000, 14400), sine(2000, 48000, 14400)])
         out = np.asarray(resample_device(x, 48000, 32000))
         assert out.shape == (2, 9600)
+
+
+class TestPallasKernel:
+    """Polyphase Pallas kernel vs the host reference, interpreter mode."""
+
+    @pytest.mark.parametrize("rates", [(48000, 32000), (44100, 32000),
+                                       (32000, 48000)])
+    def test_matches_host(self, rates):
+        from birda_tpu.ops.pallas_resample import resample_pallas
+
+        fr, to = rates
+        x = sine(1234.5, fr, 10_000)
+        want = resample(x, fr, to)
+        got = np.asarray(resample_pallas(x, fr, to, interpret=True))
+        assert got.shape == want.shape
+        assert np.max(np.abs(got - want)) < 1e-4
+
+    def test_antialiasing_via_kernel(self):
+        from birda_tpu.ops.pallas_resample import resample_pallas
+
+        x = sine(ABOVE_NYQUIST_HZ, 48000, 24_000)
+        out = np.asarray(resample_pallas(x, 48000, 32000, interpret=True))
+        assert rms(steady_state(out)) < FILTERED_RMS_CEILING
