@@ -110,11 +110,11 @@ def cli(ctx):
               envvar="BIRDA_FORMAT")
 @click.option("-o", "--output-dir", type=click.Path(path_type=Path),
               envvar="BIRDA_OUTPUT_DIR")
-@click.option("--min-confidence", callback=_validator(v.parse_confidence),
+@click.option("-c", "--min-confidence", callback=_validator(v.parse_confidence),
               envvar="BIRDA_MIN_CONFIDENCE")
 @click.option("--overlap", callback=_validator(v.parse_overlap),
               envvar="BIRDA_OVERLAP")
-@click.option("--batch-size", callback=_validator(v.parse_batch_size),
+@click.option("-b", "--batch-size", callback=_validator(v.parse_batch_size),
               envvar="BIRDA_BATCH_SIZE")
 @click.option("--combine", is_flag=True, envvar="BIRDA_COMBINE")
 @click.option("--force", is_flag=True)
@@ -170,8 +170,10 @@ def analyze(inputs, model, model_path, labels_path, model_type, bat, formats,
         raise click.UsageError("--week conflicts with --month/--day")
     if (month is None) != (day is None):
         raise click.UsageError("--month and --day must be given together")
-    if stdout_mode and combine:
-        raise click.UsageError("--stdout conflicts with --combine")
+    if stdout_mode and (combine or output_dir is not None or formats):
+        raise click.UsageError(
+            "--stdout conflicts with --combine/--output-dir/--format"
+        )
 
     config = _load_validated_config()
 

@@ -171,20 +171,34 @@ def melspec_from_chunk(chunk, cfg: MelSpecConfig, batch: int,
     cos_b, sin_b, fb = _bases(cfg)
     frames = cfg.frames(n_samples)
     frames_per_step = step_samples // cfg.hop
-    n_bins = cfg.n_fft // 2 + 1
+    hop = cfg.hop
 
-    # [2*bins, 1, n_fft] conv kernel: real rows then imaginary rows.
-    kernel = np.concatenate([cos_b.T, sin_b.T], axis=0)[:, None, :]
+    # Frames on the global hop grid, WITHOUT a gather or conv: a frame is a
+    # run of ceil(n_fft/hop) consecutive hop-blocks, so reshape the chunk to
+    # [N_global, hop] at each of those part offsets and give every part its
+    # own slice of the DFT basis — the framed [N, n_fft] tensor never
+    # materializes, just reshape views feeding MXU matmuls.
+    last_start = (batch - 1) * step_samples + (frames - 1) * hop
+    n_global = last_start // hop + 1
     dtype = compute_dtype or chunk.dtype
-    x = chunk.astype(dtype)[None, None, :]  # NCW
-    out = lax.conv_general_dilated(
-        x, jnp.asarray(kernel, dtype),
-        window_strides=(cfg.hop,), padding="VALID",
-        dimension_numbers=("NCW", "OIW", "NCW"),
-        preferred_element_type=jnp.float32,
-    )[0]                                     # [2*bins, N_global]
-    re, im = out[:n_bins], out[n_bins:]
-    power = (re * re + im * im).T            # [N_global, bins]
+    n_parts = -(-cfg.n_fft // hop)
+    # Later part offsets overrun the chunk tail by up to n_parts*hop - n_fft
+    # samples (full reshape rows whose trailing columns are never read).
+    x = jnp.pad(chunk.astype(dtype), (0, n_parts * hop))
+    re = im = None
+    for part in range(n_parts):
+        off = part * hop
+        width = min(hop, cfg.n_fft - off)
+        seg_view = lax.dynamic_slice_in_dim(x, off, n_global * hop)
+        part_x = seg_view.reshape(n_global, hop)[:, :width]
+        cb = jnp.asarray(cos_b[off : off + width], dtype)
+        sb = jnp.asarray(sin_b[off : off + width], dtype)
+        r = jnp.matmul(part_x, cb, preferred_element_type=jnp.float32)
+        i = jnp.matmul(part_x, sb, preferred_element_type=jnp.float32)
+        re = r if re is None else re + r
+        im = i if im is None else im + i
+
+    power = re * re + im * im                # [N_global, bins] fp32
     mel = jnp.einsum(
         "nk,km->nm", power.astype(dtype), jnp.asarray(fb, dtype),
         preferred_element_type=jnp.float32,
