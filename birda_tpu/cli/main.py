@@ -671,20 +671,36 @@ def providers(output_mode):
 @click.option("--threshold", callback=_validator(v.parse_confidence))
 @click.option("--sort", type=click.Choice(["freq", "alpha"]), default="freq")
 @click.option("-m", "--model")
-def species(output, lat, lon, week, month, day, threshold, sort, model):
+@click.option("--output-mode", type=click.Choice(["human", "json", "ndjson"]))
+def species(output, lat, lon, week, month, day, threshold, sort, model,
+            output_mode):
     """Generate a species list from the range filter."""
     from .species import generate_species_list
 
     if week is None and (month is None or day is None):
         raise click.UsageError("provide --week, or --month with --day")
+    structured = output_mode in ("json", "ndjson")
     try:
         path, count = generate_species_list(
             output=output, lat=lat, lon=lon, week=week, month=month, day=day,
             threshold=threshold, sort=sort, model_name=model,
         )
     except BirdaError as e:
+        if structured:
+            reporter = create_reporter(output_mode)
+            reporter.error("species_list_failed", ErrorSeverity.FATAL, str(e))
+            reporter.finish()
         print_error_chain(e)
         sys.exit(1)
+    if structured:
+        reporter = create_reporter(output_mode)
+        reporter.result(env.result_payload(
+            ResultType.SPECIES_LIST,
+            output_file=str(path), species_count=count,
+            lat=lat, lon=lon, week=week,
+        ))
+        reporter.finish()
+        return
     click.echo(f"Wrote {count} species to {path}")
 
 
@@ -700,8 +716,9 @@ def species(output, lat, lon, week, month, day, threshold, sort, model):
 @click.option("--species", "species_")
 @click.option("--start", type=float)
 @click.option("--end", type=float)
+@click.option("--output-mode", type=click.Choice(["human", "json", "ndjson"]))
 def clip(files, output, audio, base_dir, pre, post, confidence, species_,
-         start, end):
+         start, end, output_mode):
     """Extract audio clips from detection results."""
     from ..clipper.command import ClipArgs, execute
 
@@ -710,11 +727,27 @@ def clip(files, output, audio, base_dir, pre, post, confidence, species_,
         pre=pre, post=post, confidence=confidence or 0.0, species=species_,
         start=start, end=end,
     )
+    structured = output_mode in ("json", "ndjson")
     try:
         summary = execute(args)
     except BirdaError as e:
+        if structured:
+            reporter = create_reporter(output_mode)
+            reporter.error("clip_extraction_failed", ErrorSeverity.FATAL, str(e))
+            reporter.finish()
         print_error_chain(e)
         sys.exit(1)
+    if structured:
+        reporter = create_reporter(output_mode)
+        reporter.result(env.result_payload(
+            ResultType.CLIP_EXTRACTION,
+            total_clips=summary.total_clips,
+            processed_files=summary.processed_files,
+            clips=summary.clips,
+            failures=summary.failures,
+        ))
+        reporter.finish()
+        return
     click.echo(
         f"Extracted {summary.total_clips} clip(s) from "
         f"{summary.processed_files} file(s)"

@@ -325,3 +325,44 @@ class TestStructuredCommandResults:
         # synthetic: path doesn't exist on disk -> check fails, but payload emits
         p = self.check(runner, ["models", "check"], "model_check")
         assert len(p["models"]) == 1
+
+    def test_clip_structured(self, runner, home, tmp_path):
+        rate = 48000
+        x = (0.4 * np.sin(2 * np.pi * 1000 * np.arange(rate * 10) / rate)).astype(np.float32)
+        write_wav(tmp_path / "rec.wav", x, rate)
+        det = tmp_path / "rec.wav.BirdNET.results.csv"
+        det.write_text(
+            "Start (s),End (s),Scientific name,Common name,Confidence,File\n"
+            "1.0,2.0,Parus major,Great Tit,0.9,rec.wav\n"
+        )
+        r = runner.invoke(cli, [
+            "clip", str(det), "-o", str(tmp_path / "clips"),
+            "--output-mode", "ndjson",
+        ])
+        assert r.exit_code == 0, r.output
+        doc = json.loads([l for l in r.output.splitlines() if l.startswith("{")][0])
+        assert doc["payload"]["result_type"] == "clip_extraction"
+        assert doc["payload"]["total_clips"] == 1
+
+    def test_species_structured(self, runner, home, tmp_path):
+        import fixtures_onnx as fo
+        from birda_tpu.config import file as config_file
+        from birda_tpu.config.types import Config
+
+        geo = tmp_path / "geo.onnx"
+        geo.write_bytes(fo.make_fixture_geomodel(num_species=5))
+        labels = tmp_path / "geo-labels.txt"
+        labels.write_text("".join(f"Geo s{i} x_C{i}\n" for i in range(5)))
+        cfg = Config()
+        cfg.defaults.geomodel = geo
+        cfg.defaults.geomodel_labels = labels
+        config_file.save_config(cfg, config_paths.config_file_path())
+        out = tmp_path / "sp.txt"
+        r = runner.invoke(cli, [
+            "species", "--lat", "60", "--lon", "24", "--week", "10",
+            "--threshold", "0", "-o", str(out), "--output-mode", "ndjson",
+        ])
+        assert r.exit_code == 0, r.output
+        doc = json.loads([l for l in r.output.splitlines() if l.startswith("{")][0])
+        assert doc["payload"]["result_type"] == "species_list"
+        assert doc["payload"]["species_count"] == 5
