@@ -15,6 +15,23 @@ and accumulates the T-tap dot products as VPU gathers — work is exactly
 
 Tiles are shaped (ROWS, 128) to match the VPU lane layout; the output is
 flattened and trimmed to the true length by the caller wrapper.
+
+Mosaic's gather lowering requires operand, indices and output to share one
+shape, so every lookup here is phrased as a same-width [1, W] gather: tap
+indices are computed (and clamped) for the full slice width, and the filter
+bank is pre-padded per tap to the slice width on the host.
+
+STATUS: semantics verified against the host polyphase reference in
+interpreter mode (tests/test_resample.py::TestPallasKernel). Compiled
+execution is blocked by a measured Mosaic limitation on this generation:
+``tpu.dynamic_gather`` only compiles when the lane dimension is exactly one
+vreg (128 lanes) wide — [8,128]/[32,128] gathers work, anything wider
+crashes the backend compiler. Our lookups span a ~3000-sample slice, so
+the production paths remain host resampling for large L/M and the
+dilated-conv device path for small L/M
+(:func:`birda_tpu.ops.resample.device_resample_supported`). Round-2 plan:
+decompose the table lookup into 128-lane segmented gathers with masks, or
+per-phase strided loads.
 """
 
 from __future__ import annotations
@@ -68,11 +85,17 @@ def resample_pallas(x, from_rate: int, to_rate: int, interpret: bool = False):
     # Input span one tile touches: bases advance by ~TILE*M/L, plus T taps
     # of history and rounding slack, rounded up to lane width.
     span = ceil(TILE * M / L) + T + 8
-    slice_len = ((span + LANES - 1) // LANES) * LANES
+    # The same-shape gather needs a working width of at least TILE (the
+    # accumulator is sliced to TILE rows at the end).
+    slice_len = max(((span + LANES - 1) // LANES) * LANES, TILE)
 
     pad_left = T
     total = pad_left + n_in + slice_len
-    h_flat = jnp.asarray(H.reshape(-1))
+    S = slice_len
+    # Filter bank padded per tap to the slice width: h_pad[t, p] = H[p, t].
+    h_pad = np.zeros((T, S), np.float32)
+    h_pad[:, :L] = H.T
+    h_pad = jnp.asarray(h_pad)
 
     def kernel(xp_ref, h_ref, out_ref, x_vmem, sem):
         i = pl.program_id(0)
@@ -83,27 +106,28 @@ def resample_pallas(x, from_rate: int, to_rate: int, interpret: bool = False):
         )
         dma.start()
 
-        flat = (
-            lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 0) * LANES
-            + lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 1)
-        )
-        n_vec = n0 + flat
+        # Indices for the full slice width; entries past TILE are clamped
+        # garbage that never reaches the output.
+        j = lax.broadcasted_iota(jnp.int32, (1, S), 1)
+        n_vec = n0 + j
         q = n_vec * M + c
         b = q // L
-        p = q - b * L
-        local = b - b0 + pad_left  # index into the padded slice
+        p = jnp.clip(q - b * L, 0, S - 1)
+        local = jnp.clip(b - b0 + pad_left, 0, S - 1)
 
         dma.wait()
-        xs = x_vmem[:]
-        acc = jnp.zeros((ROWS, LANES), jnp.float32)
+        xs2 = x_vmem[:].reshape(1, S)
+        acc = jnp.zeros((1, S), jnp.float32)
 
         def body(t, acc):
-            taps = jnp.take(xs, local - t, axis=0)
-            w = jnp.take(h_ref[:], p * T + t, axis=0)
+            taps = jnp.take_along_axis(
+                xs2, jnp.clip(local - t, 0, S - 1), axis=1
+            )
+            w = jnp.take_along_axis(h_ref[t, :].reshape(1, S), p, axis=1)
             return acc + taps * w
 
         acc = lax.fori_loop(0, T, body, acc)
-        out_ref[:] = acc
+        out_ref[:] = acc[0, :TILE].reshape(ROWS, LANES)
 
     xp = jnp.concatenate([
         jnp.zeros(pad_left, jnp.float32),
@@ -116,7 +140,7 @@ def resample_pallas(x, from_rate: int, to_rate: int, interpret: bool = False):
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),       # padded input in HBM
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # flat filter bank
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # [T, S] padded bank
         ],
         out_specs=pl.BlockSpec((ROWS, LANES), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
@@ -126,5 +150,5 @@ def resample_pallas(x, from_rate: int, to_rate: int, interpret: bool = False):
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(xp, h_flat)
+    )(xp, h_pad)
     return out.reshape(-1)[:n_out]
