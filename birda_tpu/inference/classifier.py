@@ -460,19 +460,28 @@ class ChunkRunner:
             was_build=elapsed >= compile_cache.BUILD_THRESHOLD_SECS,
         )
 
-    def predict_chunk(
-        self,
-        chunk: np.ndarray,
-        n_real: int,
+    def predict_chunk_async(
+        self, chunk: np.ndarray, n_real: int,
         options: Optional[InferenceOptions] = None,
-    ) -> list[PredictionResult]:
-        """Run one chunk of model-rate f32 audio; returns ``n_real`` results.
+    ) -> "PendingChunk":
+        """Dispatch a chunk without blocking on results.
 
-        ``chunk`` shorter than ``chunk_samples`` is zero-padded (tail chunk).
+        jax dispatch is asynchronous: the int16 payload upload and the device
+        step proceed in the background while the host decodes and assembles
+        the next chunk. Collect results with :meth:`PendingChunk.collect`.
         """
         options = options or InferenceOptions(
             self.classifier.min_confidence, self.classifier.top_k
         )
+        payload, scale = self._quantize(chunk)
+        try:
+            out = self._step(payload, scale)
+        except Exception as e:  # noqa: BLE001
+            raise InferenceErr(str(e)) from e
+        return PendingChunk(self, out if isinstance(out, tuple) else (out,),
+                            n_real, options)
+
+    def _quantize(self, chunk: np.ndarray):
         chunk = np.asarray(chunk, np.float32)
         if len(chunk) < self.chunk_samples:
             chunk = np.concatenate(
@@ -496,25 +505,49 @@ class ChunkRunner:
         else:
             payload = chunk
             scale = np.float32(1.0)
+        return payload, scale
 
+    def predict_chunk(
+        self,
+        chunk: np.ndarray,
+        n_real: int,
+        options: Optional[InferenceOptions] = None,
+    ) -> list[PredictionResult]:
+        """Run one chunk of model-rate f32 audio; returns ``n_real`` results.
+
+        ``chunk`` shorter than ``chunk_samples`` is zero-padded (tail chunk).
+        """
+        return self.predict_chunk_async(chunk, n_real, options).collect()
+
+
+class PendingChunk:
+    """In-flight device work for one chunk (see ``predict_chunk_async``)."""
+
+    def __init__(self, runner: ChunkRunner, out: tuple, n_real: int,
+                 options: InferenceOptions):
+        self._runner = runner
+        self._out = out
+        self._n_real = n_real
+        self._options = options
+
+    def collect(self) -> list[PredictionResult]:
+        """Block on the device results and decode them."""
         try:
-            out = self._step(payload, scale)
-            out = out if isinstance(out, tuple) else (out,)
-            vals = np.asarray(out[0])
-            idx = np.asarray(out[1])
-            emb = np.asarray(out[2]) if len(out) > 2 else None
+            vals = np.asarray(self._out[0])
+            idx = np.asarray(self._out[1])
+            emb = np.asarray(self._out[2]) if len(self._out) > 2 else None
         except Exception as e:  # noqa: BLE001
             raise InferenceErr(str(e)) from e
 
-        labels = self.classifier.labels
+        labels = self._runner.classifier.labels
         results = []
-        for row in range(min(n_real, self.batch_size)):
+        for row in range(min(self._n_real, self._runner.batch_size)):
             preds = [
                 Prediction(
                     species=labels[int(i)], confidence=float(v), index=int(i)
                 )
                 for v, i in zip(vals[row], idx[row])
-                if v >= options.min_confidence
+                if v >= self._options.min_confidence
             ]
             results.append(
                 PredictionResult(

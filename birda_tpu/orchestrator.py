@@ -686,12 +686,25 @@ def _combine_outputs(files, options, formats):
         if not parts:
             continue
         combined = Path(out_root) / combined_name
+        selection_id = 0
         with open(combined, "w", encoding="utf-8") as out:
             for i, part in enumerate(parts):
                 text = part.read_text(encoding="utf-8-sig")
                 lines = text.splitlines(keepends=True)
                 if i > 0 and has_header and lines:
                     lines = lines[1:]
+                if fmt == OutputFormat.RAVEN:
+                    # Selection ids restart at 1 per file; renumber so the
+                    # combined table stays a valid Raven selection table.
+                    renumbered = []
+                    for j, line in enumerate(lines):
+                        if (i == 0 and j == 0) or "\t" not in line:
+                            renumbered.append(line)
+                            continue
+                        selection_id += 1
+                        _, rest = line.split("\t", 1)
+                        renumbered.append(f"{selection_id}\t{rest}")
+                    lines = renumbered
                 out.writelines(lines)
 
 

@@ -193,43 +193,20 @@ def process_file(classifier: BirdClassifier, config: ProcessingConfig) -> Proces
         segments_done = 0
         batch_samples: list[np.ndarray] = []
         batch_starts: list[int] = []
+        # One chunk stays in flight on the device while the host decodes and
+        # assembles the next (double buffering: jax dispatch is async).
+        pending: list[tuple] = []
 
-        def flush_batch():
+        def finalize(handle, starts):
             nonlocal segments_done
-            if not batch_samples:
-                return
-            n_real = len(batch_samples)
             with start_inference_watchdog(
                 effective_batch, config.watchdog_timeout
             ):
-                if runner is not None:
-                    # Reassemble the contiguous stream: the first `step` of
-                    # each window plus the last window's tail — each sample
-                    # crosses the link exactly once.
-                    step_n = (
-                        step_src if runner.resample_on_device else step_model
-                    )
-                    parts = [s[:step_n] for s in batch_samples[:-1]]
-                    parts.append(batch_samples[-1])
-                    chunk = (
-                        np.concatenate(parts) if len(parts) > 1 else parts[0]
-                    )
-                    results = runner.predict_chunk(chunk, n_real, options)
-                else:
-                    rows = batch_samples
-                    if n_real < effective_batch:
-                        # Silence-pad to the warmed shape (ref :242-258).
-                        rows = rows + [
-                            np.zeros(target_count, np.float32)
-                        ] * (effective_batch - n_real)
-                    results = classifier.predict_batch(np.stack(rows), options)
-            results = results[:n_real]
+                results = handle.collect()
             results = classifier.apply_range_filter(results)
-
             if config.custom_classifier is not None:
                 results = config.custom_classifier.reclassify(results)
-
-            for res, start_sample in zip(results, batch_starts):
+            for res, start_sample in zip(results, starts):
                 t0 = start_sample / src_rate
                 t1 = t0 + seg_duration
                 for p in res.predictions:
@@ -240,9 +217,7 @@ def process_file(classifier: BirdClassifier, config: ProcessingConfig) -> Proces
                                 config.input_path,
                             )
                         )
-            segments_done += n_real
-            batch_samples.clear()
-            batch_starts.clear()
+            segments_done += len(starts)
             progress_sink = config.progress_reporter or config.reporter
             if progress_sink is not None and est_segments:
                 progress_sink.progress(
@@ -250,6 +225,50 @@ def process_file(classifier: BirdClassifier, config: ProcessingConfig) -> Proces
                         str(config.input_path), segments_done, est_segments
                     )
                 )
+
+        class _SyncHandle:
+            """Adapter so the legacy batch path flows through finalize()."""
+
+            def __init__(self, results):
+                self._results = results
+
+            def collect(self):
+                return self._results
+
+        def flush_batch():
+            if not batch_samples:
+                return
+            n_real = len(batch_samples)
+            if runner is not None:
+                # Reassemble the contiguous stream: the first `step` of
+                # each window plus the last window's tail — each sample
+                # crosses the link exactly once.
+                step_n = (
+                    step_src if runner.resample_on_device else step_model
+                )
+                parts = [s[:step_n] for s in batch_samples[:-1]]
+                parts.append(batch_samples[-1])
+                chunk = (
+                    np.concatenate(parts) if len(parts) > 1 else parts[0]
+                )
+                handle = runner.predict_chunk_async(chunk, n_real, options)
+            else:
+                rows = batch_samples
+                if n_real < effective_batch:
+                    # Silence-pad to the warmed shape (ref :242-258).
+                    rows = rows + [
+                        np.zeros(target_count, np.float32)
+                    ] * (effective_batch - n_real)
+                with start_inference_watchdog(
+                    effective_batch, config.watchdog_timeout
+                ):
+                    results = classifier.predict_batch(np.stack(rows), options)
+                handle = _SyncHandle(results[:n_real])
+            pending.append((handle, batch_starts.copy()))
+            batch_samples.clear()
+            batch_starts.clear()
+            while len(pending) > 1:
+                finalize(*pending.pop(0))
 
         while True:
             item = tx.get()
@@ -267,6 +286,8 @@ def process_file(classifier: BirdClassifier, config: ProcessingConfig) -> Proces
             if len(batch_samples) >= effective_batch:
                 flush_batch()
         flush_batch()
+        while pending:
+            finalize(*pending.pop(0))
         producer.join(timeout=5)
 
         # Embedding-based heads want the embeddings too; classifier handles

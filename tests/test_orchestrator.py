@@ -219,3 +219,16 @@ class TestAnalyzeEndToEnd:
         code = analyze_files(opts, synthetic_config())
         assert code == 0
         assert (out / "zz_good.BirdNET.results.csv").exists()
+
+    def test_combine_raven_renumbers(self, home, tmp_path):
+        for i in range(2):
+            make_audio(tmp_path, name=f"r{i}.wav", secs=3.0)
+        out = tmp_path / "out"
+        opts = AnalyzeOptions(
+            inputs=[tmp_path], output_dir=out, formats=[OutputFormat.RAVEN],
+            min_confidence=0.0, device_flags={"cpu": True}, combine=True,
+        )
+        assert analyze_files(opts, synthetic_config()) == 0
+        lines = (out / "BirdNET_SelectionTable.txt").read_text().splitlines()
+        ids = [int(l.split("\t")[0]) for l in lines[1:]]
+        assert ids == list(range(1, len(ids) + 1))
