@@ -230,3 +230,30 @@ class TestChunker:
         from birda_tpu.audio.chunker import chunk_audio
 
         assert chunk_audio(np.ones(1000, np.float32), 48000, 1.0, 1.0) == []
+
+
+class TestWindowEdges:
+    def test_file_shorter_than_segment(self, tmp_path):
+        p = tmp_path / "short.wav"
+        write_wav(p, tone(48000, 0.5), 48000)
+        with StreamingDecoder(p) as dec:
+            s = dec.next_segment(144000, 0)
+            assert s is not None
+            assert len(s.samples) == 144000
+            assert np.all(s.samples[24000:] == 0)
+            assert dec.next_segment(144000, 0) is None
+
+    def test_exact_multiple_no_phantom_window(self, tmp_path):
+        p = tmp_path / "exact.wav"
+        write_wav(p, tone(48000, 6.0), 48000)
+        with StreamingDecoder(p) as dec:
+            count = 0
+            while dec.next_segment(144000, 0) is not None:
+                count += 1
+        assert count == 2
+
+    def test_empty_file_yields_nothing(self, tmp_path):
+        p = tmp_path / "empty.wav"
+        write_wav(p, np.zeros(0, np.float32), 48000)
+        with StreamingDecoder(p) as dec:
+            assert dec.next_segment(144000, 0) is None

@@ -254,3 +254,47 @@ class TestEnvelope:
         assert t.should_emit(15.0)      # >=10% delta
         assert not t.should_emit(16.0)
         assert t.should_emit(100.0)     # always at 100
+
+
+class TestEveryRecognisedColumn:
+    """The reference pins that every name in csv_columns.RECOGNISED reaches
+    both writers (constants.rs:131-158 invariant)."""
+
+    def full_metadata_detection(self):
+        d = make_detection()
+        d.metadata.lat = 60.2
+        d.metadata.lon = 24.9
+        d.metadata.week = 24
+        d.metadata.model = "birdnet-v24"
+        d.metadata.overlap = 1.5
+        d.metadata.sensitivity = 1.25
+        d.metadata.min_conf = 0.1
+        d.metadata.species_list = "my_list.txt"
+        return d
+
+    def test_every_recognised_column_is_written(self, tmp_path):
+        from birda_tpu.constants import csv_columns
+
+        p = tmp_path / "out.csv"
+        cols = list(csv_columns.RECOGNISED)
+        with CsvWriter(p, include_columns=cols, include_bom=False) as w:
+            w.write_detection(self.full_metadata_detection())
+        header, row = p.read_text().splitlines()
+        assert header.split(",")[6:] == cols
+        values = row.split(",")[6:]
+        assert values == ["60.2", "24.9", "24", "birdnet-v24", "1.5",
+                          "1.25", "0.1", "my_list.txt"]
+
+    def test_every_recognised_column_reaches_the_parquet_writer(self, tmp_path):
+        from birda_tpu.constants import csv_columns
+
+        p = tmp_path / "out.parquet"
+        cols = list(csv_columns.RECOGNISED)
+        with ParquetWriter(p, cols) as w:
+            w.write_detection(self.full_metadata_detection())
+        t = pq.read_table(str(p))
+        assert [f.name for f in t.schema][6:] == cols
+        row = t.to_pylist()[0]
+        assert row["lat"] == 60.2
+        assert row["week"] == 24
+        assert row["species_list"] == "my_list.txt"
