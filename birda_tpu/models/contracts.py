@@ -9,7 +9,7 @@ they gate segmentation, resampling, batching, and label projection.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from enum import Enum
 from typing import Optional
 

@@ -12,7 +12,7 @@ directly from a (weights, labels) pair.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Callable, Optional
+from typing import Callable
 
 import numpy as np
 

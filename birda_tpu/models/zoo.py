@@ -14,7 +14,7 @@ contract and labels. Two construction paths:
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from pathlib import Path
 from typing import Any, Callable
 
@@ -25,7 +25,7 @@ import numpy as np
 from ..ops.melspec import MelSpecConfig
 from . import contracts
 from .backbone import AudioClassifier
-from .contracts import ModelConfig, ModelFamily, ScoreActivation
+from .contracts import ModelConfig, ModelFamily
 
 #: Mel front-end defaults per family (native path; the real graphs carry
 #: their own front-end in-graph and go through the ONNX path instead).

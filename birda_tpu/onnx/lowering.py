@@ -25,12 +25,11 @@ a fighting chance. Unknown ops raise ``UnsupportedOnnxOp``.
 
 from __future__ import annotations
 
-import math
-from typing import Any, Callable
+from typing import Any
 
 import numpy as np
 
-from .proto import DT_FLOAT, Graph, Model, Node, load_model
+from .proto import Graph, Model, load_model
 
 _NP_FROM_ONNX_DT = {
     1: np.float32, 2: np.uint8, 3: np.int8, 4: np.uint16, 5: np.int16,

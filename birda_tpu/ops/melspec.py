@@ -17,7 +17,6 @@ TPU because it tiles onto the systolic array.
 from __future__ import annotations
 
 import functools
-import math
 from dataclasses import dataclass
 
 import numpy as np

@@ -16,7 +16,6 @@ from pathlib import Path
 from typing import Optional
 
 from . import constants
-from .config import file as config_file
 from .config import geomodel as geomodel_cfg
 from .config import range_filter as rf_cfg
 from .config.types import Config, InferenceDevice, ModelConfig, ModelType
@@ -33,7 +32,7 @@ from .locking.file_lock import FileLock
 from .models import contracts
 from .models.zoo import LoadedModel, native_model, onnx_model, tiny_model
 from .output import json_envelope as env
-from .output.json_envelope import ErrorSeverity, FileStatus, PipelineStatus
+from .output.json_envelope import FileStatus, PipelineStatus
 from .pipeline.config import ProcessingConfig
 from .pipeline.coordinator import (
     OutputFormat,
@@ -42,7 +41,7 @@ from .pipeline.coordinator import (
     output_dir_for,
     should_process,
 )
-from .pipeline.processor import ProcessResult, process_file
+from .pipeline.processor import process_file
 
 logger = logging.getLogger(__name__)
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 import datetime
 import json
 from enum import Enum
-from typing import Any, Optional
+from typing import Optional
 
 SPEC_VERSION = "1.1"
 

@@ -14,7 +14,6 @@ import math
 import sys
 import threading
 import time
-from typing import Optional
 
 from . import json_envelope as env
 from .json_envelope import (

@@ -26,7 +26,7 @@ import numpy as np
 from .. import constants
 from ..audio.decode import StreamingDecoder
 from ..audio.resample import resample_chunk
-from ..errors import BirdaError, DecodeChannelClosed
+from ..errors import BirdaError
 from ..inference.classifier import BirdClassifier, InferenceOptions
 from ..inference.watchdog import start_inference_watchdog
 from ..output.audacity import AudacityWriter
