@@ -414,9 +414,17 @@ def analyze_files(options: AnalyzeOptions, config: Config, reporter=None) -> int
             classifier.range_filter_info(),
         )
 
-    # Warm the steady-state batch shape up front so the first real file does
-    # not absorb the compile (reference warmup spinner, lib.rs:561-597).
-    report = classifier.ensure_warm(batch_size)
+    # Warm the steady-state program up front so the first real file does not
+    # absorb the compile (reference warmup spinner, lib.rs:561-597). The
+    # production path is the chunk runner keyed (batch, step): warm the
+    # common case (model-rate sources at the configured overlap); other
+    # (rate, effective-batch) variants compile lazily per file.
+    step_model = max(
+        1,
+        classifier.sample_count - int(round(overlap * classifier.sample_rate)),
+    )
+    runner = classifier.chunk_runner(batch_size, step_model)
+    report = runner.ensure_warm()
     if report is not None:
         what = "compiled" if report.was_build else "loaded from cache"
         logger.info(
