@@ -87,15 +87,46 @@ class MBConv(nn.Module):
         return h
 
 
-#: (features, repeats, kernel, strides, expand) — B0-like block table.
-DEFAULT_BLOCKS: Sequence[tuple[int, int, int, int, int]] = (
-    (16, 1, 3, 1, 1),
-    (24, 2, 3, 2, 6),
-    (40, 2, 5, 2, 6),
-    (80, 3, 3, 2, 6),
-    (112, 3, 5, 1, 6),
-    (192, 4, 5, 2, 6),
-    (320, 1, 3, 1, 6),
+class FusedMBConv(nn.Module):
+    """EfficientNetV2-style fused block: one full 3x3 expand conv instead of
+    1x1-expand + depthwise. At early spatial resolutions this keeps the
+    expand-width activations off HBM (the inference step is bandwidth-bound)
+    and replaces VPU-bound depthwise convs with MXU matmul-convs."""
+
+    features: int
+    expand: int
+    kernel: tuple[int, int]
+    strides: tuple[int, int]
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        inp = x.shape[-1]
+        mid = inp * self.expand
+        if self.expand != 1:
+            h = ConvBNAct(mid, self.kernel, self.strides, dtype=self.dtype)(x)
+            h = ConvBNAct(self.features, (1, 1), act=False, dtype=self.dtype)(h)
+        else:
+            h = ConvBNAct(
+                self.features, self.kernel, self.strides,
+                act=False, dtype=self.dtype,
+            )(x)
+        if self.strides == (1, 1) and inp == self.features:
+            h = h + x
+        return h
+
+
+#: (features, repeats, kernel, strides, expand, fused) block table —
+#: EfficientNetV2-style: fused blocks at high spatial resolution, MBConv+SE
+#: once maps are small.
+DEFAULT_BLOCKS: Sequence[tuple[int, int, int, int, int, bool]] = (
+    (16, 1, 3, 1, 1, True),
+    (24, 2, 3, 2, 4, True),
+    (40, 2, 3, 2, 4, True),
+    (80, 3, 3, 2, 4, False),
+    (112, 3, 5, 1, 6, False),
+    (192, 4, 5, 2, 6, False),
+    (320, 1, 3, 1, 6, False),
 )
 
 
@@ -133,13 +164,19 @@ class AudioClassifier(nn.Module):
         x = x[..., None].astype(self.dtype)  # NHWC, H=frames, W=mels
 
         x = ConvBNAct(self.stem_features, (3, 3), (2, 2), dtype=self.dtype)(x)
-        for features, repeats, k, s, expand in self.blocks:
+        for spec in self.blocks:
+            features, repeats, k, s, expand = spec[:5]
+            fused = spec[5] if len(spec) > 5 else False
             for i in range(repeats):
-                x = MBConv(
-                    features, expand, (k, k),
-                    (s, s) if i == 0 else (1, 1),
-                    dtype=self.dtype,
-                )(x)
+                strides = (s, s) if i == 0 else (1, 1)
+                if fused:
+                    x = FusedMBConv(
+                        features, expand, (k, k), strides, dtype=self.dtype
+                    )(x)
+                else:
+                    x = MBConv(
+                        features, expand, (k, k), strides, dtype=self.dtype
+                    )(x)
         x = ConvBNAct(self.head_features, (1, 1), dtype=self.dtype)(x)
         x = jnp.mean(x, axis=(1, 2))  # global average pool
 
