@@ -363,6 +363,14 @@ void* birda_open(const char* path, char* err, int errlen) {
         r = birda_flac_open(path, e);
     } else if (has_suffix_nocase(path, ".wav")) {
         r = WavReader::open(path, e);
+    } else if (has_suffix_nocase(path, ".mp3") || has_suffix_nocase(path, ".m4a") ||
+               has_suffix_nocase(path, ".aac") || has_suffix_nocase(path, ".ogg") ||
+               has_suffix_nocase(path, ".opus") ||
+               (got >= 3 && memcmp(magic, "ID3", 3) == 0) ||
+               (got >= 2 && (unsigned char)magic[0] == 0xFF &&
+                ((unsigned char)magic[1] & 0xE0) == 0xE0)) {
+        // Compressed formats decode through the system FFmpeg libraries.
+        r = birda_ffmpeg_open(path, e);
     } else {
         e = "unsupported audio container";
     }

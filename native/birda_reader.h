@@ -23,3 +23,4 @@ protected:
 
 // Backend factories.
 AudioReader* birda_flac_open(const char* path, std::string& err);
+AudioReader* birda_ffmpeg_open(const char* path, std::string& err);

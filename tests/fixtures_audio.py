@@ -197,3 +197,50 @@ def write_flac(path, samples: np.ndarray, rate: int, channels: int = 1,
 
     with open(path, "wb") as f:
         f.write(out)
+
+
+# ---------------------------------------------------------------------------
+# MP3 fixture encoder via the system libmp3lame (ctypes).
+# ---------------------------------------------------------------------------
+
+def write_mp3(path, samples: np.ndarray, rate: int) -> bool:
+    """Encode mono float samples to MP3 via libmp3lame. Returns False when
+    the library is unavailable (callers skip)."""
+    import ctypes
+
+    try:
+        lame = ctypes.CDLL("libmp3lame.so.0")
+    except OSError:
+        return False
+
+    lame.lame_init.restype = ctypes.c_void_p
+    gf = lame.lame_init()
+    lame.lame_set_in_samplerate(ctypes.c_void_p(gf), rate)
+    lame.lame_set_num_channels(ctypes.c_void_p(gf), 1)
+    lame.lame_set_mode(ctypes.c_void_p(gf), 3)  # MONO
+    lame.lame_set_brate(ctypes.c_void_p(gf), 128)
+    if lame.lame_init_params(ctypes.c_void_p(gf)) < 0:
+        return False
+
+    pcm = (np.clip(np.asarray(samples, np.float64), -1, 1) * 32767).astype(
+        np.int16
+    )
+    n = len(pcm)
+    out_size = int(1.25 * n + 7200)
+    out = ctypes.create_string_buffer(out_size)
+    written = lame.lame_encode_buffer(
+        ctypes.c_void_p(gf),
+        pcm.ctypes.data_as(ctypes.POINTER(ctypes.c_short)),
+        pcm.ctypes.data_as(ctypes.POINTER(ctypes.c_short)),  # right = left
+        n, out, out_size,
+    )
+    if written < 0:
+        return False
+    data = out.raw[:written]
+    flush = ctypes.create_string_buffer(7200)
+    fwritten = lame.lame_encode_flush(ctypes.c_void_p(gf), flush, 7200)
+    data += flush.raw[:max(fwritten, 0)]
+    lame.lame_close(ctypes.c_void_p(gf))
+    with open(path, "wb") as f:
+        f.write(data)
+    return True
