@@ -606,9 +606,35 @@ def models_install(model_id, language, region, variant, set_default,
         chosen = None
         if rm.has_variants:
             chosen = select_variant(rm, explicit_variant=variant, region=region)
-        installed = installer.install_model(
-            rm, language=language, variant=chosen
-        )
+
+        # Download progress bar on stderr (reference shows indicatif bars;
+        # the NDJSON download_progress payload covers structured mode).
+        bar_state = {}
+
+        def progress(done, total):
+            if not sys.stderr.isatty():
+                return
+            from tqdm import tqdm
+
+            bar = bar_state.get("bar")
+            if bar is None or bar_state.get("total") != total:
+                if bar is not None:
+                    bar.close()
+                bar = tqdm(total=total, unit="B", unit_scale=True,
+                           file=sys.stderr, leave=False)
+                bar_state["bar"] = bar
+                bar_state["total"] = total
+                bar_state["done"] = 0
+            bar.update(done - bar_state["done"])
+            bar_state["done"] = done
+
+        try:
+            installed = installer.install_model(
+                rm, language=language, variant=chosen, progress=progress
+            )
+        finally:
+            if bar_state.get("bar") is not None:
+                bar_state["bar"].close()
         # The geomodel auto-installs alongside range-filter-capable models.
         if reg.range_filter is not None and rm.model_type in (
             "birdnet-v24", "birdnet-v30", "perch-v2"
