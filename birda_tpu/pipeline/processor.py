@@ -139,8 +139,16 @@ def process_file(classifier: BirdClassifier, config: ProcessingConfig) -> Proces
             est_segments = 1
 
         # Effective batch: no point padding a 10-segment file to batch 256
-        # (reference processor.rs:527-545).
+        # (reference processor.rs:527-545) — but every distinct batch shape
+        # compiles its own XLA program, so quantize to a power-of-two ladder
+        # (SURVEY §7 "small fixed set of jitted batch shapes"): a directory
+        # of odd-length files shares a handful of programs instead of one
+        # per file length.
         effective_batch = max(1, min(config.batch_size, est_segments))
+        effective_batch = min(
+            1 << (effective_batch - 1).bit_length() if effective_batch > 1 else 1,
+            config.batch_size,
+        )
         if classifier.mesh is not None:
             from ..parallel.mesh import pad_to_multiple
 

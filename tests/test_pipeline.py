@@ -300,3 +300,23 @@ class TestDeviceResample:
         species_chunk = [l.split(",")[2] for l in lines_chunk[1:]]
         species_legacy = [l.split(",")[2] for l in lines_legacy[1:]]
         assert species_chunk == species_legacy
+
+
+class TestBatchQuantization:
+    def test_power_of_two_ladder(self, tmp_path):
+        # Files of 3, 5, and 7 segments share the batch-8 and batch-4
+        # programs instead of compiling three distinct shapes.
+        clf = BirdClassifier(tiny_model(), device="cpu", min_confidence=0.0,
+                             top_k=3)
+        runners_before = len(clf._chunk_runners)
+        for secs, name in [(9.0, "a.wav"), (15.0, "b.wav"), (21.0, "c.wav")]:
+            audio = make_audio(tmp_path, name=name, secs=secs)
+            cfg = ProcessingConfig(
+                input_path=audio, output_dir=tmp_path / "out",
+                formats=[OutputFormat.CSV], min_confidence=0.0,
+                overlap=0.0, batch_size=64,
+            )
+            res = process_file(clf, cfg)
+            assert res.segments == int(secs // 3)
+        # 3 segs -> batch 4; 5 segs -> 8; 7 segs -> 8: two programs, not three.
+        assert len(clf._chunk_runners) - runners_before == 2
