@@ -61,6 +61,11 @@ def _load():
     lib.birda_error.argtypes = [ctypes.c_void_p]
     lib.birda_close.restype = None
     lib.birda_close.argtypes = [ctypes.c_void_p]
+    lib.birda_quantize_int16.restype = None
+    lib.birda_quantize_int16.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_float),
+    ]
     lib.birda_write_wav16.restype = ctypes.c_int
     lib.birda_write_wav16.argtypes = [
         ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
@@ -138,3 +143,21 @@ def write_wav16(path: Path | str, samples: np.ndarray, rate: int) -> None:
     )
     if rc != 0:
         raise IOError(err.value.decode() or "wav write failed")
+
+
+def quantize_int16(samples: np.ndarray) -> tuple[np.ndarray, float]:
+    """Fused amax + int16 quantization in native code (one pass each,
+    auto-vectorized). Returns (int16 payload, amax scale)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native audio library unavailable")
+    samples = np.ascontiguousarray(samples, np.float32)
+    out = np.empty(len(samples), np.int16)
+    amax = ctypes.c_float(0.0)
+    lib.birda_quantize_int16(
+        samples.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        len(samples),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        ctypes.byref(amax),
+    )
+    return out, float(amax.value)

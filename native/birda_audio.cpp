@@ -394,6 +394,30 @@ const char* birda_error(void* h) { return static_cast<AudioReader*>(h)->err(); }
 
 void birda_close(void* h) { delete static_cast<AudioReader*>(h); }
 
+// Fused amax + int16 quantization for the chunk transport
+// (birda_tpu/inference/classifier.py::ChunkRunner): one vectorizable pass
+// for the max, one for the scale+round. Returns the amax through amax_out;
+// amax < 1e-9 yields all-zero output (silent chunk).
+void birda_quantize_int16(const float* in, int64_t n, int16_t* out,
+                          float* amax_out) {
+    float amax = 0.0f;
+    for (int64_t i = 0; i < n; i++) {
+        float v = in[i] < 0 ? -in[i] : in[i];
+        if (v > amax) amax = v;
+    }
+    *amax_out = amax;
+    if (amax < 1e-9f) {
+        memset(out, 0, (size_t)n * sizeof(int16_t));
+        return;
+    }
+    const float scale = 32767.0f / amax;
+    for (int64_t i = 0; i < n; i++) {
+        float v = in[i] * scale;
+        v = v > 32767.0f ? 32767.0f : (v < -32767.0f ? -32767.0f : v);
+        out[i] = (int16_t)lrintf(v);
+    }
+}
+
 // 16-bit PCM mono WAV writer (clipper output; reference uses hound).
 int birda_write_wav16(const char* path, const float* samples, int64_t n,
                       int32_t rate, char* err, int errlen) {

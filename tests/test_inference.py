@@ -401,3 +401,20 @@ class TestChunkRunner:
                            top_k=3, mesh=mesh)
         with pytest.raises(ValueError):
             c.chunk_runner(3, 144000)
+
+    def test_native_quantize_matches_numpy(self):
+        from birda_tpu.native import audio as native_audio
+
+        if not native_audio.available():
+            pytest.skip("native library not built")
+        rng = np.random.default_rng(11)
+        x = rng.normal(0, 0.3, 100_000).astype(np.float32)
+        q, amax = native_audio.quantize_int16(x)
+        amax_np = float(np.max(np.abs(x)))
+        q_np = np.clip(np.rint(x * (32767.0 / amax_np)), -32767, 32767).astype(np.int16)
+        assert amax == pytest.approx(amax_np, rel=1e-6)
+        assert np.array_equal(q, q_np)
+        # Silent chunk yields zeros with zero scale.
+        qz, az = native_audio.quantize_int16(np.zeros(1000, np.float32))
+        assert az == 0.0
+        assert not qz.any()
