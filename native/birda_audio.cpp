@@ -401,6 +401,7 @@ void birda_close(void* h) { delete static_cast<AudioReader*>(h); }
 void birda_quantize_int16(const float* in, int64_t n, int16_t* out,
                           float* amax_out) {
     float amax = 0.0f;
+#pragma omp parallel for reduction(max : amax) schedule(static)
     for (int64_t i = 0; i < n; i++) {
         float v = in[i] < 0 ? -in[i] : in[i];
         if (v > amax) amax = v;
@@ -411,6 +412,7 @@ void birda_quantize_int16(const float* in, int64_t n, int16_t* out,
         return;
     }
     const float scale = 32767.0f / amax;
+#pragma omp parallel for schedule(static)
     for (int64_t i = 0; i < n; i++) {
         float v = in[i] * scale;
         v = v > 32767.0f ? 32767.0f : (v < -32767.0f ? -32767.0f : v);
