@@ -544,6 +544,9 @@ class _Evaluator:
         dn = lax.conv_dimension_numbers(
             x.shape, w.shape, ("NC" + chars, "IO" + chars, "NC" + chars)
         )
+        # Transposed conv is a true convolution of the dilated input: flip
+        # the kernel spatially (lax convs are cross-correlations).
+        w = jnp.flip(jnp.asarray(w), axis=tuple(range(2, 2 + spatial)))
         out = lax.conv_general_dilated(
             jnp.asarray(x), jnp.asarray(w),
             window_strides=[1] * spatial, padding=pads,

@@ -309,3 +309,161 @@ class TestExtendedOps:
         )
         got = run_model(mb, a, b)
         assert np.max(np.abs(got - a @ b)) < 1e-5
+
+
+class TestMoreOpsVsTorch:
+    def test_conv_transpose(self):
+        rng = np.random.default_rng(10)
+        x = rng.normal(size=(1, 4, 8, 8)).astype(np.float32)
+        w = rng.normal(size=(4, 6, 3, 3)).astype(np.float32)  # [in, out, kh, kw]
+        mb = fo.model(
+            [fo.node("ConvTranspose", ["x", "w"], ["y"], attrs=[
+                fo.attr_ints("strides", [2, 2]),
+                fo.attr_ints("pads", [1, 1, 1, 1]),
+            ])],
+            inputs=[fo.value_info("x", [1, 4, 8, 8])],
+            outputs=[fo.value_info("y", [1, 6, 15, 15])],
+            initializers=[fo.tensor("w", w)],
+        )
+        got = run_model(mb, x)
+        want = F.conv_transpose2d(torch.from_numpy(x), torch.from_numpy(w),
+                                  stride=2, padding=1).numpy()
+        assert got.shape == want.shape
+        assert np.max(np.abs(got - want)) < 1e-4
+
+    def test_avgpool_padded_variants(self):
+        x = np.random.default_rng(11).normal(size=(1, 2, 9, 9)).astype(np.float32)
+        for include_pad in (0, 1):
+            mb = fo.model(
+                [fo.node("AveragePool", ["x"], ["y"], attrs=[
+                    fo.attr_ints("kernel_shape", [3, 3]),
+                    fo.attr_ints("strides", [2, 2]),
+                    fo.attr_ints("pads", [1, 1, 1, 1]),
+                    fo.attr_int("count_include_pad", include_pad),
+                ])],
+                inputs=[fo.value_info("x", [1, 2, 9, 9])],
+                outputs=[fo.value_info("y", [1, 2, 5, 5])],
+            )
+            got = run_model(mb, x)
+            want = F.avg_pool2d(torch.from_numpy(x), 3, 2, padding=1,
+                                count_include_pad=bool(include_pad)).numpy()
+            assert np.max(np.abs(got - want)) < 1e-5, include_pad
+
+    def test_layernorm(self):
+        rng = np.random.default_rng(12)
+        x = rng.normal(size=(2, 5, 8)).astype(np.float32)
+        scale = rng.normal(size=8).astype(np.float32)
+        bias = rng.normal(size=8).astype(np.float32)
+        mb = fo.model(
+            [fo.node("LayerNormalization", ["x", "s", "b"], ["y"],
+                     attrs=[fo.attr_int("axis", -1)])],
+            inputs=[fo.value_info("x", [2, 5, 8])],
+            outputs=[fo.value_info("y", [2, 5, 8])],
+            initializers=[fo.tensor("s", scale), fo.tensor("b", bias)],
+        )
+        got = run_model(mb, x)
+        want = F.layer_norm(torch.from_numpy(x), (8,),
+                            torch.from_numpy(scale),
+                            torch.from_numpy(bias)).numpy()
+        assert np.max(np.abs(got - want)) < 1e-4
+
+    def test_instance_norm(self):
+        rng = np.random.default_rng(13)
+        x = rng.normal(size=(2, 3, 6, 6)).astype(np.float32)
+        s = rng.normal(size=3).astype(np.float32)
+        b = rng.normal(size=3).astype(np.float32)
+        mb = fo.model(
+            [fo.node("InstanceNormalization", ["x", "s", "b"], ["y"],
+                     attrs=[fo.attr_float("epsilon", 1e-5)])],
+            inputs=[fo.value_info("x", [2, 3, 6, 6])],
+            outputs=[fo.value_info("y", [2, 3, 6, 6])],
+            initializers=[fo.tensor("s", s), fo.tensor("b", b)],
+        )
+        got = run_model(mb, x)
+        want = F.instance_norm(torch.from_numpy(x),
+                               weight=torch.from_numpy(s),
+                               bias=torch.from_numpy(b)).numpy()
+        assert np.max(np.abs(got - want)) < 1e-4
+
+    def test_activation_zoo(self):
+        x = np.linspace(-4, 4, 21, dtype=np.float32)
+        nodes = [
+            fo.node("Elu", ["x"], ["e"]),
+            fo.node("Softplus", ["x"], ["s"]),
+            fo.node("LeakyRelu", ["x"], ["l"], attrs=[fo.attr_float("alpha", 0.1)]),
+            fo.node("Tanh", ["x"], ["t"]),
+        ]
+        mb = fo.model(
+            nodes,
+            inputs=[fo.value_info("x", [21])],
+            outputs=[fo.value_info(n, [21]) for n in ("e", "s", "l", "t")],
+        )
+        fn = lower(mb)
+        e, s, l, t = [np.asarray(v) for v in fn(x)]
+        tx = torch.from_numpy(x)
+        assert np.max(np.abs(e - F.elu(tx).numpy())) < 1e-5
+        assert np.max(np.abs(s - F.softplus(tx).numpy())) < 1e-5
+        assert np.max(np.abs(l - F.leaky_relu(tx, 0.1).numpy())) < 1e-6
+        assert np.max(np.abs(t - torch.tanh(tx).numpy())) < 1e-6
+
+    def test_prelu(self):
+        x = np.linspace(-2, 2, 12, dtype=np.float32)
+        slope = np.array([0.25], np.float32)
+        mb = fo.model(
+            [fo.node("PRelu", ["x", "sl"], ["y"])],
+            inputs=[fo.value_info("x", [12])],
+            outputs=[fo.value_info("y", [12])],
+            initializers=[fo.tensor("sl", slope)],
+        )
+        got = run_model(mb, x)
+        want = F.prelu(torch.from_numpy(x), torch.from_numpy(slope)).numpy()
+        assert np.max(np.abs(got - want)) < 1e-6
+
+    def test_pad_reflect(self):
+        x = np.arange(12, dtype=np.float32).reshape(1, 1, 3, 4)
+        mb = fo.model(
+            [fo.node("Pad", ["x", "pads"], ["y"],
+                     attrs=[fo.attr_str("mode", "reflect")])],
+            inputs=[fo.value_info("x", [1, 1, 3, 4])],
+            outputs=[fo.value_info("y", [1, 1, 5, 6])],
+            initializers=[fo.tensor("pads",
+                                    np.array([0, 0, 1, 1, 0, 0, 1, 1], np.int64))],
+        )
+        got = run_model(mb, x)
+        want = F.pad(torch.from_numpy(x), (1, 1, 1, 1), mode="reflect").numpy()
+        assert np.array_equal(got, want)
+
+    def test_min_max_where(self):
+        a = np.array([1.0, 5.0, 3.0], np.float32)
+        b = np.array([2.0, 4.0, 3.0], np.float32)
+        mb = fo.model(
+            [
+                fo.node("Min", ["a", "b"], ["mn"]),
+                fo.node("Max", ["a", "b"], ["mx"]),
+                fo.node("Greater", ["a", "b"], ["g"]),
+                fo.node("Where", ["g", "a", "b"], ["w"]),
+            ],
+            inputs=[fo.value_info("a", [3]), fo.value_info("b", [3])],
+            outputs=[fo.value_info(n, [3]) for n in ("mn", "mx", "w")],
+        )
+        fn = lower(mb)
+        mn, mx, w = [np.asarray(v) for v in fn(a, b)]
+        assert np.array_equal(mn, np.minimum(a, b))
+        assert np.array_equal(mx, np.maximum(a, b))
+        assert np.array_equal(w, np.where(a > b, a, b))
+
+    def test_split_and_tile(self):
+        x = np.arange(12, dtype=np.float32).reshape(2, 6)
+        mb = fo.model(
+            [
+                fo.node("Split", ["x"], ["p", "q"], attrs=[fo.attr_int("axis", 1)]),
+                fo.node("Tile", ["p", "reps"], ["y"]),
+            ],
+            inputs=[fo.value_info("x", [2, 6])],
+            outputs=[fo.value_info("y", [4, 3]), fo.value_info("q", [2, 3])],
+            initializers=[fo.tensor("reps", np.array([2, 1], np.int64))],
+        )
+        fn = lower(mb)
+        y, q = fn(x)
+        assert np.array_equal(np.asarray(q), x[:, 3:])
+        assert np.array_equal(np.asarray(y), np.tile(x[:, :3], (2, 1)))
