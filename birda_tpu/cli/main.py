@@ -650,9 +650,9 @@ def models_install(model_id, language, region, variant, set_default,
                 installed_version=rm.version,
                 variant=installed.variant,
                 region=installed.region,
-                bsg_calibration=installed.extra.get("calibration"),
-                bsg_migration=installed.extra.get("migration"),
-                bsg_distribution_maps=installed.extra.get("distribution_maps"),
+                bsg_calibration=installed.extra.get("bsg_calibration"),
+                bsg_migration=installed.extra.get("bsg_migration"),
+                bsg_distribution_maps=installed.extra.get("bsg_distribution_maps"),
             )
             if set_default or cfg.defaults.model is None:
                 cfg.defaults.model = model_id

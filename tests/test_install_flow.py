@@ -157,3 +157,77 @@ def test_install_unknown_model(home):
     r = runner.invoke(cli, ["models", "install", "ghost"])
     assert r.exit_code == 1
     assert "not found in registry" in r.output
+
+
+def test_install_bsg_records_extras(home, tmp_path, monkeypatch):
+    """A BSG-style install must record calibration/migration/maps paths in
+    config (the validator requires them for bsg-finland models)."""
+    from birda_tpu.registry import loader
+    from birda_tpu.registry.schema import Registry
+
+    cal = b"species,coef,intercept\nA a_X,1.0,0.0\n"
+    mig = b"species,start_day,end_day\nA a_X,1,366\n"
+    maps = b"BSGM1" + bytes(48)  # header-only is fine for recording paths
+    model_bytes = fo.make_fixture_geomodel(num_species=5)
+    labels_bytes = b"A a_X\nB b_Y\nC c_Z\nD d_W\nE e_V\n"
+
+    def ref(url, data, name):
+        return {"url": url, "filename": name,
+                "sha256": hashlib.sha256(data).hexdigest()}
+
+    registry_doc = {
+        "schema_version": "tpu-1.0", "registry_version": 1,
+        "models": [{
+            "id": "bsg-test", "name": "BSG", "description": "", "vendor": "",
+            "version": "4.4", "model_type": "bsg-finland",
+            "license": {"type": "MIT", "commercial_use": True},
+            "files": {
+                "model": ref("https://x/m.onnx", model_bytes, "bsg.onnx"),
+                "labels": {
+                    "default_language": "en",
+                    "languages": [{"code": "en", "name": "English",
+                                   "url": "https://x/l.txt",
+                                   "filename": "bsg-en.txt"}],
+                },
+                "bsg_calibration": ref("https://x/cal.csv", cal, "bsg-cal.csv"),
+                "bsg_migration": ref("https://x/mig.csv", mig, "bsg-mig.csv"),
+                "bsg_distribution_maps": ref("https://x/maps.bin", maps,
+                                             "bsg-maps.bin"),
+            },
+        }],
+    }
+    monkeypatch.setattr(loader, "load_registry",
+                        lambda cache=None: Registry.from_dict(registry_doc))
+    downloads = {
+        "https://x/m.onnx": model_bytes, "https://x/l.txt": labels_bytes,
+        "https://x/cal.csv": cal, "https://x/mig.csv": mig,
+        "https://x/maps.bin": maps,
+    }
+
+    class FakeRequests:
+        @staticmethod
+        def get(url, **kw):
+            return _Resp(downloads[url])
+
+    import birda_tpu.registry.installer as inst_mod
+
+    real_download = inst_mod.download_verified
+    monkeypatch.setattr(
+        inst_mod, "download_verified",
+        lambda fr, d, progress=None, session=None:
+            real_download(fr, d, progress, FakeRequests),
+    )
+
+    runner = CliRunner()
+    r = runner.invoke(cli, ["models", "install", "bsg-test", "--default"])
+    assert r.exit_code == 0, r.output
+
+    from birda_tpu.config import file as config_file
+    from birda_tpu.config.validate import validate_model_config
+
+    cfg = config_file.load_default_config()
+    mc = cfg.models["bsg-test"]
+    assert mc.bsg_calibration is not None and mc.bsg_calibration.exists()
+    assert mc.bsg_migration is not None and mc.bsg_migration.exists()
+    assert mc.bsg_distribution_maps is not None
+    validate_model_config("bsg-test", mc)  # would raise without the extras
