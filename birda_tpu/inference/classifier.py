@@ -100,6 +100,13 @@ class BirdClassifier:
         import jax
 
         self.model = model
+        if len(model.labels) != model.num_classes:
+            from ..errors import ClassifierBuild
+
+            raise ClassifierBuild(
+                f"label count {len(model.labels)} does not match the model's "
+                f"{model.num_classes} classes"
+            )
         self.labels = model.labels
         self.min_confidence = min_confidence
         self.top_k = min(top_k, model.num_classes)
@@ -115,6 +122,12 @@ class BirdClassifier:
         self.devices = devices
         self.backend_status: BackendStatus = status
         self._device = devices[0]
+
+        # ONNX-lowered models keep their weights as an explicit params
+        # pytree; commit it to the selected device once so every compiled
+        # batch shape shares the same HBM copy.
+        if getattr(model, "bind_device", None) is not None and mesh is None:
+            model.bind_device(self._device)
 
         want_emb = want_embeddings
         k = self.top_k

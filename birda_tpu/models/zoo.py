@@ -56,6 +56,10 @@ class LoadedModel:
     #: mel front-end config when apply() accepts precomputed [B,F,M] mel
     #: input (native models); None for opaque graphs (ONNX).
     mel_config: object = None
+    #: optional hook: move the model's weights to a specific jax device
+    #: (one HBM copy shared across every compiled batch shape). The
+    #: classifier calls this after backend selection.
+    bind_device: Callable[[Any], None] | None = None
 
     @property
     def num_classes(self) -> int:
@@ -157,6 +161,7 @@ def onnx_model(
     path: Path | str | bytes,
     config: ModelConfig,
     labels: list[str],
+    dtype=None,
 ) -> LoadedModel:
     """Load an exported ONNX classifier graph (bit-faithful path).
 
@@ -164,27 +169,54 @@ def onnx_model(
     produce scores (first output) and optionally embeddings (second output),
     matching the birdnet-onnx contract the reference drives
     (``src/inference/classifier.rs:281``).
+
+    ``dtype=None`` runs bit-faithful fp32 (the ≤1e-3 parity path);
+    ``dtype=jnp.bfloat16`` runs matmuls/convs in mixed precision with fp32
+    accumulation (the TensorRT-fp16-engine analogue) and also stores the
+    lifted weights in bfloat16, halving their HBM footprint and read
+    traffic.
+
+    Large weights are lifted into a params pytree fed per call — one device
+    copy shared by all compiled batch shapes, and none of it baked into the
+    serialized HLO (remote compile services reject giant constant blobs).
     """
     from ..onnx.lowering import lower
 
-    fn = lower(path if isinstance(path, bytes) else str(path))
+    fn = lower(path if isinstance(path, bytes) else str(path),
+               compute_dtype=dtype)
+    holder = {
+        "params": (
+            {k: np.asarray(v, jnp.bfloat16) for k, v in fn.params.items()}
+            if dtype is not None
+            else fn.params
+        )
+    }
+
+    def bind_device(device):
+        import jax
+
+        holder["params"] = {
+            k: jax.device_put(v, device) for k, v in holder["params"].items()
+        }
 
     def apply(waveform):
-        out = fn(waveform)
+        out = fn(waveform, params=holder["params"])
         if isinstance(out, tuple):
             scores, embeddings = out[0], out[1] if len(out) > 1 else None
         else:
             scores, embeddings = out, None
+        scores = scores.astype(jnp.float32)
         result = {"scores": scores, "logits": scores}
         if embeddings is not None:
-            result["embeddings"] = embeddings
+            result["embeddings"] = embeddings.astype(jnp.float32)
         else:
             result["embeddings"] = jnp.zeros(
                 (scores.shape[0], config.embedding_dim or 1), jnp.float32
             )
         return result
 
-    return LoadedModel(config=config, labels=labels, apply=apply, source="onnx")
+    return LoadedModel(config=config, labels=labels, apply=apply,
+                       source="onnx", bind_device=bind_device)
 
 
 # ---------------------------------------------------------------------------

@@ -50,6 +50,12 @@ def _np(x):
     return np.asarray(x)
 
 
+def _dtype_kind(x) -> str:
+    """dtype kind without forcing materialization (tracer-safe)."""
+    dt = getattr(x, "dtype", None)
+    return dt.kind if dt is not None else np.asarray(x).dtype.kind
+
+
 def _autopad_amounts(op_shape, kernel, strides, dilations, mode):
     """SAME_UPPER/SAME_LOWER pad amounts per spatial dim."""
     pads = []
@@ -67,8 +73,13 @@ def _autopad_amounts(op_shape, kernel, strides, dilations, mode):
 class _Evaluator:
     """Executes a graph node-by-node over a value environment."""
 
-    def __init__(self, graph: Graph):
+    def __init__(self, graph: Graph, compute_dtype=None):
         self.graph = graph
+        #: When set (e.g. bfloat16), conv/matmul *inputs* are cast to this
+        #: dtype while accumulation stays fp32 via preferred_element_type —
+        #: the mixed-precision inference recipe (TensorRT fp16-engine
+        #: analogue). None = bit-faithful fp32 (the parity path).
+        self.compute_dtype = compute_dtype
         self.const: dict[str, np.ndarray] = {
             name: t.array for name, t in graph.initializers.items()
             if t.array is not None
@@ -113,6 +124,20 @@ class _Evaluator:
 
         return jnp
 
+    def _mm_cast(self, *xs):
+        """Cast matmul/conv operands to the compute dtype (traced path only);
+        float operands only — integer/bool inputs pass through."""
+        if self.compute_dtype is None:
+            return xs
+        import jax.numpy as jnp
+
+        return tuple(
+            jnp.asarray(x, self.compute_dtype)
+            if x is not None and _dtype_kind(x) == "f"
+            else x
+            for x in xs
+        )
+
     # -- elementwise --------------------------------------------------------
 
     def op_Add(self, node, a, b):
@@ -128,7 +153,7 @@ class _Evaluator:
         m = self._lib(a, b)
         res = m.divide(a, b)
         # ONNX integer Div truncates toward zero.
-        if _np(a).dtype.kind in "iu" and _np(b).dtype.kind in "iu" and m is np:
+        if _dtype_kind(a) in "iu" and _dtype_kind(b) in "iu" and m is np:
             res = (np.sign(res) * np.floor(np.abs(res))).astype(_np(a).dtype)
         return res
 
@@ -461,6 +486,7 @@ class _Evaluator:
             return np.matmul(a, b)
         import jax.numpy as jnp
 
+        a, b = self._mm_cast(a, b)
         return jnp.matmul(a, b, preferred_element_type=jnp.float32)
 
     def op_Gemm(self, node, a, b, c=None):
@@ -475,6 +501,7 @@ class _Evaluator:
         else:
             import jax.numpy as jnp
 
+            a, b = self._mm_cast(a, b)
             out = alpha * jnp.matmul(a, b, preferred_element_type=jnp.float32)
         if c is not None:
             out = out + beta * c
@@ -510,6 +537,7 @@ class _Evaluator:
             x.shape, w.shape,
             ("NC" + chars, "OI" + chars, "NC" + chars),
         )
+        x, w = self._mm_cast(x, w)
         out = lax.conv_general_dilated(
             jnp.asarray(x), jnp.asarray(w),
             window_strides=strides, padding=pads,
@@ -749,11 +777,22 @@ class _Evaluator:
         return jnp.stack([out.real, out.imag], axis=-1).astype(jnp.float32)
 
 
-def lower(model: Model | bytes | str) -> "OnnxFunction":
-    """Lower an ONNX model (path, bytes, or parsed Model) to a jax function."""
+#: Float initializers at least this large are lifted out of the trace into
+#: an explicit params pytree: one device copy shared by every compiled batch
+#: shape, and the serialized HLO stays small for the remote compile service
+#: (a 500 MB graph baked as literals would be rejected outright).
+LIFT_PARAM_BYTES = 1 << 16
+
+
+def lower(model: Model | bytes | str, compute_dtype=None) -> "OnnxFunction":
+    """Lower an ONNX model (path, bytes, or parsed Model) to a jax function.
+
+    ``compute_dtype`` (e.g. ``jnp.bfloat16``) runs matmuls/convs in mixed
+    precision with fp32 accumulation; None is the bit-faithful fp32 path.
+    """
     if not isinstance(model, Model):
         model = load_model(model)
-    return OnnxFunction(model)
+    return OnnxFunction(model, compute_dtype=compute_dtype)
 
 
 class OnnxFunction:
@@ -761,27 +800,45 @@ class OnnxFunction:
 
     Call with positional arrays matching the graph's (non-initializer)
     inputs; returns a tuple of outputs (or a single array if one output).
+
+    Large float weights live in :attr:`params` (name -> array) and are fed
+    per call rather than closed over — pass ``params=`` with device-resident
+    copies to share one HBM allocation across all compiled batch shapes.
+    Small initializers (shape tensors, scalars, index lists) stay host-side
+    so static-shape constant folding keeps working.
     """
 
-    def __init__(self, model: Model):
+    def __init__(self, model: Model, compute_dtype=None):
         self.model = model
         self.graph = model.graph
-        self._eval = _Evaluator(self.graph)
+        self._eval = _Evaluator(self.graph, compute_dtype=compute_dtype)
         init_names = set(self.graph.initializers)
         self.input_names = [
             vi.name for vi in self.graph.inputs if vi.name not in init_names
         ]
         self.output_names = [vi.name for vi in self.graph.outputs]
+        self.params: dict[str, np.ndarray] = {}
+        for name in list(self._eval.const):
+            arr = self._eval.const[name]
+            if (
+                name in init_names
+                and isinstance(arr, np.ndarray)
+                and arr.dtype.kind == "f"
+                and arr.nbytes >= LIFT_PARAM_BYTES
+            ):
+                self.params[name] = self._eval.const.pop(name)
 
     def input_info(self):
         return [vi for vi in self.graph.inputs if vi.name in self.input_names]
 
-    def __call__(self, *args, **feeds):
+    def __call__(self, *args, params=None, **feeds):
         if args:
             feeds = dict(zip(self.input_names, args)) | feeds
         missing = [n for n in self.input_names if n not in feeds]
         if missing:
             raise ValueError(f"missing graph inputs: {missing}")
-        env = self._eval.run(feeds)
+        env = dict(params if params is not None else self.params)
+        env.update(feeds)
+        env = self._eval.run(env)
         outs = tuple(env[n] for n in self.output_names)
         return outs[0] if len(outs) == 1 else outs

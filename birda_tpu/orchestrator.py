@@ -20,7 +20,7 @@ from .config import geomodel as geomodel_cfg
 from .config import range_filter as rf_cfg
 from .config.types import Config, InferenceDevice, ModelConfig, ModelType
 from .config.validate import get_model, validate_model_config
-from .errors import BirdaError, ConfigValidation, FileLocked
+from .errors import BirdaError, ClassifierBuild, ConfigValidation, FileLocked
 from .inference.classifier import (
     BirdClassifier,
     RangeFilterData,
@@ -192,7 +192,12 @@ def load_model_graph(mc: ModelConfig, name: str) -> LoadedModel:
         return tiny_model(family)
     validate_model_config(name, mc)
     labels = read_geomodel_labels(mc.labels)  # same one-label-per-line format
-    return onnx_model(mc.path, contracts.contract_for(family), labels)
+    try:
+        return onnx_model(mc.path, contracts.contract_for(family), labels)
+    except BirdaError:
+        raise
+    except Exception as e:  # noqa: BLE001 — parse/lowering errors -> typed
+        raise ClassifierBuild(f"cannot load model graph {mc.path}: {e}") from e
 
 
 def resolve_device(options: AnalyzeOptions, config: Config) -> str:
