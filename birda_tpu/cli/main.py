@@ -151,6 +151,11 @@ def cli(ctx):
 @click.option("--output-mode", type=click.Choice(["human", "json", "ndjson"]),
               envvar="BIRDA_OUTPUT_MODE")
 @click.option("--accept-license", is_flag=True)
+@click.option("--region-labels", type=click.Path(path_type=Path),
+              envvar="BIRDA_REGION_LABELS",
+              help="Slice the model to this regional label file (subset of "
+                   "the full labels; softmax models renormalize — the "
+                   "upstream regional graphs' exact semantics).")
 @click.option("--profile", "profile_dir", type=click.Path(path_type=Path),
               envvar="BIRDA_PROFILE",
               help="Write a jax profiler trace to this directory.")
@@ -159,7 +164,8 @@ def analyze(inputs, model, model_path, labels_path, model_type, bat, formats,
             fail_fast, quiet, verbose, no_csv_bom, gpu, tpu, cpu, lat, lon,
             week, month, day, day_of_year, range_threshold, rerank,
             range_unmatched, slist, stale_lock_timeout, jobs, no_progress,
-            stdout_mode, output_mode, accept_license, profile_dir):
+            stdout_mode, output_mode, accept_license, region_labels,
+            profile_dir):
     """Analyze audio files for bird detections."""
     init_logging(verbose, quiet)
     if not inputs:
@@ -218,6 +224,7 @@ def analyze(inputs, model, model_path, labels_path, model_type, bat, formats,
         stdout_mode=stdout_mode,
         dual_output_mode=dual,
         allow_download=accept_license,
+        region_labels=region_labels,
     )
     profiling = False
     if profile_dir is not None:

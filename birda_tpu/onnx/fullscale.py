@@ -435,3 +435,36 @@ def build(spec: GraphSpec, seed: int = 0, stats_only: bool = False) -> BuiltGrap
         spec=spec, model_bytes=model_bytes,
         param_count=b.param_count, macs=b.macs, frames=frames,
     )
+
+
+def cached_build(spec: GraphSpec, seed: int = 0) -> BuiltGraph:
+    """Like :func:`build` but memoized on disk (500 MB graphs take ~2 min to
+    synthesize; benches shouldn't pay that per run). Atomic write, same
+    temp+rename discipline as the registry installer."""
+    import os
+    import tempfile
+
+    from ..config.paths import cache_dir
+
+    d = cache_dir() / "fixtures"
+    path = d / f"{spec.name}-s{seed}-v1.onnx"
+    stats = build(spec, seed=seed, stats_only=True)
+    if path.exists():
+        data = path.read_bytes()
+        return BuiltGraph(spec=spec, model_bytes=data,
+                          param_count=stats.param_count, macs=stats.macs,
+                          frames=stats.frames)
+    g = build(spec, seed=seed)
+    d.mkdir(parents=True, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".part")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            f.write(g.model_bytes)
+        os.replace(tmp, path)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
+    return g

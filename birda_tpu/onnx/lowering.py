@@ -532,6 +532,29 @@ class _Evaluator:
 
         strides, pads, dilations, group = self._conv_params(node, x, w)
         spatial = x.ndim - 2
+        # Conv1d-STFT form (single input channel, long kernel, big stride —
+        # the in-graph DSP front-end of the BirdNET graphs, manifest
+        # graph.notes): lower as frames-gather + one MXU matmul instead of a
+        # strided convolution. Indices come from broadcasted_iota so no
+        # large host constant lands in the serialized HLO.
+        if (
+            spatial == 1 and x.shape[1] == 1 and group == 1
+            and dilations == [1] and w.shape[2] >= 256
+            and pads == [(0, 0)]
+        ):
+            k = w.shape[2]
+            t_out = (x.shape[2] - k) // strides[0] + 1
+            row = lax.broadcasted_iota(jnp.int32, (t_out, k), 0) * strides[0]
+            col = lax.broadcasted_iota(jnp.int32, (t_out, k), 1)
+            xx, wmat = self._mm_cast(x[:, 0, :], jnp.asarray(w)[:, 0, :].T)
+            frames = jnp.take(xx, row + col, axis=1)  # [B, T, k]
+            out = jnp.einsum(
+                "btk,kc->bct", frames, wmat,
+                preferred_element_type=jnp.float32,
+            )
+            if b is not None:
+                out = out + jnp.asarray(b).reshape(1, -1, 1)
+            return out
         chars = "DHW"[3 - spatial :]
         dn = lax.conv_dimension_numbers(
             x.shape, w.shape,

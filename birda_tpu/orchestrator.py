@@ -98,6 +98,9 @@ class AnalyzeOptions:
     geomodel_path: Optional[Path] = None
     geomodel_labels_path: Optional[Path] = None
     allow_download: bool = False
+    #: Slice the loaded model to this regional label file (subset of the
+    #: full labels) — softmax-exact regional behavior from the full graph.
+    region_labels: Optional[Path] = None
 
 
 @dataclass
@@ -368,6 +371,17 @@ def analyze_files(options: AnalyzeOptions, config: Config, reporter=None) -> int
             range_request = None
 
     model = load_model_graph(mc, model_name)
+    if options.region_labels is not None:
+        # Regional view of the full graph (gather for sigmoid heads,
+        # gather+renormalize for softmax — the upstream regional graphs'
+        # exact semantics, Perch manifest notes) without installing the
+        # region-sliced asset.
+        from .models.regional import slice_to_region
+
+        region_labels = read_geomodel_labels(options.region_labels)
+        model = slice_to_region(
+            model, region_labels, region=options.region_labels.stem
+        )
     device = resolve_device(options, config)
 
     species_list = resolve_species_filter(

@@ -38,12 +38,12 @@ class SystemProbe:
 
 
 def _precision_order(probe: SystemProbe) -> list[str]:
-    if probe.backend == "tpu":
-        # fp32 weights: XLA handles the bf16 cast; int8-arm never on TPU.
-        return ["fp32", "fp16"]
-    if probe.arch in ("aarch64", "arm64"):
-        return ["int8-arm", "fp32", "fp16"]
-    return ["fp32", "fp16"]
+    # int8-arm assets carry QLinear* ops the ONNX->XLA lowering does not
+    # cover, so they are never auto-selected on any backend (matching the
+    # reference's rule that auto-selection degrades rather than fails,
+    # selection.rs:158); an explicit --variant int8-arm still installs one.
+    del probe
+    return ["fp32", "fp16", "no-dft-fp32"]
 
 
 def select_variant(
