@@ -69,13 +69,78 @@ def transform(upstream: dict) -> dict:
     return doc
 
 
+def check(doc: dict) -> list[str]:
+    """Internal-consistency validation of a registry document (the CI gate
+    when the upstream source isn't on disk): schema fields, sha256 shapes,
+    https URLs, variant/default coherence."""
+    import re
+
+    problems = []
+    sha = re.compile(r"^[0-9a-f]{64}$")
+
+    def check_ref(where, ref, need_sha=True):
+        if not str(ref.get("url", "")).startswith("https://"):
+            problems.append(f"{where}: non-https url {ref.get('url')!r}")
+        if not ref.get("filename"):
+            problems.append(f"{where}: missing filename")
+        if need_sha and ref.get("sha256") and not sha.match(ref["sha256"]):
+            problems.append(f"{where}: malformed sha256")
+
+    if doc.get("schema_version") != SCHEMA_VERSION:
+        problems.append(f"schema_version != {SCHEMA_VERSION}")
+    ids = [m["id"] for m in doc.get("models", [])]
+    if len(ids) != len(set(ids)):
+        problems.append("duplicate model ids")
+    for m in doc.get("models", []):
+        mid = m["id"]
+        variants = m.get("variants", [])
+        if variants:
+            vids = {f"{v.get('region')}/{v['id']}" for v in variants}
+            if len(vids) != len(variants):
+                problems.append(f"{mid}: duplicate (region, variant) pairs")
+            default = m.get("default_variant")
+            if default and not any(v["id"] == default for v in variants):
+                problems.append(f"{mid}: default_variant {default} not present")
+            for v in variants:
+                check_ref(f"{mid}/{v.get('region')}/{v['id']}", v["model"])
+                if v.get("labels"):
+                    check_ref(f"{mid}/{v['id']}/labels", v["labels"])
+        elif "files" in m:
+            check_ref(f"{mid}/model", m["files"]["model"], need_sha=False)
+    rf = doc.get("range_filter")
+    if rf:
+        check_ref("range_filter/model", rf["model"])
+    return problems
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--source", default="/root/reference/registry.json",
                     help="upstream registry document to normalize")
+    ap.add_argument("--check", action="store_true",
+                    help="verify the committed registry instead of writing: "
+                         "internal consistency always; equality with "
+                         "regeneration when --source exists")
     args = ap.parse_args()
 
     src = Path(args.source)
+    if args.check:
+        committed = json.loads(OUT.read_text())
+        problems = check(committed)
+        if src.exists():
+            regenerated = transform(json.loads(src.read_text()))
+            if committed != regenerated:
+                problems.append("committed registry != regeneration from source")
+        for p in problems:
+            print(f"CHECK FAILED: {p}", file=sys.stderr)
+        if not problems:
+            n_variants = sum(
+                len(m.get("variants", [])) for m in committed["models"]
+            )
+            print(f"registry OK ({len(committed['models'])} models, "
+                  f"{n_variants} variants)")
+        return 1 if problems else 0
+
     if not src.exists():
         print(f"source registry not found: {src}", file=sys.stderr)
         return 1
