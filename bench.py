@@ -1,14 +1,29 @@
 #!/usr/bin/env python3
-"""Benchmark: BirdNET v2.4 inference throughput on the available accelerator.
+"""Benchmark: inference throughput of the shipped model families on the
+available accelerator.
 
-Measures the device inference path (the jitted mel-frontend -> backbone ->
-top-k step) at the flagship batch size in bfloat16, reporting the realtime
-factor (seconds of audio classified per wall-clock second). The reference's
-best (TensorRT, batch 32, RTX 5080) is 10,767x realtime on BirdNET v2.4
-(BASELINE.md), which is the ``vs_baseline`` denominator.
+**Headline metric**: the ONNX-lowered full-scale BirdNET v2.4 graph —
+real op mix at real dimensions with the in-graph spectrogram front-end
+(:mod:`birda_tpu.onnx.fullscale`), run through the same ONNX->XLA lowering
+that executes the real release assets. This anchors the number to *their*
+graph on our compiler, not to a self-designed backbone. ``vs_baseline``
+divides by the reference's best published number (TensorRT batch 32 on an
+RTX 5080 = 10,767x realtime, BASELINE.md).
+
+The ``extra`` object carries the rest of the suite: the Perch v2-scale
+graph (reference best 2,550x), the BirdNET v3.0-scale graph (no published
+reference benchmark), and the native flax architecture (synthetic weights —
+the framework ceiling, not a parity claim).
+
+**Measurement methodology** (the tunnel lies to naive timers — CLAUDE.md):
+distinct fresh-random inputs per step, all uploaded before the clock
+starts, executed as a ``lax.scan`` inside ONE jit program, finished by
+fetching the results (``np.asarray``) — `block_until_ready` alone is not a
+reliable barrier over the remote tunnel and repeated identical executions
+are served from a cache.
 
 Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extra": {...}}
 """
 
 from __future__ import annotations
@@ -19,65 +34,141 @@ import time
 
 import numpy as np
 
-BASELINE_REALTIME = 10_767.0  # reference best: TensorRT b32 on RTX 5080
-SEGMENT_SECS = 3.0
+BASELINE_BIRDNET_V24 = 10_767.0  # reference best: TensorRT b32, RTX 5080
+BASELINE_PERCH_V2 = 2_550.0      # reference best: CUDA b32, RTX 5080
 
 
-def main() -> None:
+def _measure(step_fn, args, xs_shape, seconds_per_segment, iters):
+    """Upload fresh-random inputs, scan once inside jit, fetch results."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    rng = np.random.default_rng(int(time.time() * 1000) % 2**31)
+    xs = jax.device_put(
+        rng.normal(0, 0.1, xs_shape).astype(np.float32)
+    )
+    _ = np.asarray(xs[(0,) * (len(xs_shape) - 1) + (slice(0, 2),)])
+
+    @jax.jit
+    def multi(a, stacked):
+        def body(carry, x):
+            vals, idx = step_fn(a, x)
+            return carry, (vals, idx)
+        return lax.scan(body, jnp.int32(0), stacked)[1]
+
+    vals, idx = multi(args, xs)
+    _ = np.asarray(vals)  # compile + warm (persistent cache -> fast repeat)
+    t0 = time.perf_counter()
+    vals, idx = multi(args, xs)
+    _ = np.asarray(vals)
+    dt = time.perf_counter() - t0
+    batch = xs_shape[1]
+    seg_per_sec = batch * iters / dt
+    return seg_per_sec * seconds_per_segment
+
+
+def _bench_onnx(spec, batch, iters, seed=1):
+    import jax
+    import jax.numpy as jnp
+
+    from birda_tpu.onnx import fullscale as fs
+    from birda_tpu.onnx.lowering import lower
+
+    g = fs.cached_build(spec, seed=seed)
+    fn = lower(g.model_bytes, compute_dtype=jnp.bfloat16)
+    params = {
+        k: jax.device_put(np.asarray(v, jnp.bfloat16))
+        for k, v in fn.params.items()
+    }
+
+    def step(p, x):
+        scores = fn(x, params=p)[0].astype(jnp.float32)
+        return jax.lax.top_k(scores, 5)
+
+    rt = _measure(
+        step, params, (iters, batch, spec.sample_count),
+        spec.sample_count / spec.sample_rate, iters,
+    )
+    return rt, g
+
+
+def _bench_native(batch, iters):
     import jax
     import jax.numpy as jnp
 
     from birda_tpu.models.contracts import ModelFamily
     from birda_tpu.models.zoo import native_model
 
-    # Persistent XLA cache: repeat bench runs load the compiled program
-    # instead of rebuilding it (the TensorRT engine-cache analogue).
+    model = native_model(ModelFamily.BIRDNET_V24, dtype=jnp.bfloat16)
+
+    def step(_, x):
+        return jax.lax.top_k(model.apply(x)["scores"], 5)
+
+    return _measure(step, 0, (iters, batch, 144_000), 3.0, iters)
+
+
+def main() -> None:
+    import jax
+
     try:
         from birda_tpu.config.paths import xla_cache_dir
         from birda_tpu.inference.classifier import enable_persistent_cache
 
         enable_persistent_cache(xla_cache_dir())
-    except Exception:
+    except Exception:  # noqa: BLE001
         pass
 
+    from birda_tpu.onnx import fullscale as fs
+
     platform = jax.default_backend()
-    batch = 256 if platform == "tpu" else 16
-    iters = 20 if platform == "tpu" else 3
+    on_accel = platform == "tpu"
 
-    dtype = jnp.bfloat16 if platform == "tpu" else jnp.float32
-    model = native_model(ModelFamily.BIRDNET_V24, dtype=dtype)
+    if not on_accel:
+        # CPU smoke (CI-sized): tiny graph, same code path.
+        rt, _ = _bench_onnx(fs.tiny_spec(fs.BIRDNET_V24_SPEC),
+                            batch=8, iters=2)
+        print(json.dumps({
+            "metric": "birdnet-v2.4 ONNX-lowered realtime (cpu smoke, tiny)",
+            "value": round(rt, 1),
+            "unit": "x realtime",
+            "vs_baseline": round(rt / BASELINE_BIRDNET_V24, 3),
+        }))
+        return
 
-    k = 5
+    extra = {}
 
-    @jax.jit
-    def step(x):
-        out = model.apply(x)
-        return jax.lax.top_k(out["scores"], k)
-
-    rng = np.random.default_rng(0)
-    x = rng.normal(0, 0.1, (batch, 144_000)).astype(np.float32)
-    x = jax.device_put(x)
-
-    # Warmup / compile.
-    vals, idx = step(x)
-    jax.block_until_ready((vals, idx))
-
-    start = time.perf_counter()
-    for _ in range(iters):
-        vals, idx = step(x)
-    jax.block_until_ready((vals, idx))
-    elapsed = time.perf_counter() - start
-
-    seg_per_sec = batch * iters / elapsed
-    realtime = seg_per_sec * SEGMENT_SECS
+    rt_v24, _ = _bench_onnx(fs.BIRDNET_V24_SPEC, batch=512, iters=4)
+    try:
+        rt_perch, _ = _bench_onnx(fs.PERCH_V2_SPEC, batch=256, iters=6)
+        extra["perch_v2_onnx_x_realtime"] = round(rt_perch, 0)
+        extra["perch_v2_vs_its_baseline"] = round(
+            rt_perch / BASELINE_PERCH_V2, 2)
+    except Exception as e:  # noqa: BLE001
+        extra["perch_v2_error"] = str(e)[:200]
+    try:
+        rt_v30, _ = _bench_onnx(fs.BIRDNET_V30_SPEC, batch=256, iters=6)
+        extra["birdnet_v30_onnx_x_realtime"] = round(rt_v30, 0)
+    except Exception as e:  # noqa: BLE001
+        extra["birdnet_v30_error"] = str(e)[:200]
+    try:
+        extra["native_flax_v24_x_realtime"] = round(
+            _bench_native(batch=256, iters=8), 0)
+    except Exception as e:  # noqa: BLE001
+        extra["native_flax_error"] = str(e)[:200]
+    extra["note"] = (
+        "ONNX-lowered full-scale graphs (real op mix/dims, bf16 matmuls, "
+        "fp32 accum); scan+fetch methodology — round-1 numbers used an "
+        "unreliable async barrier and over-reported, see docs/performance.md"
+    )
 
     print(json.dumps({
-        "metric": f"birdnet-v2.4 inference realtime factor ({platform}, batch {batch}, bf16)"
-        if dtype == jnp.bfloat16
-        else f"birdnet-v2.4 inference realtime factor ({platform}, batch {batch})",
-        "value": round(realtime, 1),
+        "metric": ("birdnet-v2.4 ONNX-lowered full-scale inference realtime "
+                   f"({platform}, batch 512, bf16)"),
+        "value": round(rt_v24, 1),
         "unit": "x realtime",
-        "vs_baseline": round(realtime / BASELINE_REALTIME, 3),
+        "vs_baseline": round(rt_v24 / BASELINE_BIRDNET_V24, 3),
+        "extra": extra,
     }))
 
 

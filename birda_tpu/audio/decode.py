@@ -82,6 +82,10 @@ class StreamingDecoder:
             raise NoAudioTracks(str(path))
         total = int(self._reader.frames)
         self.total_frames = total if total >= 0 else None
+        #: Seek-then-decode is bit-identical to sequential decode (PCM,
+        #: FLAC); False for stateful codecs (MP3/AAC), where parallel span
+        #: decoding would produce subtly different samples.
+        self.exact_seek = bool(getattr(self._reader, "exact_seek", False))
         self._buffer = np.empty(0, np.float32)
         self._emitted = 0
         self._eof = False
@@ -143,6 +147,22 @@ class StreamingDecoder:
         self._buffer = np.empty(0, np.float32)
         self._emitted = pos
         self._eof = False
+        return pos
+
+    def seek_exact(self, frame: int) -> int:
+        """Land exactly on ``frame`` even when the container only supports
+        coarse seeks (compressed formats): seek, then decode-and-discard the
+        remainder. Needed by the parallel decoder, whose spans must align on
+        the global window grid."""
+        pos = self.seek(frame)
+        if pos > frame:
+            pos = self.seek(0)
+        while pos < frame:
+            c = self._reader.read(min(_READ_CHUNK, frame - pos))
+            if len(c) == 0:
+                break
+            pos += len(c)
+        self._emitted = pos
         return pos
 
     def close(self):

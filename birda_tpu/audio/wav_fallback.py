@@ -20,6 +20,9 @@ FMT_EXTENSIBLE = 0xFFFE
 class WavFallbackReader:
     """Streaming mono WAV reader with the NativeReader interface."""
 
+    #: PCM is context-free: decode after a seek == sequential decode.
+    exact_seek = True
+
     def __init__(self, path: Path | str):
         self._f = open(path, "rb")
         try:

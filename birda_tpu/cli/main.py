@@ -151,6 +151,10 @@ def cli(ctx):
 @click.option("--output-mode", type=click.Choice(["human", "json", "ndjson"]),
               envvar="BIRDA_OUTPUT_MODE")
 @click.option("--accept-license", is_flag=True)
+@click.option("--decode-workers", type=click.IntRange(0, 64), default=0,
+              envvar="BIRDA_DECODE_WORKERS",
+              help="Decode threads per file (seek-based span decoding). "
+                   "0 = auto, 1 = single decode thread.")
 @click.option("--region-labels", type=click.Path(path_type=Path),
               envvar="BIRDA_REGION_LABELS",
               help="Slice the model to this regional label file (subset of "
@@ -164,8 +168,8 @@ def analyze(inputs, model, model_path, labels_path, model_type, bat, formats,
             fail_fast, quiet, verbose, no_csv_bom, gpu, tpu, cpu, lat, lon,
             week, month, day, day_of_year, range_threshold, rerank,
             range_unmatched, slist, stale_lock_timeout, jobs, no_progress,
-            stdout_mode, output_mode, accept_license, region_labels,
-            profile_dir):
+            stdout_mode, output_mode, accept_license, decode_workers,
+            region_labels, profile_dir):
     """Analyze audio files for bird detections."""
     init_logging(verbose, quiet)
     if not inputs:
@@ -225,6 +229,7 @@ def analyze(inputs, model, model_path, labels_path, model_type, bat, formats,
         dual_output_mode=dual,
         allow_download=accept_license,
         region_labels=region_labels,
+        decode_workers=decode_workers,
     )
     profiling = False
     if profile_dir is not None:

@@ -88,14 +88,17 @@ def _synthesize_params(module, sample_count: int, seed: int):
         lambda k, x: module.init(k, x), jax.random.PRNGKey(seed), dummy
     )
 
+    import zlib
+
     flat, treedef = jax.tree_util.tree_flatten_with_path(shapes)
     leaves = []
     for path, leaf in flat:
         names = [getattr(p, "key", str(p)) for p in path]
         leaf_name = names[-1] if names else ""
-        rng = np.random.default_rng(
-            abs(hash(("birda-param", seed, tuple(names)))) % (2**32)
-        )
+        # crc32, not hash(): str hashing is salted per process, and these
+        # weights must be identical across processes for a given seed.
+        key = zlib.crc32("/".join(names).encode()) ^ (seed * 2654435761)
+        rng = np.random.default_rng(key & 0xFFFFFFFF)
         shape = leaf.shape
         if leaf_name in ("scale", "var"):
             arr = np.ones(shape, np.float32)

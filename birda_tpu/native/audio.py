@@ -57,6 +57,9 @@ def _load():
     ]
     lib.birda_seek.restype = ctypes.c_int64
     lib.birda_seek.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+    if hasattr(lib, "birda_exact_seek"):
+        lib.birda_exact_seek.restype = ctypes.c_int32
+        lib.birda_exact_seek.argtypes = [ctypes.c_void_p]
     lib.birda_error.restype = ctypes.c_char_p
     lib.birda_error.argtypes = [ctypes.c_void_p]
     lib.birda_close.restype = None
@@ -94,6 +97,10 @@ class NativeReader:
         self.rate = lib.birda_rate(self._h)
         self.channels = lib.birda_channels(self._h)
         self.frames = lib.birda_frames(self._h)
+        try:
+            self.exact_seek = bool(lib.birda_exact_seek(self._h))
+        except AttributeError:  # stale .so without the symbol
+            self.exact_seek = False
 
     def read(self, n: int) -> np.ndarray:
         """Read up to ``n`` mono frames; empty array at EOF."""

@@ -101,6 +101,10 @@ class AnalyzeOptions:
     #: Slice the loaded model to this regional label file (subset of the
     #: full labels) — softmax-exact regional behavior from the full graph.
     region_labels: Optional[Path] = None
+    #: Decode workers per file: 0 = auto (parallel span decode for long
+    #: files when not already running cross-file workers), 1 = reference
+    #: behavior (single decode thread), N = explicit.
+    decode_workers: int = 0
 
 
 @dataclass
@@ -176,6 +180,19 @@ def resolve_model_config(options: AnalyzeOptions, config: Config
         "no model specified (use -m, set defaults.model in config, or provide "
         "--model-path with --labels-path and --model-type)"
     )
+
+
+def resolve_decode_workers(options: AnalyzeOptions) -> int:
+    """0 = auto: split one file's decode across cores unless ``--jobs`` is
+    already using them for cross-file parallelism (SURVEY §3.1 — the
+    reference's single decode thread is its documented scaling ceiling)."""
+    if options.decode_workers > 0:
+        return options.decode_workers
+    if options.jobs > 1:
+        return 1
+    import os
+
+    return max(1, min(4, os.cpu_count() or 1))
 
 
 def load_model_graph(mc: ModelConfig, name: str) -> LoadedModel:
@@ -530,6 +547,7 @@ def process_all_files(
             dual_output_mode=options.dual_output_mode,
             custom_classifier=custom_classifier,
             bat_mode=options.bat is not None,
+            decode_workers=resolve_decode_workers(options),
         )
         if reporter is not None:
             est_segments = 0
@@ -646,6 +664,7 @@ def _process_files_parallel(
             dual_output_mode=options.dual_output_mode,
             custom_classifier=custom_classifier,
             bat_mode=options.bat is not None,
+            decode_workers=resolve_decode_workers(options),
         )
         start = time.monotonic()
         try:

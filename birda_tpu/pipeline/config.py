@@ -41,3 +41,6 @@ class ProcessingConfig:
     #: Chunked int16 device windowing (the high-throughput path); False
     #: falls back to per-segment f32 batches.
     use_chunk_runner: bool = True
+    #: Decode workers for ONE file (seek-based span decoding). 1 = the
+    #: reference's single decode thread; >1 parallelizes HOT LOOP A.
+    decode_workers: int = 1

@@ -185,14 +185,34 @@ def process_file(classifier: BirdClassifier, config: ProcessingConfig) -> Proces
         tx: queue.Queue = queue.Queue(
             maxsize=constants.audio.QUEUE_BATCH_CAPACITY * effective_batch
         )
-        producer = threading.Thread(
-            target=_decode_and_stream,
-            args=(decoder, tx, seg_samples_src, ovl_samples_src,
-                  target_rate, producer_count, resample_needed),
-            daemon=True,
-            name="birda-decode",
+        # Parallel span decode when the file is long enough to split and its
+        # length is known (seek targets need the window grid). Bat mode and
+        # short files keep the single-thread path.
+        n_workers = max(1, config.decode_workers)
+        use_parallel = (
+            n_workers > 1
+            and decoder.total_frames is not None
+            and decoder.exact_seek
+            and est_segments >= 2 * n_workers
         )
-        producer.start()
+        if use_parallel:
+            from ..audio.parallel_decode import spawn_parallel_decode
+
+            producer = spawn_parallel_decode(
+                config.input_path, tx, _SENTINEL, decoder.total_frames,
+                seg_samples_src, ovl_samples_src,
+                target_rate, producer_count, resample_needed,
+                n_workers,
+            )
+        else:
+            producer = threading.Thread(
+                target=_decode_and_stream,
+                args=(decoder, tx, seg_samples_src, ovl_samples_src,
+                      target_rate, producer_count, resample_needed),
+                daemon=True,
+                name="birda-decode",
+            )
+            producer.start()
 
         options = InferenceOptions(
             min_confidence=config.min_confidence, top_k=classifier.top_k

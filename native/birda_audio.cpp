@@ -64,6 +64,7 @@ public:
         return got_frames;
     }
 
+    bool exact_seek() const override { return true; }
     int64_t seek(int64_t frame) override {
         frame = std::max<int64_t>(0, std::min(frame, total_frames_));
         int64_t off = data_offset_ + frame * (int64_t)block_align_;
@@ -388,6 +389,10 @@ int64_t birda_read_mono(void* h, float* out, int64_t n) {
 
 int64_t birda_seek(void* h, int64_t frame) {
     return static_cast<AudioReader*>(h)->seek(frame);
+}
+
+int32_t birda_exact_seek(void* h) {
+    return static_cast<AudioReader*>(h)->exact_seek() ? 1 : 0;
 }
 
 const char* birda_error(void* h) { return static_cast<AudioReader*>(h)->err(); }

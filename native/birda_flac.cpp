@@ -134,24 +134,55 @@ public:
         return produced;
     }
 
+    bool exact_seek() const override { return true; }
     int64_t seek(int64_t frame) override {
-        // Decode-and-discard. Restart from the beginning when seeking
-        // backwards; otherwise skip forward block by block.
-        if (frame < pos_emitted_in_stream()) {
+        // Binary search over frame sync codes for long jumps, then a linear
+        // decode-and-skip for the tail. Frame headers are self-describing
+        // (byte-aligned sync + CRC8-protected header carrying the absolute
+        // sample/frame ordinal), so the search needs no SEEKTABLE and the
+        // landing is sample-exact: O(log n) + one window of decode instead
+        // of decoding the whole prefix — the difference between linear and
+        // quadratic work for parallel span decoding of one file.
+        if (frame < 0) frame = 0;
+        int64_t cur = pos_emitted_in_stream();
+        const int64_t LINEAR_WINDOW = 1 << 18;  // samples
+        if (frame < cur || frame - cur > LINEAR_WINDOW) {
+            int64_t lo_off = first_frame_off_, lo_sample = 0;
+            int64_t hi_off = file_size_ > 0 ? file_size_ : first_frame_off_;
+            const int64_t BYTE_WINDOW = 1 << 17;
+            while (hi_off - lo_off > BYTE_WINDOW) {
+                int64_t mid = lo_off + (hi_off - lo_off) / 2;
+                int64_t foff, fsample;
+                if (!probe_frame(mid, hi_off, foff, fsample)) {
+                    hi_off = mid;
+                    continue;
+                }
+                if (fsample <= frame) {
+                    lo_off = foff;
+                    lo_sample = fsample;
+                    if (foff <= mid) lo_off = mid;  // ensure progress
+                } else {
+                    hi_off = mid;
+                }
+            }
+            fseeko(f_, lo_off == first_frame_off_ ? first_frame_off_ : lo_off,
+                   SEEK_SET);
+            br_.reset();
+            next_sample_ = (uint64_t)lo_sample;
+            block_len_ = block_pos_ = 0;
+            err_.clear();
+        }
+        linear_skip_to(frame);
+        if (pos_emitted_in_stream() > frame) {
+            // A false sync would land late; fall back to the exact linear
+            // path from the stream start (decode_frame self-corrects the
+            // position from each header's ordinal).
             fseeko(f_, first_frame_off_, SEEK_SET);
             br_.reset();
             next_sample_ = 0;
             block_len_ = block_pos_ = 0;
-        }
-        while (pos_emitted_in_stream() < frame) {
-            int64_t remaining_in_block = (int64_t)(block_len_ - block_pos_);
-            int64_t need = frame - pos_emitted_in_stream();
-            if (remaining_in_block > 0) {
-                int64_t skip = std::min(need, remaining_in_block);
-                block_pos_ += (size_t)skip;
-                continue;
-            }
-            if (!decode_frame() || block_len_ == 0) break;
+            err_.clear();
+            linear_skip_to(frame);
         }
         return pos_emitted_in_stream();
     }
@@ -185,6 +216,7 @@ private:
                 uint8_t si[34];
                 if (fread(si, 1, 34, f_) != 34) { err = "truncated STREAMINFO"; return false; }
                 if (len > 34) fseeko(f_, len - 34, SEEK_CUR);
+                fixed_block_size_ = ((uint64_t)si[2] << 8) | si[3];  // max_blocksize
                 rate_ = ((uint32_t)si[10] << 12) | ((uint32_t)si[11] << 4) | (si[12] >> 4);
                 channels_ = ((si[12] >> 1) & 0x7) + 1;
                 bits_ = (((si[12] & 1) << 4) | (si[13] >> 4)) + 1;
@@ -201,6 +233,8 @@ private:
             return false;
         }
         first_frame_off_ = (int64_t)ftello(f_);
+        if (fseeko(f_, 0, SEEK_END) == 0) file_size_ = (int64_t)ftello(f_);
+        fseeko(f_, first_frame_off_, SEEK_SET);
         new (&br_) BitReader(f_);
         block_.resize(channels_);
         return true;
@@ -213,12 +247,16 @@ private:
         // Sync: byte-aligned scan for 0xFF followed by 111110 + reserved(0) +
         // blocking-strategy bit, i.e. second byte & 0xFE == 0xF8.
         uint64_t b;
+        bool variable_blocksize = false;
         if (!br_.bits(8, b)) return false;  // EOF
         for (;;) {
             if (b == 0xFF) {
                 uint64_t b2;
                 if (!br_.bits(8, b2)) return false;
-                if ((b2 & 0xFE) == 0xF8) break;
+                if ((b2 & 0xFE) == 0xF8) {
+                    variable_blocksize = (b2 & 1) != 0;
+                    break;
+                }
                 b = b2;  // b2 may itself begin the real sync
             } else {
                 if (!br_.bits(8, b)) return false;
@@ -327,7 +365,14 @@ private:
         block_len_ = block_size;
         block_pos_ = 0;
         bits_active_ = bits;
-        next_sample_ += block_size;
+        // Self-locating position tracking: the header's UTF-8 ordinal IS the
+        // frame's absolute position (sample number for variable-blocksize
+        // streams, frame index for fixed), so decoding stays sample-accurate
+        // after any repositioning (the binary-search seek depends on this).
+        uint64_t start = variable_blocksize
+            ? ordinal
+            : ordinal * (fixed_block_size_ ? fixed_block_size_ : block_size);
+        next_sample_ = start + block_size;
         return true;
     }
 
@@ -453,11 +498,109 @@ private:
         return (int32_t)((v ^ mask) - mask);
     }
 
+    void linear_skip_to(int64_t frame) {
+        while (pos_emitted_in_stream() < frame) {
+            int64_t remaining_in_block = (int64_t)(block_len_ - block_pos_);
+            int64_t need = frame - pos_emitted_in_stream();
+            if (remaining_in_block > 0) {
+                block_pos_ += (size_t)std::min(need, remaining_in_block);
+                continue;
+            }
+            if (!decode_frame() || block_len_ == 0) break;
+        }
+    }
+
+    static uint8_t crc8(const uint8_t* d, size_t n) {
+        uint8_t c = 0;
+        while (n--) {
+            c ^= *d++;
+            for (int i = 0; i < 8; i++)
+                c = (c & 0x80) ? (uint8_t)((c << 1) ^ 0x07) : (uint8_t)(c << 1);
+        }
+        return c;
+    }
+
+    // Parse a byte-aligned frame header at p. Returns the header length
+    // (through the CRC8 byte) and the frame's absolute start sample, or 0
+    // when p is not a valid header (field sanity + channel match + CRC8).
+    size_t parse_frame_header(const uint8_t* p, size_t avail,
+                              int64_t& sample_out) const {
+        if (avail < 10) return 0;
+        if (p[0] != 0xFF || (p[1] & 0xFE) != 0xF8) return 0;
+        bool variable = (p[1] & 1) != 0;
+        uint32_t bs_code = p[2] >> 4, sr_code = p[2] & 0xF;
+        uint32_t ch_code = p[3] >> 4, ss_code = (p[3] >> 1) & 7;
+        if (p[3] & 1) return 0;  // reserved bit
+        if (bs_code == 0 || sr_code == 15 || ch_code > 10 || ss_code == 3)
+            return 0;
+        uint32_t nch = ch_code < 8 ? ch_code + 1 : 2;
+        if (nch != channels_) return 0;
+
+        size_t i = 4;
+        uint8_t first = p[i++];
+        uint32_t extra;
+        uint64_t ord;
+        if (first < 0x80) { extra = 0; ord = first; }
+        else if ((first & 0xE0) == 0xC0) { extra = 1; ord = first & 0x1F; }
+        else if ((first & 0xF0) == 0xE0) { extra = 2; ord = first & 0x0F; }
+        else if ((first & 0xF8) == 0xF0) { extra = 3; ord = first & 0x07; }
+        else if ((first & 0xFC) == 0xF8) { extra = 4; ord = first & 0x03; }
+        else if ((first & 0xFE) == 0xFC) { extra = 5; ord = first & 0x01; }
+        else if (first == 0xFE) { extra = 6; ord = 0; }
+        else return 0;
+        if (avail < i + extra + 5) return 0;
+        for (uint32_t k = 0; k < extra; k++) {
+            uint8_t c = p[i++];
+            if ((c & 0xC0) != 0x80) return 0;
+            ord = (ord << 6) | (c & 0x3F);
+        }
+        if (bs_code == 6) i += 1;
+        else if (bs_code == 7) i += 2;
+        if (sr_code == 12) i += 1;
+        else if (sr_code == 13 || sr_code == 14) i += 2;
+        if (crc8(p, i) != p[i]) return 0;
+        uint64_t sample = variable
+            ? ord
+            : ord * (fixed_block_size_ ? fixed_block_size_ : 1);
+        if (total_samples_ && sample > total_samples_) return 0;
+        sample_out = (int64_t)sample;
+        return i + 1;
+    }
+
+    // First valid frame header at byte offset >= from (< limit).
+    bool probe_frame(int64_t from, int64_t limit, int64_t& foff,
+                     int64_t& fsample) {
+        const size_t CHUNK = 1 << 16, OVERLAP = 32;
+        std::vector<uint8_t> buf(CHUNK + OVERLAP);
+        int64_t off = from;
+        while (off < limit) {
+            if (fseeko(f_, off, SEEK_SET) != 0) return false;
+            size_t want = (size_t)std::min<int64_t>(
+                (int64_t)buf.size(), limit - off + (int64_t)OVERLAP);
+            size_t got = fread(buf.data(), 1, want, f_);
+            if (got < 10) return false;
+            for (size_t i = 0; i + 10 <= got && off + (int64_t)i < limit; i++) {
+                if (buf[i] != 0xFF || (buf[i + 1] & 0xFE) != 0xF8) continue;
+                int64_t s;
+                if (parse_frame_header(buf.data() + i, got - i, s)) {
+                    foff = off + (int64_t)i;
+                    fsample = s;
+                    return true;
+                }
+            }
+            if (got <= OVERLAP) break;
+            off += (int64_t)(got - OVERLAP);
+        }
+        return false;
+    }
+
     FILE* f_ = nullptr;
     BitReader br_;
     uint32_t rate_ = 0, channels_ = 0, bits_ = 0;
     uint64_t total_samples_ = 0;
+    uint64_t fixed_block_size_ = 0;
     int64_t first_frame_off_ = 0;
+    int64_t file_size_ = 0;
     uint64_t next_sample_ = 0;
     std::vector<std::vector<int32_t>> block_;
     size_t block_len_ = 0, block_pos_ = 0;

@@ -16,6 +16,12 @@ public:
     virtual int64_t read_mono(float* out, int64_t n) = 0;
     // Seek to an absolute frame. Returns the position reached, or -1.
     virtual int64_t seek(int64_t frame) = 0;
+    // True when decode after a seek is bit-identical to sequential decode
+    // (frame-independent codecs: PCM/WAV, FLAC). False for codecs with
+    // inter-frame state (MP3 bit reservoir, AAC), where mid-stream entry
+    // produces slightly different samples — parallel span decoding is only
+    // enabled when this holds.
+    virtual bool exact_seek() const { return false; }
     const char* err() const { return err_.c_str(); }
 protected:
     std::string err_;
