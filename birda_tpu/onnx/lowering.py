@@ -19,8 +19,11 @@ Design notes:
   still accumulate in fp32 on the MXU.
 
 Covered op set: everything the BirdNET v2.4 / v3.0, Perch v2, geomodel and
-BSG/bat-head graph families use, plus common glue ops so unseen exports have
-a fighting chance. Unknown ops raise ``UnsupportedOnnxOp``.
+BSG/bat-head graph families use — including the quantized forms the ORT
+quantizer emits for the int8-arm assets (QDQ Quantize/DequantizeLinear and
+QOperator QLinearConv/QLinearMatMul + com.microsoft QLinear* elementwise,
+with integer-exact int32 accumulation) — plus common glue ops so unseen
+exports have a fighting chance. Unknown ops raise ``UnsupportedOnnxOp``.
 """
 
 from __future__ import annotations
@@ -561,12 +564,15 @@ class _Evaluator:
             ("NC" + chars, "OI" + chars, "NC" + chars),
         )
         x, w = self._mm_cast(x, w)
+        # Integer convs (QLinear* paths) accumulate in int32 — exactness is
+        # the point; float convs accumulate fp32.
+        pref = jnp.int32 if _dtype_kind(x) in "iu" else jnp.float32
         out = lax.conv_general_dilated(
             jnp.asarray(x), jnp.asarray(w),
             window_strides=strides, padding=pads,
             rhs_dilation=dilations, dimension_numbers=dn,
             feature_group_count=group,
-            preferred_element_type=jnp.float32,
+            preferred_element_type=pref,
         )
         if b is not None:
             out = out + jnp.asarray(b).reshape((1, -1) + (1,) * spatial)
@@ -783,6 +789,219 @@ class _Evaluator:
 
         return jnp.einsum(eq, *xs, preferred_element_type=jnp.float32)
 
+    # -- quantization ---------------------------------------------------------
+    #
+    # Covers both quantized-graph styles the ORT quantizer emits (the
+    # registry's int8-arm assets): QDQ form (QuantizeLinear/DequantizeLinear
+    # pairs around float ops) and QOperator form (QLinearConv/QLinearMatMul
+    # plus the com.microsoft QLinear* elementwise ops). Semantics follow the
+    # ONNX spec: quantize = saturate(round_half_even(x/scale) + zero_point);
+    # compute happens in integer-exact float (int8 values are exactly
+    # representable in fp32), requantize at the end.
+
+    @staticmethod
+    def _q_axis_shape(x_ndim: int, axis: int) -> tuple:
+        shape = [1] * x_ndim
+        shape[axis % x_ndim] = -1
+        return tuple(shape)
+
+    def _per_axis(self, arr, x_ndim: int, axis: int):
+        """Reshape a per-axis scale/zero-point vector for broadcasting; pass
+        scalars (and traced values) through unchanged."""
+        if arr is None:
+            return None
+        if _is_host(arr) and np.asarray(arr).size > 1:
+            return np.asarray(arr).reshape(self._q_axis_shape(x_ndim, axis))
+        return arr
+
+    def _quantize(self, x, scale, zp, node, default_dtype=np.uint8):
+        dt = _np(zp).dtype if zp is not None and _is_host(zp) else np.dtype(
+            default_dtype)
+        info = np.iinfo(dt)
+        ndim = getattr(x, "ndim", 0)
+        axis = node.attr("axis", 1)
+        scale = self._per_axis(scale, ndim, axis)
+        zp = self._per_axis(zp, ndim, axis)
+        m = self._lib(x, scale, zp)
+        q = m.round(x / scale) + (0 if zp is None else zp)
+        return m.clip(q, info.min, info.max).astype(dt)
+
+    def _dequantize(self, x, scale, zp, node):
+        ndim = getattr(x, "ndim", 0)
+        axis = node.attr("axis", 1)
+        scale = self._per_axis(scale, ndim, axis)
+        zp = self._per_axis(zp, ndim, axis)
+        m = self._lib(x, scale, zp)
+        xf = (np.asarray(x, np.float32) if _is_host(x)
+              else x.astype(np.float32))
+        zf = 0.0 if zp is None else (
+            np.asarray(zp, np.float32) if _is_host(zp)
+            else zp.astype(np.float32))
+        del m
+        return (xf - zf) * scale
+
+    def op_QuantizeLinear(self, node, x, scale, zp=None):
+        return self._quantize(x, scale, zp, node)
+
+    def op_DequantizeLinear(self, node, x, scale, zp=None):
+        return self._dequantize(x, scale, zp, node)
+
+    def op_DynamicQuantizeLinear(self, node, x):
+        m = self._lib(x)
+        qmin, qmax = 0.0, 255.0
+        lo = m.minimum(m.min(x), 0.0)
+        hi = m.maximum(m.max(x), 0.0)
+        scale = (hi - lo) / (qmax - qmin)
+        zp_f = m.clip(m.round(qmin - lo / scale), qmin, qmax)
+        q = m.clip(m.round(x / scale) + zp_f, qmin, qmax).astype(np.uint8)
+        return q, scale.astype(np.float32), zp_f.astype(np.uint8)
+
+    def _deq_per_channel_weight(self, w, w_scale, w_zp, out_ch_axis=0):
+        """Weights may be per-output-channel quantized: scale/zp shaped [O],
+        broadcast along the output-channel axis."""
+        ndim = getattr(w, "ndim", _np(w).ndim)
+        s = self._per_axis(w_scale, ndim, out_ch_axis)
+        z = self._per_axis(w_zp, ndim, out_ch_axis)
+        wf = (np.asarray(w, np.float32) if _is_host(w)
+              else w.astype(np.float32))
+        zf = 0.0 if z is None else (
+            np.asarray(z, np.float32) if _is_host(z) else z.astype(np.float32))
+        return (wf - zf) * s
+
+    @staticmethod
+    def _as_i32(x, zp):
+        """Zero-point-shifted int32 view of a quantized tensor."""
+        xi = (np.asarray(x, np.int32) if _is_host(x) else x.astype(np.int32))
+        if zp is not None:
+            zi = (np.asarray(zp, np.int32) if _is_host(zp)
+                  else zp.astype(np.int32))
+            xi = xi - zi
+        return xi
+
+    def op_QLinearConv(self, node, x, x_s, x_zp, w, w_s, w_zp, y_s, y_zp,
+                       b=None):
+        # Integer-exact accumulation (what ONNX Runtime computes): conv the
+        # zero-point-shifted int32 values with an int32 accumulator, add the
+        # int32 bias, THEN apply the combined scale and requantize. A
+        # dequantize-first float conv drifts off by one on rounding ties.
+        import jax.numpy as jnp
+
+        xi = self._as_i32(x, x_zp)
+        # Per-channel weight zero points broadcast on the OUTPUT-channel
+        # axis (0), not numpy's default trailing axis.
+        wndim = getattr(w, "ndim", _np(w).ndim)
+        wi = self._as_i32(w, self._per_axis(w_zp, wndim, 0))
+        saved = self.compute_dtype
+        self.compute_dtype = None  # never bf16-cast integer convs
+        try:
+            acc = self.op_Conv(node, xi, wi, None)  # int32 accum
+        finally:
+            self.compute_dtype = saved
+        if b is not None:
+            bi = (np.asarray(b, np.int32) if _is_host(b)
+                  else b.astype(np.int32))
+            acc = acc + (np.asarray(bi).reshape(1, -1, 1, 1)
+                         if _is_host(bi) else bi.reshape(1, -1, 1, 1))
+        # Combined scale: x_s * w_s / y_s; w_s may be per-output-channel.
+        ws = self._per_axis(w_s, 4, 1)  # broadcast over the channel axis
+        scale = (np.asarray(x_s, np.float32) * np.asarray(ws, np.float32)
+                 / np.asarray(y_s, np.float32)
+                 if _is_host(x_s) and _is_host(ws) and _is_host(y_s)
+                 else x_s * ws / y_s)
+        accf = acc.astype(jnp.float32) if not _is_host(acc) else acc.astype(np.float32)
+        m = self._lib(accf, scale)
+        dt = _np(y_zp).dtype if y_zp is not None and _is_host(y_zp) else np.dtype(np.uint8)
+        info = np.iinfo(dt)
+        zq = 0 if y_zp is None else y_zp
+        q = m.round(accf * scale) + zq
+        return m.clip(q, info.min, info.max).astype(dt)
+
+    def op_QLinearMatMul(self, node, a, a_s, a_zp, b, b_s, b_zp, y_s, y_zp):
+        ai = self._as_i32(a, a_zp)
+        bi = self._as_i32(b, b_zp)
+        if _is_host(ai) and _is_host(bi):
+            acc = np.matmul(ai.astype(np.int64), bi.astype(np.int64))
+            accf = acc.astype(np.float64)
+        else:
+            import jax.numpy as jnp
+
+            acc = jnp.matmul(ai, bi, preferred_element_type=jnp.int32)
+            accf = acc.astype(jnp.float32)
+        m = self._lib(accf)
+        scale = (np.float64(a_s) * np.float64(b_s) / np.float64(y_s)
+                 if _is_host(a_s) and _is_host(b_s) and _is_host(y_s)
+                 else a_s * b_s / y_s)
+        dt = _np(y_zp).dtype if y_zp is not None and _is_host(y_zp) else np.dtype(np.uint8)
+        info = np.iinfo(dt)
+        q = m.round(accf * scale) + (0 if y_zp is None else y_zp)
+        return m.clip(q, info.min, info.max).astype(dt)
+
+    def op_MatMulInteger(self, node, a, b, a_zp=None, b_zp=None):
+        m = self._lib(a, b)
+        af = (_np(a).astype(np.int32) if _is_host(a) else a.astype(np.int32))
+        bf = (_np(b).astype(np.int32) if _is_host(b) else b.astype(np.int32))
+        if a_zp is not None:
+            af = af - (np.asarray(a_zp, np.int32) if _is_host(a_zp)
+                       else a_zp.astype(np.int32))
+        if b_zp is not None:
+            bf = bf - (np.asarray(b_zp, np.int32) if _is_host(b_zp)
+                       else b_zp.astype(np.int32))
+        if _is_host(af) and _is_host(bf):
+            return np.matmul(af, bf).astype(np.int32)
+        import jax.numpy as jnp
+
+        return jnp.matmul(af, bf, preferred_element_type=jnp.int32)
+
+    def op_ConvInteger(self, node, x, w, x_zp=None, w_zp=None):
+        xf = (_np(x).astype(np.float32) if _is_host(x) else x.astype(np.float32))
+        wf = (_np(w).astype(np.float32) if _is_host(w) else w.astype(np.float32))
+        if x_zp is not None:
+            xf = xf - np.asarray(x_zp, np.float32) if _is_host(x_zp) else xf - x_zp.astype(np.float32)
+        if w_zp is not None:
+            wf = wf - np.asarray(w_zp, np.float32) if _is_host(w_zp) else wf - w_zp.astype(np.float32)
+        # int8*int8 products and their sums up to 2^23 are exact in fp32.
+        out = self.op_Conv(node, xf, wf, None)
+        import jax.numpy as jnp
+
+        m = self._lib(out)
+        return m.round(out).astype(np.int32) if m is np else jnp.round(out).astype(jnp.int32)
+
+    # com.microsoft QLinear* elementwise ops (QOperator-format graphs).
+
+    def _qlinear_binary(self, node, fn, a, a_s, a_zp, b, b_s, b_zp, y_s, y_zp):
+        af = self._dequantize(a, a_s, a_zp, node)
+        bf = self._dequantize(b, b_s, b_zp, node)
+        return self._quantize(fn(af, bf), y_s, y_zp, node)
+
+    def op_QLinearAdd(self, node, a, a_s, a_zp, b, b_s, b_zp, y_s, y_zp):
+        m = self._lib(a, b)
+        return self._qlinear_binary(node, m.add, a, a_s, a_zp, b, b_s, b_zp,
+                                    y_s, y_zp)
+
+    def op_QLinearMul(self, node, a, a_s, a_zp, b, b_s, b_zp, y_s, y_zp):
+        m = self._lib(a, b)
+        return self._qlinear_binary(node, m.multiply, a, a_s, a_zp,
+                                    b, b_s, b_zp, y_s, y_zp)
+
+    def op_QLinearSigmoid(self, node, x, x_s, x_zp, y_s, y_zp):
+        xf = self._dequantize(x, x_s, x_zp, node)
+        return self._quantize(self.op_Sigmoid(node, xf), y_s, y_zp, node)
+
+    def op_QLinearLeakyRelu(self, node, x, x_s, x_zp, y_s, y_zp):
+        xf = self._dequantize(x, x_s, x_zp, node)
+        return self._quantize(self.op_LeakyRelu(node, xf), y_s, y_zp, node)
+
+    def op_QLinearGlobalAveragePool(self, node, x, x_s, x_zp, y_s, y_zp):
+        xf = self._dequantize(x, x_s, x_zp, node)
+        channels_last = node.attr("channels_last", 0)
+        m = self._lib(xf)
+        axes = (
+            tuple(range(1, xf.ndim - 1)) if channels_last
+            else tuple(range(2, xf.ndim))
+        )
+        y = m.mean(xf, axis=axes, keepdims=True)
+        return self._quantize(y, y_s, y_zp, node)
+
     # -- signal --------------------------------------------------------------
 
     def op_DFT(self, node, x, dft_length=None, axis=None):
@@ -846,7 +1065,10 @@ class OnnxFunction:
             if (
                 name in init_names
                 and isinstance(arr, np.ndarray)
-                and arr.dtype.kind == "f"
+                and (
+                    arr.dtype.kind == "f"
+                    or (arr.dtype.kind in "iu" and arr.dtype.itemsize == 1)
+                )
                 and arr.nbytes >= LIFT_PARAM_BYTES
             ):
                 self.params[name] = self._eval.const.pop(name)

@@ -38,10 +38,11 @@ class SystemProbe:
 
 
 def _precision_order(probe: SystemProbe) -> list[str]:
-    # int8-arm assets carry QLinear* ops the ONNX->XLA lowering does not
-    # cover, so they are never auto-selected on any backend (matching the
-    # reference's rule that auto-selection degrades rather than fails,
-    # selection.rs:158); an explicit --variant int8-arm still installs one.
+    # int8-arm assets (QLinear/QDQ graphs) lower and run (integer-exact
+    # accumulation, onnx/lowering.py quantization section), but they are
+    # ARM-CPU-targeted quantizations: on TPU the fp32 asset in bf16 is both
+    # faster and more accurate, so int8 is never auto-selected — an
+    # explicit --variant int8-arm installs and runs one.
     del probe
     return ["fp32", "fp16", "no-dft-fp32"]
 

@@ -23,8 +23,8 @@ def _find(model_id):
 
 class TestRegionalSelection:
     def test_perch_region_selects_lowerable_variant(self):
-        """int8-arm carries QLinear ops the lowering can't run — never
-        auto-selected, on any backend."""
+        """int8-arm runs (QLinear lowering) but is an ARM-CPU-targeted
+        quantization — never auto-selected; fp32-family wins per region."""
         perch = _find("perch-v2")
         for probe in (SystemProbe(backend="tpu", arch="x86_64"),
                       SystemProbe(backend="cpu", arch="aarch64")):
