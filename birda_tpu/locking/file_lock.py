@@ -84,9 +84,15 @@ class FileLock:
             _unregister(lock_path)
             raise LockCreate(str(lock_path), str(e)) from e
 
+        from ..parallel.mesh import process_index
+
         info = {
             "pid": os.getpid(),
             "hostname": socket.gethostname() or "unknown",
+            # Pod rank (0 single-host): the cross-host tie-break /
+            # observability field for multi-host directory runs
+            # (SURVEY §2.3 row 3).
+            "process_index": process_index(),
             "started": datetime.datetime.now(datetime.timezone.utc)
             .isoformat()
             .replace("+00:00", "Z"),

@@ -323,6 +323,12 @@ def analyze_files(options: AnalyzeOptions, config: Config, reporter=None) -> int
         except Exception as e:  # noqa: BLE001 — cache is an optimization
             logger.debug("persistent compile cache unavailable: %s", e)
 
+    # Multi-host pod membership (BIRDA_COORDINATOR env contract) must be
+    # established before any backend use; no-op on single hosts.
+    from .parallel.mesh import initialize_multihost
+
+    initialize_multihost()
+
     mc, model_name = resolve_model_config(options, config)
 
     bat_config = None
