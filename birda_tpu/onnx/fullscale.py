@@ -37,7 +37,7 @@ are pinned to the real asset sizes in tests: v2.4 ≈ 50 MB, v3.0 fp32 =
 from __future__ import annotations
 
 import zlib
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

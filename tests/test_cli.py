@@ -2,8 +2,6 @@
 (the analogue of the reference's assert_cmd suite)."""
 
 import json
-import os
-from pathlib import Path
 
 import numpy as np
 import pytest

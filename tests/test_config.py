@@ -1,7 +1,5 @@
 """Config system tests: TOML roundtrip, validation rules, activation rules."""
 
-import math
-from pathlib import Path
 
 import pytest
 

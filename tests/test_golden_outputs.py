@@ -11,7 +11,6 @@ unnoticed.
 
 from pathlib import Path
 
-import pytest
 
 from birda_tpu.output.audacity import AudacityWriter
 from birda_tpu.output.csv import CsvWriter

@@ -29,7 +29,6 @@ from birda_tpu.inference.range_filter import (
     validate_geomodel_labels,
 )
 from birda_tpu.errors import GeomodelLabelCount, Inference, RuntimeInitialization
-from birda_tpu.models import contracts
 from birda_tpu.models.zoo import tiny_model
 
 

@@ -6,8 +6,6 @@ variant selection, license gate, verified download, config update) plus the
 """
 
 import hashlib
-import json
-from pathlib import Path
 
 import numpy as np
 import pytest
@@ -15,7 +13,6 @@ from click.testing import CliRunner
 
 import fixtures_onnx as fo
 from birda_tpu.cli.main import cli
-from fixtures_audio import write_wav
 
 
 @pytest.fixture()
@@ -125,7 +122,7 @@ def test_install_then_analyze(home, tmp_path, monkeypatch):
 
     # The installed ONNX graph loads and predicts through the model layer.
     from birda_tpu.config import file as config_file
-    from birda_tpu.orchestrator import load_model_graph, resolve_model_config
+    from birda_tpu.orchestrator import resolve_model_config
     from birda_tpu.orchestrator import AnalyzeOptions
 
     cfg = config_file.load_default_config()

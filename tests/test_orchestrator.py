@@ -1,7 +1,6 @@
 """Orchestrator e2e tests: the full analyze flow wired through real
 components (fixture geomodel, bat two-stage, combine, fail-fast)."""
 
-import json
 from pathlib import Path
 
 import numpy as np
@@ -104,7 +103,7 @@ class TestAnalyzeEndToEnd:
 
     def test_range_filter_through_analyze(self, home, tmp_path):
         # Fixture geomodel wired via config; coordinates + week activate it.
-        from birda_tpu.models.zoo import synthetic_labels, tiny_model
+        from birda_tpu.models.zoo import tiny_model
 
         model_labels = tiny_model().labels
         n_geo = 50

@@ -8,7 +8,7 @@ from pathlib import Path
 import pyarrow.parquet as pq
 import pytest
 
-from birda_tpu.errors import InvalidColumnName, NoInputFilesToCombine
+from birda_tpu.errors import NoInputFilesToCombine
 from birda_tpu.output.audacity import AudacityWriter
 from birda_tpu.output.csv import CsvWriter, escape_csv
 from birda_tpu.output.json_envelope import (

@@ -9,7 +9,7 @@ from pathlib import Path
 import numpy as np
 import pytest
 
-from birda_tpu.errors import ConfigLocked, FileLocked, PathTraversal
+from birda_tpu.errors import ConfigLocked, FileLocked
 from birda_tpu.inference.classifier import BirdClassifier
 from birda_tpu.locking.config_lock import ConfigLock
 from birda_tpu.locking.file_lock import FileLock, cleanup_all_locks

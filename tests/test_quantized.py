@@ -7,7 +7,6 @@ computed independently at fp64 and must match exactly (same round/saturate
 semantics)."""
 
 import numpy as np
-import pytest
 
 import fixtures_onnx as fo
 from birda_tpu.onnx.lowering import lower

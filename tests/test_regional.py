@@ -11,7 +11,7 @@ import pytest
 from birda_tpu.errors import ClassifierBuild, RegionNotFound
 from birda_tpu.models import contracts
 from birda_tpu.models.regional import match_labels, slice_to_region
-from birda_tpu.models.zoo import synthetic_labels, tiny_model
+from birda_tpu.models.zoo import tiny_model
 from birda_tpu.registry.loader import load_registry
 from birda_tpu.registry.selection import SystemProbe, select_variant
 
