@@ -161,3 +161,24 @@ class TestEndToEnd:
         res4, csv4 = run(4, "out4")
         assert res1.segments == res4.segments
         assert csv1 == csv4
+
+
+class TestDecodeWorkerResolution:
+    def test_explicit_wins(self):
+        from birda_tpu.orchestrator import AnalyzeOptions, resolve_decode_workers
+
+        assert resolve_decode_workers(AnalyzeOptions(decode_workers=3)) == 3
+
+    def test_auto_yields_single_thread_under_cross_file_jobs(self):
+        from birda_tpu.orchestrator import AnalyzeOptions, resolve_decode_workers
+
+        assert resolve_decode_workers(
+            AnalyzeOptions(decode_workers=0, jobs=4)) == 1
+
+    def test_auto_uses_cores_for_single_job(self):
+        import os
+
+        from birda_tpu.orchestrator import AnalyzeOptions, resolve_decode_workers
+
+        got = resolve_decode_workers(AnalyzeOptions(decode_workers=0, jobs=1))
+        assert got == max(1, min(4, os.cpu_count() or 1))
