@@ -138,7 +138,7 @@ def main() -> None:
 
     extra = {}
 
-    rt_v24, _ = _bench_onnx(fs.BIRDNET_V24_SPEC, batch=512, iters=4)
+    rt_v24, _ = _bench_onnx(fs.BIRDNET_V24_SPEC, batch=256, iters=8)
     try:
         rt_perch, _ = _bench_onnx(fs.PERCH_V2_SPEC, batch=256, iters=6)
         extra["perch_v2_onnx_x_realtime"] = round(rt_perch, 0)
@@ -164,7 +164,7 @@ def main() -> None:
 
     print(json.dumps({
         "metric": ("birdnet-v2.4 ONNX-lowered full-scale inference realtime "
-                   f"({platform}, batch 512, bf16)"),
+                   f"({platform}, batch 256, bf16)"),
         "value": round(rt_v24, 1),
         "unit": "x realtime",
         "vs_baseline": round(rt_v24 / BASELINE_BIRDNET_V24, 3),

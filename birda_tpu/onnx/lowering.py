@@ -484,13 +484,24 @@ class _Evaluator:
 
     # -- linear algebra ------------------------------------------------------
 
+    def _mm_out(self, out):
+        """In compute-dtype mode, materialize matmul/conv outputs at the
+        compute dtype: fusion-boundary tensors dominate HBM traffic on
+        bandwidth-bound graphs, and fp32 accumulation already happened
+        inside the op (docs/performance.md roofline)."""
+        if self.compute_dtype is None or _is_host(out):
+            return out
+        return out.astype(self.compute_dtype)
+
     def op_MatMul(self, node, a, b):
         if _is_host(a) and _is_host(b):
             return np.matmul(a, b)
         import jax.numpy as jnp
 
         a, b = self._mm_cast(a, b)
-        return jnp.matmul(a, b, preferred_element_type=jnp.float32)
+        return self._mm_out(
+            jnp.matmul(a, b, preferred_element_type=jnp.float32)
+        )
 
     def op_Gemm(self, node, a, b, c=None):
         alpha = node.attr("alpha", 1.0)
@@ -508,7 +519,7 @@ class _Evaluator:
             out = alpha * jnp.matmul(a, b, preferred_element_type=jnp.float32)
         if c is not None:
             out = out + beta * c
-        return out
+        return self._mm_out(out) if not _is_host(out) else out
 
     # -- convolution / pooling ----------------------------------------------
 
@@ -557,7 +568,7 @@ class _Evaluator:
             )
             if b is not None:
                 out = out + jnp.asarray(b).reshape(1, -1, 1)
-            return out
+            return self._mm_out(out)
         chars = "DHW"[3 - spatial :]
         dn = lax.conv_dimension_numbers(
             x.shape, w.shape,
@@ -576,7 +587,7 @@ class _Evaluator:
         )
         if b is not None:
             out = out + jnp.asarray(b).reshape((1, -1) + (1,) * spatial)
-        return out
+        return out if pref is jnp.int32 else self._mm_out(out)
 
     def op_ConvTranspose(self, node, x, w, b=None):
         import jax.numpy as jnp
