@@ -155,6 +155,11 @@ def cli(ctx):
               envvar="BIRDA_DECODE_WORKERS",
               help="Decode threads per file (seek-based span decoding). "
                    "0 = auto, 1 = single decode thread.")
+@click.option("--precision", type=click.Choice(["fp32", "bf16"]),
+              default="fp32", envvar="BIRDA_PRECISION",
+              help="ONNX graph precision: fp32 = bit-faithful scores; "
+                   "bf16 = +25%% throughput, scores drift up to ~5e-3 "
+                   "(fp32 accumulation either way).")
 @click.option("--region-labels", type=click.Path(path_type=Path),
               envvar="BIRDA_REGION_LABELS",
               help="Slice the model to this regional label file (subset of "
@@ -169,7 +174,7 @@ def analyze(inputs, model, model_path, labels_path, model_type, bat, formats,
             week, month, day, day_of_year, range_threshold, rerank,
             range_unmatched, slist, stale_lock_timeout, jobs, no_progress,
             stdout_mode, output_mode, accept_license, decode_workers,
-            region_labels, profile_dir):
+            precision, region_labels, profile_dir):
     """Analyze audio files for bird detections."""
     init_logging(verbose, quiet)
     if not inputs:
@@ -230,6 +235,7 @@ def analyze(inputs, model, model_path, labels_path, model_type, bat, formats,
         allow_download=accept_license,
         region_labels=region_labels,
         decode_workers=decode_workers,
+        precision=precision,
     )
     profiling = False
     if profile_dir is not None:

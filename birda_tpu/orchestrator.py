@@ -105,6 +105,11 @@ class AnalyzeOptions:
     #: files when not already running cross-file workers), 1 = reference
     #: behavior (single decode thread), N = explicit.
     decode_workers: int = 0
+    #: Inference precision for ONNX-lowered graphs: "fp32" is bit-faithful
+    #: (the ≤1e-3 parity route); "bf16" runs matmuls/convs in bf16 with
+    #: fp32 accumulation and bf16 activations (+25% on bandwidth-bound
+    #: graphs, ≤5e-3 score drift — the TensorRT-fp16-engine analogue).
+    precision: str = "fp32"
 
 
 @dataclass
@@ -195,7 +200,8 @@ def resolve_decode_workers(options: AnalyzeOptions) -> int:
     return max(1, min(4, os.cpu_count() or 1))
 
 
-def load_model_graph(mc: ModelConfig, name: str) -> LoadedModel:
+def load_model_graph(mc: ModelConfig, name: str,
+                     precision: str = "fp32") -> LoadedModel:
     """Turn a config entry into a runnable graph.
 
     ``path`` semantics: a real ``.onnx`` file goes through the ONNX->XLA
@@ -212,8 +218,14 @@ def load_model_graph(mc: ModelConfig, name: str) -> LoadedModel:
         return tiny_model(family)
     validate_model_config(name, mc)
     labels = read_geomodel_labels(mc.labels)  # same one-label-per-line format
+    dtype = None
+    if precision == "bf16":
+        import jax.numpy as jnp
+
+        dtype = jnp.bfloat16
     try:
-        return onnx_model(mc.path, contracts.contract_for(family), labels)
+        return onnx_model(mc.path, contracts.contract_for(family), labels,
+                          dtype=dtype)
     except BirdaError:
         raise
     except Exception as e:  # noqa: BLE001 — parse/lowering errors -> typed
@@ -393,7 +405,7 @@ def analyze_files(options: AnalyzeOptions, config: Config, reporter=None) -> int
             )
             range_request = None
 
-    model = load_model_graph(mc, model_name)
+    model = load_model_graph(mc, model_name, precision=options.precision)
     if options.region_labels is not None:
         # Regional view of the full graph (gather for sigmoid heads,
         # gather+renormalize for softmax — the upstream regional graphs'
