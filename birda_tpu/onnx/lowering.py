@@ -964,18 +964,15 @@ class _Evaluator:
         return jnp.matmul(af, bf, preferred_element_type=jnp.int32)
 
     def op_ConvInteger(self, node, x, w, x_zp=None, w_zp=None):
-        xf = (_np(x).astype(np.float32) if _is_host(x) else x.astype(np.float32))
-        wf = (_np(w).astype(np.float32) if _is_host(w) else w.astype(np.float32))
-        if x_zp is not None:
-            xf = xf - np.asarray(x_zp, np.float32) if _is_host(x_zp) else xf - x_zp.astype(np.float32)
-        if w_zp is not None:
-            wf = wf - np.asarray(w_zp, np.float32) if _is_host(w_zp) else wf - w_zp.astype(np.float32)
-        # int8*int8 products and their sums up to 2^23 are exact in fp32.
-        out = self.op_Conv(node, xf, wf, None)
-        import jax.numpy as jnp
-
-        m = self._lib(out)
-        return m.round(out).astype(np.int32) if m is np else jnp.round(out).astype(jnp.int32)
+        xi = self._as_i32(x, x_zp)
+        wndim = getattr(w, "ndim", _np(w).ndim)
+        wi = self._as_i32(w, self._per_axis(w_zp, wndim, 0))
+        saved = self.compute_dtype
+        self.compute_dtype = None
+        try:
+            return self.op_Conv(node, xi, wi, None)  # int32 accumulation
+        finally:
+            self.compute_dtype = saved
 
     # com.microsoft QLinear* elementwise ops (QOperator-format graphs).
 

@@ -280,3 +280,30 @@ class TestQdqGraph:
         got = np.asarray(fn(x))
         want = x @ (w_q.astype(np.float32) * 0.01)
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+class TestConvInteger:
+    def test_conv_integer_int32_exact(self):
+        import torch
+        import torch.nn.functional as TF
+
+        rng = np.random.default_rng(7)
+        x = rng.integers(0, 256, (1, 4, 10, 10)).astype(np.uint8)
+        w = rng.integers(-128, 128, (8, 4, 3, 3)).astype(np.int8)
+        mb = fo.model(
+            [fo.node("ConvInteger", ["x", "w", "xzp"], ["y"], attrs=[
+                fo.attr_ints("strides", [1, 1]),
+                fo.attr_ints("pads", [1, 1, 1, 1]),
+                fo.attr_ints("kernel_shape", [3, 3]),
+            ])],
+            inputs=[fo.value_info("x", [1, 4, 10, 10], elem_type=2)],
+            outputs=[fo.value_info("y", ["n"], elem_type=6)],
+            initializers=[fo.tensor("w", w), fo.tensor("xzp", np.uint8(128))],
+        )
+        got = run(mb, x)
+        want = TF.conv2d(
+            torch.from_numpy(x.astype(np.float64) - 128),
+            torch.from_numpy(w.astype(np.float64)), padding=1,
+        ).numpy().astype(np.int32)
+        np.testing.assert_array_equal(got, want)
+        assert got.dtype == np.int32
