@@ -39,9 +39,11 @@ class batch_size:
 
     CPU = DEFAULT_BATCH_SIZE
     # TPU defaults: big batches amortize host->HBM transfer and fill the MXU.
+    # Measured sweet spots on a v5e with the ONNX-lowered full-scale
+    # graphs, bf16 activations (docs/performance.md batch scaling).
     TPU_BIRDNET_V24 = 256
-    TPU_BIRDNET_V30 = 128
-    TPU_PERCH_V2 = 128
+    TPU_BIRDNET_V30 = 256
+    TPU_PERCH_V2 = 256
     OTHER_ACCEL = 16
 
 

@@ -73,7 +73,7 @@ class TestResolution:
     def test_batch_defaults(self):
         assert determine_default_batch_size(ModelType.BIRDNET_V24, "cpu") == 8
         assert determine_default_batch_size(ModelType.BIRDNET_V24, "tpu") == 256
-        assert determine_default_batch_size(ModelType.BIRDNET_V30, "tpu") == 128
+        assert determine_default_batch_size(ModelType.BIRDNET_V30, "tpu") == 256
 
     def test_species_filter_precedence(self, tmp_path, caplog):
         slist = tmp_path / "list.txt"
