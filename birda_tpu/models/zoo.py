@@ -187,10 +187,58 @@ def onnx_model(
 
     fn = lower(path if isinstance(path, bytes) else str(path),
                compute_dtype=dtype)
+    return _loaded_from_onnx_fn(fn, config, labels,
+                                cast_float=dtype is not None)
+
+
+def onnx_model_int8(
+    path: Path | str | bytes,
+    config: ModelConfig,
+    labels: list[str],
+    calibration,
+    compute_dtype=None,
+) -> LoadedModel:
+    """Load an ONNX graph with calibrated int8 execution (the TensorRT-int8
+    analogue; see :mod:`birda_tpu.onnx.quantize` for the scheme and the
+    selection rules).
+
+    ``calibration`` is a :class:`~birda_tpu.onnx.quantize.CalibrationResult`
+    from :func:`~birda_tpu.onnx.quantize.calibrate`. ``compute_dtype``
+    governs the non-quantized ops (None = bf16 on TPU, fp32 elsewhere);
+    quantized weights ship/live as int8 (half the bf16 footprint).
+    """
+    from ..onnx.quantize import lower_int8
+
+    fn = lower_int8(path if isinstance(path, bytes) else str(path),
+                    calibration, compute_dtype=compute_dtype)
+    if compute_dtype is None:
+        import jax
+
+        cast_float = jax.default_backend() == "tpu"
+    else:
+        cast_float = compute_dtype == jnp.bfloat16
+    return _loaded_from_onnx_fn(fn, config, labels, cast_float=cast_float,
+                                source="onnx-int8")
+
+
+def _loaded_from_onnx_fn(
+    fn, config: ModelConfig, labels: list[str],
+    cast_float: bool, source: str = "onnx",
+) -> LoadedModel:
+    """Wrap a lowered :class:`OnnxFunction` as a :class:`LoadedModel`.
+
+    ``cast_float=True`` stores lifted *float* params in bfloat16 (halving
+    HBM footprint and read traffic); integer params (int8 weights from the
+    quantized path) always keep their dtype.
+    """
     holder = {
         "params": (
-            {k: np.asarray(v, jnp.bfloat16) for k, v in fn.params.items()}
-            if dtype is not None
+            {
+                k: (np.asarray(v, jnp.bfloat16)
+                    if np.asarray(v).dtype.kind == "f" else v)
+                for k, v in fn.params.items()
+            }
+            if cast_float
             else fn.params
         )
     }
@@ -219,7 +267,7 @@ def onnx_model(
         return result
 
     return LoadedModel(config=config, labels=labels, apply=apply,
-                       source="onnx", bind_device=bind_device)
+                       source=source, bind_device=bind_device)
 
 
 # ---------------------------------------------------------------------------

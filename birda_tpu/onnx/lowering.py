@@ -1058,10 +1058,16 @@ class OnnxFunction:
     so static-shape constant folding keeps working.
     """
 
-    def __init__(self, model: Model, compute_dtype=None):
+    def __init__(self, model: Model, compute_dtype=None, evaluator=None):
         self.model = model
         self.graph = model.graph
-        self._eval = _Evaluator(self.graph, compute_dtype=compute_dtype)
+        # A caller-supplied evaluator swaps the execution semantics while
+        # keeping the param-lifting / feed plumbing (the int8 PTQ path in
+        # :mod:`.quantize` rides this hook).
+        self._eval = (
+            evaluator if evaluator is not None
+            else _Evaluator(self.graph, compute_dtype=compute_dtype)
+        )
         init_names = set(self.graph.initializers)
         self.input_names = [
             vi.name for vi in self.graph.inputs if vi.name not in init_names

@@ -1,0 +1,482 @@
+"""Post-training int8 quantization: float ONNX graphs, int8 TPU execution.
+
+The reference's best published numbers come from TensorRT (BASELINE.md),
+whose headline trick is building an int8 engine from a float graph plus a
+calibration pass over representative inputs (the reference manages exactly
+those engine caches, ``src/inference/classifier.rs:994-1057``). This module
+is the TPU-native equivalent — no new asset needed, any installed float
+graph gains an int8 execution mode:
+
+- **Weights**: per-output-channel symmetric int8 (``scale = amax(|w|)/127``,
+  no zero point — MXU-friendly, no zero-point correction terms in the
+  accumulator), halving their HBM footprint vs bf16 again.
+- **Activations**: per-tensor symmetric int8 with a *static* scale from a
+  calibration pass (max or percentile of ``|x|`` over calibration batches).
+- **Compute**: int8 x int8 -> int32 on the MXU
+  (``preferred_element_type=int32``).
+- **Epilogue**: the int32 accumulator dequantizes with the combined
+  per-channel scale in fp32, bias adds in float, and the graph continues
+  at the compute dtype (bfloat16 by default) — everything around the
+  quantized matmuls/convs behaves exactly like ``--precision bf16``.
+
+What quantizes: ``Conv``/``MatMul``/``Gemm`` nodes whose weight operand is
+a float graph initializer of at least ``min_weight_bytes`` — minus
+
+- the Conv1d-STFT / framer front-end convs (single input channel, kernel
+  >= 256): they are the DSP, already compute-bound at MXU-friendly shapes
+  (docs/performance.md roofline), and they sit ahead of the log
+  compression where an 8-bit grid erases the spectrum floor;
+- any node whose calibrated activation is too heavy-tailed for a
+  per-tensor 8-bit grid: when ``mean(|x|)`` falls below one quantization
+  step (``min_mean_lsb`` LSBs), the bulk of the tensor rounds to zero —
+  the guard that keeps pre-log power spectra in float on graph shapes
+  this module has not seen;
+- ``MatMul`` nodes whose activation is not 2-D (the mel-projection batch
+  matmuls; backbone matmuls flatten first).
+
+A weight is quantized only when *every* consumer node is quantized, so the
+float execution path never sees an int8 array.
+
+Calibration inputs should be representative audio; :func:`calibration_signals`
+synthesizes a built-in set (pink noise + chirps at realistic levels) for
+when none is provided, and the orchestrator accepts ``--calibration-audio``
+to calibrate on the user's own recordings through the decode stack.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+
+import numpy as np
+
+from .lowering import OnnxFunction, _Evaluator, _is_host
+from .proto import Model, load_model
+
+QMAX = 127.0
+#: Weights below this size stay float: the dequant epilogue costs more than
+#: the tiny matmul saves.
+DEFAULT_MIN_WEIGHT_BYTES = 4096
+#: Skip quantizing a node when the calibrated ``mean(|x|)`` is below this
+#: many quantization steps (LSB = scale = amax/127): the grid spends its 7
+#: magnitude bits on the outliers and rounds the bulk of the tensor to
+#: zero. Post-norm backbone activations measure 5-30 mean-LSBs; pre-log
+#: power spectra measure well under 1.
+DEFAULT_MIN_MEAN_LSB = 1.0
+
+
+# ---------------------------------------------------------------------------
+# Eligibility
+# ---------------------------------------------------------------------------
+
+
+def _structurally_eligible(graph, node) -> str | None:
+    """Weight-initializer name if ``node`` can execute int8, else None."""
+    if node.op_type not in ("Conv", "MatMul", "Gemm") or len(node.inputs) < 2:
+        return None
+    if node.inputs[0] in graph.initializers:
+        return None  # constant activation: host-folded, nothing to win
+    t = graph.initializers.get(node.inputs[1])
+    arr = None if t is None else t.array
+    if arr is None or arr.dtype.kind != "f":
+        return None
+    if node.op_type == "Conv" and arr.ndim == 3 and arr.shape[1] == 1 \
+            and arr.shape[2] >= 256:
+        return None  # Conv1d-STFT / framer DSP front-end stays float
+    if node.op_type == "Gemm" and node.attr("transA", 0):
+        return None
+    if node.op_type == "MatMul" and arr.ndim != 2:
+        return None
+    return node.inputs[1]
+
+
+# ---------------------------------------------------------------------------
+# Calibration
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class CalibrationResult:
+    """Per-tensor activation statistics from a calibration run.
+
+    ``stats`` maps tensor name -> ``{"amax", "pctl", "amean", "ndim"}``; the
+    activation scale is ``amax/127`` (method "max") or ``pctl/127``
+    (method "percentile" — clips the outlier tail, finer grid for the bulk).
+    """
+
+    method: str
+    percentile: float
+    batches: int
+    stats: dict
+
+    def scale(self, name: str) -> float | None:
+        s = self.stats.get(name)
+        if s is None:
+            return None
+        src = s["pctl"] if self.method == "percentile" else s["amax"]
+        return max(float(src) / QMAX, 1e-12)
+
+    def to_json(self) -> str:
+        return json.dumps({
+            "version": 1, "method": self.method,
+            "percentile": self.percentile, "batches": self.batches,
+            "stats": self.stats,
+        }, sort_keys=True)
+
+    @classmethod
+    def from_json(cls, text: str) -> "CalibrationResult":
+        d = json.loads(text)
+        return cls(method=d["method"], percentile=d["percentile"],
+                   batches=d["batches"], stats=d["stats"])
+
+
+class _CaptureEvaluator(_Evaluator):
+    """fp32 evaluator recording activation stats at eligible node inputs.
+
+    Captured values are jax tracers during jit tracing; :func:`calibrate`
+    returns them as program outputs and reduces across batches host-side.
+    """
+
+    def __init__(self, graph, targets: set, percentile: float):
+        super().__init__(graph, compute_dtype=None)
+        self.targets = targets
+        self.percentile = percentile
+        self.captured: dict = {}
+        self.ndims: dict = {}  # static, recorded at trace time
+
+    def _record(self, node, x):
+        name = node.inputs[0]
+        if name not in self.targets or x is None or _is_host(x):
+            return
+        import jax.numpy as jnp
+
+        xa = jnp.abs(x.astype(jnp.float32))
+        amax = jnp.max(xa)
+        pctl = jnp.percentile(xa, self.percentile)
+        amean = jnp.mean(xa)
+        prev = self.captured.get(name)
+        if prev is not None:  # same tensor feeds several eligible nodes
+            amax = jnp.maximum(amax, prev[0])
+            pctl = jnp.maximum(pctl, prev[1])
+            amean = jnp.maximum(amean, prev[2])
+        self.captured[name] = (amax, pctl, amean)
+        self.ndims[name] = int(x.ndim)
+
+    def op_Conv(self, node, x, w, b=None):
+        self._record(node, x)
+        return super().op_Conv(node, x, w, b)
+
+    def op_MatMul(self, node, a, b):
+        self._record(node, a)
+        return super().op_MatMul(node, a, b)
+
+    def op_Gemm(self, node, a, b, c=None):
+        self._record(node, a)
+        return super().op_Gemm(node, a, b, c)
+
+
+def calibrate(
+    model: Model | bytes | str,
+    batches,
+    params: dict | None = None,
+    method: str = "max",
+    percentile: float = 99.9,
+    min_weight_bytes: int = DEFAULT_MIN_WEIGHT_BYTES,
+) -> CalibrationResult:
+    """Run calibration batches through the float graph at fp32, collecting
+    activation ranges at every quantization-eligible node input.
+
+    ``batches`` is an iterable of input arrays (single-input graphs) or
+    tuples matching the graph's input order. Jitted once per batch shape on
+    the default backend. ``params`` overrides the lifted weights (pass
+    device-resident copies to avoid re-uploading).
+    """
+    import jax
+
+    if method not in ("max", "percentile"):
+        raise ValueError(f"unknown calibration method {method!r}")
+    if not isinstance(model, Model):
+        model = load_model(model)
+    graph = model.graph
+    targets = set()
+    for node in graph.nodes:
+        wname = _structurally_eligible(graph, node)
+        if wname is not None and \
+                graph.initializers[wname].array.nbytes >= min_weight_bytes:
+            targets.add(node.inputs[0])
+
+    ev = _CaptureEvaluator(graph, targets, percentile)
+    fn = OnnxFunction(model, evaluator=ev)
+    if params is None:
+        params = {k: jax.device_put(v) for k, v in fn.params.items()}
+
+    def run(p, *xs):
+        ev.captured = {}
+        fn(*xs, params=p)
+        return dict(ev.captured)
+
+    jrun = jax.jit(run)
+    agg: dict = {}
+    n = 0
+    for batch in batches:
+        xs = batch if isinstance(batch, tuple) else (batch,)
+        out = jax.device_get(jrun(params, *xs))
+        n += 1
+        for name, (amax, pctl, amean) in out.items():
+            a, p_, m = agg.get(name, (0.0, 0.0, 0.0))
+            agg[name] = (max(a, float(amax)), max(p_, float(pctl)),
+                         max(m, float(amean)))
+    stats = {
+        name: {
+            "amax": a, "pctl": p_, "amean": m,
+            "ndim": ev.ndims.get(name, 0),
+        }
+        for name, (a, p_, m) in agg.items()
+    }
+    return CalibrationResult(method=method, percentile=percentile,
+                             batches=n, stats=stats)
+
+
+def calibration_signals(
+    sample_count: int, batch: int = 8, n_batches: int = 4, seed: int = 17
+):
+    """Built-in calibration set: pink noise + random chirps at realistic
+    PCM levels (log-uniform peaks 0.003-0.9), yielding ``n_batches`` arrays
+    of ``[batch, sample_count]`` float32.
+
+    Representative *user* audio is better (``--calibration-audio``); this
+    covers the no-assets case with the right spectral tilt — bioacoustic
+    recordings are pink-ish with sparse tonal foreground.
+    """
+    rng = np.random.default_rng(seed)
+    t = np.arange(sample_count, dtype=np.float64)
+    for _ in range(n_batches):
+        rows = []
+        for _ in range(batch):
+            spec = np.fft.rfft(rng.standard_normal(sample_count))
+            f = np.maximum(np.arange(spec.size), 1.0)
+            pink = np.fft.irfft(spec / np.sqrt(f), n=sample_count)
+            pink /= max(np.max(np.abs(pink)), 1e-12)
+            sig = pink * rng.uniform(0.2, 1.0)
+            for _ in range(rng.integers(0, 4)):
+                f0 = rng.uniform(0.002, 0.35)  # cycles/sample
+                sweep = rng.uniform(-0.3, 0.3) * f0 / sample_count
+                amp = 10 ** rng.uniform(-2.0, 0.0)
+                sig = sig + amp * np.sin(
+                    2 * np.pi * (f0 * t + 0.5 * sweep * t * t))
+            peak = 10 ** rng.uniform(-2.5, -0.05)  # 0.003 .. 0.9
+            sig *= peak / max(np.max(np.abs(sig)), 1e-12)
+            rows.append(sig.astype(np.float32))
+        yield np.stack(rows)
+
+
+# ---------------------------------------------------------------------------
+# Quantized execution
+# ---------------------------------------------------------------------------
+
+
+class _Int8Evaluator(_Evaluator):
+    """Evaluator executing selected Conv/MatMul/Gemm nodes as int8 x int8
+    -> int32 with a float dequant epilogue; everything else runs exactly as
+    the base evaluator at ``compute_dtype``."""
+
+    def __init__(self, graph, qnodes: set, ascale: dict, wscale: dict,
+                 compute_dtype):
+        super().__init__(graph, compute_dtype=compute_dtype)
+        self._qnodes = qnodes    # node.outputs[0] of int8-executed nodes
+        self._ascale = ascale    # activation tensor name -> float scale
+        self._wscale = wscale    # weight name -> np.float32 [out_channels]
+
+    def _qact(self, x, sx: float):
+        import jax.numpy as jnp
+
+        q = jnp.round(x.astype(jnp.float32) * np.float32(1.0 / sx))
+        return jnp.clip(q, -QMAX, QMAX).astype(jnp.int8)
+
+    def op_Conv(self, node, x, w, b=None):
+        if node.outputs[0] not in self._qnodes:
+            return super().op_Conv(node, x, w, b)
+        import jax.numpy as jnp
+
+        sw = self._wscale[node.inputs[1]]
+        spatial = np.ndim(w) - 2  # tracer-safe (no materialization)
+        if _is_host(x):  # safety net: dequantized-weight float path
+            wf = np.asarray(w, np.float32) * sw.reshape(
+                (-1, 1) + (1,) * spatial)
+            return super().op_Conv(node, x, wf, b)
+        sx = self._ascale[node.inputs[0]]
+        xq = self._qact(x, sx)
+        saved = self.compute_dtype
+        self.compute_dtype = None  # int path: no bf16 casts inside
+        try:
+            acc = super().op_Conv(node, xq, w, None)  # int32 accumulation
+        finally:
+            self.compute_dtype = saved
+        scale = (np.float32(sx) * sw).reshape((1, -1) + (1,) * spatial)
+        out = acc.astype(jnp.float32) * scale
+        if b is not None:
+            out = out + jnp.asarray(b, jnp.float32).reshape(
+                (1, -1) + (1,) * spatial)
+        return self._mm_out(out)
+
+    def _int8_matmul(self, node, a, wq):
+        import jax.numpy as jnp
+
+        sx = self._ascale[node.inputs[0]]
+        sw = self._wscale[node.inputs[1]]
+        aq = self._qact(a, sx)
+        acc = jnp.matmul(aq, wq, preferred_element_type=jnp.int32)
+        return acc.astype(jnp.float32) * (np.float32(sx) * sw)
+
+    def op_MatMul(self, node, a, b):
+        if node.outputs[0] not in self._qnodes:
+            return super().op_MatMul(node, a, b)
+        if _is_host(a) or a.ndim != 2:  # safety net
+            sw = self._wscale[node.inputs[1]]
+            bf = (np.asarray(b, np.float32) if _is_host(b)
+                  else b.astype(np.float32)) * sw
+            return super().op_MatMul(node, a, bf)
+        return self._mm_out(self._int8_matmul(node, a, b))
+
+    def op_Gemm(self, node, a, b, c=None):
+        if node.outputs[0] not in self._qnodes:
+            return super().op_Gemm(node, a, b, c)
+        # transB was folded into the stored weight at quantization time;
+        # transA nodes are never selected.
+        if _is_host(a) or a.ndim != 2:  # safety net
+            sw = self._wscale[node.inputs[1]]
+            bf = (np.asarray(b, np.float32) if _is_host(b)
+                  else b.astype(np.float32)) * sw
+            alpha = node.attr("alpha", 1.0)
+            beta = node.attr("beta", 1.0)
+            out = alpha * np.matmul(a, bf) if _is_host(a) else None
+            if out is None:
+                import jax.numpy as jnp
+
+                out = alpha * jnp.matmul(
+                    a, bf, preferred_element_type=jnp.float32)
+            if c is not None:
+                out = out + beta * c
+            return out if _is_host(out) else self._mm_out(out)
+        alpha = node.attr("alpha", 1.0)
+        beta = node.attr("beta", 1.0)
+        out = self._int8_matmul(node, a, b)
+        if alpha != 1.0:
+            out = out * np.float32(alpha)
+        if c is not None:
+            out = out + (np.float32(beta) * c if beta != 1.0 else c)
+        return self._mm_out(out)
+
+
+def lower_int8(
+    model: Model | bytes | str,
+    calibration: CalibrationResult,
+    compute_dtype=None,
+    min_weight_bytes: int = DEFAULT_MIN_WEIGHT_BYTES,
+    min_mean_lsb: float = DEFAULT_MIN_MEAN_LSB,
+) -> OnnxFunction:
+    """Lower an ONNX model with calibrated int8 execution of its heavy
+    matmuls/convs (see module docstring for the selection rules).
+
+    ``compute_dtype`` governs the *non*-quantized ops; the default is
+    bfloat16 on TPU and fp32 elsewhere (XLA:CPU has no bf16 dot support).
+    The result is a drop-in :class:`OnnxFunction`: quantized weights live
+    in ``params`` as int8 (half the bf16 HBM footprint), and two extra
+    attributes report the selection — ``quantized_nodes`` (list of node
+    output names) and ``skipped_nodes`` (name -> reason).
+    """
+    if compute_dtype is None:
+        import jax
+        import jax.numpy as jnp
+
+        if jax.default_backend() == "tpu":
+            compute_dtype = jnp.bfloat16
+    if not isinstance(model, Model):
+        model = load_model(model)
+    graph = model.graph
+
+    consumers: dict = {}
+    for node in graph.nodes:
+        for inp in node.inputs:
+            if inp in graph.initializers:
+                consumers.setdefault(inp, []).append(node)
+
+    selected: dict = {}   # node.outputs[0] -> (node, wname, transform)
+    skipped: dict = {}
+    for node in graph.nodes:
+        wname = _structurally_eligible(graph, node)
+        if wname is None:
+            if node.op_type in ("Conv", "MatMul", "Gemm"):
+                skipped[node.outputs[0]] = "structural"
+            continue
+        key = node.outputs[0]
+        arr = graph.initializers[wname].array
+        if arr.nbytes < min_weight_bytes:
+            skipped[key] = "small-weight"
+            continue
+        st = calibration.stats.get(node.inputs[0])
+        if st is None:
+            skipped[key] = "uncalibrated"
+            continue
+        if node.op_type == "MatMul" and st["ndim"] != 2:
+            skipped[key] = "non-2d-matmul"
+            continue
+        scale = calibration.scale(node.inputs[0]) or 0.0
+        if scale <= 0.0 or st["amean"] < min_mean_lsb * scale:
+            skipped[key] = "heavy-tailed-activation"
+            continue
+        transform = (
+            "conv" if node.op_type == "Conv"
+            else ("gemm-tb" if node.op_type == "Gemm"
+                  and node.attr("transB", 0) else "mat")
+        )
+        selected[key] = (node, wname, transform)
+
+    # A weight quantizes only if every consumer is a selected node using it
+    # as its weight operand, all with the same layout transform.
+    by_weight: dict = {}
+    for key, (node, wname, tr) in selected.items():
+        by_weight.setdefault(wname, []).append((node, tr))
+    qualified = set()
+    for wname, users in by_weight.items():
+        cons = consumers.get(wname, [])
+        ok = len(users) == len(cons) and len({tr for _, tr in users}) == 1
+        ok = ok and all(
+            c.outputs[0] in selected and c.inputs[1] == wname for c in cons
+        )
+        if ok:
+            qualified.add(wname)
+
+    wscale: dict = {}
+    const_override: dict = {}
+    for wname in qualified:
+        _, tr = by_weight[wname][0]
+        w = graph.initializers[wname].array.astype(np.float32)
+        if tr == "gemm-tb":
+            w = np.ascontiguousarray(w.T)
+        if tr == "conv":
+            amax = np.max(np.abs(w), axis=tuple(range(1, w.ndim)))
+            s = np.maximum(amax / QMAX, 1e-12).astype(np.float32)
+            q = np.rint(w / s.reshape((-1,) + (1,) * (w.ndim - 1)))
+        else:  # [K, N]: per output column
+            amax = np.max(np.abs(w), axis=0)
+            s = np.maximum(amax / QMAX, 1e-12).astype(np.float32)
+            q = np.rint(w / s)
+        const_override[wname] = np.clip(q, -QMAX, QMAX).astype(np.int8)
+        wscale[wname] = s
+
+    qnodes = set()
+    ascale: dict = {}
+    for key, (node, wname, _tr) in selected.items():
+        if wname in qualified:
+            qnodes.add(key)
+            ascale[node.inputs[0]] = calibration.scale(node.inputs[0])
+        else:
+            skipped[key] = "weight-shared-with-float-consumer"
+
+    ev = _Int8Evaluator(graph, qnodes, ascale, wscale, compute_dtype)
+    ev.const.update(const_override)
+    fn = OnnxFunction(model, evaluator=ev)
+    fn.quantized_nodes = sorted(qnodes)
+    fn.skipped_nodes = skipped
+    return fn

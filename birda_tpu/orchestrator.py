@@ -15,6 +15,8 @@ from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Optional
 
+import numpy as np
+
 from . import constants
 from .config import geomodel as geomodel_cfg
 from .config import range_filter as rf_cfg
@@ -108,8 +110,15 @@ class AnalyzeOptions:
     #: Inference precision for ONNX-lowered graphs: "fp32" is bit-faithful
     #: (the ≤1e-3 parity route); "bf16" runs matmuls/convs in bf16 with
     #: fp32 accumulation and bf16 activations (+25% on bandwidth-bound
-    #: graphs, ≤5e-3 score drift — the TensorRT-fp16-engine analogue).
+    #: graphs, ≤5e-3 score drift — the TensorRT-fp16-engine analogue);
+    #: "int8" additionally executes the heavy matmuls/convs as int8 with
+    #: int32 accumulation from a calibration pass — the TensorRT-int8
+    #: analogue (:mod:`birda_tpu.onnx.quantize`).
     precision: str = "fp32"
+    #: Representative audio (file or directory) to calibrate int8
+    #: activation scales on; None = the built-in synthetic calibration set
+    #: (pink noise + chirps), whose scales are cached per graph digest.
+    calibration_audio: Optional[Path] = None
 
 
 @dataclass
@@ -201,13 +210,20 @@ def resolve_decode_workers(options: AnalyzeOptions) -> int:
 
 
 def load_model_graph(mc: ModelConfig, name: str,
-                     precision: str = "fp32") -> LoadedModel:
+                     precision: str = "fp32",
+                     backend: Optional[str] = None,
+                     calibration_audio: Optional[Path] = None) -> LoadedModel:
     """Turn a config entry into a runnable graph.
 
     ``path`` semantics: a real ``.onnx`` file goes through the ONNX->XLA
     lowering; the ``synthetic:`` scheme (framework extension) builds the
     native flax architecture with deterministic weights — ``synthetic:tiny``
     for CI-sized runs, ``synthetic:full`` for benchmarking.
+
+    ``backend`` is the *actual* backend the classifier will run on; mixed
+    precision degrades gracefully when it doesn't support the request
+    (XLA:CPU has no bf16 dot support — reference-style warn-and-continue
+    rather than a crash deep inside the first batch).
     """
     family = _MODEL_TYPE_TO_FAMILY[mc.model_type]
     path_str = str(mc.path)
@@ -218,18 +234,131 @@ def load_model_graph(mc: ModelConfig, name: str,
         return tiny_model(family)
     validate_model_config(name, mc)
     labels = read_geomodel_labels(mc.labels)  # same one-label-per-line format
-    dtype = None
-    if precision == "bf16":
-        import jax.numpy as jnp
-
-        dtype = jnp.bfloat16
+    on_cpu = backend == "cpu"
+    if precision in ("bf16", "int8") and on_cpu:
+        logger.warning(
+            "--precision %s requested but the actual backend is CPU; "
+            "non-quantized compute runs fp32 there", precision,
+        )
     try:
+        if precision == "int8":
+            return _load_int8_model(mc, family, labels, calibration_audio,
+                                    on_cpu=on_cpu)
+        dtype = None
+        if precision == "bf16" and not on_cpu:
+            import jax.numpy as jnp
+
+            dtype = jnp.bfloat16
         return onnx_model(mc.path, contracts.contract_for(family), labels,
                           dtype=dtype)
     except BirdaError:
         raise
     except Exception as e:  # noqa: BLE001 — parse/lowering errors -> typed
         raise ClassifierBuild(f"cannot load model graph {mc.path}: {e}") from e
+
+
+def _load_int8_model(mc: ModelConfig, family, labels: list[str],
+                     calibration_audio: Optional[Path],
+                     on_cpu: bool = False) -> LoadedModel:
+    """Calibrated int8 execution of a float graph (the TensorRT-int8
+    engine analogue — reference ``src/inference/classifier.rs:994-1057``
+    caches those engines; we cache the calibration scales).
+
+    Scales from the built-in synthetic calibration set are cached per graph
+    digest under the cache dir, so repeat runs skip the calibration pass
+    the way a TensorRT cache load skips the engine build. Explicit
+    ``--calibration-audio`` always recalibrates (representative audio is
+    the user's statement that the synthetic set isn't).
+    """
+    import hashlib
+
+    import jax.numpy as jnp
+
+    from .config.paths import cache_dir
+    from .models.zoo import onnx_model_int8
+    from .onnx.quantize import (
+        CalibrationResult,
+        calibrate,
+        calibration_signals,
+    )
+    from .utils.fs import write_atomic
+
+    contract = contracts.contract_for(family)
+    data = Path(mc.path).read_bytes()
+    sha = hashlib.sha256(data).hexdigest()
+    cpath = cache_dir() / "int8_calib" / f"{sha[:24]}-max.json"
+
+    calib = None
+    if calibration_audio is None and cpath.exists():
+        try:
+            calib = CalibrationResult.from_json(cpath.read_text())
+            logger.info("int8 calibration scales loaded from cache")
+        except (OSError, ValueError, KeyError):
+            calib = None  # unreadable/stale cache: recalibrate
+    if calib is None:
+        if calibration_audio is not None:
+            batches = _calibration_batches_from_audio(
+                calibration_audio, contract.sample_rate,
+                contract.sample_count,
+            )
+        else:
+            batches = calibration_signals(contract.sample_count)
+        logger.info("calibrating int8 activation scales...")
+        calib = calibrate(data, batches)
+        if calibration_audio is None:
+            cpath.parent.mkdir(parents=True, exist_ok=True)
+            write_atomic(cpath, calib.to_json().encode())
+    compute = jnp.float32 if on_cpu else jnp.bfloat16
+    return onnx_model_int8(data, contract, labels, calib,
+                           compute_dtype=compute)
+
+
+def _calibration_batches_from_audio(path: Path, sample_rate: int,
+                                    sample_count: int,
+                                    batch: int = 8, max_batches: int = 4):
+    """Segment representative audio into calibration batches through the
+    same decode + resample stack the analysis itself uses."""
+    from .audio.decode import StreamingDecoder
+    from .ops.resample import resample_numpy
+    from .pipeline.coordinator import collect_input_files
+
+    files = collect_input_files([Path(path)])
+    if not files:
+        raise ConfigValidation(
+            f"--calibration-audio {path}: no audio files found"
+        )
+    rows: list[np.ndarray] = []
+    batches: list[np.ndarray] = []
+    for f in files:
+        with StreamingDecoder(f) as dec:
+            src_rate = dec.sample_rate
+            src_seg = int(round(sample_count * src_rate / sample_rate))
+            while len(batches) < max_batches:
+                seg = dec.next_segment(src_seg, 0)
+                if seg is None:
+                    break
+                x = seg.samples
+                if src_rate != sample_rate:
+                    x = resample_numpy(x, src_rate, sample_rate)
+                if x.shape[0] < sample_count:
+                    x = np.pad(x, (0, sample_count - x.shape[0]))
+                rows.append(x[:sample_count].astype(np.float32))
+                if len(rows) == batch:
+                    batches.append(np.stack(rows))
+                    rows = []
+        if len(batches) >= max_batches:
+            break
+    if rows and not batches:
+        # Short clip: cycle its segments to fill one batch rather than fail.
+        orig = list(rows)
+        while len(rows) < batch:
+            rows.append(orig[(len(rows) - len(orig)) % len(orig)])
+        batches.append(np.stack(rows[:batch]))
+    if not batches:
+        raise ConfigValidation(
+            f"--calibration-audio {path}: could not decode any segments"
+        )
+    return batches
 
 
 def resolve_device(options: AnalyzeOptions, config: Config) -> str:
@@ -405,7 +534,18 @@ def analyze_files(options: AnalyzeOptions, config: Config, reporter=None) -> int
             )
             range_request = None
 
-    model = load_model_graph(mc, model_name, precision=options.precision)
+    device = resolve_device(options, config)
+    # The actual backend is resolved before lowering so mixed precision can
+    # degrade to what the hardware supports (bf16 dots don't exist on
+    # XLA:CPU) instead of crashing in the first batch.
+    from .inference.backend import select_backend
+
+    _, backend_status = select_backend(device)
+    model = load_model_graph(
+        mc, model_name, precision=options.precision,
+        backend=backend_status.actual,
+        calibration_audio=options.calibration_audio,
+    )
     if options.region_labels is not None:
         # Regional view of the full graph (gather for sigmoid heads,
         # gather+renormalize for softmax — the upstream regional graphs'
@@ -417,7 +557,6 @@ def analyze_files(options: AnalyzeOptions, config: Config, reporter=None) -> int
         model = slice_to_region(
             model, region_labels, region=options.region_labels.stem
         )
-    device = resolve_device(options, config)
 
     species_list = resolve_species_filter(
         options, config, has_range_filter=range_request is not None

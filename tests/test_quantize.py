@@ -1,0 +1,373 @@
+"""Tests for the calibrated int8 execution mode (onnx/quantize.py).
+
+Strategy mirrors the QLinear lowering tests: small hand-built graphs where
+the expected numerics are computable exactly, plus the tiny full-scale
+family graphs for an end-to-end parity budget (the CI-speed stand-ins for
+the real assets, same op mix — SURVEY §4 "fake backend" pattern).
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+import fixtures_onnx as fo
+from birda_tpu.onnx import fullscale as fs
+from birda_tpu.onnx.lowering import lower
+from birda_tpu.onnx.quantize import (
+    CalibrationResult,
+    calibrate,
+    calibration_signals,
+    lower_int8,
+)
+
+
+def conv_gemm_graph(seed=0, out_ch=8):
+    """Conv -> Relu -> Flatten -> Gemm: one quantizable conv + one gemm."""
+    rng = np.random.default_rng(seed)
+    w = rng.normal(0, 0.2, (out_ch, 4, 3, 3)).astype(np.float32)
+    b = rng.normal(0, 0.1, out_ch).astype(np.float32)
+    g = rng.normal(0, 0.2, (out_ch * 36, 16)).astype(np.float32)
+    mb = fo.model(
+        [
+            fo.node("Conv", ["x", "w", "b"], ["c"], attrs=[
+                fo.attr_ints("pads", [0, 0, 0, 0]),
+                fo.attr_ints("kernel_shape", [3, 3]),
+            ]),
+            fo.node("Relu", ["c"], ["r"]),
+            fo.node("Flatten", ["r"], ["f"], attrs=[fo.attr_int("axis", 1)]),
+            fo.node("Gemm", ["f", "g"], ["y"]),
+        ],
+        inputs=[fo.value_info("x", ["batch", 4, 8, 8])],
+        outputs=[fo.value_info("y", ["batch", 16])],
+        initializers=[fo.tensor("w", w), fo.tensor("b", b),
+                      fo.tensor("g", g)],
+    )
+    return mb, (w, b, g)
+
+
+class TestCalibrate:
+    def test_captures_eligible_inputs_with_correct_stats(self):
+        mb, (w, b, g) = conv_gemm_graph()
+        rng = np.random.default_rng(1)
+        x1 = rng.normal(0, 1.0, (2, 4, 8, 8)).astype(np.float32)
+        x2 = rng.normal(0, 2.0, (2, 4, 8, 8)).astype(np.float32)
+        calib = calibrate(mb, [x1, x2], min_weight_bytes=1)
+        assert calib.batches == 2
+        # Conv input "x": amax is the max over both batches.
+        want_amax = max(np.abs(x1).max(), np.abs(x2).max())
+        assert calib.stats["x"]["amax"] == pytest.approx(want_amax, rel=1e-6)
+        assert calib.stats["x"]["ndim"] == 4
+        # Gemm input "f" was captured too (flattened relu output).
+        fn = lower(mb)
+        f1 = np.maximum(np.asarray(fn(x1, params=fn.params)), 0)  # not f, but shape sanity
+        assert "f" in calib.stats
+        assert calib.stats["f"]["ndim"] == 2
+        assert calib.stats["f"]["amax"] > 0
+        del f1
+        # scale = amax / 127
+        assert calib.scale("x") == pytest.approx(want_amax / 127.0, rel=1e-6)
+
+    def test_percentile_method_clips_tail(self):
+        mb, _ = conv_gemm_graph()
+        rng = np.random.default_rng(2)
+        x = rng.normal(0, 1.0, (2, 4, 8, 8)).astype(np.float32)
+        x[0, 0, 0, 0] = 500.0  # outlier
+        c_max = calibrate(mb, [x], min_weight_bytes=1, method="max")
+        c_pct = calibrate(mb, [x], min_weight_bytes=1, method="percentile",
+                          percentile=99.0)
+        assert c_max.scale("x") == pytest.approx(500.0 / 127.0, rel=1e-6)
+        assert c_pct.scale("x") < 0.1 * c_max.scale("x")
+
+    def test_json_roundtrip(self):
+        mb, _ = conv_gemm_graph()
+        x = np.random.default_rng(3).normal(
+            0, 1, (2, 4, 8, 8)).astype(np.float32)
+        calib = calibrate(mb, [x], min_weight_bytes=1)
+        back = CalibrationResult.from_json(calib.to_json())
+        assert back.method == calib.method
+        assert back.stats == json.loads(json.dumps(calib.stats))
+        assert back.scale("x") == calib.scale("x")
+
+    def test_unknown_method_rejected(self):
+        mb, _ = conv_gemm_graph()
+        with pytest.raises(ValueError):
+            calibrate(mb, [], method="entropy")
+
+
+class TestInt8Exactness:
+    def test_conv_exact_on_power_of_two_grid(self):
+        """Inputs/weights on an int8 grid with power-of-two scales: the int8
+        path must reproduce the float conv bit-exactly (int32 accumulation
+        of values that are exactly representable)."""
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(4)
+        wq = rng.integers(-127, 128, (8, 4, 3, 3)).astype(np.float32)
+        for c in range(8):
+            wq[c, 0, 0, 0] = 127.0  # pin per-channel amax
+        w = wq * 0.125  # sw = 2^-3 exactly
+        xq = rng.integers(-127, 128, (2, 4, 8, 8)).astype(np.float32)
+        xq[0, 0, 0, 0] = 127.0
+        x = xq * 0.25  # sx = 2^-2 exactly
+        mb = fo.model(
+            [fo.node("Conv", ["x", "w"], ["y"], attrs=[
+                fo.attr_ints("pads", [0, 0, 0, 0]),
+                fo.attr_ints("kernel_shape", [3, 3]),
+            ])],
+            inputs=[fo.value_info("x", ["batch", 4, 8, 8])],
+            outputs=[fo.value_info("y", ["batch", 8, 6, 6])],
+            initializers=[fo.tensor("w", w)],
+        )
+        calib = calibrate(mb, [x], min_weight_bytes=1)
+        qfn = lower_int8(mb, calib, compute_dtype=jnp.float32,
+                         min_weight_bytes=1)
+        assert qfn.quantized_nodes  # the conv executes int8
+        got = np.asarray(qfn(x, params=qfn.params))
+        ffn = lower(mb)
+        want = np.asarray(ffn(x, params=ffn.params))
+        np.testing.assert_array_equal(got, want)
+
+    def test_lifted_int8_conv_weight_traces_under_jit(self):
+        """Weights >= LIFT_PARAM_BYTES arrive as *tracers* inside jit — the
+        quantized conv path must not try to materialize them (regression:
+        np.asarray on a traced weight)."""
+        import jax
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(11)
+        w = rng.normal(0, 0.1, (64, 32, 6, 6)).astype(np.float32)  # 73728 el
+        x = rng.normal(0, 1.0, (2, 32, 16, 16)).astype(np.float32)
+        mb = fo.model(
+            [fo.node("Conv", ["x", "w"], ["y"], attrs=[
+                fo.attr_ints("pads", [0, 0, 0, 0]),
+                fo.attr_ints("kernel_shape", [6, 6]),
+            ])],
+            inputs=[fo.value_info("x", ["batch", 32, 16, 16])],
+            outputs=[fo.value_info("y", ["batch", 64, 11, 11])],
+            initializers=[fo.tensor("w", w)],
+        )
+        calib = calibrate(mb, [x], min_weight_bytes=1)
+        qfn = lower_int8(mb, calib, compute_dtype=jnp.float32,
+                         min_weight_bytes=1)
+        assert any(np.asarray(v).dtype == np.int8
+                   for v in qfn.params.values())  # the weight was lifted
+        params = {k: jax.device_put(v) for k, v in qfn.params.items()}
+        got = np.asarray(jax.jit(
+            lambda p, a: qfn(a, params=p))(params, x))
+        want = np.asarray(lower(mb)(x))
+        # int8 quantization noise only: ~2% of the +-8 output range here
+        # (1152-MAC accumulation); the tracer bug this guards against
+        # produced an exception, not drift.
+        assert np.max(np.abs(got - want)) < 0.04 * np.max(np.abs(want))
+
+    def test_gemm_transb_exact(self):
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(5)
+        wq = rng.integers(-127, 128, (16, 32)).astype(np.float32)  # [N,K]
+        wq[:, 0] = 127.0
+        w = wq * 0.0625
+        xq = rng.integers(-127, 128, (4, 32)).astype(np.float32)
+        xq[0, 0] = 127.0
+        x = xq * 0.5
+        c = rng.normal(0, 1, 16).astype(np.float32)
+        mb = fo.model(
+            [fo.node("Gemm", ["x", "w", "c"], ["y"], attrs=[
+                fo.attr_int("transB", 1),
+            ])],
+            inputs=[fo.value_info("x", ["batch", 32])],
+            outputs=[fo.value_info("y", ["batch", 16])],
+            initializers=[fo.tensor("w", w), fo.tensor("c", c)],
+        )
+        calib = calibrate(mb, [x], min_weight_bytes=1)
+        qfn = lower_int8(mb, calib, compute_dtype=jnp.float32,
+                         min_weight_bytes=1)
+        assert qfn.quantized_nodes
+        got = np.asarray(qfn(x, params=qfn.params))
+        want = x @ w.T + c
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+class TestSelectionRules:
+    def test_stft_frontend_conv_stays_float(self):
+        """The Conv1d-STFT form (in_ch 1, kernel >= 256) never quantizes."""
+        g = fs.cached_build(fs.tiny_spec(fs.BIRDNET_V24_SPEC), seed=1)
+        x = next(calibration_signals(g.spec.sample_count, batch=2,
+                                     n_batches=1))
+        calib = calibrate(g.model_bytes, [x])
+        qfn = lower_int8(g.model_bytes, calib)
+        assert qfn.quantized_nodes
+        stft = [k for k, v in qfn.skipped_nodes.items()
+                if k.startswith("conv") and v == "structural"]
+        assert stft  # the front-end conv was structurally excluded
+
+    def test_weight_shared_with_float_consumer_not_quantized(self):
+        rng = np.random.default_rng(6)
+        w = rng.normal(0, 0.2, (32, 16)).astype(np.float32)
+        mb = fo.model(
+            [
+                fo.node("MatMul", ["x", "w"], ["m"]),
+                # Same initializer consumed by a non-quantizable op:
+                fo.node("ReduceSum", ["w"], ["s"], attrs=[
+                    fo.attr_ints("axes", [0]), fo.attr_int("keepdims", 0),
+                ]),
+                fo.node("Add", ["m", "s"], ["y"]),
+            ],
+            inputs=[fo.value_info("x", ["batch", 32])],
+            outputs=[fo.value_info("y", ["batch", 16])],
+            initializers=[fo.tensor("w", w)],
+        )
+        x = rng.normal(0, 1, (4, 32)).astype(np.float32)
+        calib = calibrate(mb, [x], min_weight_bytes=1)
+        qfn = lower_int8(mb, calib, min_weight_bytes=1)
+        assert qfn.quantized_nodes == []
+        assert "weight-shared-with-float-consumer" in \
+            qfn.skipped_nodes.values()
+        # And it still computes correctly (float path untouched).
+        got = np.asarray(qfn(x, params=qfn.params)).astype(np.float32)
+        want = x @ w + w.sum(0)
+        np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+    def test_heavy_tailed_activation_skipped(self):
+        rng = np.random.default_rng(7)
+        w = rng.normal(0, 0.2, (64, 16)).astype(np.float32)
+        mb = fo.model(
+            [fo.node("MatMul", ["x", "w"], ["y"])],
+            inputs=[fo.value_info("x", ["batch", 64])],
+            outputs=[fo.value_info("y", ["batch", 16])],
+            initializers=[fo.tensor("w", w)],
+        )
+        x = rng.normal(0, 0.01, (4, 64)).astype(np.float32)
+        x[0, 0] = 1e4  # amax >> rms
+        calib = calibrate(mb, [x], min_weight_bytes=1)
+        qfn = lower_int8(mb, calib, min_weight_bytes=1)
+        assert qfn.quantized_nodes == []
+        assert list(qfn.skipped_nodes.values()) == [
+            "heavy-tailed-activation"]
+
+    def test_3d_matmul_not_selected(self):
+        rng = np.random.default_rng(8)
+        w = rng.normal(0, 0.2, (8, 16)).astype(np.float32)
+        mb = fo.model(
+            [fo.node("MatMul", ["x", "w"], ["y"])],
+            inputs=[fo.value_info("x", ["batch", 4, 8])],
+            outputs=[fo.value_info("y", ["batch", 4, 16])],
+            initializers=[fo.tensor("w", w)],
+        )
+        x = rng.normal(0, 1, (2, 4, 8)).astype(np.float32)
+        calib = calibrate(mb, [x], min_weight_bytes=1)
+        qfn = lower_int8(mb, calib, min_weight_bytes=1)
+        assert qfn.quantized_nodes == []
+        assert list(qfn.skipped_nodes.values()) == ["non-2d-matmul"]
+
+    def test_small_weights_stay_float(self):
+        mb, _ = conv_gemm_graph()
+        x = np.random.default_rng(9).normal(
+            0, 1, (2, 4, 8, 8)).astype(np.float32)
+        calib = calibrate(mb, [x])  # default min_weight_bytes
+        qfn = lower_int8(mb, calib)  # conv w is 1152 B, gemm g is 18 KB
+        assert "small-weight" in qfn.skipped_nodes.values()
+
+
+class TestEndToEndParity:
+    @pytest.mark.parametrize("spec", [fs.BIRDNET_V24_SPEC, fs.PERCH_V2_SPEC])
+    def test_tiny_fullscale_parity_budget(self, spec):
+        """int8 scores track the fp32 scores within the documented budget
+        on the tiny full-scale graphs (same op mix as the real families)."""
+        g = fs.cached_build(fs.tiny_spec(spec), seed=1)
+        batches = list(calibration_signals(
+            g.spec.sample_count, batch=4, n_batches=2))
+        # The tiny graphs shrink channel counts below the production
+        # min_weight_bytes; lower it so the whole backbone quantizes here.
+        calib = calibrate(g.model_bytes, batches, min_weight_bytes=256)
+        qfn = lower_int8(g.model_bytes, calib, min_weight_bytes=256)
+        assert len(qfn.quantized_nodes) >= 20  # the backbone quantized
+        # The guard must not fire on well-scaled backbone activations.
+        assert "heavy-tailed-activation" not in qfn.skipped_nodes.values()
+
+        ffn = lower(g.model_bytes)
+        test = next(calibration_signals(g.spec.sample_count, batch=4,
+                                        n_batches=1, seed=99))
+        params_q = qfn.params
+        params_f = ffn.params
+        sq = np.asarray(qfn(test, params=params_q)[0], np.float32)
+        sf = np.asarray(ffn(test, params=params_f)[0], np.float32)
+        # Budget: scores within 0.05 absolute, top-1 index preserved.
+        assert np.max(np.abs(sq - sf)) < 0.05
+        assert np.array_equal(np.argmax(sq, -1), np.argmax(sf, -1))
+
+    def test_int8_detections_track_fp32_through_analyze(self, tmp_path,
+                                                        monkeypatch):
+        """`--precision int8` end to end: analyze an audio file against a
+        tiny full-scale ONNX graph, scales cached on first run and loaded
+        on the second, detections tracking the fp32 run."""
+        import csv
+
+        from birda_tpu.config.types import Config, ModelConfig, ModelType
+        from birda_tpu.models.zoo import synthetic_labels
+        from birda_tpu.orchestrator import AnalyzeOptions, analyze_files
+        from fixtures_audio import write_wav
+
+        monkeypatch.setenv("XDG_CONFIG_HOME", str(tmp_path / "config"))
+        monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path / "cache"))
+        monkeypatch.setenv("XDG_DATA_HOME", str(tmp_path / "data"))
+        monkeypatch.setenv("BIRDA_NO_COMPILE_CACHE", "1")
+
+        g = fs.cached_build(fs.tiny_spec(fs.BIRDNET_V24_SPEC), seed=1)
+        model_file = tmp_path / "tiny-v24.onnx"
+        model_file.write_bytes(g.model_bytes)
+        labels_file = tmp_path / "labels.txt"
+        labels_file.write_text(
+            "".join(f"{s}\n" for s in synthetic_labels(g.spec.num_classes)))
+        cfg = Config()
+        cfg.models["tiny-onnx"] = ModelConfig(
+            path=model_file, labels=labels_file,
+            model_type=ModelType.BIRDNET_V24)
+        cfg.defaults.model = "tiny-onnx"
+
+        rate = 48_000
+        t = np.arange(rate * 6) / rate
+        audio = tmp_path / "rec.wav"
+        write_wav(audio, (0.4 * np.sin(2 * np.pi * 2500 * t)).astype(
+            np.float32), rate)
+
+        def run(precision, outdir):
+            opts = AnalyzeOptions(
+                inputs=[audio], output_dir=tmp_path / outdir,
+                device_flags={"cpu": True}, precision=precision,
+                min_confidence=0.05,
+            )
+            assert analyze_files(opts, cfg) == 0
+            with open(tmp_path / outdir / "rec.BirdNET.results.csv",
+                      encoding="utf-8-sig") as f:
+                return list(csv.DictReader(f))
+
+        rows_f = run("fp32", "out_f")
+        rows_q = run("int8", "out_q")
+        cache = list((tmp_path / "cache").rglob("int8_calib/*.json"))
+        assert len(cache) == 1  # synthetic-set scales were cached
+        # Same segments detected with closely tracking confidences.
+        key = lambda r: (r["Start (s)"], r["Scientific name"])  # noqa: E731
+        fmap = {key(r): float(r["Confidence"]) for r in rows_f}
+        qmap = {key(r): float(r["Confidence"]) for r in rows_q}
+        assert fmap and set(fmap) == set(qmap)
+        for k, v in fmap.items():
+            assert abs(qmap[k] - v) < 0.05
+        # Second int8 run loads the cached scales and agrees exactly.
+        rows_q2 = run("int8", "out_q2")
+        assert rows_q2 == rows_q
+
+    def test_int8_params_halve_the_footprint(self):
+        g = fs.cached_build(fs.tiny_spec(fs.BIRDNET_V30_SPEC), seed=1)
+        x = next(calibration_signals(g.spec.sample_count, batch=2,
+                                     n_batches=1))
+        calib = calibrate(g.model_bytes, [x])
+        qfn = lower_int8(g.model_bytes, calib)
+        int8_names = {k for k, v in qfn.params.items()
+                      if np.asarray(v).dtype == np.int8}
+        assert int8_names  # big weights became int8
+        ffn = lower(g.model_bytes)
+        fbytes = sum(np.asarray(v).nbytes for v in ffn.params.values())
+        qbytes = sum(np.asarray(v).nbytes for v in qfn.params.values())
+        assert qbytes < 0.55 * fbytes
