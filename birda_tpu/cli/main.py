@@ -155,11 +155,18 @@ def cli(ctx):
               envvar="BIRDA_DECODE_WORKERS",
               help="Decode threads per file (seek-based span decoding). "
                    "0 = auto, 1 = single decode thread.")
-@click.option("--precision", type=click.Choice(["fp32", "bf16"]),
+@click.option("--precision", type=click.Choice(["fp32", "bf16", "int8"]),
               default="fp32", envvar="BIRDA_PRECISION",
               help="ONNX graph precision: fp32 = bit-faithful scores; "
                    "bf16 = +25%% throughput, scores drift up to ~5e-3 "
-                   "(fp32 accumulation either way).")
+                   "(fp32 accumulation either way); int8 = calibrated "
+                   "quantization of the heavy matmuls/convs with int32 "
+                   "accumulation (the TensorRT-int8 analogue).")
+@click.option("--calibration-audio", type=click.Path(path_type=Path),
+              envvar="BIRDA_CALIBRATION_AUDIO",
+              help="Representative audio (file or directory) to calibrate "
+                   "int8 activation scales on; default is a built-in "
+                   "synthetic set whose scales are cached per graph.")
 @click.option("--region-labels", type=click.Path(path_type=Path),
               envvar="BIRDA_REGION_LABELS",
               help="Slice the model to this regional label file (subset of "
@@ -168,13 +175,27 @@ def cli(ctx):
 @click.option("--profile", "profile_dir", type=click.Path(path_type=Path),
               envvar="BIRDA_PROFILE",
               help="Write a jax profiler trace to this directory.")
+@click.option("--geomodel-path", type=click.Path(path_type=Path),
+              envvar="BIRDA_GEOMODEL_PATH",
+              help="BirdNET Geomodel v3.0.2 ONNX file (overrides config). "
+                   "Must be given together with --geomodel-labels-path.")
+@click.option("--geomodel-labels-path", type=click.Path(path_type=Path),
+              envvar="BIRDA_GEOMODEL_LABELS_PATH",
+              help="Geomodel labels file. Must be given together with "
+                   "--geomodel-path.")
+@click.option("--meta-model-path", type=click.Path(path_type=Path),
+              envvar="BIRDA_META_MODEL_PATH", hidden=True)
+@click.option("-y", "--yes", is_flag=True,
+              help="Assume yes for prompts (geomodel download offer, "
+                   "license acceptance).")
 def analyze(inputs, model, model_path, labels_path, model_type, bat, formats,
             output_dir, min_confidence, overlap, batch_size, combine, force,
             fail_fast, quiet, verbose, no_csv_bom, gpu, tpu, cpu, lat, lon,
             week, month, day, day_of_year, range_threshold, rerank,
             range_unmatched, slist, stale_lock_timeout, jobs, no_progress,
             stdout_mode, output_mode, accept_license, decode_workers,
-            precision, region_labels, profile_dir):
+            precision, calibration_audio, region_labels, profile_dir,
+            geomodel_path, geomodel_labels_path, meta_model_path, yes):
     """Analyze audio files for bird detections."""
     init_logging(verbose, quiet)
     if not inputs:
@@ -185,6 +206,17 @@ def analyze(inputs, model, model_path, labels_path, model_type, bat, formats,
         raise click.UsageError("--week conflicts with --month/--day")
     if (month is None) != (day is None):
         raise click.UsageError("--month and --day must be given together")
+    # clap `requires` pairing (reference args.rs geomodel_path block).
+    if (geomodel_path is None) != (geomodel_labels_path is None):
+        raise click.UsageError(
+            "--geomodel-path and --geomodel-labels-path must be given together"
+        )
+    if meta_model_path is not None:
+        logger.warning(
+            "--meta-model-path is deprecated and ignored; range filtering "
+            "uses the BirdNET Geomodel v3.0.2. Use --geomodel-path and "
+            "--geomodel-labels-path to point at a specific copy."
+        )
     if stdout_mode and (combine or output_dir is not None or formats):
         raise click.UsageError(
             "--stdout conflicts with --combine/--output-dir/--format"
@@ -232,10 +264,13 @@ def analyze(inputs, model, model_path, labels_path, model_type, bat, formats,
         jobs=max(1, jobs),
         stdout_mode=stdout_mode,
         dual_output_mode=dual,
-        allow_download=accept_license,
+        allow_download=accept_license or yes,
+        geomodel_path=geomodel_path,
+        geomodel_labels_path=geomodel_labels_path,
         region_labels=region_labels,
         decode_workers=decode_workers,
         precision=precision,
+        calibration_audio=calibration_audio,
     )
     profiling = False
     if profile_dir is not None:
@@ -607,8 +642,11 @@ def models_regions(model_id):
 @click.option("--variant")
 @click.option("-d", "--default", "set_default", is_flag=True)
 @click.option("--accept-license", is_flag=True)
+@click.option("-y", "--yes", is_flag=True,
+              help="Assume yes for prompts (license acceptance).")
 def models_install(model_id, language, region, variant, set_default,
-                   accept_license):
+                   accept_license, yes):
+    accept_license = accept_license or yes
     from ..registry import installer, license as license_mod
     from ..registry.loader import load_registry
     from ..registry.selection import select_variant
@@ -715,19 +753,30 @@ def providers(output_mode):
 @click.option("--threshold", callback=_validator(v.parse_confidence))
 @click.option("--sort", type=click.Choice(["freq", "alpha"]), default="freq")
 @click.option("-m", "--model")
+@click.option("--geomodel-path", type=click.Path(path_type=Path),
+              envvar="BIRDA_GEOMODEL_PATH",
+              help="Geomodel ONNX override; requires --geomodel-labels-path.")
+@click.option("--geomodel-labels-path", type=click.Path(path_type=Path),
+              envvar="BIRDA_GEOMODEL_LABELS_PATH")
 @click.option("--output-mode", type=click.Choice(["human", "json", "ndjson"]))
 def species(output, lat, lon, week, month, day, threshold, sort, model,
-            output_mode):
+            geomodel_path, geomodel_labels_path, output_mode):
     """Generate a species list from the range filter."""
     from .species import generate_species_list
 
     if week is None and (month is None or day is None):
         raise click.UsageError("provide --week, or --month with --day")
+    if (geomodel_path is None) != (geomodel_labels_path is None):
+        raise click.UsageError(
+            "--geomodel-path and --geomodel-labels-path must be given together"
+        )
     structured = output_mode in ("json", "ndjson")
     try:
         path, count = generate_species_list(
             output=output, lat=lat, lon=lon, week=week, month=month, day=day,
             threshold=threshold, sort=sort, model_name=model,
+            geomodel_path=geomodel_path,
+            geomodel_labels_path=geomodel_labels_path,
         )
     except BirdaError as e:
         if structured:

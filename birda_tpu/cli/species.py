@@ -35,13 +35,23 @@ def generate_species_list(
     threshold: Optional[float] = None,
     sort: str = "freq",
     model_name: Optional[str] = None,
+    geomodel_path: Optional[Path] = None,
+    geomodel_labels_path: Optional[Path] = None,
 ) -> tuple[Path, int]:
     """Returns (output path, species count). Geomodel unavailability is FATAL
     here — unlike the analyze path, the geomodel IS the feature
-    (reference ``species.rs:66-75``)."""
+    (reference ``species.rs:66-75``). ``geomodel_path`` /
+    ``geomodel_labels_path`` override the configured copy (the reference's
+    global --geomodel-path flags reach this command too, args.rs notes)."""
     config = config_file.load_default_config()
     registry = load_registry()
 
+    if geomodel_path is not None:
+        import copy
+
+        config = copy.deepcopy(config)
+        config.defaults.geomodel = geomodel_path
+        config.defaults.geomodel_labels = geomodel_labels_path
     installed = geomodel_cfg.require_geomodel(config, registry)
     geomodel_labels = read_geomodel_labels(installed.labels_path)
 

@@ -364,3 +364,70 @@ class TestStructuredCommandResults:
         doc = json.loads([l for l in r.output.splitlines() if l.startswith("{")][0])
         assert doc["payload"]["result_type"] == "species_list"
         assert doc["payload"]["species_count"] == 5
+
+
+class TestGeomodelFlags:
+    """--geomodel-path/--geomodel-labels-path routes (reference args.rs
+    global geomodel flags), the deprecated --meta-model-path, and -y."""
+
+    def _fixture_geomodel(self, tmp_path, n=8):
+        import fixtures_onnx as fo
+
+        geo = tmp_path / "geo.onnx"
+        geo.write_bytes(fo.make_fixture_geomodel(num_species=n))
+        labels = tmp_path / "geo-labels.txt"
+        labels.write_text(
+            "".join(f"Geo sp{i} x_Common {i}\n" for i in range(n)))
+        return geo, labels
+
+    def test_analyze_geomodel_path_requires_labels(self, runner, home,
+                                                   tmp_path):
+        audio = make_audio(tmp_path)
+        r = runner.invoke(cli, [
+            "analyze", str(audio), "--cpu", "--geomodel-path", "x.onnx",
+        ])
+        assert r.exit_code != 0
+        assert "must be given together" in r.output
+
+    def test_species_geomodel_path_requires_labels(self, runner, home):
+        r = runner.invoke(cli, [
+            "species", "--lat", "60", "--lon", "24", "--week", "24",
+            "--geomodel-path", "x.onnx",
+        ])
+        assert r.exit_code != 0
+        assert "must be given together" in r.output
+
+    def test_species_geomodel_override_without_config(self, runner, home,
+                                                      tmp_path):
+        geo, labels = self._fixture_geomodel(tmp_path)
+        out = tmp_path / "species.txt"
+        r = runner.invoke(cli, [
+            "species", "--lat", "60", "--lon", "24", "--week", "24",
+            "--threshold", "0.0", "-o", str(out),
+            "--geomodel-path", str(geo),
+            "--geomodel-labels-path", str(labels),
+        ])
+        assert r.exit_code == 0, r.output
+        assert len(out.read_text().splitlines()) == 8
+
+    def test_analyze_geomodel_override_and_meta_model_and_yes(
+            self, runner, home, tmp_path):
+        setup_synthetic_model(runner, home)
+        geo, labels = self._fixture_geomodel(tmp_path)
+        audio = make_audio(tmp_path)
+        out = tmp_path / "out"
+        r = runner.invoke(cli, [
+            "analyze", str(audio), "--cpu", "-o", str(out), "-y",
+            "--lat", "60", "--lon", "24", "--week", "24",
+            "--geomodel-path", str(geo),
+            "--geomodel-labels-path", str(labels),
+            "--meta-model-path", "legacy.onnx",  # deprecated: warn + ignore
+        ])
+        assert r.exit_code == 0, r.output
+        assert (out / "rec.BirdNET.results.csv").exists()
+
+    def test_meta_model_path_hidden_from_help(self, runner):
+        r = runner.invoke(cli, ["analyze", "--help"])
+        assert r.exit_code == 0
+        assert "--meta-model-path" not in r.output
+        assert "--geomodel-path" in r.output
