@@ -73,6 +73,16 @@ def select_backend(requested: str = backend_consts.AUTO):
     if requested not in (backend_consts.AUTO, *backend_consts.ALL):
         raise RuntimeInitialization(f"unknown device '{requested}'")
 
+    if requested == backend_consts.CPU:
+        # An explicit CPU request must not touch the accelerator plugin at
+        # all: probing it dials the device attachment (a tunnel handshake
+        # can stall for minutes), and --cpu exists precisely to stay off
+        # the chip. Before any backend is initialized this confines jax to
+        # the CPU platform; afterwards it is a silent no-op and the CPU
+        # devices below still resolve.
+        jax.config.update("jax_platforms", "cpu")
+        return jax.devices("cpu"), BackendStatus("cpu", "cpu")
+
     avail = available_backends()
     if not avail:
         raise RuntimeInitialization("no jax backends available")
