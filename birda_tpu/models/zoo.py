@@ -60,6 +60,9 @@ class LoadedModel:
     #: (one HBM copy shared across every compiled batch shape). The
     #: classifier calls this after backend selection.
     bind_device: Callable[[Any], None] | None = None
+    #: reduced-precision observability (surfaced in the pipeline_started
+    #: payload): {"mode": "bf16"|"int8", and for int8 the selection counts}
+    precision_info: dict | None = None
 
     @property
     def num_classes(self) -> int:
@@ -187,8 +190,11 @@ def onnx_model(
 
     fn = lower(path if isinstance(path, bytes) else str(path),
                compute_dtype=dtype)
-    return _loaded_from_onnx_fn(fn, config, labels,
-                                cast_float=dtype is not None)
+    model = _loaded_from_onnx_fn(fn, config, labels,
+                                 cast_float=dtype is not None)
+    if dtype is not None:
+        model.precision_info = {"mode": "bf16"}
+    return model
 
 
 def onnx_model_int8(
@@ -217,8 +223,15 @@ def onnx_model_int8(
         cast_float = jax.default_backend() == "tpu"
     else:
         cast_float = compute_dtype == jnp.bfloat16
-    return _loaded_from_onnx_fn(fn, config, labels, cast_float=cast_float,
-                                source="onnx-int8")
+    model = _loaded_from_onnx_fn(fn, config, labels, cast_float=cast_float,
+                                 source="onnx-int8")
+    model.precision_info = {
+        "mode": "int8",
+        "quantized_nodes": len(fn.quantized_nodes),
+        "int8_boundary_tensors": len(fn.int8_boundary_tensors),
+        "skipped_nodes": len(fn.skipped_nodes),
+    }
+    return model
 
 
 def _loaded_from_onnx_fn(

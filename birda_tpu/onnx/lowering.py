@@ -114,8 +114,14 @@ class _Evaluator:
                 result = (result,)
             for out_name, val in zip(node.outputs, result):
                 if out_name:
-                    env[out_name] = val
+                    env[out_name] = self._store(out_name, val)
         return env
+
+    def _store(self, name, val):
+        """Hook over every value entering the environment; subclasses may
+        change the materialized representation (e.g. the int8 PTQ path
+        stores fusion-boundary tensors as int8)."""
+        return val
 
     # -- numeric dispatch: numpy for host constants, jnp for traced ---------
 

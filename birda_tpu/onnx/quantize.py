@@ -50,7 +50,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from .lowering import OnnxFunction, _Evaluator, _is_host
+from .lowering import OnnxFunction, _Evaluator, _dtype_kind, _is_host
 from .proto import Model, load_model
 
 QMAX = 127.0
@@ -278,20 +278,37 @@ def calibration_signals(
 class _Int8Evaluator(_Evaluator):
     """Evaluator executing selected Conv/MatMul/Gemm nodes as int8 x int8
     -> int32 with a float dequant epilogue; everything else runs exactly as
-    the base evaluator at ``compute_dtype``."""
+    the base evaluator at ``compute_dtype``.
+
+    Tensors whose consumers are *all* quantized nodes are materialized as
+    int8 at production time (``store_int8``): XLA fuses the quantize into
+    the producer's epilogue, so the HBM-resident fusion-boundary tensor is
+    1 byte/element instead of 2 — the traffic cut that matters on
+    bandwidth-bound backbones — and consumers skip their own quantize step.
+    """
 
     def __init__(self, graph, qnodes: set, ascale: dict, wscale: dict,
-                 compute_dtype):
+                 compute_dtype, store_int8: dict | None = None):
         super().__init__(graph, compute_dtype=compute_dtype)
         self._qnodes = qnodes    # node.outputs[0] of int8-executed nodes
         self._ascale = ascale    # activation tensor name -> float scale
         self._wscale = wscale    # weight name -> np.float32 [out_channels]
+        self._store_int8 = store_int8 or {}  # tensor name -> scale
 
     def _qact(self, x, sx: float):
         import jax.numpy as jnp
 
+        if _dtype_kind(x) == "i":
+            return x  # already materialized int8 at the producer boundary
         q = jnp.round(x.astype(jnp.float32) * np.float32(1.0 / sx))
         return jnp.clip(q, -QMAX, QMAX).astype(jnp.int8)
+
+    def _store(self, name, val):
+        sx = self._store_int8.get(name)
+        if sx is None or val is None or _is_host(val) \
+                or _dtype_kind(val) != "f":
+            return val
+        return self._qact(val, sx)
 
     def op_Conv(self, node, x, w, b=None):
         if node.outputs[0] not in self._qnodes:
@@ -328,6 +345,12 @@ class _Int8Evaluator(_Evaluator):
         acc = jnp.matmul(aq, wq, preferred_element_type=jnp.int32)
         return acc.astype(jnp.float32) * (np.float32(sx) * sw)
 
+    def _deq_act(self, a, name):
+        """Undo a boundary int8 materialization (safety nets only)."""
+        if not _is_host(a) and _dtype_kind(a) == "i":
+            return a.astype(np.float32) * np.float32(self._ascale[name])
+        return a
+
     def op_MatMul(self, node, a, b):
         if node.outputs[0] not in self._qnodes:
             return super().op_MatMul(node, a, b)
@@ -335,7 +358,8 @@ class _Int8Evaluator(_Evaluator):
             sw = self._wscale[node.inputs[1]]
             bf = (np.asarray(b, np.float32) if _is_host(b)
                   else b.astype(np.float32)) * sw
-            return super().op_MatMul(node, a, bf)
+            return super().op_MatMul(node, self._deq_act(a, node.inputs[0]),
+                                     bf)
         return self._mm_out(self._int8_matmul(node, a, b))
 
     def op_Gemm(self, node, a, b, c=None):
@@ -354,7 +378,8 @@ class _Int8Evaluator(_Evaluator):
                 import jax.numpy as jnp
 
                 out = alpha * jnp.matmul(
-                    a, bf, preferred_element_type=jnp.float32)
+                    self._deq_act(a, node.inputs[0]), bf,
+                    preferred_element_type=jnp.float32)
             if c is not None:
                 out = out + beta * c
             return out if _is_host(out) else self._mm_out(out)
@@ -474,9 +499,33 @@ def lower_int8(
         else:
             skipped[key] = "weight-shared-with-float-consumer"
 
-    ev = _Int8Evaluator(graph, qnodes, ascale, wscale, compute_dtype)
+    # Fusion-boundary int8 materialization: a tensor whose consumers are
+    # ALL quantized nodes reading it as their activation operand is stored
+    # int8 at production time — XLA fuses the quantize into the producer's
+    # epilogue, so the HBM-resident tensor costs 1 byte/element instead of
+    # 2 (the traffic that binds bandwidth-bound backbones) and consumers
+    # skip their own quantize. Graph outputs always stay float.
+    out_names = {vi.name for vi in graph.outputs}
+    act_consumers: dict = {}
+    for node in graph.nodes:
+        for pos, inp in enumerate(node.inputs):
+            if inp:
+                act_consumers.setdefault(inp, []).append((node, pos))
+    store_int8: dict = {}
+    for name, sx in ascale.items():
+        if name in out_names:
+            continue
+        cons = act_consumers.get(name, [])
+        if cons and all(
+            n.outputs[0] in qnodes and pos == 0 for n, pos in cons
+        ):
+            store_int8[name] = sx
+
+    ev = _Int8Evaluator(graph, qnodes, ascale, wscale, compute_dtype,
+                        store_int8=store_int8)
     ev.const.update(const_override)
     fn = OnnxFunction(model, evaluator=ev)
     fn.quantized_nodes = sorted(qnodes)
     fn.skipped_nodes = skipped
+    fn.int8_boundary_tensors = sorted(store_int8)
     return fn

@@ -605,6 +605,7 @@ def analyze_files(options: AnalyzeOptions, config: Config, reporter=None) -> int
             len(files), model_name, min_confidence,
             classifier.backend_status.to_json_dict(),
             classifier.range_filter_info(),
+            precision=model.precision_info,
         )
 
     # Warm the steady-state program up front so the first real file does not

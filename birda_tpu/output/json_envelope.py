@@ -100,13 +100,19 @@ def pipeline_started_payload(
     min_confidence: float,
     execution_provider: dict,
     range_filter: Optional[dict] = None,
+    precision: Optional[dict] = None,
 ) -> dict:
+    # ``precision`` is an additive extension field (absent on the default
+    # fp32 path, so the spec-1.1 wire format golden is unchanged): reduced-
+    # precision runs report their mode and, for int8, the quantization
+    # counts the way execution_provider reports requested/actual.
     return _clean({
         "total_files": total_files,
         "model": model,
         "min_confidence": min_confidence,
         "execution_provider": execution_provider,
         "range_filter": range_filter,
+        "precision": precision,
     })
 
 

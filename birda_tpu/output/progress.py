@@ -54,7 +54,8 @@ class HumanReporter:
         self._segments_done = 0
 
     def pipeline_started(self, total_files, model, min_confidence,
-                         execution_provider, range_filter=None):
+                         execution_provider, range_filter=None,
+                         precision=None):
         self._file_bar = create_file_progress(total_files, self.enabled)
 
     def file_started(self, file, index, estimated_segments, duration_seconds=None):

@@ -61,7 +61,8 @@ class ProgressReporter:
     """Event sink interface (reference trait, ``reporter.rs:22``)."""
 
     def pipeline_started(self, total_files, model, min_confidence,
-                         execution_provider, range_filter=None): ...
+                         execution_provider, range_filter=None,
+                         precision=None): ...
 
     def file_started(self, file, index, estimated_segments,
                      duration_seconds=None): ...
@@ -113,12 +114,13 @@ class JsonReporter(ProgressReporter):
     # -- events --------------------------------------------------------------
 
     def pipeline_started(self, total_files, model, min_confidence,
-                         execution_provider, range_filter=None):
+                         execution_provider, range_filter=None,
+                         precision=None):
         self._emit(
             EventType.PIPELINE_STARTED,
             env.pipeline_started_payload(
                 total_files, model, min_confidence, execution_provider,
-                range_filter,
+                range_filter, precision,
             ),
         )
 

@@ -286,6 +286,11 @@ class TestEndToEndParity:
         # The guard must not fire on well-scaled backbone activations.
         assert "heavy-tailed-activation" not in qfn.skipped_nodes.values()
 
+        # Backbone-internal tensors materialize int8 at fusion boundaries
+        # (every consumer quantized); the graph outputs never do.
+        assert len(qfn.int8_boundary_tensors) >= 10
+        assert not {"predictions", "embeddings"} & set(
+            qfn.int8_boundary_tensors)
         ffn = lower(g.model_bytes)
         test = next(calibration_signals(g.spec.sample_count, batch=4,
                                         n_batches=1, seed=99))
@@ -357,6 +362,33 @@ class TestEndToEndParity:
         # Second int8 run loads the cached scales and agrees exactly.
         rows_q2 = run("int8", "out_q2")
         assert rows_q2 == rows_q
+
+    def test_precision_info_surfaces_in_pipeline_started_payload(self):
+        """int8 observability: the model reports its quantization counts
+        and the pipeline_started payload carries them (additive field —
+        absent on fp32, so the pinned wire format is unchanged)."""
+        from birda_tpu.models.contracts import ModelFamily, contract_for
+        from birda_tpu.models.zoo import onnx_model_int8, synthetic_labels
+        from birda_tpu.output import json_envelope as env
+
+        g = fs.cached_build(fs.tiny_spec(fs.BIRDNET_V24_SPEC), seed=1)
+        x = next(calibration_signals(g.spec.sample_count, batch=2,
+                                     n_batches=1))
+        calib = calibrate(g.model_bytes, [x])
+        contract = contract_for(ModelFamily.BIRDNET_V24)
+        model = onnx_model_int8(
+            g.model_bytes, contract,
+            synthetic_labels(contract.num_classes), calib)
+        info = model.precision_info
+        assert info["mode"] == "int8"
+        assert info["quantized_nodes"] > 0
+
+        p = env.pipeline_started_payload(1, "m", 0.1, {"requested": "cpu"},
+                                         precision=info)
+        assert p["precision"]["quantized_nodes"] == info["quantized_nodes"]
+        # fp32 (None) leaves the wire format untouched.
+        p0 = env.pipeline_started_payload(1, "m", 0.1, {"requested": "cpu"})
+        assert "precision" not in p0
 
     def test_int8_params_halve_the_footprint(self):
         g = fs.cached_build(fs.tiny_spec(fs.BIRDNET_V30_SPEC), seed=1)
