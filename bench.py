@@ -93,6 +93,37 @@ def _bench_onnx(spec, batch, iters, seed=1):
     return rt, g
 
 
+def _bench_onnx_int8(spec, batch, iters, seed=1):
+    """Calibrated int8 execution (birda_tpu/onnx/quantize.py); calibration
+    scales are cached per graph digest, so only the first run pays the
+    calibration pass."""
+    import jax
+    import jax.numpy as jnp
+
+    from birda_tpu.onnx import fullscale as fs
+    from birda_tpu.onnx.quantize import cached_calibration, lower_int8
+
+    g = fs.cached_build(spec, seed=seed)
+    calib, _ = cached_calibration(g.model_bytes, spec.sample_count)
+    fn = lower_int8(g.model_bytes, calib)
+    params = {
+        k: jax.device_put(
+            np.asarray(v, jnp.bfloat16)
+            if np.asarray(v).dtype.kind == "f" else np.asarray(v)
+        )
+        for k, v in fn.params.items()
+    }
+
+    def step(p, x):
+        scores = fn(x, params=p)[0].astype(jnp.float32)
+        return jax.lax.top_k(scores, 5)
+
+    return _measure(
+        step, params, (iters, batch, spec.sample_count),
+        spec.sample_count / spec.sample_rate, iters,
+    )
+
+
 def _bench_native(batch, iters):
     import jax
     import jax.numpy as jnp
@@ -139,6 +170,13 @@ def main() -> None:
     extra = {}
 
     rt_v24, _ = _bench_onnx(fs.BIRDNET_V24_SPEC, batch=256, iters=8)
+    try:
+        rt_i8 = _bench_onnx_int8(fs.BIRDNET_V24_SPEC, batch=256, iters=8)
+        extra["birdnet_v24_int8_x_realtime"] = round(rt_i8, 0)
+        extra["birdnet_v24_int8_vs_baseline"] = round(
+            rt_i8 / BASELINE_BIRDNET_V24, 3)
+    except Exception as e:  # noqa: BLE001
+        extra["birdnet_v24_int8_error"] = str(e)[:200]
     try:
         rt_perch, _ = _bench_onnx(fs.PERCH_V2_SPEC, batch=256, iters=6)
         extra["perch_v2_onnx_x_realtime"] = round(rt_perch, 0)

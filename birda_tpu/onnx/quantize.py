@@ -32,7 +32,11 @@ a float graph initializer of at least ``min_weight_bytes`` — minus
   the guard that keeps pre-log power spectra in float on graph shapes
   this module has not seen;
 - ``MatMul`` nodes whose activation is not 2-D (the mel-projection batch
-  matmuls; backbone matmuls flatten first).
+  matmuls; backbone matmuls flatten first);
+- output heads: a Conv/MatMul/Gemm whose result reaches a graph output
+  through elementwise-only ops stays float — its quantization noise maps
+  directly onto the reported scores with nothing downstream to absorb it,
+  and the head matmuls are a negligible FLOP fraction.
 
 A weight is quantized only when *every* consumer node is quantized, so the
 float execution path never sees an int8 array.
@@ -131,14 +135,15 @@ class CalibrationResult:
 
 
 class _CaptureEvaluator(_Evaluator):
-    """fp32 evaluator recording activation stats at eligible node inputs.
+    """Float evaluator recording activation stats at eligible node inputs.
 
     Captured values are jax tracers during jit tracing; :func:`calibrate`
     returns them as program outputs and reduces across batches host-side.
     """
 
-    def __init__(self, graph, targets: set, percentile: float):
-        super().__init__(graph, compute_dtype=None)
+    def __init__(self, graph, targets: set, percentile: float,
+                 compute_dtype=None):
+        super().__init__(graph, compute_dtype=compute_dtype)
         self.targets = targets
         self.percentile = percentile
         self.captured: dict = {}
@@ -190,6 +195,12 @@ def calibrate(
     tuples matching the graph's input order. Jitted once per batch shape on
     the default backend. ``params`` overrides the lifted weights (pass
     device-resident copies to avoid re-uploading).
+
+    On TPU the calibration forward runs bf16 (fp32 accumulation) and the
+    weights upload as bf16: activation-range statistics move well under
+    0.5%, while the upload and compute cost halve — calibration cost is
+    what gates the first int8 run. Elsewhere it runs fp32 (XLA:CPU has no
+    bf16 dot).
     """
     import jax
 
@@ -205,10 +216,23 @@ def calibrate(
                 graph.initializers[wname].array.nbytes >= min_weight_bytes:
             targets.add(node.inputs[0])
 
-    ev = _CaptureEvaluator(graph, targets, percentile)
+    compute_dtype = None
+    if jax.default_backend() == "tpu":
+        import jax.numpy as jnp
+
+        compute_dtype = jnp.bfloat16
+    ev = _CaptureEvaluator(graph, targets, percentile,
+                           compute_dtype=compute_dtype)
     fn = OnnxFunction(model, evaluator=ev)
     if params is None:
-        params = {k: jax.device_put(v) for k, v in fn.params.items()}
+        params = {
+            k: jax.device_put(
+                np.asarray(v, compute_dtype)
+                if compute_dtype is not None
+                and np.asarray(v).dtype.kind == "f" else v
+            )
+            for k, v in fn.params.items()
+        }
 
     def run(p, *xs):
         ev.captured = {}
@@ -268,6 +292,30 @@ def calibration_signals(
             sig *= peak / max(np.max(np.abs(sig)), 1e-12)
             rows.append(sig.astype(np.float32))
         yield np.stack(rows)
+
+
+def cached_calibration(model_bytes: bytes, sample_count: int):
+    """Synthetic-set calibration memoized per graph digest under the cache
+    dir — the TensorRT engine-cache discipline applied to calibration
+    scales (reference ``src/inference/classifier.rs:994-1057``). Returns
+    ``(CalibrationResult, loaded_from_cache)``.
+    """
+    import hashlib
+
+    from ..config.paths import cache_dir
+    from ..utils.fs import write_atomic
+
+    sha = hashlib.sha256(model_bytes).hexdigest()
+    cpath = cache_dir() / "int8_calib" / f"{sha[:24]}-max.json"
+    if cpath.exists():
+        try:
+            return CalibrationResult.from_json(cpath.read_text()), True
+        except (OSError, ValueError, KeyError):
+            pass  # unreadable/stale cache: recalibrate
+    calib = calibrate(model_bytes, calibration_signals(sample_count))
+    cpath.parent.mkdir(parents=True, exist_ok=True)
+    write_atomic(cpath, calib.to_json().encode())
+    return calib, False
 
 
 # ---------------------------------------------------------------------------
@@ -399,6 +447,7 @@ def lower_int8(
     compute_dtype=None,
     min_weight_bytes: int = DEFAULT_MIN_WEIGHT_BYTES,
     min_mean_lsb: float = DEFAULT_MIN_MEAN_LSB,
+    protect_outputs: bool = True,
 ) -> OnnxFunction:
     """Lower an ONNX model with calibrated int8 execution of its heavy
     matmuls/convs (see module docstring for the selection rules).
@@ -426,6 +475,18 @@ def lower_int8(
             if inp in graph.initializers:
                 consumers.setdefault(inp, []).append(node)
 
+    # Tensors that reach a graph output without passing through another
+    # matmul/conv: quantization noise there lands on the scores unabsorbed,
+    # so the producing node stays float (the "output head" guard — cuts
+    # deep-graph score drift ~14x for a negligible FLOP fraction;
+    # ``protect_outputs=False`` quantizes heads too).
+    out_marked = {vi.name for vi in graph.outputs} if protect_outputs \
+        else set()
+    for node in reversed(graph.nodes):
+        if any(o in out_marked for o in node.outputs):
+            if node.op_type not in ("Conv", "MatMul", "Gemm"):
+                out_marked.update(i for i in node.inputs if i)
+
     selected: dict = {}   # node.outputs[0] -> (node, wname, transform)
     skipped: dict = {}
     for node in graph.nodes:
@@ -445,6 +506,9 @@ def lower_int8(
             continue
         if node.op_type == "MatMul" and st["ndim"] != 2:
             skipped[key] = "non-2d-matmul"
+            continue
+        if key in out_marked:
+            skipped[key] = "output-head"
             continue
         scale = calibration.scale(node.inputs[0]) or 0.0
         if scale <= 0.0 or st["amean"] < min_mean_lsb * scale:

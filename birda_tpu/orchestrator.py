@@ -270,44 +270,27 @@ def _load_int8_model(mc: ModelConfig, family, labels: list[str],
     ``--calibration-audio`` always recalibrates (representative audio is
     the user's statement that the synthetic set isn't).
     """
-    import hashlib
-
     import jax.numpy as jnp
 
-    from .config.paths import cache_dir
     from .models.zoo import onnx_model_int8
-    from .onnx.quantize import (
-        CalibrationResult,
-        calibrate,
-        calibration_signals,
-    )
-    from .utils.fs import write_atomic
+    from .onnx.quantize import cached_calibration, calibrate
 
     contract = contracts.contract_for(family)
     data = Path(mc.path).read_bytes()
-    sha = hashlib.sha256(data).hexdigest()
-    cpath = cache_dir() / "int8_calib" / f"{sha[:24]}-max.json"
 
-    calib = None
-    if calibration_audio is None and cpath.exists():
-        try:
-            calib = CalibrationResult.from_json(cpath.read_text())
-            logger.info("int8 calibration scales loaded from cache")
-        except (OSError, ValueError, KeyError):
-            calib = None  # unreadable/stale cache: recalibrate
-    if calib is None:
-        if calibration_audio is not None:
-            batches = _calibration_batches_from_audio(
-                calibration_audio, contract.sample_rate,
-                contract.sample_count,
-            )
-        else:
-            batches = calibration_signals(contract.sample_count)
-        logger.info("calibrating int8 activation scales...")
+    if calibration_audio is not None:
+        batches = _calibration_batches_from_audio(
+            calibration_audio, contract.sample_rate, contract.sample_count,
+        )
+        logger.info("calibrating int8 activation scales on %s...",
+                    calibration_audio)
         calib = calibrate(data, batches)
-        if calibration_audio is None:
-            cpath.parent.mkdir(parents=True, exist_ok=True)
-            write_atomic(cpath, calib.to_json().encode())
+    else:
+        calib, from_cache = cached_calibration(data, contract.sample_count)
+        logger.info(
+            "int8 calibration scales %s",
+            "loaded from cache" if from_cache else "computed and cached",
+        )
     compute = jnp.float32 if on_cpu else jnp.bfloat16
     return onnx_model_int8(data, contract, labels, calib,
                            compute_dtype=compute)

@@ -37,7 +37,7 @@ def main() -> None:
     from birda_tpu.onnx import fullscale as fs
     from birda_tpu.onnx.lowering import lower
     from birda_tpu.onnx.quantize import (
-        calibrate,
+        cached_calibration,
         calibration_signals,
         lower_int8,
     )
@@ -52,10 +52,7 @@ def main() -> None:
         g = fs.cached_build(spec, seed=1)
         secs = spec.sample_count / spec.sample_rate
 
-        calib = calibrate(
-            g.model_bytes,
-            calibration_signals(spec.sample_count, batch=8, n_batches=4),
-        )
+        calib, _ = cached_calibration(g.model_bytes, spec.sample_count)
         qfn = lower_int8(g.model_bytes, calib)
         qparams = {k: jax.device_put(np.asarray(v)) for k, v in
                    qfn.params.items()}
@@ -90,10 +87,10 @@ def main() -> None:
             "max_score_drift_vs_bf16": float(np.max(np.abs(sq - sf))),
             "top1_agree": float(np.mean(
                 np.argmax(sq, -1) == np.argmax(sf, -1))),
-            "param_bytes_int8": int(sum(np.asarray(v).nbytes
-                                        for v in qfn.params.values())),
-            "param_bytes_bf16": int(sum(np.asarray(v).nbytes
-                                        for v in ffn.params.values())),
+            "param_bytes_int8": int(sum(v.nbytes
+                                        for v in qparams.values())),
+            "param_bytes_bf16": int(sum(v.nbytes
+                                        for v in fparams.values())),
         }
         print(json.dumps({fam: out[fam]}), flush=True)
     print(json.dumps(out))

@@ -121,7 +121,7 @@ class TestInt8Exactness:
         )
         calib = calibrate(mb, [x], min_weight_bytes=1)
         qfn = lower_int8(mb, calib, compute_dtype=jnp.float32,
-                         min_weight_bytes=1)
+                         min_weight_bytes=1, protect_outputs=False)
         assert qfn.quantized_nodes  # the conv executes int8
         got = np.asarray(qfn(x, params=qfn.params))
         ffn = lower(mb)
@@ -149,7 +149,7 @@ class TestInt8Exactness:
         )
         calib = calibrate(mb, [x], min_weight_bytes=1)
         qfn = lower_int8(mb, calib, compute_dtype=jnp.float32,
-                         min_weight_bytes=1)
+                         min_weight_bytes=1, protect_outputs=False)
         assert any(np.asarray(v).dtype == np.int8
                    for v in qfn.params.values())  # the weight was lifted
         params = {k: jax.device_put(v) for k, v in qfn.params.items()}
@@ -182,7 +182,7 @@ class TestInt8Exactness:
         )
         calib = calibrate(mb, [x], min_weight_bytes=1)
         qfn = lower_int8(mb, calib, compute_dtype=jnp.float32,
-                         min_weight_bytes=1)
+                         min_weight_bytes=1, protect_outputs=False)
         assert qfn.quantized_nodes
         got = np.asarray(qfn(x, params=qfn.params))
         want = x @ w.T + c
@@ -220,7 +220,8 @@ class TestSelectionRules:
         )
         x = rng.normal(0, 1, (4, 32)).astype(np.float32)
         calib = calibrate(mb, [x], min_weight_bytes=1)
-        qfn = lower_int8(mb, calib, min_weight_bytes=1)
+        qfn = lower_int8(mb, calib, min_weight_bytes=1,
+                         protect_outputs=False)
         assert qfn.quantized_nodes == []
         assert "weight-shared-with-float-consumer" in \
             qfn.skipped_nodes.values()
@@ -241,7 +242,8 @@ class TestSelectionRules:
         x = rng.normal(0, 0.01, (4, 64)).astype(np.float32)
         x[0, 0] = 1e4  # amax >> rms
         calib = calibrate(mb, [x], min_weight_bytes=1)
-        qfn = lower_int8(mb, calib, min_weight_bytes=1)
+        qfn = lower_int8(mb, calib, min_weight_bytes=1,
+                         protect_outputs=False)
         assert qfn.quantized_nodes == []
         assert list(qfn.skipped_nodes.values()) == [
             "heavy-tailed-activation"]
@@ -257,7 +259,8 @@ class TestSelectionRules:
         )
         x = rng.normal(0, 1, (2, 4, 8)).astype(np.float32)
         calib = calibrate(mb, [x], min_weight_bytes=1)
-        qfn = lower_int8(mb, calib, min_weight_bytes=1)
+        qfn = lower_int8(mb, calib, min_weight_bytes=1,
+                         protect_outputs=False)
         assert qfn.quantized_nodes == []
         assert list(qfn.skipped_nodes.values()) == ["non-2d-matmul"]
 
@@ -285,6 +288,10 @@ class TestEndToEndParity:
         assert len(qfn.quantized_nodes) >= 20  # the backbone quantized
         # The guard must not fire on well-scaled backbone activations.
         assert "heavy-tailed-activation" not in qfn.skipped_nodes.values()
+        # The class/embedding head matmuls stay float by default: their
+        # quantization noise would land on the scores unabsorbed (measured
+        # 14x drift cut on the full-depth graph).
+        assert list(qfn.skipped_nodes.values()).count("output-head") == 2
 
         # Backbone-internal tensors materialize int8 at fusion boundaries
         # (every consumer quantized); the graph outputs never do.
@@ -395,7 +402,10 @@ class TestEndToEndParity:
         x = next(calibration_signals(g.spec.sample_count, batch=2,
                                      n_batches=1))
         calib = calibrate(g.model_bytes, [x])
-        qfn = lower_int8(g.model_bytes, calib)
+        # In the tiny graph the only >=4 KB weights are the head matmuls,
+        # which the output guard protects by default — disable it here to
+        # measure the weight compression itself.
+        qfn = lower_int8(g.model_bytes, calib, protect_outputs=False)
         int8_names = {k for k, v in qfn.params.items()
                       if np.asarray(v).dtype == np.int8}
         assert int8_names  # big weights became int8
