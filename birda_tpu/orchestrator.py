@@ -453,6 +453,11 @@ def analyze_files(options: AnalyzeOptions, config: Config, reporter=None) -> int
 
     initialize_multihost()
 
+    # Preflight (reference validate_analyze_args_preflight, lib.rs:462-470):
+    # --stdout streams one file's detections; several would interleave.
+    if options.stdout_mode and len(options.inputs) != 1:
+        raise ConfigValidation("--stdout requires exactly one input file")
+
     mc, model_name = resolve_model_config(options, config)
 
     bat_config = None

@@ -45,6 +45,9 @@ class UpdateInfo:
     asset_url: str
     asset_name: str
     sha256: Optional[str] = None
+    #: Release's expected runtime library versions (from the optional
+    #: ``birda-runtime.json`` sidecar asset), e.g. {"jax": "0.9.0"}.
+    runtime: Optional[dict] = None
 
 
 def platform_asset_key() -> str:
@@ -108,12 +111,51 @@ def check_for_update(session=None, current: str = __version__
                            timeout=dl.CONNECT_TIMEOUT_SECS).text.split()[0]
         except Exception:  # noqa: BLE001 — checksum sidecar is best-effort
             sha = None
+    runtime = None
+    rt_asset = next(
+        (a for a in assets if a.get("name") == "birda-runtime.json"), None
+    )
+    if rt_asset is not None:
+        try:
+            runtime = json.loads(sess.get(
+                rt_asset["browser_download_url"],
+                timeout=dl.CONNECT_TIMEOUT_SECS).text)
+        except Exception:  # noqa: BLE001 — compat sidecar is best-effort
+            runtime = None
     return UpdateInfo(
         version=latest,
         asset_url=asset["browser_download_url"],
         asset_name=asset["name"],
         sha256=sha,
+        runtime=runtime,
     )
+
+
+def check_library_versions(info: UpdateInfo) -> list[str]:
+    """Runtime-compatibility warnings before a swap (the reference warns
+    when the release's CUDA toolkit/cuDNN differ from the build-embedded
+    versions, ``mod.rs:242-256``; the TPU analogue compares the release's
+    expected jax/libtpu against the running environment). Warnings, not
+    errors — the swap proceeds, informed."""
+    if not info.runtime:
+        return []
+    import importlib
+
+    warnings = []
+    for lib in ("jax", "libtpu"):
+        want = info.runtime.get(lib)
+        if want is None:
+            continue
+        try:
+            have = importlib.import_module(lib).__version__
+        except Exception:  # noqa: BLE001 — absent lib: nothing to compare
+            continue
+        if have != want:
+            warnings.append(
+                f"release {info.version} expects {lib} {want}, this "
+                f"environment has {have} — consider updating it alongside"
+            )
+    return warnings
 
 
 def current_executable() -> Path:
@@ -129,6 +171,11 @@ def perform_update(info: UpdateInfo, session=None,
     if is_dev_build():
         raise UpdateDevBuild()
     target = target if target is not None else current_executable()
+
+    import logging
+
+    for w in check_library_versions(info):
+        logging.getLogger(__name__).warning("%s", w)
 
     try:
         import requests

@@ -431,3 +431,13 @@ class TestGeomodelFlags:
         assert r.exit_code == 0
         assert "--meta-model-path" not in r.output
         assert "--geomodel-path" in r.output
+
+
+class TestStdoutPreflight:
+    def test_stdout_requires_exactly_one_input(self, runner, home, tmp_path):
+        setup_synthetic_model(runner, home)
+        a = make_audio(tmp_path, name="a.wav")
+        b = make_audio(tmp_path, name="b.wav")
+        r = runner.invoke(cli, ["analyze", str(a), str(b), "--cpu", "--stdout"])
+        assert r.exit_code == 1
+        assert "exactly one input file" in r.output

@@ -370,6 +370,41 @@ class TestEndToEndParity:
         rows_q2 = run("int8", "out_q2")
         assert rows_q2 == rows_q
 
+    def test_int8_model_shards_over_the_mesh(self):
+        """The int8-executed graph runs under the data-parallel sharded
+        chunk runner (virtual 8-device mesh) with results matching the
+        unsharded path — int8 convs/matmuls shard on the batch axis like
+        any other op."""
+        from birda_tpu.inference.classifier import BirdClassifier
+        from birda_tpu.models.contracts import ModelFamily, contract_for
+        from birda_tpu.models.zoo import onnx_model_int8, synthetic_labels
+        from birda_tpu.parallel.mesh import make_mesh
+
+        g = fs.cached_build(fs.tiny_spec(fs.BIRDNET_V24_SPEC), seed=1)
+        x = next(calibration_signals(g.spec.sample_count, batch=2,
+                                     n_batches=1))
+        calib = calibrate(g.model_bytes, [x])
+        contract = contract_for(ModelFamily.BIRDNET_V24)
+        model = onnx_model_int8(
+            g.model_bytes, contract,
+            synthetic_labels(contract.num_classes), calib)
+
+        mesh = make_mesh(8, backend="cpu")
+        plain = BirdClassifier(model, device="cpu", min_confidence=0.0,
+                               top_k=3)
+        sharded = BirdClassifier(model, device="cpu", min_confidence=0.0,
+                                 top_k=3, mesh=mesh)
+        xs = np.random.default_rng(7).normal(
+            0, 0.1, (8, contract.sample_count)).astype(np.float32)
+        a = plain.predict_batch(xs)
+        b = sharded.predict_batch(xs)
+        for ra, rb in zip(a, b):
+            assert ([p.index for p in ra.predictions]
+                    == [p.index for p in rb.predictions])
+            for pa, pb in zip(ra.predictions, rb.predictions):
+                assert pa.confidence == pytest.approx(pb.confidence,
+                                                      abs=1e-5)
+
     def test_precision_info_surfaces_in_pipeline_started_payload(self):
         """int8 observability: the model reports its quantization counts
         and the pipeline_started payload carries them (additive field —

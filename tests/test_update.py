@@ -167,3 +167,42 @@ class TestReplaceBinary:
 
         assert target.read_bytes() == b"new!"
         assert stat.S_IMODE(target.stat().st_mode) == 0o755
+
+
+class TestLibraryVersionWarnings:
+    """Runtime-compat warnings before a swap (reference mod.rs:242-256
+    warns on CUDA toolkit/cuDNN drift; ours compares jax/libtpu)."""
+
+    def test_runtime_sidecar_parsed(self):
+        from birda_tpu.update.mod import check_for_update, platform_asset_key
+
+        key = platform_asset_key()
+        sess = _FakeSession({
+            "releases/latest": _FakeResp({"tag_name": "v2.0.0", "assets": [
+                {"name": f"{key}.tar.gz",
+                 "browser_download_url": "https://dl/x.tar.gz"},
+                {"name": "birda-runtime.json",
+                 "browser_download_url": "https://dl/runtime.json"},
+            ]}),
+            "runtime.json": _FakeResp(text='{"jax": "99.0.0"}'),
+        })
+        info = check_for_update(session=sess, current="1.0.0")
+        assert info.runtime == {"jax": "99.0.0"}
+
+    def test_mismatch_warns_match_is_silent(self):
+        import jax
+
+        from birda_tpu.update.mod import UpdateInfo, check_library_versions
+
+        mismatched = UpdateInfo("v2.0.0", "u", "a",
+                                runtime={"jax": "99.0.0"})
+        ws = check_library_versions(mismatched)
+        assert len(ws) == 1 and "99.0.0" in ws[0] and jax.__version__ in ws[0]
+
+        matched = UpdateInfo("v2.0.0", "u", "a",
+                             runtime={"jax": jax.__version__})
+        assert check_library_versions(matched) == []
+        # No sidecar, absent library: nothing to say.
+        assert check_library_versions(UpdateInfo("v", "u", "a")) == []
+        assert check_library_versions(
+            UpdateInfo("v", "u", "a", runtime={"libnotreal": "1.0"})) == []
