@@ -14,7 +14,13 @@ from pathlib import Path
 
 import numpy as np
 
-from ..errors import AudioOpen, Internal, NoAudioTracks, UnsupportedAudioFormat
+from ..errors import (
+    AudioDecode,
+    AudioOpen,
+    Internal,
+    NoAudioTracks,
+    UnsupportedAudioFormat,
+)
 from ..native import audio as native_audio
 from .wav_fallback import WavFallbackReader
 
@@ -105,7 +111,7 @@ class StreamingDecoder:
             )
 
         while len(self._buffer) < segment_samples and not self._eof:
-            chunk = self._reader.read(max(_READ_CHUNK, segment_samples))
+            chunk = self._raw_read(max(_READ_CHUNK, segment_samples))
             if len(chunk) == 0:
                 self._eof = True
                 break
@@ -138,12 +144,23 @@ class StreamingDecoder:
 
         return RawSegment(samples=samples, start_sample=start_sample)
 
+    def _raw_read(self, n: int) -> np.ndarray:
+        """Reader read with mid-stream failures surfaced as typed errors
+        (corrupt frames, codec parameters changing mid-file, IO faults)."""
+        try:
+            return self._reader.read(n)
+        except OSError as e:
+            raise AudioDecode(str(self.path), str(e)) from e
+
     def read(self, n: int) -> np.ndarray:
         """Raw sequential read (clipper path); bypasses windowing."""
-        return self._reader.read(n)
+        return self._raw_read(n)
 
     def seek(self, frame: int) -> int:
-        pos = self._reader.seek(frame)
+        try:
+            pos = self._reader.seek(frame)
+        except OSError as e:
+            raise AudioDecode(str(self.path), str(e)) from e
         self._buffer = np.empty(0, np.float32)
         self._emitted = pos
         self._eof = False
@@ -158,7 +175,7 @@ class StreamingDecoder:
         if pos > frame:
             pos = self.seek(0)
         while pos < frame:
-            c = self._reader.read(min(_READ_CHUNK, frame - pos))
+            c = self._raw_read(min(_READ_CHUNK, frame - pos))
             if len(c) == 0:
                 break
             pos += len(c)

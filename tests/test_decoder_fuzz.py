@@ -1,0 +1,118 @@
+"""Mutation-robustness tests for the native decoders.
+
+The C++ WAV/FLAC decoders parse attacker-controllable bytes across a ctypes
+boundary; a malformed file must surface as a typed error (or decode what is
+salvageable) — never crash the process, hang, or return garbage shapes.
+Seeded byte mutations + truncations of valid fixtures approximate the
+corpus-fuzz the reference gets for free from symphonia's own fuzzing.
+"""
+
+import numpy as np
+import pytest
+
+from birda_tpu.audio.decode import StreamingDecoder, decode_audio_file
+from birda_tpu.errors import BirdaError
+
+from fixtures_audio import write_flac, write_wav
+
+
+def _tone(rate, secs=1.0):
+    t = np.arange(int(rate * secs)) / rate
+    return (0.4 * np.sin(2 * np.pi * 1200 * t)).astype(np.float32)
+
+
+def _mutations(data: bytes, rng, n):
+    """Yield n seeded corruptions: byte flips, block zeroing, truncation,
+    and header-area scribbles (where parsers index most)."""
+    for i in range(n):
+        buf = bytearray(data)
+        kind = i % 4
+        if kind == 0:  # random byte flips
+            for _ in range(rng.integers(1, 16)):
+                buf[rng.integers(0, len(buf))] ^= int(rng.integers(1, 256))
+        elif kind == 1:  # zero a block
+            start = int(rng.integers(0, len(buf)))
+            end = min(len(buf), start + int(rng.integers(1, 512)))
+            buf[start:end] = bytes(end - start)
+        elif kind == 2:  # truncate
+            buf = buf[: int(rng.integers(1, len(buf)))]
+        else:  # scribble over the header region
+            for _ in range(rng.integers(1, 8)):
+                buf[rng.integers(0, min(128, len(buf)))] = int(
+                    rng.integers(0, 256))
+        yield bytes(buf)
+
+
+def _exercise(path):
+    """Open + stream + seek; any outcome but a crash/garbage is fine."""
+    try:
+        with StreamingDecoder(path) as dec:
+            assert dec.sample_rate > 0
+            total = 0
+            while total < 10_000_000:  # hang guard: bounded samples
+                seg = dec.next_segment(4096, 0)
+                if seg is None:
+                    break
+                assert seg.samples.shape == (4096,)
+                assert seg.samples.dtype == np.float32
+                total += 4096
+            else:
+                pytest.fail("decoder produced >10M samples from a 1 s file")
+        decode_audio_file(path)
+    except BirdaError:
+        pass  # typed rejection is a correct outcome
+
+
+@pytest.mark.parametrize("fmt", ["s16", "s24", "f32"])
+def test_wav_mutations_never_crash(tmp_path, fmt):
+    rate = 32_000
+    p = tmp_path / "ok.wav"
+    write_wav(p, _tone(rate), rate, fmt=fmt)
+    data = p.read_bytes()
+    rng = np.random.default_rng(hash(fmt) % 2**31)
+    for i, mutated in enumerate(_mutations(data, rng, 24)):
+        q = tmp_path / f"m{i}.wav"
+        q.write_bytes(mutated)
+        _exercise(q)
+
+
+def test_flac_mutations_never_crash(tmp_path):
+    rate = 32_000
+    p = tmp_path / "ok.flac"
+    write_flac(p, _tone(rate), rate)
+    data = p.read_bytes()
+    rng = np.random.default_rng(99)
+    for i, mutated in enumerate(_mutations(data, rng, 32)):
+        q = tmp_path / f"m{i}.flac"
+        q.write_bytes(mutated)
+        _exercise(q)
+
+
+def test_flac_mutations_with_seek(tmp_path):
+    """Seek paths walk the sync-code binary search over corrupt bytes."""
+    rate = 32_000
+    p = tmp_path / "ok.flac"
+    write_flac(p, _tone(rate, secs=2.0), rate)
+    data = p.read_bytes()
+    rng = np.random.default_rng(7)
+    for i, mutated in enumerate(_mutations(data, rng, 16)):
+        q = tmp_path / f"s{i}.flac"
+        q.write_bytes(mutated)
+        try:
+            with StreamingDecoder(q) as dec:
+                if dec.exact_seek:
+                    dec.seek_exact(rate)  # land mid-file
+                    dec.next_segment(2048, 0)
+        except BirdaError:
+            pass
+
+
+def test_empty_and_tiny_files(tmp_path):
+    for name, content in [
+        ("empty.wav", b""), ("tiny.wav", b"RI"),
+        ("empty.flac", b""), ("tiny.flac", b"fLa"),
+        ("hdr.flac", b"fLaC"), ("hdr.wav", b"RIFF\x00\x00\x00\x00WAVE"),
+    ]:
+        p = tmp_path / name
+        p.write_bytes(content)
+        _exercise(p)
