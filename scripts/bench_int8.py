@@ -54,8 +54,15 @@ def main() -> None:
 
         calib, _ = cached_calibration(g.model_bytes, spec.sample_count)
         qfn = lower_int8(g.model_bytes, calib)
-        qparams = {k: jax.device_put(np.asarray(v)) for k, v in
-                   qfn.params.items()}
+        # Float leftovers (front-end, protected heads) live bf16 like the
+        # production zoo path; int8 weights keep their dtype.
+        qparams = {
+            k: jax.device_put(
+                np.asarray(v, jnp.bfloat16)
+                if np.asarray(v).dtype.kind == "f" else np.asarray(v)
+            )
+            for k, v in qfn.params.items()
+        }
 
         ffn = lower(g.model_bytes, compute_dtype=jnp.bfloat16)
         fparams = {k: jax.device_put(np.asarray(v, jnp.bfloat16))

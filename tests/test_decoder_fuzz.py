@@ -107,6 +107,23 @@ def test_flac_mutations_with_seek(tmp_path):
             pass
 
 
+def test_mp3_mutations_never_crash(tmp_path):
+    """The FFmpeg-backed path: mutated MP3 bitstreams must also surface as
+    typed errors or salvage decode, never crash the process."""
+    from fixtures_audio import write_mp3
+
+    rate = 32_000
+    p = tmp_path / "ok.mp3"
+    if not write_mp3(p, _tone(rate), rate):
+        pytest.skip("no MP3 encoder available")
+    data = p.read_bytes()
+    rng = np.random.default_rng(5)
+    for i, mutated in enumerate(_mutations(data, rng, 16)):
+        q = tmp_path / f"m{i}.mp3"
+        q.write_bytes(mutated)
+        _exercise(q)
+
+
 def test_empty_and_tiny_files(tmp_path):
     for name, content in [
         ("empty.wav", b""), ("tiny.wav", b"RI"),

@@ -60,3 +60,31 @@ def test_real_model_parity():
     assert max_err < PARITY_TOLERANCE, (
         f"score parity failure: max |Δ| = {max_err} (budget {PARITY_TOLERANCE})"
     )
+
+
+@pytest.mark.skipif(
+    not (os.environ.get("BIRDA_PARITY_MODEL")
+         and os.environ.get("BIRDA_PARITY_REFERENCE")),
+    reason="real model assets not installed (set BIRDA_PARITY_MODEL and "
+           "BIRDA_PARITY_REFERENCE)",
+)
+def test_real_model_int8_budget():
+    """Asset-gated int8 validation: the calibrated int8 mode against the
+    recorded ONNX-Runtime-CPU scores. int8 is not a parity mode — the
+    budget is the documented deployment one (drift plus top-1 agreement),
+    the check TensorRT users run on their own calibration data."""
+    from birda_tpu.onnx.quantize import calibrate, lower_int8
+
+    ref = np.load(os.environ["BIRDA_PARITY_REFERENCE"])
+    inputs, scores = ref["inputs"], ref["scores"]
+    model_bytes = open(os.environ["BIRDA_PARITY_MODEL"], "rb").read()
+    # Calibrate on the reference inputs themselves (they are the
+    # representative recordings here).
+    calib = calibrate(model_bytes, [inputs])
+    qfn = lower_int8(model_bytes, calib)
+    out = qfn(inputs, params=qfn.params)
+    got = np.asarray(out[0] if isinstance(out, tuple) else out, np.float32)
+    drift = float(np.max(np.abs(got - scores)))
+    top1 = float(np.mean(np.argmax(got, -1) == np.argmax(scores, -1)))
+    assert drift < 0.05, f"int8 drift {drift} over deployment budget"
+    assert top1 >= 0.95, f"int8 top-1 agreement {top1} below 95%"
