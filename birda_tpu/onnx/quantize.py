@@ -103,9 +103,12 @@ def _structurally_eligible(graph, node) -> str | None:
 class CalibrationResult:
     """Per-tensor activation statistics from a calibration run.
 
-    ``stats`` maps tensor name -> ``{"amax", "pctl", "amean", "ndim"}``; the
-    activation scale is ``amax/127`` (method "max") or ``pctl/127``
-    (method "percentile" — clips the outlier tail, finer grid for the bulk).
+    ``stats`` maps tensor name ->
+    ``{"amax", "pctl", "amean", "ndim", "chamax"}``; the activation scale
+    is ``amax/127`` (method "max") or ``pctl/127`` (method "percentile" —
+    clips the outlier tail, finer grid for the bulk). ``chamax`` is the
+    per-channel |x| max (channel = axis 1), feeding the SmoothQuant-style
+    outlier rebalancing in :func:`lower_int8`.
     """
 
     method: str
@@ -159,12 +162,17 @@ class _CaptureEvaluator(_Evaluator):
         amax = jnp.max(xa)
         pctl = jnp.percentile(xa, self.percentile)
         amean = jnp.mean(xa)
+        # Per-channel |x| max (channel = axis 1 for both NCHW activations
+        # and [batch, features] matmul inputs) for outlier rebalancing.
+        ch_axes = tuple(a for a in range(x.ndim) if a != 1)
+        chamax = jnp.max(xa, axis=ch_axes) if x.ndim >= 2 else xa
         prev = self.captured.get(name)
         if prev is not None:  # same tensor feeds several eligible nodes
             amax = jnp.maximum(amax, prev[0])
             pctl = jnp.maximum(pctl, prev[1])
             amean = jnp.maximum(amean, prev[2])
-        self.captured[name] = (amax, pctl, amean)
+            chamax = jnp.maximum(chamax, prev[3])
+        self.captured[name] = (amax, pctl, amean, chamax)
         self.ndims[name] = int(x.ndim)
 
     def op_Conv(self, node, x, w, b=None):
@@ -246,16 +254,21 @@ def calibrate(
         xs = batch if isinstance(batch, tuple) else (batch,)
         out = jax.device_get(jrun(params, *xs))
         n += 1
-        for name, (amax, pctl, amean) in out.items():
-            a, p_, m = agg.get(name, (0.0, 0.0, 0.0))
+        for name, (amax, pctl, amean, chamax) in out.items():
+            a, p_, m, c = agg.get(name, (0.0, 0.0, 0.0, None))
+            cm = np.asarray(chamax, np.float64)
             agg[name] = (max(a, float(amax)), max(p_, float(pctl)),
-                         max(m, float(amean)))
+                         max(m, float(amean)),
+                         cm if c is None else np.maximum(c, cm))
     stats = {
         name: {
             "amax": a, "pctl": p_, "amean": m,
             "ndim": ev.ndims.get(name, 0),
+            # rounded to 6 significant digits: keeps the cached JSON small
+            # without moving any scale that matters
+            "chamax": [float(f"{v:.6g}") for v in np.atleast_1d(c)],
         }
-        for name, (a, p_, m) in agg.items()
+        for name, (a, p_, m, c) in agg.items()
     }
     return CalibrationResult(method=method, percentile=percentile,
                              batches=n, stats=stats)
@@ -306,7 +319,8 @@ def cached_calibration(model_bytes: bytes, sample_count: int):
     from ..utils.fs import write_atomic
 
     sha = hashlib.sha256(model_bytes).hexdigest()
-    cpath = cache_dir() / "int8_calib" / f"{sha[:24]}-max.json"
+    # v2: adds per-channel chamax stats (SmoothQuant); old caches recompute.
+    cpath = cache_dir() / "int8_calib" / f"{sha[:24]}-max-v2.json"
     if cpath.exists():
         try:
             return CalibrationResult.from_json(cpath.read_text()), True
@@ -323,6 +337,78 @@ def cached_calibration(model_bytes: bytes, sample_count: int):
 # ---------------------------------------------------------------------------
 
 
+def _smoothing_vectors(graph, calibration, selected, by_weight, qualified,
+                       alpha) -> dict:
+    """SmoothQuant-style rebalancing vectors, keyed by activation tensor.
+
+    Per-tensor activation quantization spends its 7 magnitude bits on the
+    loudest *channel*; when channels differ by orders of magnitude the
+    quiet ones quantize to noise. The cure is a pure rescaling: divide the
+    activation by ``s_c = a_c^alpha / w_c^(1-alpha)`` per channel and
+    multiply the consumer weight's input-channel axis by the same ``s_c``
+    — mathematically identity, but the activation grid now covers every
+    channel and the imbalance moves into the per-channel weight scales,
+    which are already per-channel quantized. (SmoothQuant, Xiao et al.;
+    applied here at PTQ time, folded fully into the lowered weights.)
+
+    A weight consumed from several different activation tensors cannot
+    fold one vector; smoothing is disabled for those activations.
+    """
+    if alpha is None:
+        return {}
+    by_act: dict = {}
+    for _key, (node, wname, tr) in selected.items():
+        if wname in qualified:
+            by_act.setdefault(node.inputs[0], []).append((node, wname, tr))
+    banned = set()
+    for wname in qualified:
+        anames = {n.inputs[0] for n, _tr in by_weight[wname]}
+        if len(anames) > 1:
+            banned |= anames
+    out: dict = {}
+    for aname, users in by_act.items():
+        if aname in banned:
+            continue
+        st = calibration.stats.get(aname)
+        cha = None if st is None else st.get("chamax")
+        if not cha:
+            continue
+        a_c = np.asarray(cha, np.float32)
+        w_c = None
+        ok = True
+        for node, wname, tr in users:
+            w = graph.initializers[wname].array.astype(np.float32)
+            if tr == "gemm-tb":
+                w = np.ascontiguousarray(w.T)
+            if tr == "conv":
+                group = node.attr("group", 1)
+                if w.shape[1] * group != a_c.size:
+                    ok = False
+                    break
+                if group == 1:
+                    wa = np.max(np.abs(w),
+                                axis=(0,) + tuple(range(2, w.ndim)))
+                elif w.shape[1] == 1:  # depthwise: in channel == out channel
+                    wa = np.max(np.abs(w), axis=tuple(range(1, w.ndim)))
+                else:  # grouped non-depthwise: channel bookkeeping not worth it
+                    ok = False
+                    break
+            else:
+                if w.shape[0] != a_c.size:
+                    ok = False
+                    break
+                wa = np.max(np.abs(w), axis=1)
+            w_c = wa if w_c is None else np.maximum(w_c, wa)
+        if not ok or w_c is None:
+            continue
+        with np.errstate(divide="ignore", invalid="ignore"):
+            s = np.power(a_c, alpha) / np.power(w_c, 1.0 - alpha)
+        s[~np.isfinite(s)] = 1.0
+        s[(a_c <= 0) | (w_c <= 0)] = 1.0
+        out[aname] = np.clip(s, 1e-3, 1e3).astype(np.float32)
+    return out
+
+
 class _Int8Evaluator(_Evaluator):
     """Evaluator executing selected Conv/MatMul/Gemm nodes as int8 x int8
     -> int32 with a float dequant epilogue; everything else runs exactly as
@@ -336,27 +422,33 @@ class _Int8Evaluator(_Evaluator):
     """
 
     def __init__(self, graph, qnodes: set, ascale: dict, wscale: dict,
-                 compute_dtype, store_int8: dict | None = None):
+                 compute_dtype, store_int8: set | None = None,
+                 asmooth: dict | None = None):
         super().__init__(graph, compute_dtype=compute_dtype)
         self._qnodes = qnodes    # node.outputs[0] of int8-executed nodes
         self._ascale = ascale    # activation tensor name -> float scale
         self._wscale = wscale    # weight name -> np.float32 [out_channels]
-        self._store_int8 = store_int8 or {}  # tensor name -> scale
+        self._store_int8 = store_int8 or set()  # boundary-stored tensors
+        self._asmooth = asmooth or {}  # tensor name -> per-channel divisor
 
-    def _qact(self, x, sx: float):
+    def _qact(self, x, name: str):
         import jax.numpy as jnp
 
         if _dtype_kind(x) == "i":
             return x  # already materialized int8 at the producer boundary
-        q = jnp.round(x.astype(jnp.float32) * np.float32(1.0 / sx))
+        mult = np.float32(1.0 / self._ascale[name])
+        sm = self._asmooth.get(name)
+        if sm is not None:  # SmoothQuant: per-channel divide, folded here
+            mult = (mult / sm).astype(np.float32).reshape(
+                (1, -1) + (1,) * (x.ndim - 2))
+        q = jnp.round(x.astype(jnp.float32) * mult)
         return jnp.clip(q, -QMAX, QMAX).astype(jnp.int8)
 
     def _store(self, name, val):
-        sx = self._store_int8.get(name)
-        if sx is None or val is None or _is_host(val) \
+        if name not in self._store_int8 or val is None or _is_host(val) \
                 or _dtype_kind(val) != "f":
             return val
-        return self._qact(val, sx)
+        return self._qact(val, name)
 
     def op_Conv(self, node, x, w, b=None):
         if node.outputs[0] not in self._qnodes:
@@ -366,11 +458,10 @@ class _Int8Evaluator(_Evaluator):
         sw = self._wscale[node.inputs[1]]
         spatial = np.ndim(w) - 2  # tracer-safe (no materialization)
         if _is_host(x):  # safety net: dequantized-weight float path
-            wf = np.asarray(w, np.float32) * sw.reshape(
-                (-1, 1) + (1,) * spatial)
-            return super().op_Conv(node, x, wf, b)
+            return super().op_Conv(node, x, self._deq_weight(node, w, "conv"),
+                                   b)
         sx = self._ascale[node.inputs[0]]
-        xq = self._qact(x, sx)
+        xq = self._qact(x, node.inputs[0])
         saved = self.compute_dtype
         self.compute_dtype = None  # int path: no bf16 casts inside
         try:
@@ -389,25 +480,47 @@ class _Int8Evaluator(_Evaluator):
 
         sx = self._ascale[node.inputs[0]]
         sw = self._wscale[node.inputs[1]]
-        aq = self._qact(a, sx)
+        aq = self._qact(a, node.inputs[0])
         acc = jnp.matmul(aq, wq, preferred_element_type=jnp.int32)
         return acc.astype(jnp.float32) * (np.float32(sx) * sw)
 
     def _deq_act(self, a, name):
         """Undo a boundary int8 materialization (safety nets only)."""
         if not _is_host(a) and _dtype_kind(a) == "i":
-            return a.astype(np.float32) * np.float32(self._ascale[name])
+            out = a.astype(np.float32) * np.float32(self._ascale[name])
+            sm = self._asmooth.get(name)
+            if sm is not None:
+                out = out * sm.reshape((1, -1) + (1,) * (a.ndim - 2))
+            return out
         return a
+
+    def _deq_weight(self, node, w, kind: str):
+        """Recover the ORIGINAL float weight from a stored int8 one
+        (safety nets only): undo the per-output-channel quantization AND
+        the SmoothQuant fold on the input-channel axis."""
+        sw = self._wscale[node.inputs[1]]
+        wf = (np.asarray(w, np.float32) if _is_host(w)
+              else w.astype(np.float32))
+        sm = self._asmooth.get(node.inputs[0])
+        if kind == "conv":
+            wf = wf * sw.reshape((-1,) + (1,) * (wf.ndim - 1))
+            if sm is not None:
+                if node.attr("group", 1) == 1:
+                    wf = wf / sm.reshape((1, -1) + (1,) * (wf.ndim - 2))
+                else:  # depthwise
+                    wf = wf / sm.reshape((-1, 1) + (1,) * (wf.ndim - 2))
+        else:  # [K, N]: sw per output column, sm per input row
+            wf = wf * sw
+            if sm is not None:
+                wf = wf / sm[:, None]
+        return wf
 
     def op_MatMul(self, node, a, b):
         if node.outputs[0] not in self._qnodes:
             return super().op_MatMul(node, a, b)
         if _is_host(a) or a.ndim != 2:  # safety net
-            sw = self._wscale[node.inputs[1]]
-            bf = (np.asarray(b, np.float32) if _is_host(b)
-                  else b.astype(np.float32)) * sw
             return super().op_MatMul(node, self._deq_act(a, node.inputs[0]),
-                                     bf)
+                                     self._deq_weight(node, b, "mat"))
         return self._mm_out(self._int8_matmul(node, a, b))
 
     def op_Gemm(self, node, a, b, c=None):
@@ -416,9 +529,7 @@ class _Int8Evaluator(_Evaluator):
         # transB was folded into the stored weight at quantization time;
         # transA nodes are never selected.
         if _is_host(a) or a.ndim != 2:  # safety net
-            sw = self._wscale[node.inputs[1]]
-            bf = (np.asarray(b, np.float32) if _is_host(b)
-                  else b.astype(np.float32)) * sw
+            bf = self._deq_weight(node, b, "mat")
             alpha = node.attr("alpha", 1.0)
             beta = node.attr("beta", 1.0)
             out = alpha * np.matmul(a, bf) if _is_host(a) else None
@@ -448,16 +559,20 @@ def lower_int8(
     min_weight_bytes: int = DEFAULT_MIN_WEIGHT_BYTES,
     min_mean_lsb: float = DEFAULT_MIN_MEAN_LSB,
     protect_outputs: bool = True,
+    smooth_alpha: float | None = 0.5,
 ) -> OnnxFunction:
     """Lower an ONNX model with calibrated int8 execution of its heavy
     matmuls/convs (see module docstring for the selection rules).
 
     ``compute_dtype`` governs the *non*-quantized ops; the default is
     bfloat16 on TPU and fp32 elsewhere (XLA:CPU has no bf16 dot support).
+    ``smooth_alpha`` controls the SmoothQuant-style channel rebalancing
+    (:func:`_smoothing_vectors`); ``None`` disables it.
     The result is a drop-in :class:`OnnxFunction`: quantized weights live
-    in ``params`` as int8 (half the bf16 HBM footprint), and two extra
+    in ``params`` as int8 (half the bf16 HBM footprint), and extra
     attributes report the selection — ``quantized_nodes`` (list of node
-    output names) and ``skipped_nodes`` (name -> reason).
+    output names), ``skipped_nodes`` (name -> reason),
+    ``int8_boundary_tensors``, and ``smoothed_tensors``.
     """
     if compute_dtype is None:
         import jax
@@ -536,13 +651,30 @@ def lower_int8(
         if ok:
             qualified.add(wname)
 
+    smooth = _smoothing_vectors(
+        graph, calibration, selected, by_weight, qualified, smooth_alpha
+    )
+
     wscale: dict = {}
     const_override: dict = {}
     for wname in qualified:
-        _, tr = by_weight[wname][0]
+        node0, tr = by_weight[wname][0]
         w = graph.initializers[wname].array.astype(np.float32)
         if tr == "gemm-tb":
             w = np.ascontiguousarray(w.T)
+        sm = smooth.get(node0.inputs[0])
+        if sm is not None:
+            # SmoothQuant fold: the activation divides by s per channel at
+            # quantize time; the weight multiplies by s on its input-channel
+            # axis here, so the product is unchanged while the activation's
+            # per-tensor grid no longer spends its range on outlier channels.
+            if tr == "conv":
+                if node0.attr("group", 1) == 1:
+                    w = w * sm.reshape((1, -1) + (1,) * (w.ndim - 2))
+                else:  # depthwise: input channel == output channel
+                    w = w * sm.reshape((-1, 1) + (1,) * (w.ndim - 2))
+            else:
+                w = w * sm[:, None]
         if tr == "conv":
             amax = np.max(np.abs(w), axis=tuple(range(1, w.ndim)))
             s = np.maximum(amax / QMAX, 1e-12).astype(np.float32)
@@ -559,7 +691,14 @@ def lower_int8(
     for key, (node, wname, _tr) in selected.items():
         if wname in qualified:
             qnodes.add(key)
-            ascale[node.inputs[0]] = calibration.scale(node.inputs[0])
+            aname = node.inputs[0]
+            sm = smooth.get(aname)
+            if sm is not None:
+                cha = np.asarray(calibration.stats[aname]["chamax"],
+                                 np.float32)
+                ascale[aname] = max(float(np.max(cha / sm)) / QMAX, 1e-12)
+            else:
+                ascale[aname] = calibration.scale(aname)
         else:
             skipped[key] = "weight-shared-with-float-consumer"
 
@@ -575,21 +714,22 @@ def lower_int8(
         for pos, inp in enumerate(node.inputs):
             if inp:
                 act_consumers.setdefault(inp, []).append((node, pos))
-    store_int8: dict = {}
-    for name, sx in ascale.items():
+    store_int8: set = set()
+    for name in ascale:
         if name in out_names:
             continue
         cons = act_consumers.get(name, [])
         if cons and all(
             n.outputs[0] in qnodes and pos == 0 for n, pos in cons
         ):
-            store_int8[name] = sx
+            store_int8.add(name)
 
     ev = _Int8Evaluator(graph, qnodes, ascale, wscale, compute_dtype,
-                        store_int8=store_int8)
+                        store_int8=store_int8, asmooth=smooth)
     ev.const.update(const_override)
     fn = OnnxFunction(model, evaluator=ev)
     fn.quantized_nodes = sorted(qnodes)
     fn.skipped_nodes = skipped
     fn.int8_boundary_tensors = sorted(store_int8)
+    fn.smoothed_tensors = sorted(smooth)
     return fn

@@ -121,7 +121,8 @@ class TestInt8Exactness:
         )
         calib = calibrate(mb, [x], min_weight_bytes=1)
         qfn = lower_int8(mb, calib, compute_dtype=jnp.float32,
-                         min_weight_bytes=1, protect_outputs=False)
+                         min_weight_bytes=1, protect_outputs=False,
+                         smooth_alpha=None)  # keep the exact 2^-k grid
         assert qfn.quantized_nodes  # the conv executes int8
         got = np.asarray(qfn(x, params=qfn.params))
         ffn = lower(mb)
@@ -182,11 +183,126 @@ class TestInt8Exactness:
         )
         calib = calibrate(mb, [x], min_weight_bytes=1)
         qfn = lower_int8(mb, calib, compute_dtype=jnp.float32,
-                         min_weight_bytes=1, protect_outputs=False)
+                         min_weight_bytes=1, protect_outputs=False,
+                         smooth_alpha=None)  # keep the exact 2^-k grid
         assert qfn.quantized_nodes
         got = np.asarray(qfn(x, params=qfn.params))
         want = x @ w.T + c
         np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+class TestSmoothQuant:
+    def test_outlier_channel_rescued(self):
+        """One input channel 100x louder than the rest wrecks per-tensor
+        activation quantization; the SmoothQuant fold (divide activation,
+        multiply weight per channel) restores accuracy at identical
+        runtime cost."""
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(21)
+        w = rng.normal(0, 0.2, (64, 16)).astype(np.float32)
+        mb = fo.model(
+            [fo.node("MatMul", ["x", "w"], ["y"])],
+            inputs=[fo.value_info("x", ["batch", 64])],
+            outputs=[fo.value_info("y", ["batch", 16])],
+            initializers=[fo.tensor("w", w)],
+        )
+        x = rng.normal(0, 0.5, (16, 64)).astype(np.float32)
+        x[:, 0] *= 100.0  # the outlier channel
+        calib = calibrate(mb, [x], min_weight_bytes=1)
+        want = x @ w
+
+        def err(qfn):
+            # jit so the activation arrives traced: the real int8 path,
+            # not the host-constant float safety net.
+            import jax
+
+            got = np.asarray(jax.jit(
+                lambda p, a: qfn(a, params=p))(qfn.params, x), np.float32)
+            return float(np.max(np.abs(got - want)))
+
+        plain = lower_int8(mb, calib, compute_dtype=jnp.float32,
+                           min_weight_bytes=1, protect_outputs=False,
+                           smooth_alpha=None)
+        smoothed = lower_int8(mb, calib, compute_dtype=jnp.float32,
+                              min_weight_bytes=1, protect_outputs=False)
+        assert smoothed.smoothed_tensors == ["x"]
+        assert plain.smoothed_tensors == []
+        # The rebalancing must win by a wide margin on this construction.
+        assert err(smoothed) < 0.25 * err(plain)
+
+    def test_smoothing_is_identity_on_balanced_channels(self):
+        """Uniform channel magnitudes: smoothing must not hurt."""
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(22)
+        w = rng.normal(0, 0.2, (64, 16)).astype(np.float32)
+        mb = fo.model(
+            [fo.node("MatMul", ["x", "w"], ["y"])],
+            inputs=[fo.value_info("x", ["batch", 64])],
+            outputs=[fo.value_info("y", ["batch", 16])],
+            initializers=[fo.tensor("w", w)],
+        )
+        x = rng.normal(0, 0.5, (16, 64)).astype(np.float32)
+        calib = calibrate(mb, [x], min_weight_bytes=1)
+        want = x @ w
+        outs = []
+        for alpha in (None, 0.5):
+            import jax
+
+            qfn = lower_int8(mb, calib, compute_dtype=jnp.float32,
+                             min_weight_bytes=1, protect_outputs=False,
+                             smooth_alpha=alpha)
+            got = np.asarray(jax.jit(
+                lambda p, a: qfn(a, params=p))(qfn.params, x), np.float32)
+            outs.append(float(np.max(np.abs(got - want))))
+        plain_err, smooth_err = outs
+        assert smooth_err < 2.0 * plain_err + 1e-4
+
+    def test_depthwise_conv_smoothing_correct(self):
+        """Depthwise convs fold s on the output-channel axis (in == out);
+        the smoothed int8 result must match the float conv within noise."""
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(23)
+        w = rng.normal(0, 0.3, (8, 1, 3, 3)).astype(np.float32)
+        mb = fo.model(
+            [fo.node("Conv", ["x", "w"], ["y"], attrs=[
+                fo.attr_ints("pads", [1, 1, 1, 1]),
+                fo.attr_int("group", 8),
+            ])],
+            inputs=[fo.value_info("x", ["batch", 8, 12, 12])],
+            outputs=[fo.value_info("y", ["batch", 8, 12, 12])],
+            initializers=[fo.tensor("w", w)],
+        )
+        x = rng.normal(0, 0.5, (2, 8, 12, 12)).astype(np.float32)
+        x[:, 3] *= 50.0  # outlier channel
+        calib = calibrate(mb, [x], min_weight_bytes=1)
+        import jax
+
+        want = np.asarray(lower(mb)(x), np.float32)
+
+        def worst_rel(qfn):
+            got = np.asarray(jax.jit(
+                lambda p, a: qfn(a, params=p))(qfn.params, x), np.float32)
+            rels = [
+                np.max(np.abs(got[:, c] - want[:, c]))
+                / (np.max(np.abs(want[:, c])) + 1e-6)
+                for c in range(8)
+            ]
+            return max(map(float, rels))
+
+        smoothed = lower_int8(mb, calib, compute_dtype=jnp.float32,
+                              min_weight_bytes=1, protect_outputs=False)
+        assert smoothed.smoothed_tensors == ["x"]
+        plain = lower_int8(mb, calib, compute_dtype=jnp.float32,
+                           min_weight_bytes=1, protect_outputs=False,
+                           smooth_alpha=None)
+        # For depthwise (in channel == out channel) the fold is absorbed
+        # exactly by the per-output-channel weight scales, so smoothing
+        # strictly sharpens the activation grid for the quiet channels.
+        assert worst_rel(smoothed) < 0.5 * worst_rel(plain)
+        assert worst_rel(smoothed) < 0.1
 
 
 class TestSelectionRules:
