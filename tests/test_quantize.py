@@ -521,6 +521,39 @@ class TestEndToEndParity:
                 assert pa.confidence == pytest.approx(pb.confidence,
                                                       abs=1e-5)
 
+    def test_int8_with_device_resample_chunk_runner(self):
+        """Composite hot path: 44.1 kHz int16 chunk -> device dequant ->
+        device polyphase resample -> int8 backbone -> top-k, one XLA
+        program — the production stack for a non-native-rate recording
+        under the quantized mode."""
+        from birda_tpu.inference.classifier import BirdClassifier
+        from birda_tpu.models.contracts import ModelFamily, contract_for
+        from birda_tpu.models.zoo import onnx_model_int8, synthetic_labels
+
+        g = fs.cached_build(fs.tiny_spec(fs.BIRDNET_V24_SPEC), seed=1)
+        x = next(calibration_signals(g.spec.sample_count, batch=2,
+                                     n_batches=1))
+        calib = calibrate(g.model_bytes, [x])
+        contract = contract_for(ModelFamily.BIRDNET_V24)
+        model = onnx_model_int8(
+            g.model_bytes, contract,
+            synthetic_labels(contract.num_classes), calib)
+        clf = BirdClassifier(model, device="cpu", min_confidence=0.0,
+                             top_k=5)
+        src_rate = 44_100
+        runner = clf.chunk_runner(2, contract.sample_count,
+                                  src_rate=src_rate)
+        assert runner.resample_on_device
+        rng = np.random.default_rng(31)
+        chunk_f32 = rng.normal(0, 0.1, runner.chunk_samples).astype(
+            np.float32)
+        chunk = np.clip(chunk_f32 * 32767, -32768, 32767).astype(np.int16)
+        results = runner.predict_chunk(chunk, 2)
+        assert len(results) == 2
+        for r in results:
+            assert len(r.predictions) == 5
+            assert all(0.0 <= p.confidence <= 1.0 for p in r.predictions)
+
     def test_precision_info_surfaces_in_pipeline_started_payload(self):
         """int8 observability: the model reports its quantization counts
         and the pipeline_started payload carries them (additive field —
