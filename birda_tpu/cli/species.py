@@ -43,15 +43,12 @@ def generate_species_list(
     (reference ``species.rs:66-75``). ``geomodel_path`` /
     ``geomodel_labels_path`` override the configured copy (the reference's
     global --geomodel-path flags reach this command too, args.rs notes)."""
-    config = config_file.load_default_config()
+    config = geomodel_cfg.config_with_override(
+        config_file.load_default_config(), geomodel_path,
+        geomodel_labels_path,
+    )
     registry = load_registry()
 
-    if geomodel_path is not None:
-        import copy
-
-        config = copy.deepcopy(config)
-        config.defaults.geomodel = geomodel_path
-        config.defaults.geomodel_labels = geomodel_labels_path
     installed = geomodel_cfg.require_geomodel(config, registry)
     geomodel_labels = read_geomodel_labels(installed.labels_path)
 

@@ -32,6 +32,25 @@ class InstalledRangeFilter:
     verified: bool = False
 
 
+def config_with_override(
+    config: Config,
+    geomodel_path: Optional[Path],
+    geomodel_labels_path: Optional[Path],
+) -> Config:
+    """Config view with ``defaults.geomodel(_labels)`` replaced — the
+    ``--geomodel-path`` CLI override, shared by analyze and species (the
+    reference's global flags reach both, args.rs geomodel_path notes).
+    Returns the original config untouched when no override is given."""
+    if geomodel_path is None:
+        return config
+    import copy
+
+    cfg = copy.deepcopy(config)
+    cfg.defaults.geomodel = geomodel_path
+    cfg.defaults.geomodel_labels = geomodel_labels_path
+    return cfg
+
+
 def default_geomodel_paths(registry: Registry) -> Optional[tuple[Path, Path]]:
     from ..registry.installer import models_dir
 

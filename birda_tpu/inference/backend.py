@@ -19,6 +19,11 @@ from ..errors import RuntimeInitialization
 
 logger = logging.getLogger(__name__)
 
+#: True once an explicit CPU request confined jax to the CPU platform in
+#: this process (see select_backend); later accelerator requests use it to
+#: explain why no TPU is visible.
+_cpu_confined = False
+
 
 @dataclass
 class BackendStatus:
@@ -73,6 +78,7 @@ def select_backend(requested: str = backend_consts.AUTO):
     if requested not in (backend_consts.AUTO, *backend_consts.ALL):
         raise RuntimeInitialization(f"unknown device '{requested}'")
 
+    global _cpu_confined
     if requested == backend_consts.CPU:
         # An explicit CPU request must not touch the accelerator plugin at
         # all: probing it dials the device attachment (a tunnel handshake
@@ -81,9 +87,34 @@ def select_backend(requested: str = backend_consts.AUTO):
         # the CPU platform; afterwards it is a silent no-op and the CPU
         # devices below still resolve.
         jax.config.update("jax_platforms", "cpu")
+        _cpu_confined = True
         return jax.devices("cpu"), BackendStatus("cpu", "cpu")
 
+    if _cpu_confined:
+        # A long-lived process asked for CPU earlier; try to lift the
+        # confinement (effective only before jax froze the platform set).
+        # The flag clears only if an accelerator actually became visible —
+        # a silently-ignored config update must keep the explanation below.
+        try:
+            jax.config.update("jax_platforms", None)
+        except Exception:  # noqa: BLE001 — best effort
+            pass
+
     avail = available_backends()
+    if _cpu_confined and "tpu" in avail:
+        _cpu_confined = False
+    if _cpu_confined and "tpu" not in avail:
+        if requested == backend_consts.TPU:
+            raise RuntimeInitialization(
+                "TPU was requested, but this process was confined to the "
+                "CPU platform by an earlier explicit CPU run and jax "
+                "cannot re-enable platforms after initialization; restart "
+                "the process to use the TPU"
+            )
+        logger.warning(
+            "auto device resolved to CPU: this process was confined by an "
+            "earlier explicit CPU run (restart to reach the accelerator)"
+        )
     if not avail:
         raise RuntimeInitialization("no jax backends available")
 

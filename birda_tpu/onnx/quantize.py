@@ -257,12 +257,15 @@ def calibrate(
         for name, (amax, pctl, amean, chamax) in out.items():
             a, p_, m, c = agg.get(name, (0.0, 0.0, 0.0, None))
             cm = np.asarray(chamax, np.float64)
+            # amax/pctl/chamax are extremes (max across batches); amean is
+            # the guard's "typical element" statistic, so it averages —
+            # one loud batch must not mask a mostly-quiet calibration set.
             agg[name] = (max(a, float(amax)), max(p_, float(pctl)),
-                         max(m, float(amean)),
+                         m + float(amean),
                          cm if c is None else np.maximum(c, cm))
     stats = {
         name: {
-            "amax": a, "pctl": p_, "amean": m,
+            "amax": a, "pctl": p_, "amean": m / max(n, 1),
             "ndim": ev.ndims.get(name, 0),
             # rounded to 6 significant digits: keeps the cached JSON small
             # without moving any scale that matters
@@ -319,8 +322,10 @@ def cached_calibration(model_bytes: bytes, sample_count: int):
     from ..utils.fs import write_atomic
 
     sha = hashlib.sha256(model_bytes).hexdigest()
+    # Keyed on graph digest AND calibration input length (the same graph
+    # calibrated at another sample_count has different activation ranges).
     # v2: adds per-channel chamax stats (SmoothQuant); old caches recompute.
-    cpath = cache_dir() / "int8_calib" / f"{sha[:24]}-max-v2.json"
+    cpath = cache_dir() / "int8_calib" / f"{sha[:24]}-{sample_count}-max-v2.json"
     if cpath.exists():
         try:
             return CalibrationResult.from_json(cpath.read_text()), True
@@ -696,7 +701,14 @@ def lower_int8(
             if sm is not None:
                 cha = np.asarray(calibration.stats[aname]["chamax"],
                                  np.float32)
-                ascale[aname] = max(float(np.max(cha / sm)) / QMAX, 1e-12)
+                scale = float(np.max(cha / sm)) / QMAX
+                # chamax is a per-channel MAX; honor a percentile method's
+                # clipping intent by shrinking in the same pctl/amax ratio
+                # (exactly 1.0 under method "max").
+                amax = float(calibration.stats[aname]["amax"])
+                if amax > 0:
+                    scale *= (calibration.scale(aname) * QMAX) / amax
+                ascale[aname] = max(scale, 1e-12)
             else:
                 ascale[aname] = calibration.scale(aname)
         else:

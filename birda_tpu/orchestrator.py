@@ -455,8 +455,15 @@ def analyze_files(options: AnalyzeOptions, config: Config, reporter=None) -> int
 
     # Preflight (reference validate_analyze_args_preflight, lib.rs:462-470):
     # --stdout streams one file's detections; several would interleave.
+    # Like the reference, this counts CLI inputs (a directory expanding to
+    # many files streams them sequentially), so stdout mode also forces
+    # jobs=1 below — concurrent workers would interleave the stream.
     if options.stdout_mode and len(options.inputs) != 1:
         raise ConfigValidation("--stdout requires exactly one input file")
+    if options.stdout_mode and options.jobs > 1:
+        logger.warning("--stdout streams sequentially; ignoring --jobs %d",
+                       options.jobs)
+        options.jobs = 1
 
     mc, model_name = resolve_model_config(options, config)
 
@@ -504,13 +511,9 @@ def analyze_files(options: AnalyzeOptions, config: Config, reporter=None) -> int
             if options.range_unmatched else None,
             options.rerank,
         )
-        cfg_for_geo = config
-        if options.geomodel_path is not None:
-            import copy
-
-            cfg_for_geo = copy.deepcopy(config)
-            cfg_for_geo.defaults.geomodel = options.geomodel_path
-            cfg_for_geo.defaults.geomodel_labels = options.geomodel_labels_path
+        cfg_for_geo = geomodel_cfg.config_with_override(
+            config, options.geomodel_path, options.geomodel_labels_path
+        )
         installed_geomodel = geomodel_cfg.resolve_geomodel(
             cfg_for_geo, load_registry(), allow_download=options.allow_download
         )

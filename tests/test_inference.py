@@ -283,6 +283,21 @@ class TestBackendSelection:
         with pytest.raises(RuntimeInitialization):
             select_backend("tpu")
 
+    def test_cpu_confinement_explains_later_tpu_requests(self):
+        """A CPU run confines the process to the CPU platform; a later
+        explicit TPU request must fail with the WHY, not a bare miss."""
+        import jax
+
+        from birda_tpu.inference import backend as backend_mod
+
+        jax.devices()  # freeze the platform set (cpu under conftest)
+        select_backend("cpu")
+        assert backend_mod._cpu_confined
+        if "tpu" in available_backends():
+            pytest.skip("TPU present")
+        with pytest.raises(RuntimeInitialization, match="confined"):
+            select_backend("tpu")
+
 
 class TestMeshSharding:
     def test_sharded_classifier_matches_single(self):

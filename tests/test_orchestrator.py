@@ -231,3 +231,21 @@ class TestAnalyzeEndToEnd:
         lines = (out / "BirdNET_SelectionTable.txt").read_text().splitlines()
         ids = [int(l.split("\t")[0]) for l in lines[1:]]
         assert ids == list(range(1, len(ids) + 1))
+
+
+class TestStdoutSequential:
+    def test_stdout_mode_forces_sequential_jobs(self, home, tmp_path,
+                                                caplog):
+        """--stdout is one ordered stream: concurrent per-file workers
+        would interleave it, so jobs clamps to 1 with a warning."""
+        import logging
+
+        audio = make_audio(tmp_path)
+        opts = AnalyzeOptions(inputs=[audio], stdout_mode=True, jobs=3,
+                              device_flags={"cpu": True},
+                              min_confidence=0.0)
+        with caplog.at_level(logging.WARNING):
+            assert analyze_files(opts, synthetic_config()) == 0
+        assert opts.jobs == 1
+        assert any("ignoring --jobs" in r.getMessage()
+                   for r in caplog.records)

@@ -94,6 +94,31 @@ class TestCalibrate:
         with pytest.raises(ValueError):
             calibrate(mb, [], method="entropy")
 
+    def test_amean_averages_across_batches(self):
+        """The heavy-tail guard's statistic is the mean over the whole
+        calibration set — one loud batch must not mask quiet ones."""
+        mb, _ = conv_gemm_graph()
+        quiet = np.full((2, 4, 8, 8), 0.01, np.float32)
+        loud = np.full((2, 4, 8, 8), 1.0, np.float32)
+        calib = calibrate(mb, [quiet, loud], min_weight_bytes=1)
+        assert calib.stats["x"]["amean"] == pytest.approx(0.505, rel=1e-3)
+
+    def test_cached_calibration_keys_on_sample_count(self, tmp_path,
+                                                     monkeypatch):
+        """Same graph calibrated at two input lengths must not share
+        cached scales."""
+        monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path))
+        from birda_tpu.onnx.quantize import cached_calibration
+
+        g = fs.cached_build(fs.tiny_spec(fs.BIRDNET_V24_SPEC), seed=1)
+        _, l1 = cached_calibration(g.model_bytes, g.spec.sample_count)
+        _, l2 = cached_calibration(g.model_bytes, g.spec.sample_count // 2)
+        assert (l1, l2) == (False, False)  # both computed fresh
+        assert len(list(tmp_path.rglob("int8_calib/*.json"))) == 2
+        # And the repeat run of either length loads its own entry.
+        _, l3 = cached_calibration(g.model_bytes, g.spec.sample_count)
+        assert l3 is True
+
 
 class TestInt8Exactness:
     def test_conv_exact_on_power_of_two_grid(self):
@@ -258,6 +283,32 @@ class TestSmoothQuant:
             outs.append(float(np.max(np.abs(got - want))))
         plain_err, smooth_err = outs
         assert smooth_err < 2.0 * plain_err + 1e-4
+
+    def test_percentile_clipping_respected_under_smoothing(self):
+        """Smoothed activations derive their scale from per-channel maxima;
+        a percentile calibration's clipping intent must survive (shrunk by
+        the same pctl/amax ratio) rather than silently reverting to max."""
+        rng = np.random.default_rng(24)
+        w = rng.normal(0, 0.2, (64, 16)).astype(np.float32)
+        mb = fo.model(
+            [fo.node("MatMul", ["x", "w"], ["y"])],
+            inputs=[fo.value_info("x", ["batch", 64])],
+            outputs=[fo.value_info("y", ["batch", 16])],
+            initializers=[fo.tensor("w", w)],
+        )
+        x = rng.normal(0, 0.5, (64, 64)).astype(np.float32)
+        # Element outlier: big enough to separate pctl from amax, small
+        # enough that the heavy-tail guard keeps the node quantized.
+        x[0, 0] = 20.0
+        c_max = calibrate(mb, [x], min_weight_bytes=1, method="max")
+        c_pct = calibrate(mb, [x], min_weight_bytes=1,
+                          method="percentile", percentile=90.0)
+        q_max = lower_int8(mb, c_max, min_weight_bytes=1,
+                           protect_outputs=False)
+        q_pct = lower_int8(mb, c_pct, min_weight_bytes=1,
+                           protect_outputs=False)
+        assert q_max.smoothed_tensors == q_pct.smoothed_tensors == ["x"]
+        assert q_pct._eval._ascale["x"] < 0.5 * q_max._eval._ascale["x"]
 
     def test_depthwise_conv_smoothing_correct(self):
         """Depthwise convs fold s on the output-channel axis (in == out);
