@@ -192,6 +192,67 @@ class StreamingDecoder:
         self.close()
 
 
+def put_abortable(q, item, abort) -> bool:
+    """Blocking queue put that gives up when ``abort`` (threading.Event) is
+    set; True if delivered. Every producer-side put goes through this so a
+    consumer that stops draining (per-file error paths) can release the
+    producer threads instead of leaving them blocked on a full queue with
+    open native decoder handles."""
+    import queue as _queue
+
+    while not abort.is_set():
+        try:
+            q.put(item, timeout=0.1)
+            return True
+        except _queue.Full:
+            continue
+    return False
+
+
+def emitted_window_count(total: int, segment: int, overlap: int) -> int:
+    """Exactly how many windows :meth:`StreamingDecoder.next_segment` emits
+    for a stream of ``total`` samples — mirrors its advance arithmetic,
+    including the trailing overlap-only window (advance==0 branch).
+
+    This is the single source of truth for window counts: span splitting
+    (parallel decode) and progress estimation both use it; an approximate
+    ceil() here once dropped the final window of a parallel run.
+    """
+    if total <= 0:
+        return 0
+    count, pos = 0, 0
+    while pos < total:
+        take = min(segment, total - pos)
+        count += 1
+        if take <= overlap:
+            break  # final partial window no longer than the overlap
+        pos += take - overlap
+    return count
+
+
+def normalize_window(
+    samples: np.ndarray,
+    src_rate: int,
+    target_rate: int,
+    target_count: int,
+    resample_needed: bool,
+) -> np.ndarray:
+    """Producer-side window normalization shared by the single-thread and
+    parallel decoders: optional resample to the model rate, then exact
+    length (zero-pad / truncate)."""
+    if resample_needed:
+        from .resample import resample_chunk
+
+        samples = resample_chunk(samples, src_rate, target_rate)
+    if len(samples) < target_count:
+        return np.concatenate(
+            [samples, np.zeros(target_count - len(samples), np.float32)]
+        )
+    if len(samples) > target_count:
+        return samples[:target_count]
+    return samples
+
+
 def decode_audio_file(path: Path | str) -> DecodedAudio:
     """Decode a whole file to mono float32 (offline path)."""
     with StreamingDecoder(path) as dec:

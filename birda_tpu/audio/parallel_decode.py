@@ -9,13 +9,17 @@ workers over disjoint, window-grid-aligned spans:
 - Window w of the global stream starts at ``w * step`` (step = segment −
   overlap). Worker k owns windows ``[k*W, (k+1)*W)`` and opens its OWN
   decoder, ``seek_exact``-ed to ``k*W*step`` — exact even on coarse-seek
-  containers. The last worker runs to stream end, so the subtle tail-window
-  semantics stay identical to the single-decoder path (decode.rs:150-202).
+  containers. The last *created* worker always runs to stream end (its
+  bound is None), so the subtle tail-window semantics stay identical to the
+  single-decoder path (decode.rs:150-202) even if the split is imperfect.
 - A mux thread drains the workers' bounded queues strictly in span order
   into the pipeline's queue, so the consumer still sees consecutive windows
   (the chunk runner reassembles a contiguous sample stream from them).
   Per-worker queues provide backpressure: a worker far ahead of the mux
   blocks on its own queue.
+- ``abort`` (a threading.Event) unblocks every queue put when the consumer
+  stops draining (per-file error paths): without it, workers would block
+  forever on full queues, leaking threads and open native decoder handles.
 
 Decode (native C++ via ctypes) and per-window resample (numpy) both release
 the GIL, so threads give real parallelism without process overhead.
@@ -27,10 +31,11 @@ import queue
 import threading
 from pathlib import Path
 
-import numpy as np
-
-from .decode import StreamingDecoder
-from .resample import resample_chunk
+from .decode import (
+    StreamingDecoder,
+    normalize_window,
+    put_abortable as _put_abortable,
+)
 
 _WORKER_DONE = object()
 #: Per-worker lookahead (windows) before it blocks on the mux.
@@ -40,6 +45,7 @@ _WORKER_QUEUE = 8
 def _worker(
     path: Path,
     out: queue.Queue,
+    abort: threading.Event,
     first_window: int,
     end_window: int | None,
     seg_samples: int,
@@ -53,28 +59,24 @@ def _worker(
     try:
         dec = StreamingDecoder(path)
         dec.seek_exact(first_window * step)
-        while True:
+        while not abort.is_set():
             seg = dec.next_segment(seg_samples, ovl_samples)
             if seg is None:
                 break
             if end_window is not None and seg.start_sample // step >= end_window:
                 break
-            samples = seg.samples
-            if resample_needed:
-                samples = resample_chunk(samples, dec.sample_rate, target_rate)
-            if len(samples) < target_count:
-                samples = np.concatenate(
-                    [samples, np.zeros(target_count - len(samples), np.float32)]
-                )
-            elif len(samples) > target_count:
-                samples = samples[:target_count]
-            out.put((samples, seg.start_sample))
+            samples = normalize_window(
+                seg.samples, dec.sample_rate, target_rate, target_count,
+                resample_needed,
+            )
+            if not _put_abortable(out, (samples, seg.start_sample), abort):
+                return
     except BaseException as e:  # noqa: BLE001 — shipped in-band via the mux
-        out.put(e)
+        _put_abortable(out, e, abort)
     finally:
         if dec is not None:
             dec.close()
-        out.put(_WORKER_DONE)
+        _put_abortable(out, _WORKER_DONE, abort)
 
 
 def spawn_parallel_decode(
@@ -88,33 +90,49 @@ def spawn_parallel_decode(
     target_count: int,
     resample_needed: bool,
     n_workers: int,
+    abort: threading.Event | None = None,
 ) -> threading.Thread:
     """Start N span decoders + the ordered mux; returns the mux thread.
 
     The mux emits ``(samples, start_sample)`` tuples into ``tx`` in global
     window order, ships the first worker exception in-band, and always
     terminates the stream with ``sentinel`` — the same contract as the
-    single-threaded producer in :mod:`birda_tpu.pipeline.processor`.
+    single-threaded producer in :mod:`birda_tpu.pipeline.processor`. Set
+    ``abort`` to unblock everything when the consumer stops draining.
     """
+    if abort is None:
+        abort = threading.Event()
     step = max(1, seg_samples - ovl_samples)
-    # Upper bound on the window count; the tail worker runs to stream end,
-    # so an under-estimate is impossible and an over-estimate only creates
-    # workers that immediately hit EOF.
-    n_windows = max(1, -(-max(total_frames - ovl_samples, 1) // step))
-    n_workers = max(1, min(n_workers, n_windows))
-    per = -(-n_windows // n_workers)
+    # Only FULL windows sit on the w*step grid the span split assumes; the
+    # decoder goes off-grid at its first partial window (advance < step),
+    # so the 1-2 tail windows always belong to the last worker's unbounded
+    # run. Splitting on the total emitted count (or any over-count) would
+    # duplicate the tail; bounding the last worker under an under-count
+    # once silently dropped the final window.
+    full = (
+        (total_frames - seg_samples) // step + 1
+        if total_frames >= seg_samples else 0
+    )
+    n_split = max(1, full)
+    n_workers = max(1, min(n_workers, n_split))
+    per = -(-n_split // n_workers)
+
+    worker_args: list[tuple[int, int | None]] = []
+    for k in range(n_workers):
+        first = k * per
+        if first >= n_split:
+            break
+        worker_args.append((first, min((k + 1) * per, n_split)))
+    # The last created worker ALWAYS runs to stream end (tail windows).
+    worker_args[-1] = (worker_args[-1][0], None)
 
     worker_queues: list[queue.Queue] = []
     threads: list[threading.Thread] = []
-    for k in range(n_workers):
-        first = k * per
-        if first >= n_windows:
-            break
-        end = None if k == n_workers - 1 else min((k + 1) * per, n_windows)
+    for k, (first, end) in enumerate(worker_args):
         q: queue.Queue = queue.Queue(maxsize=_WORKER_QUEUE)
         t = threading.Thread(
             target=_worker,
-            args=(path, q, first, end, seg_samples, ovl_samples,
+            args=(path, q, abort, first, end, seg_samples, ovl_samples,
                   target_rate, target_count, resample_needed),
             daemon=True,
             name=f"birda-decode-{k}",
@@ -127,8 +145,11 @@ def spawn_parallel_decode(
         error = None
         try:
             for q in worker_queues:
-                while True:
-                    item = q.get()
+                while not abort.is_set():
+                    try:
+                        item = q.get(timeout=0.1)
+                    except queue.Empty:
+                        continue
                     if item is _WORKER_DONE:
                         break
                     if isinstance(item, BaseException):
@@ -136,13 +157,25 @@ def spawn_parallel_decode(
                             error = item
                         continue  # drain to DONE so the worker can exit
                     if error is None:
-                        tx.put(item)
-            if error is not None:
-                tx.put(error)
+                        if not _put_abortable(tx, item, abort):
+                            return
+            if error is not None and not abort.is_set():
+                _put_abortable(tx, error, abort)
         finally:
-            tx.put(sentinel)
+            abort_set = abort.is_set()
+            if not abort_set:
+                _put_abortable(tx, sentinel, abort)
+            else:
+                # Consumer is gone: make sure every worker can finish its
+                # pending put and close its decoder.
+                for q in worker_queues:
+                    try:
+                        while True:
+                            q.get_nowait()
+                    except queue.Empty:
+                        pass
             for t in threads:
-                t.join(timeout=1)
+                t.join(timeout=5)
 
     m = threading.Thread(target=mux, daemon=True, name="birda-decode-mux")
     m.start()

@@ -27,9 +27,16 @@ class WavFallbackReader:
         self._f = open(path, "rb")
         try:
             self._parse_header()
-        except Exception:
+        except IOError:
             self._f.close()
             raise
+        except Exception as e:
+            # Malformed headers can fail deep in the parse (struct.error,
+            # arithmetic on absent fields); the caller's contract is
+            # IOError -> typed AudioOpen, never a raw parser traceback
+            # aborting the whole batch run.
+            self._f.close()
+            raise IOError(f"malformed WAV header: {e}") from e
         self._pos = 0
 
     def _parse_header(self):
@@ -55,6 +62,8 @@ class WavFallbackReader:
             cid, sz = struct.unpack("<4sI", hdr)
             if cid == b"ds64" and rf64:
                 body = f.read(min(sz, 28))
+                if len(body) < 16:
+                    raise IOError("truncated ds64 chunk")
                 ds64_data_size = struct.unpack("<Q", body[8:16])[0]
                 rest = sz - len(body) + (sz & 1)
                 if rest:
@@ -65,6 +74,8 @@ class WavFallbackReader:
             elif cid == b"data":
                 data_offset = f.tell()
                 data_size = ds64_data_size if (rf64 and sz == 0xFFFFFFFF) else sz
+                if data_size is None:
+                    raise IOError("RF64 data chunk without a ds64 size")
                 if fmt is not None:
                     break
                 f.seek(data_size + (data_size & 1), 1)
@@ -102,6 +113,8 @@ class WavFallbackReader:
             pass
         else:
             raise IOError("unsupported WAV codec")
+        if ch <= 0 or rate <= 0:
+            raise IOError("invalid WAV channel count or sample rate")
         return format_tag, ch, rate, bits
 
     def read(self, n: int) -> np.ndarray:

@@ -116,6 +116,7 @@ class BirdClassifier:
         self._warmed = _WarmupRegistry()
         self._warmup_reports: list[WarmupReport] = []
         self._chunk_runners: dict[tuple, "ChunkRunner"] = {}
+        self._chunk_runner_lock = threading.Lock()
         self.mesh = mesh
 
         devices, status = select_backend(device)
@@ -280,20 +281,30 @@ class BirdClassifier:
 
     def chunk_runner(self, batch_size: int, step_samples: int,
                      transport: str = "int16",
-                     src_rate: Optional[int] = None) -> "ChunkRunner":
-        key = (batch_size, step_samples, transport, src_rate)
-        cached = self._chunk_runners.get(key)
-        if cached is not None:
-            return cached
-        runner = self._build_chunk_runner(
-            batch_size, step_samples, transport, src_rate
-        )
-        self._chunk_runners[key] = runner
-        return runner
+                     src_rate: Optional[int] = None,
+                     src_chunk_samples: Optional[int] = None) -> "ChunkRunner":
+        key = (batch_size, step_samples, transport, src_rate,
+               src_chunk_samples)
+        # Serialized build: under --jobs several files can request the same
+        # (batch, step) concurrently, and an unsynchronized check-then-insert
+        # would compile the same XLA program twice (40-170 s each on the
+        # remote service).
+        with self._chunk_runner_lock:
+            cached = self._chunk_runners.get(key)
+            if cached is not None:
+                return cached
+            runner = self._build_chunk_runner(
+                batch_size, step_samples, transport, src_rate,
+                src_chunk_samples,
+            )
+            self._chunk_runners[key] = runner
+            return runner
 
     def _build_chunk_runner(self, batch_size: int, step_samples: int,
                             transport: str,
-                            src_rate: Optional[int]) -> "ChunkRunner":
+                            src_rate: Optional[int],
+                            src_chunk_samples: Optional[int] = None,
+                            ) -> "ChunkRunner":
         """Build the high-throughput streaming interface.
 
         Instead of shipping ``[batch, sample_count]`` f32 windows (which
@@ -312,7 +323,8 @@ class BirdClassifier:
         device ahead of the windowing — the host's only per-sample work left
         is the decode itself.
         """
-        return ChunkRunner(self, batch_size, step_samples, transport, src_rate)
+        return ChunkRunner(self, batch_size, step_samples, transport,
+                           src_rate, src_chunk_samples)
 
     # -- post-filters (reference classifier.rs:587-645) ----------------------
 
@@ -339,7 +351,8 @@ class ChunkRunner:
 
     def __init__(self, classifier: BirdClassifier, batch_size: int,
                  step_samples: int, transport: str = "int16",
-                 src_rate: Optional[int] = None):
+                 src_rate: Optional[int] = None,
+                 src_chunk_samples: Optional[int] = None):
         import math
 
         import jax
@@ -351,26 +364,26 @@ class ChunkRunner:
         self.transport = transport
         seg = classifier.sample_count
         model_rate = classifier.sample_rate
-        from ..ops.resample import device_resample_supported, get_plan
+        from ..ops.resample import get_plan
 
         self.src_rate = src_rate if src_rate is not None else model_rate
-        # Large rational ratios (44.1 kHz's 320/441) resample on the host —
-        # the dilated-conv device formulation wastes L-fold MACs.
-        self.resample_on_device = (
-            self.src_rate != model_rate
-            and device_resample_supported(self.src_rate, model_rate)
-        )
-        if not self.resample_on_device:
-            self.src_rate = model_rate
+        # Every rational ratio resamples on device (the blocked-matmul
+        # polyphase form, ops/resample.py::_device_fn_blocked — 44.1 kHz
+        # included), so the host's only per-sample work is the decode.
+        self.resample_on_device = self.src_rate != model_rate
         chunk_model = (batch_size - 1) * step_samples + seg
 
         if self.resample_on_device:
             plan = get_plan(self.src_rate, model_rate)
             # Source chunk sized so its resampled length covers the model
             # chunk (out_len = ceil(in * L/M) >= chunk_model), plus one
-            # resampler period of slack for host-side step rounding; the
-            # device slices the resampled stream back to chunk_model.
-            self.chunk_samples = math.ceil(chunk_model * plan.M / plan.L) + plan.M
+            # resampler period of slack; a producer whose window geometry
+            # is rounded at the SOURCE rate passes its exact host chunk
+            # length (``src_chunk_samples``) — per-window step rounding
+            # accumulates ~0.5 samples/window, which overflows a capacity
+            # derived from model-side numbers alone at large batch.
+            base = math.ceil(chunk_model * plan.M / plan.L) + plan.M
+            self.chunk_samples = max(base, src_chunk_samples or 0)
         else:
             self.chunk_samples = chunk_model
 

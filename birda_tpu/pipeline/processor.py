@@ -24,8 +24,12 @@ from pathlib import Path
 import numpy as np
 
 from .. import constants
-from ..audio.decode import StreamingDecoder
-from ..audio.resample import resample_chunk
+from ..audio.decode import (
+    StreamingDecoder,
+    emitted_window_count,
+    normalize_window,
+    put_abortable,
+)
 from ..errors import BirdaError
 from ..inference.classifier import BirdClassifier, InferenceOptions
 from ..inference.watchdog import start_inference_watchdog
@@ -68,6 +72,7 @@ _SENTINEL = object()
 def _decode_and_stream(
     decoder: StreamingDecoder,
     tx: queue.Queue,
+    abort: threading.Event,
     seg_samples_src: int,
     ovl_samples_src: int,
     target_rate: int,
@@ -77,26 +82,25 @@ def _decode_and_stream(
     """HOT LOOP A (producer): decode -> resample -> exact-length -> send.
 
     Blocking ``put`` is the backpressure; any exception is shipped in-band.
+    ``abort`` unblocks the puts when the consumer stops draining — the
+    consumer joins this thread before closing the shared decoder, so the
+    native handle is never freed under a live read.
     """
     try:
-        while True:
+        while not abort.is_set():
             seg = decoder.next_segment(seg_samples_src, ovl_samples_src)
             if seg is None:
                 break
-            samples = seg.samples
-            if resample_needed:
-                samples = resample_chunk(samples, decoder.sample_rate, target_rate)
-            if len(samples) < target_count:
-                samples = np.concatenate(
-                    [samples, np.zeros(target_count - len(samples), np.float32)]
-                )
-            elif len(samples) > target_count:
-                samples = samples[:target_count]
-            tx.put((samples, seg.start_sample))
+            samples = normalize_window(
+                seg.samples, decoder.sample_rate, target_rate, target_count,
+                resample_needed,
+            )
+            if not put_abortable(tx, (samples, seg.start_sample), abort):
+                return
     except BaseException as e:  # noqa: BLE001 — shipped to the consumer
-        tx.put(e)
+        put_abortable(tx, e, abort)
     finally:
-        tx.put(_SENTINEL)
+        put_abortable(tx, _SENTINEL, abort)
 
 
 def process_file(classifier: BirdClassifier, config: ProcessingConfig) -> ProcessResult:
@@ -105,6 +109,9 @@ def process_file(classifier: BirdClassifier, config: ProcessingConfig) -> Proces
 
     lock = FileLock.acquire(config.input_path, config.output_dir)
     decoder = None
+    producer = None
+    tx = None
+    abort = threading.Event()
     try:
         decoder = StreamingDecoder(config.input_path)
         src_rate = decoder.sample_rate
@@ -128,7 +135,13 @@ def process_file(classifier: BirdClassifier, config: ProcessingConfig) -> Proces
 
         audio_duration = decoder.duration_secs or 0.0
         step_secs = max(seg_duration - overlap, 1e-9)
-        if audio_duration > 0:
+        if decoder.total_frames:
+            # Exact (mirrors the decoder's window arithmetic, including the
+            # trailing overlap-only window) so progress never exceeds 100%.
+            est_segments = max(1, emitted_window_count(
+                decoder.total_frames, seg_samples_src, ovl_samples_src
+            ))
+        elif audio_duration > 0:
             import math
 
             est_segments = (
@@ -159,20 +172,29 @@ def process_file(classifier: BirdClassifier, config: ProcessingConfig) -> Proces
         # overlapped windowing fused with the model.
         overlap_model = int(round(overlap * target_rate))
         step_model = max(1, target_count - overlap_model)
+        step_src = max(1, seg_samples_src - ovl_samples_src)
         runner = None
         if config.use_chunk_runner:
             # Ship source-rate chunks and resample on device: the host's
-            # only per-sample work is the decode itself.
+            # only per-sample work is the decode itself. The runner's host
+            # chunk capacity comes from OUR window geometry — the source
+            # step is rounded independently of the model step, so a
+            # capacity derived only from model-side numbers can overflow
+            # at large batch (0.3 samples/window of rounding adds up).
+            src_chunk = (
+                (effective_batch - 1) * step_src + seg_samples_src
+                if resample_needed else None
+            )
             runner = classifier.chunk_runner(
                 effective_batch, step_model,
                 src_rate=src_rate if resample_needed else None,
+                src_chunk_samples=src_chunk,
             )
             runner.ensure_warm()
             if runner.resample_on_device:
                 resample_needed = False  # producer ships raw source windows
         else:
             classifier.ensure_warm(effective_batch)
-        step_src = max(1, seg_samples_src - ovl_samples_src)
 
         # With device-side resampling the producer ships raw source-rate
         # windows; otherwise it resamples each window to the model rate.
@@ -202,12 +224,12 @@ def process_file(classifier: BirdClassifier, config: ProcessingConfig) -> Proces
                 config.input_path, tx, _SENTINEL, decoder.total_frames,
                 seg_samples_src, ovl_samples_src,
                 target_rate, producer_count, resample_needed,
-                n_workers,
+                n_workers, abort=abort,
             )
         else:
             producer = threading.Thread(
                 target=_decode_and_stream,
-                args=(decoder, tx, seg_samples_src, ovl_samples_src,
+                args=(decoder, tx, abort, seg_samples_src, ovl_samples_src,
                       target_rate, producer_count, resample_needed),
                 daemon=True,
                 name="birda-decode",
@@ -268,17 +290,25 @@ def process_file(classifier: BirdClassifier, config: ProcessingConfig) -> Proces
                 return
             n_real = len(batch_samples)
             if runner is not None:
-                # Reassemble the contiguous stream: the first `step` of
-                # each window plus the last window's tail — each sample
-                # crosses the link exactly once.
-                step_n = (
-                    step_src if runner.resample_on_device else step_model
-                )
-                parts = [s[:step_n] for s in batch_samples[:-1]]
-                parts.append(batch_samples[-1])
-                chunk = (
-                    np.concatenate(parts) if len(parts) > 1 else parts[0]
-                )
+                # Reassemble the contiguous stream by PLACING each window
+                # at its true offset — each sample crosses the link exactly
+                # once. A fixed-stride concat assumed uniform spacing, but
+                # the decoder's final windows advance by less than a full
+                # step (tail semantics), which shifted the reconstructed
+                # tail samples. The device still windows on the uniform
+                # grid, so only the trailing window's start can quantize to
+                # the grid; its samples are now the true stream either way.
+                if n_real == 1:
+                    chunk = batch_samples[0]
+                else:
+                    start0 = batch_starts[0]
+                    length = max(
+                        st - start0 + len(s)
+                        for st, s in zip(batch_starts, batch_samples)
+                    )
+                    chunk = np.zeros(length, np.float32)
+                    for st, s in zip(batch_starts, batch_samples):
+                        chunk[st - start0:st - start0 + len(s)] = s
                 handle = runner.predict_chunk_async(chunk, n_real, options)
             else:
                 rows = batch_samples
@@ -347,6 +377,26 @@ def process_file(classifier: BirdClassifier, config: ProcessingConfig) -> Proces
         )
         return result
     finally:
+        # Producer threads share the decoder (single-thread path) or hold
+        # their own native handles (parallel path): on error exits they may
+        # be blocked mid-put. Signal, drain, and JOIN before closing the
+        # decoder — closing a native handle under a live read is a
+        # use-after-free, which would turn a recoverable per-file error
+        # into a process crash.
+        abort.set()
+        if tx is not None:
+            try:
+                while True:
+                    tx.get_nowait()
+            except queue.Empty:
+                pass
+        if producer is not None:
+            producer.join(timeout=10)
+            if producer.is_alive():  # pragma: no cover — defensive
+                logger.warning("decode producer did not exit; leaking "
+                               "decoder handle rather than risking a "
+                               "use-after-free close")
+                decoder = None
         if decoder is not None:
             decoder.close()
         lock.release()

@@ -124,6 +124,38 @@ def test_mp3_mutations_never_crash(tmp_path):
         _exercise(q)
 
 
+def test_wav_fallback_reader_mutations_are_typed(tmp_path, monkeypatch):
+    """The pure-Python fallback parser (native lib absent) must reject
+    malformed headers as IOError -> typed AudioOpen, never raw struct/
+    arithmetic tracebacks that would abort a batch run."""
+    from birda_tpu.native import audio as native_audio
+
+    monkeypatch.setattr(native_audio, "available", lambda: False)
+    rate = 32_000
+    p = tmp_path / "ok.wav"
+    write_wav(p, _tone(rate), rate)
+    data = p.read_bytes()
+    rng = np.random.default_rng(13)
+    for i, mutated in enumerate(_mutations(data, rng, 24)):
+        q = tmp_path / f"f{i}.wav"
+        q.write_bytes(mutated)
+        _exercise(q)
+    # Directed RF64 header attacks (the struct-error paths).
+    rf64 = bytearray(data)
+    rf64[0:4] = b"RF64"
+    hdr = tmp_path / "rf64-trunc-ds64.wav"
+    # ds64 chunk declaring size 4 (needs >= 16).
+    hdr.write_bytes(bytes(rf64[:12]) + b"ds64" + (4).to_bytes(4, "little")
+                    + b"\x00" * 4 + bytes(rf64[12:]))
+    _exercise(hdr)
+    nodata = tmp_path / "rf64-no-ds64.wav"
+    # data chunk with the RF64 0xFFFFFFFF sentinel but no ds64 chunk.
+    blob = bytes(rf64[:12]) + b"fmt " + (16).to_bytes(4, "little") + \
+        data[20:36] + b"data" + b"\xff\xff\xff\xff" + b"\x00" * 64
+    nodata.write_bytes(blob)
+    _exercise(nodata)
+
+
 def test_empty_and_tiny_files(tmp_path):
     for name, content in [
         ("empty.wav", b""), ("tiny.wav", b"RI"),

@@ -432,3 +432,31 @@ class TestChunkRunner:
         qz, az = native_audio.quantize_int16(np.zeros(1000, np.float32))
         assert az == 0.0
         assert not qz.any()
+
+
+class TestChunkCapacity:
+    def test_capacity_covers_source_step_rounding(self):
+        """Regression (44.1 kHz -> 48 kHz, overlap 2.333 s, batch 512):
+        per-window source-step rounding accumulates ~0.3 samples/window,
+        so the host chunk outgrew a capacity derived from model-side
+        numbers alone and every full batch hard-failed. The producer now
+        passes its exact host chunk length."""
+        from birda_tpu.models.zoo import tiny_model
+
+        clf = BirdClassifier(tiny_model(), device="cpu",
+                             min_confidence=0.0, top_k=3)
+        overlap = 2.333
+        step_model = clf.sample_count - int(round(overlap * clf.sample_rate))
+        seg_src = int(round(3.0 * 44_100))
+        ovl_src = int(round(overlap * 44_100))
+        step_src = seg_src - ovl_src
+        batch = 512
+        host_chunk = (batch - 1) * step_src + seg_src
+        runner = clf.chunk_runner(batch, step_model, src_rate=44_100,
+                                  src_chunk_samples=host_chunk)
+        assert runner.chunk_samples >= host_chunk
+        # Cache key includes the geometry: a different host length is a
+        # different runner, not a silently reused mismatched one.
+        other = clf.chunk_runner(batch, step_model, src_rate=44_100,
+                                 src_chunk_samples=host_chunk + 7)
+        assert other is not runner

@@ -39,7 +39,8 @@ def _single_stream(path, seg, ovl, target_rate, target_count, resample):
     q: queue.Queue = queue.Queue()
     t = threading.Thread(
         target=_decode_and_stream,
-        args=(dec, q, seg, ovl, target_rate, target_count, resample),
+        args=(dec, q, threading.Event(), seg, ovl, target_rate,
+              target_count, resample),
     )
     t.start()
     out = _drain(q)
@@ -182,3 +183,161 @@ class TestDecodeWorkerResolution:
 
         got = resolve_decode_workers(AnalyzeOptions(decode_workers=0, jobs=1))
         assert got == max(1, min(4, os.cpu_count() or 1))
+
+
+class TestWindowCount:
+    def test_emitted_window_count_matches_decoder(self, tmp_path):
+        """The count helper must agree with the real decoder for tail
+        geometries: off-boundary end, trailing overlap-only window, tiny
+        files, zero overlap."""
+        from birda_tpu.audio.decode import emitted_window_count
+
+        rate = 32_000
+        for n, seg, ovl in [
+            (95_000, 15_000, 5_000),   # off-grid tail + overlap-only window
+            (100_000, 15_000, 5_000),  # boundary + overlap-only window
+            (90_000, 15_000, 0),       # exact, no overlap
+            (12_000, 15_000, 5_000),   # shorter than one segment
+            (15_000, 15_000, 5_000),   # exactly one segment
+            (70_001, 16_000, 12_000),  # overlap > step
+        ]:
+            p = tmp_path / f"n{n}s{seg}o{ovl}.wav"
+            write_wav(p, _signal(n, rate, seed=n % 7), rate)
+            singles = _single_stream(p, seg, ovl, rate, seg, False)
+            assert len(singles) == emitted_window_count(n, seg, ovl), (
+                n, seg, ovl)
+
+    def test_parallel_never_drops_tail_windows(self, tmp_path):
+        """Regression: an underestimated window count once bounded the last
+        created worker, silently dropping the final window(s)."""
+        rate = 32_000
+        seg, ovl = 15_000, 5_000
+        n = 95_000  # 10 true windows; the old ceil() estimate said 9
+        p = tmp_path / "tail.wav"
+        write_wav(p, _signal(n, rate, seed=3), rate)
+        singles = _single_stream(p, seg, ovl, rate, seg, False)
+        for workers in (2, 3, 4, 8):
+            par = _parallel_stream(p, seg, ovl, rate, seg, False, workers)
+            assert [s for _, s in par] == [s for _, s in singles], workers
+            for (a, _), (b, _) in zip(par, singles):
+                np.testing.assert_array_equal(a, b)
+
+
+class TestAbort:
+    def test_abort_releases_blocked_workers(self, tmp_path):
+        """A consumer that stops draining (error path) sets abort: every
+        worker and the mux must exit instead of blocking forever on full
+        queues with open decoder handles."""
+        rate = 32_000
+        p = tmp_path / "long.wav"
+        write_wav(p, _signal(rate * 30, rate, seed=5), rate)
+        tx: queue.Queue = queue.Queue(maxsize=2)  # tiny: mux blocks fast
+        abort = threading.Event()
+        dec = StreamingDecoder(p)
+        total = dec.total_frames
+        dec.close()
+        mux = spawn_parallel_decode(
+            p, tx, _SENTINEL, total, 15_000, 5_000, rate, 15_000, False,
+            4, abort=abort,
+        )
+        # Take a couple of items, then walk away like the error path does.
+        for _ in range(2):
+            tx.get(timeout=10)
+        abort.set()
+        try:
+            while True:
+                tx.get_nowait()
+        except queue.Empty:
+            pass
+        mux.join(timeout=15)
+        assert not mux.is_alive()
+
+    def test_abort_releases_single_thread_producer(self, tmp_path):
+        rate = 32_000
+        p = tmp_path / "long.wav"
+        write_wav(p, _signal(rate * 30, rate, seed=6), rate)
+        tx: queue.Queue = queue.Queue(maxsize=1)
+        abort = threading.Event()
+        dec = StreamingDecoder(p)
+        t = threading.Thread(
+            target=_decode_and_stream,
+            args=(dec, tx, abort, 15_000, 5_000, rate, 15_000, False),
+        )
+        t.start()
+        tx.get(timeout=10)  # one item, then stop draining
+        abort.set()
+        try:
+            while True:
+                tx.get_nowait()
+        except queue.Empty:
+            pass
+        t.join(timeout=15)
+        assert not t.is_alive()
+        dec.close()  # safe: producer has exited
+
+
+class TestErrorPathSafety:
+    @pytest.mark.parametrize("workers", [1, 4])
+    def test_inference_error_midfile_cleans_up_producers(self, tmp_path,
+                                                         workers):
+        """An inference error mid-file must surface as the typed error with
+        every producer thread joined BEFORE the decoder closes — closing a
+        native handle under a live read is a use-after-free that would turn
+        a recoverable per-file error into a process crash."""
+        from birda_tpu.errors import Inference as InferenceErr
+        from birda_tpu.inference.classifier import BirdClassifier
+        from birda_tpu.models.zoo import tiny_model
+        from birda_tpu.pipeline.config import ProcessingConfig
+        from birda_tpu.pipeline.coordinator import OutputFormat
+        from birda_tpu.pipeline.processor import process_file
+
+        path = tmp_path / "long.wav"
+        write_wav(path, _signal(48_000 * 40, 48_000), 48_000)  # many windows
+        clf = BirdClassifier(tiny_model(), device="cpu",
+                             min_confidence=0.0, top_k=3)
+
+        calls = {"n": 0}
+        orig = clf.chunk_runner
+        poisoned = []
+
+        def poisoned_chunk_runner(*a, **kw):
+            runner = orig(*a, **kw)
+
+            def boom(*_a, **_kw):
+                calls["n"] += 1
+                raise InferenceErr("injected failure")
+
+            runner.predict_chunk_async = boom  # instance shadow
+            poisoned.append(runner)
+            return runner
+
+        clf.chunk_runner = poisoned_chunk_runner
+        before = threading.active_count()
+        cfg = ProcessingConfig(
+            input_path=path, output_dir=tmp_path / "out",
+            formats=[OutputFormat.CSV], min_confidence=0.0,
+            overlap=0.0, batch_size=2, decode_workers=workers,
+        )
+        (tmp_path / "out").mkdir()
+        with pytest.raises(InferenceErr):
+            process_file(clf, cfg)
+        assert calls["n"] == 1
+        # All producer threads (decode workers + mux) must have exited.
+        deadline = 15.0
+        import time as _time
+
+        t0 = _time.monotonic()
+        while _time.monotonic() - t0 < deadline:
+            if threading.active_count() <= before:
+                break
+            _time.sleep(0.1)
+        leaked = [t.name for t in threading.enumerate()
+                  if t.name.startswith("birda-decode")]
+        assert leaked == []
+        # And the file is processable again afterwards (lock released,
+        # decoder handle not corrupted).
+        clf.chunk_runner = orig
+        for r in poisoned:  # cached runners keep the instance shadow
+            del r.predict_chunk_async
+        res = process_file(clf, cfg)
+        assert res.segments > 0
