@@ -310,7 +310,9 @@ def _load_validated_config() -> Config:
 
 def _install_sigint_cleanup(reporter, total_files):
     def handler(signum, frame):
-        removed = cleanup_all_locks()
+        from ..locking.config_lock import cleanup_all_config_locks
+
+        removed = cleanup_all_locks() + cleanup_all_config_locks()
         if removed:
             sys.stderr.write(f"\nReleased {removed} lock(s)\n")
         if reporter is not None:
@@ -637,7 +639,9 @@ def models_regions(model_id):
 
 @models.command("install")
 @click.argument("model_id")
-@click.option("-l", "--language", default="en")
+@click.option("-l", "--language", default=None,
+              help="Label language code (default: the model's own default). "
+                   "A language the model lacks is an error, not a fallback.")
 @click.option("--region")
 @click.option("--variant")
 @click.option("-d", "--default", "set_default", is_flag=True)

@@ -86,7 +86,9 @@ def find_source_audio(
     if explicit_audio is not None:
         if explicit_audio.exists():
             return explicit_audio
-        raise SourceAudioNotFound(str(detection_file))
+        # Name the path that is actually missing — pointing at the
+        # detection file (which exists) sends the user the wrong way.
+        raise SourceAudioNotFound(str(explicit_audio))
 
     file_name = detection_file.name
     search_dir = base_dir if base_dir is not None else (
@@ -139,11 +141,25 @@ def _execute_direct(args: ClipArgs) -> ClipSummary:
             start=args.start, end=args.end,
             max_confidence=1.0, detection_count=1,
         )
-        clip = extractor.extract_clip(audio_file, group)
-        path = writer.write_clip(
-            clip.samples, clip.sample_rate, group.scientific_name,
-            group.max_confidence, group.start, group.end,
-        )
+        # Per-file isolation, same as CSV mode (the module contract: one
+        # bad file is a warning, the batch keeps going and fails only if
+        # ALL fail). The reference's direct mode takes a single --audio
+        # and errors hard; multi-file direct extraction is our extension,
+        # so it follows the batch semantics.
+        try:
+            clip = extractor.extract_clip(audio_file, group)
+            path = writer.write_clip(
+                clip.samples, clip.sample_rate, group.scientific_name,
+                group.max_confidence, group.start, group.end,
+            )
+        except BirdaError as e:
+            logger.warning("Failed to clip %s: %s", audio_file, e)
+            summary.failures.append({
+                "file": str(audio_file),
+                "code": CLIP_FILE_FAILED_CODE,
+                "message": str(e),
+            })
+            continue
         summary.total_clips += 1
         summary.processed_files += 1
         summary.clips.append({
@@ -152,6 +168,8 @@ def _execute_direct(args: ClipArgs) -> ClipSummary:
             "start": group.start,
             "end": group.end,
         })
+    if summary.processed_files == 0 and summary.failures:
+        raise ClipBatchAllFailed()
     return summary
 
 

@@ -11,11 +11,33 @@ edit, so the whole load-mutate-save is wrapped in a sibling
 from __future__ import annotations
 
 import os
+import threading
 import time
 from pathlib import Path
 
 from ..constants import config_lock as cl
 from ..errors import ConfigLocked
+
+# Separate from file_lock's registry on purpose (reference config_lock.rs
+# module notes): one shared registry would let either type's cleanup remove
+# the other's lock file.
+_registry: set[Path] = set()
+_registry_lock = threading.Lock()
+
+
+def cleanup_all_config_locks() -> int:
+    """Ctrl+C cleanup for config locks (reference ``lib.rs:342``)."""
+    with _registry_lock:
+        paths = list(_registry)
+        _registry.clear()
+    removed = 0
+    for p in paths:
+        try:
+            p.unlink()
+            removed += 1
+        except OSError:
+            pass
+    return removed
 
 
 class ConfigLock:
@@ -33,19 +55,32 @@ class ConfigLock:
                 fd = os.open(
                     self.lock_path, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644
                 )
-                os.write(fd, str(os.getpid()).encode())
-                os.close(fd)
-                self._held = True
-                return self
             except FileExistsError:
                 if time.monotonic() >= deadline:
                     raise ConfigLocked(timeout) from None
                 time.sleep(retry_interval)
+                continue
+            # The lock file exists from here on: any failure writing the
+            # (best-effort) pid body must still end with a HELD, removable
+            # lock — leaving _held False would orphan it permanently (this
+            # lock deliberately has no staleness breaking, see module docs).
+            try:
+                os.write(fd, str(os.getpid()).encode())
+            except OSError:
+                pass
+            finally:
+                os.close(fd)
+            self._held = True
+            with _registry_lock:
+                _registry.add(self.lock_path)
+            return self
 
     def release(self) -> None:
         if not self._held:
             return
         self._held = False
+        with _registry_lock:
+            _registry.discard(self.lock_path)
         try:
             self.lock_path.unlink()
         except OSError:

@@ -34,14 +34,39 @@ def _unregister(path: Path) -> None:
         _registry.discard(path)
 
 
+def _owned_by_this_process(path: Path) -> bool:
+    """True when the lock body names this pid (or is unreadable/empty —
+    our own freshly-created lock before its body landed)."""
+    try:
+        body = path.read_text()
+    except OSError:
+        return True  # vanished or unreadable: nothing foreign to protect
+    if not body.strip():
+        return True
+    try:
+        return json.loads(body).get("pid") == os.getpid()
+    except (ValueError, AttributeError):
+        return True  # unparseable body: treat as ours (registry put it here)
+
+
 def cleanup_all_locks() -> int:
     """Remove every lock this process holds (Ctrl+C handler; reference
-    ``lib.rs:339-346``). Returns the number removed."""
+    ``lib.rs:339-346``). Returns the number removed.
+
+    Ownership is verified before unlinking: registration happens BEFORE
+    creation (so a Ctrl+C between create and register cannot leak — the
+    reference's ordering), which means a registered path may actually be
+    ANOTHER process's live lock when our own create lost the race; deleting
+    it would put two workers on one file — the exact duplicate-processing
+    the lock exists to prevent.
+    """
     with _registry_lock:
         paths = list(_registry)
         _registry.clear()
     removed = 0
     for p in paths:
+        if not _owned_by_this_process(p):
+            continue
         try:
             p.unlink()
             removed += 1

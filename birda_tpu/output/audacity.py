@@ -11,6 +11,7 @@ from .writer import OutputWriter
 
 class AudacityWriter(OutputWriter):
     def __init__(self, path: Path | str):
+        self._path = Path(path)
         self._f = open(path, "w", encoding="utf-8", newline="")
 
     def write_detection(self, d: Detection) -> None:
@@ -24,3 +25,15 @@ class AudacityWriter(OutputWriter):
     def finalize(self) -> None:
         self._f.flush()
         self._f.close()
+
+    def abort(self) -> None:
+        # Close AND remove the partial output: output-existence resume
+        # must retry this file, not skip it as done.
+        try:
+            self._f.close()
+        except OSError:
+            pass
+        try:
+            self._path.unlink()
+        except OSError:
+            pass

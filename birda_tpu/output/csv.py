@@ -22,10 +22,12 @@ def escape_csv(value: str) -> str:
 
 
 def _fmt_opt(v) -> str:
-    """Rust's ``{}`` Display for the metadata cells: shortest float repr."""
+    """Rust's ``{}`` Display for the metadata cells: shortest float repr,
+    and WHOLE floats without the trailing ``.0`` (``format!("{}", 45.0)``
+    is ``"45"`` in Rust, not Python's ``"45.0"``)."""
     if isinstance(v, float):
         if v == int(v) and abs(v) < 1e15:
-            return str(v)  # Python prints 1.0 like Rust does
+            return str(int(v))
         return repr(v)
     return str(v)
 
@@ -33,6 +35,7 @@ def _fmt_opt(v) -> str:
 class CsvWriter(OutputWriter):
     def __init__(self, path: Path | str, include_columns: list[str] | None = None,
                  include_bom: bool = True):
+        self._path = Path(path)
         self._f = open(path, "w", encoding="utf-8", newline="")
         self.include_columns = include_columns or []
         if include_bom:
@@ -70,3 +73,15 @@ class CsvWriter(OutputWriter):
     def finalize(self) -> None:
         self._f.flush()
         self._f.close()
+
+    def abort(self) -> None:
+        # Close AND remove the partial output: output-existence resume
+        # must retry this file, not skip it as done.
+        try:
+            self._f.close()
+        except OSError:
+            pass
+        try:
+            self._path.unlink()
+        except OSError:
+            pass

@@ -225,6 +225,9 @@ def cancelled_payload(reason: CancelReason, files_completed: int,
 def detection_info(d) -> dict:
     """DetectionInfo from a Detection (full label + split names)."""
     return {
+        # Reference-faithful reconstruction (json_envelope.rs:418) — for an
+        # underscore-less label both halves are the label, so "Dog" emits
+        # as "Dog_Dog" there too; consumers key on the reference format.
         "species": f"{d.scientific_name}_{d.common_name}",
         "common_name": d.common_name,
         "scientific_name": d.scientific_name,

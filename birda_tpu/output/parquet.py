@@ -73,6 +73,7 @@ def build_record_batch(detections: list[Detection], schema: pa.Schema) -> pa.Rec
 
 class ParquetWriter(OutputWriter):
     def __init__(self, path: Path | str, include_columns: list[str] | None = None):
+        self._path = Path(path)
         self.schema = build_schema(include_columns or [])
         try:
             self._writer = pq.ParquetWriter(
@@ -102,6 +103,19 @@ class ParquetWriter(OutputWriter):
     def finalize(self) -> None:
         self._flush()
         self._writer.close()
+
+    def abort(self) -> None:
+        # Close and remove the fragment: without the footer the file is
+        # unreadable Parquet, and at its final name it would also satisfy
+        # the output-existence resume check.
+        try:
+            self._writer.close()
+        except Exception:  # noqa: BLE001 — best-effort on the error path
+            pass
+        try:
+            self._path.unlink()
+        except OSError:
+            pass
 
 
 def combine_parquet_files(input_files: list[Path], output_path: Path | str) -> None:

@@ -28,6 +28,7 @@ def generate_species_code(common_name: str) -> str:
 
 class RavenWriter(OutputWriter):
     def __init__(self, path: Path | str):
+        self._path = Path(path)
         self._f = open(path, "w", encoding="utf-8", newline="")
         self._selection_id = 0
 
@@ -49,3 +50,15 @@ class RavenWriter(OutputWriter):
     def finalize(self) -> None:
         self._f.flush()
         self._f.close()
+
+    def abort(self) -> None:
+        # Close AND remove the partial output: output-existence resume
+        # must retry this file, not skip it as done.
+        try:
+            self._f.close()
+        except OSError:
+            pass
+        try:
+            self._path.unlink()
+        except OSError:
+            pass

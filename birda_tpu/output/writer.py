@@ -17,6 +17,11 @@ class OutputWriter:
     def finalize(self) -> None:
         raise NotImplementedError
 
+    def abort(self) -> None:  # noqa: B027 — optional hook
+        """Close resources WITHOUT finalizing (error path): a half-written
+        output must not hold its file handle open — in a long directory run
+        every failing file would leak one — nor pretend to be complete."""
+
     def __enter__(self):
         self.write_header()
         return self
@@ -24,3 +29,5 @@ class OutputWriter:
     def __exit__(self, exc_type, exc, tb):
         if exc_type is None:
             self.finalize()
+        else:
+            self.abort()

@@ -128,7 +128,7 @@ class InstalledModel:
 
 def install_model(
     model: RegistryModel,
-    language: str = "en",
+    language: Optional[str] = None,
     dest_dir: Path | None = None,
     variant: Optional[Variant] = None,
     progress=None,
@@ -151,10 +151,17 @@ def install_model(
     files = model.files
     if files is None:
         raise ModelHasNoLanguages(model.id)
-    model_path = download_verified(files.model, dest, progress, session)
-    lang = model.language(language) or model.language(files.default_language)
+    # The requested language must EXIST — no silent fallback to the
+    # default — and it is validated BEFORE downloading anything
+    # (reference ``installer.rs:499-505``: a user who asked for German
+    # labels must not silently receive English ones, nor pay for a model
+    # download that ends in an error). ``language=None`` means "the
+    # model's default".
+    code = language or files.default_language
+    lang = model.language(code)
     if lang is None:
-        raise LanguageNotFound(language, model.id)
+        raise LanguageNotFound(code, model.id)
+    model_path = download_verified(files.model, dest, progress, session)
     labels_path = download_verified(
         FileRef(url=lang.url, filename=lang.filename), dest, progress, session
     )

@@ -36,9 +36,15 @@ def is_accepted(model_id: str, license_info: LicenseInfo) -> bool:
 
 
 def record_acceptance(model_id: str, license_info: LicenseInfo) -> None:
-    acc = _load_acceptances()
-    acc[model_id] = license_info.type
-    write_atomic(_acceptances_path(), json.dumps(acc, indent=2).encode())
+    # Serialized read-modify-write: two concurrent installs must not lose
+    # each other's acceptance (the exact issue-#313 pattern ConfigLock
+    # closes for config.toml).
+    from ..locking.config_lock import ConfigLock
+
+    with ConfigLock(_acceptances_path()):
+        acc = _load_acceptances()
+        acc[model_id] = license_info.type
+        write_atomic(_acceptances_path(), json.dumps(acc, indent=2).encode())
 
 
 def needs_prompt(license_info: LicenseInfo) -> bool:

@@ -1,7 +1,11 @@
 """Hardware-aware variant selection (reference ``src/registry/selection.rs``).
 
-Priority: explicit variant id > region request > precision preferred by the
-backend > registry default > first full (non-regional) variant. On TPU the
+Candidates narrow by region first (like the reference's
+``variant_ids_for(region)``: an explicit variant id is looked up WITHIN the
+requested region's variants, or the global ones without ``--region`` — a
+regional-only variant id needs its region named). Within the candidates the
+priority is: explicit variant id > precision preferred by the backend >
+registry default > first candidate. On TPU the
 precision axis maps as: bf16-friendly fp32 weights are the safe default
 (XLA casts to bf16 on the MXU at run time); fp16 assets halve download and
 disk without changing the TPU compute path; int8-arm variants target ARM

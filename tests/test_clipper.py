@@ -252,3 +252,39 @@ class TestCommand:
         )
         assert summary.processed_files == 1
         assert len(summary.failures) == 1
+
+
+class TestDirectModeIsolation:
+    def test_one_bad_file_warns_batch_continues(self, tmp_path):
+        """Multi-file direct extraction follows the batch contract: a bad
+        file is a warning + failures entry; the batch fails only if ALL
+        fail (single-file direct mode is the reference's surface; multi-
+        file is our extension and inherits CSV-mode semantics)."""
+        import numpy as np
+
+        from birda_tpu.clipper.command import ClipArgs, execute
+        from birda_tpu.errors import ClipBatchAllFailed
+        from fixtures_audio import write_wav
+
+        rate = 32_000
+        good = tmp_path / "good.wav"
+        t = np.arange(rate * 5) / rate
+        write_wav(good, (0.3 * np.sin(2 * np.pi * 900 * t)).astype(
+            np.float32), rate)
+        bad = tmp_path / "bad.wav"
+        bad.write_bytes(b"RIFFxxxxWAVEgarbage")
+
+        args = ClipArgs(files=[good, bad], output=tmp_path / "clips",
+                        start=1.0, end=2.0)
+        summary = execute(args)
+        assert summary.processed_files == 1
+        assert summary.total_clips == 1
+        assert len(summary.failures) == 1
+        assert "bad.wav" in summary.failures[0]["file"]
+
+        args_all_bad = ClipArgs(files=[bad], output=tmp_path / "clips2",
+                                start=1.0, end=2.0)
+        import pytest as _pytest
+
+        with _pytest.raises(ClipBatchAllFailed):
+            execute(args_all_bad)

@@ -123,3 +123,54 @@ class TestPathTraversalDefense:
 
         assert "/" not in sanitize_filename("../../../etc/passwd")
         assert ".." not in sanitize_filename("../../../etc/passwd")
+
+
+class TestLockOwnership:
+    def test_cleanup_skips_foreign_live_lock(self, tmp_path):
+        """The SIGINT cleanup must not delete another process's live lock
+        that ended up in our registry via the register-before-create
+        ordering (losing the create race)."""
+        import json as _json
+        import os
+
+        from birda_tpu.locking import file_lock as fl
+
+        foreign = tmp_path / "x.wav.birda.lock"
+        foreign.write_text(_json.dumps({"pid": os.getpid() + 99_999,
+                                        "hostname": "other"}))
+        ours = tmp_path / "y.wav.birda.lock"
+        ours.write_text(_json.dumps({"pid": os.getpid()}))
+        fl._register(foreign)
+        fl._register(ours)
+        removed = fl.cleanup_all_locks()
+        assert removed == 1
+        assert foreign.exists()  # someone else's — untouched
+        assert not ours.exists()
+
+    def test_config_lock_ctrl_c_cleanup(self, tmp_path):
+        from birda_tpu.locking.config_lock import (
+            ConfigLock,
+            cleanup_all_config_locks,
+        )
+
+        lock = ConfigLock(tmp_path / "config.toml").acquire()
+        assert lock.lock_path.exists()
+        assert cleanup_all_config_locks() == 1
+        assert not lock.lock_path.exists()
+
+
+class TestInstallerLanguageStrict:
+    def test_missing_language_errors_not_falls_back(self, tmp_path):
+        """The reference validates the requested language exists before
+        downloading anything (installer.rs:499-505): asking for German on
+        an English-only model is an error, not silent English labels."""
+        from birda_tpu.errors import LanguageNotFound
+        from birda_tpu.registry.installer import install_model
+        from birda_tpu.registry.loader import load_registry
+
+        reg = load_registry()
+        model = next(m for m in reg.models if m.files is not None
+                     and m.files.languages)
+        with pytest.raises(LanguageNotFound):
+            install_model(model, language="xx-not-a-language",
+                          dest_dir=tmp_path)

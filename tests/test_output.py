@@ -298,3 +298,37 @@ class TestEveryRecognisedColumn:
         assert row["lat"] == 60.2
         assert row["week"] == 24
         assert row["species_list"] == "my_list.txt"
+
+
+class TestReviewRegressions:
+    def test_fmt_opt_matches_rust_display(self):
+        """Rust's {} Display prints whole floats without '.0'."""
+        from birda_tpu.output.csv import _fmt_opt
+
+        assert _fmt_opt(45.0) == "45"
+        assert _fmt_opt(-7.0) == "-7"
+        assert _fmt_opt(2.333) == "2.333"
+        assert _fmt_opt(24) == "24"
+        assert _fmt_opt("x") == "x"
+
+    def test_writer_abort_on_error_removes_partial_output(self, tmp_path):
+        """An exception inside the writer context closes the handle AND
+        removes the partial file, so output-existence resume retries the
+        failed file instead of skipping it as done."""
+        from birda_tpu.output.csv import CsvWriter
+        from birda_tpu.output.parquet import ParquetWriter
+
+        for cls, name in [(CsvWriter, "x.csv"), (ParquetWriter, "x.parquet")]:
+            p = tmp_path / name
+            with pytest.raises(RuntimeError):
+                with cls(p):
+                    raise RuntimeError("mid-write failure")
+            assert not p.exists(), cls.__name__
+
+    def test_writer_success_keeps_output(self, tmp_path):
+        from birda_tpu.output.csv import CsvWriter
+
+        p = tmp_path / "ok.csv"
+        with CsvWriter(p):
+            pass
+        assert p.exists()
