@@ -222,7 +222,18 @@ def analyze(inputs, model, model_path, labels_path, model_type, bat, formats,
             "--stdout conflicts with --combine/--output-dir/--format"
         )
 
-    config = _load_validated_config()
+    try:
+        config = _load_validated_config()
+    except BirdaError as e:
+        # Config errors must render as the cause chain (and as a protocol
+        # error event when a structured mode was requested on the command
+        # line), not a raw traceback.
+        if output_mode in ("json", "ndjson"):
+            r = create_reporter(output_mode)
+            r.error("config_invalid", ErrorSeverity.FATAL, str(e))
+            r.finish()
+        print_error_chain(e)
+        sys.exit(1)
 
     mode = OutputMode(output_mode) if output_mode else config.output.default_format
     if stdout_mode and not mode.is_structured:
@@ -422,7 +433,10 @@ def _apply_config_set(cfg: Config, key: str, value: str):
             cfg.output.default_format = OutputMode(value)
         else:
             raise InvalidConfigKey(key)
-    except v.ValidationFailure as e:
+    except (v.ValidationFailure, ValueError) as e:
+        # ValueError covers the enum-valued keys (inference.device,
+        # output.default_format, defaults.range_unmatched, defaults.formats):
+        # an unknown value must be a clean config error, not a traceback.
         from ..errors import ConfigValidation
 
         raise ConfigValidation(str(e)) from e
@@ -695,9 +709,13 @@ def models_install(model_id, language, region, variant, set_default,
         finally:
             if bar_state.get("bar") is not None:
                 bar_state["bar"].close()
-        # The geomodel auto-installs alongside range-filter-capable models.
-        if reg.range_filter is not None and rm.model_type in (
-            "birdnet-v24", "birdnet-v30", "perch-v2"
+        # The geomodel auto-installs alongside range-filter-capable models
+        # (single authority: config.range_filter.supports_range_filter —
+        # do not re-derive the family list here).
+        from ..config.range_filter import supports_range_filter
+
+        if reg.range_filter is not None and supports_range_filter(
+            bat_mode=False, model_type=ModelType(rm.model_type)
         ):
             installer.install_range_filter(reg.range_filter)
 

@@ -360,7 +360,17 @@ def load_model(path: Path | str | bytes) -> Model:
         elif fnum == 7 and wtype == 2:
             m.graph = _decode_graph(val)
         elif fnum == 8 and wtype == 2:  # opset_import
+            # Only the DEFAULT domain's version is the model opset: a
+            # com.microsoft/custom-domain entry (field 1 = domain) carries
+            # its own versioning and must not inflate opset-gated
+            # decisions in the lowering.
+            domain = b""
+            version = 0
             for f2, w2, v2 in _scan(val):
-                if f2 == 2 and w2 == 0:
-                    m.opset = max(m.opset, v2)
+                if f2 == 1 and w2 == 2:
+                    domain = bytes(v2)
+                elif f2 == 2 and w2 == 0:
+                    version = v2
+            if domain in (b"", b"ai.onnx"):
+                m.opset = max(m.opset, version)
     return m

@@ -107,12 +107,15 @@ def melspec(x, cfg: MelSpecConfig):
     n_samples = x.shape[-1]
     frames = cfg.frames(n_samples)
 
-    # Frame: [batch, frames, n_fft]. A strided gather; XLA lowers this to an
-    # efficient slice-window because indices are static.
-    idx = (
-        np.arange(frames)[:, None] * cfg.hop + np.arange(cfg.n_fft)[None, :]
-    )
-    framed = jnp.take(x, jnp.asarray(idx), axis=-1)
+    # Frame: [batch, frames, n_fft]. Indices are built ON DEVICE from iota —
+    # a host np.arange outer-sum would bake a [frames, n_fft] int constant
+    # (~2.3 MB at the v2.4 geometry) into every serialized HLO, which the
+    # remote compile service may reject outright (CLAUDE.md).
+    from jax import lax
+
+    row = lax.broadcasted_iota(jnp.int32, (frames, cfg.n_fft), 0) * cfg.hop
+    col = lax.broadcasted_iota(jnp.int32, (frames, cfg.n_fft), 1)
+    framed = jnp.take(x, row + col, axis=-1)
 
     # Windowed DFT as two matmuls on the MXU.
     re = jnp.einsum(

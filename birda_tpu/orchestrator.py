@@ -479,8 +479,11 @@ def analyze_files(options: AnalyzeOptions, config: Config, reporter=None) -> int
         )
         custom_classifier = CustomClassifier.from_onnx(
             bat_config.classifier_path, bat_config.labels_path,
-            min_confidence=options.min_confidence
-            or config.defaults.min_confidence,
+            min_confidence=(
+                options.min_confidence
+                if options.min_confidence is not None
+                else config.defaults.min_confidence
+            ),
             top_k=options.top_k,
         )
 
@@ -565,6 +568,27 @@ def analyze_files(options: AnalyzeOptions, config: Config, reporter=None) -> int
             range_request, installed_geomodel, model.labels
         )
 
+    # BSG post-processing: calibration always, SDM when (lat, lon, day)
+    # resolve. Coordinates follow the range filter's when one is active,
+    # else the bare --lat/--lon; day_of_year comes from the flag/config or
+    # per-file mtime auto-detection inside process_file
+    # (reference lib.rs:1004-1020, processor.rs:476-495).
+    bsg_processor = None
+    bsg_params = None
+    if mc.bsg_calibration is not None:
+        from .inference.bsg import BsgPostProcessor
+
+        bsg_processor = BsgPostProcessor.from_paths(
+            mc.bsg_calibration, mc.bsg_migration, mc.bsg_distribution_maps
+        )
+        doy = (options.day_of_year if options.day_of_year is not None
+               else config.defaults.day_of_year)
+        if range_request is not None:
+            bsg_params = (range_request.latitude, range_request.longitude,
+                          doy)
+        elif options.lat is not None and options.lon is not None:
+            bsg_params = (options.lat, options.lon, doy)
+
     classifier = BirdClassifier(
         model,
         device=device,
@@ -603,23 +627,29 @@ def analyze_files(options: AnalyzeOptions, config: Config, reporter=None) -> int
     # absorb the compile (reference warmup spinner, lib.rs:561-597). The
     # production path is the chunk runner keyed (batch, step): warm the
     # common case (model-rate sources at the configured overlap); other
-    # (rate, effective-batch) variants compile lazily per file.
-    step_model = max(
-        1,
-        classifier.sample_count - int(round(overlap * classifier.sample_rate)),
-    )
-    runner = classifier.chunk_runner(batch_size, step_model)
-    report = runner.ensure_warm()
-    if report is not None:
-        what = "compiled" if report.was_build else "loaded from cache"
-        logger.info(
-            "warmup batch %d %s in %.2fs", batch_size, what, report.seconds
+    # (rate, effective-batch) variants compile lazily per file. Bat mode
+    # skips this: its window contract (constants.bat) differs from the
+    # bird geometry, so warming the bird-shaped program would burn a
+    # remote compile the bat path never executes.
+    if options.bat is None:
+        step_model = max(
+            1,
+            classifier.sample_count
+            - int(round(overlap * classifier.sample_rate)),
         )
+        runner = classifier.chunk_runner(batch_size, step_model)
+        report = runner.ensure_warm()
+        if report is not None:
+            what = "compiled" if report.was_build else "loaded from cache"
+            logger.info(
+                "warmup batch %d %s in %.2fs", batch_size, what,
+                report.seconds,
+            )
 
     stats = process_all_files(
         classifier, files, options, config, batch_size, overlap, formats,
         model_name, min_confidence, custom_classifier, reporter,
-        range_request,
+        range_request, bsg_processor, bsg_params,
     )
 
     if options.combine and not options.stdout_mode:
@@ -631,10 +661,39 @@ def analyze_files(options: AnalyzeOptions, config: Config, reporter=None) -> int
     return 0
 
 
+def _emit_file_started(reporter, classifier, input_path, index, overlap,
+                       bat_mode: bool) -> None:
+    """The protocol's file_started event with a duration-based segment
+    estimate — bat mode uses its own window contract (constants.bat)."""
+    if reporter is None:
+        return
+    est_segments = 0
+    duration = None
+    try:
+        from .audio.decode import get_audio_duration
+
+        duration = get_audio_duration(input_path)
+        if bat_mode:
+            seg = constants.bat.SEGMENT_DURATION
+            step = max(seg - constants.bat.OVERLAP, 1e-9)
+        else:
+            seg = classifier.segment_duration
+            step = max(seg - overlap, 1e-9)
+        import math
+
+        est_segments = (
+            1 if duration <= seg
+            else math.ceil((duration - seg) / step) + 1
+        ) if duration > 0 else 0
+    except BirdaError:
+        pass
+    reporter.file_started(str(input_path), index, est_segments, duration)
+
+
 def process_all_files(
     classifier, files, options, config, batch_size, overlap, formats,
     model_name, min_confidence, custom_classifier, reporter,
-    range_request=None,
+    range_request=None, bsg_processor=None, bsg_params=None,
 ) -> RunStats:
     stats = RunStats()
     range_filter_params = None
@@ -647,7 +706,7 @@ def process_all_files(
         return _process_files_parallel(
             classifier, files, options, config, batch_size, overlap, formats,
             model_name, min_confidence, custom_classifier, reporter,
-            range_filter_params, stats,
+            range_filter_params, stats, bsg_processor, bsg_params,
         )
 
     for index, input_path in enumerate(files):
@@ -697,25 +756,11 @@ def process_all_files(
             custom_classifier=custom_classifier,
             bat_mode=options.bat is not None,
             decode_workers=resolve_decode_workers(options),
+            bsg_processor=bsg_processor,
+            bsg_params=bsg_params,
         )
-        if reporter is not None:
-            est_segments = 0
-            duration = None
-            try:
-                from .audio.decode import get_audio_duration
-
-                duration = get_audio_duration(input_path)
-                seg = classifier.segment_duration
-                step = max(seg - overlap, 1e-9)
-                import math
-
-                est_segments = (
-                    1 if duration <= seg
-                    else math.ceil((duration - seg) / step) + 1
-                ) if duration > 0 else 0
-            except BirdaError:
-                pass
-            reporter.file_started(str(input_path), index, est_segments, duration)
+        _emit_file_started(reporter, classifier, input_path, index, overlap,
+                           options.bat is not None)
         start = time.monotonic()
         try:
             result = process_file(classifier, pcfg)
@@ -754,6 +799,7 @@ def _process_files_parallel(
     classifier, files, options, config, batch_size, overlap, formats,
     model_name, min_confidence, custom_classifier, reporter,
     range_filter_params, stats: RunStats,
+    bsg_processor=None, bsg_params=None,
 ) -> RunStats:
     """``--jobs N``: per-file worker threads.
 
@@ -814,7 +860,14 @@ def _process_files_parallel(
             custom_classifier=custom_classifier,
             bat_mode=options.bat is not None,
             decode_workers=resolve_decode_workers(options),
+            bsg_processor=bsg_processor,
+            bsg_params=bsg_params,
         )
+        # The protocol's lifecycle events fire on this path too (only the
+        # interactive progress BARS are suppressed above): NDJSON consumers
+        # key file_completed on a matching file_started.
+        _emit_file_started(reporter, classifier, input_path, index, overlap,
+                           options.bat is not None)
         start = time.monotonic()
         try:
             result = process_file(classifier, pcfg)

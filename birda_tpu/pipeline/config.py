@@ -25,8 +25,12 @@ class ProcessingConfig:
     model_name: str = ""
     #: (lat, lon, week) for JSON output metadata when range filtering.
     range_filter_params: Optional[tuple[float, float, int]] = None
-    #: (lat, lon, day_of_year-or-None) for BSG SDM.
+    #: (lat, lon, day_of_year-or-None) for BSG SDM; a None day auto-detects
+    #: from the file's mtime per file (reference processor.rs:476-495).
     bsg_params: Optional[tuple[float, float, Optional[int]]] = None
+    #: BsgPostProcessor when the model carries BSG companion files:
+    #: calibration always, SDM when bsg_params resolve.
+    bsg_processor: object = None
     reporter: object = None
     #: Separate sink for progress events only (human-mode bars); detection
     #: streaming and file-write gating follow ``reporter``.

@@ -236,6 +236,21 @@ def process_file(classifier: BirdClassifier, config: ProcessingConfig) -> Proces
             )
             producer.start()
 
+        # BSG SDM day-of-year: resolved once per file — auto-detected from
+        # the file's mtime when not given (reference processor.rs:476-495;
+        # each file in a batch can carry a different day).
+        resolved_bsg = config.bsg_params
+        if (config.bsg_processor is not None and resolved_bsg is not None
+                and resolved_bsg[2] is None):
+            from ..utils.date import auto_detect_day_of_year
+
+            try:
+                day = auto_detect_day_of_year(config.input_path)
+                logger.debug("Auto-detected day-of-year: %d", day)
+                resolved_bsg = (resolved_bsg[0], resolved_bsg[1], day)
+            except BirdaError as e:
+                logger.warning("%s, SDM will not be applied", e)
+
         options = InferenceOptions(
             min_confidence=config.min_confidence, top_k=classifier.top_k
         )
@@ -253,6 +268,19 @@ def process_file(classifier: BirdClassifier, config: ProcessingConfig) -> Proces
                 effective_batch, config.watchdog_timeout
             ):
                 results = handle.collect()
+            # BSG post-processing precedes range filtering (reference
+            # processor.rs:284-318): calibration always; SDM only when
+            # location + day resolved.
+            if config.bsg_processor is not None:
+                bsg = config.bsg_processor
+                for r in results:
+                    if resolved_bsg is not None and resolved_bsg[2] is not None:
+                        r.predictions = bsg.process(
+                            r.predictions, resolved_bsg[0], resolved_bsg[1],
+                            resolved_bsg[2],
+                        )
+                    else:
+                        r.predictions = bsg.calibrate(r.predictions)
             results = classifier.apply_range_filter(results)
             if config.custom_classifier is not None:
                 results = config.custom_classifier.reclassify(results)

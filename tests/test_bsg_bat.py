@@ -208,3 +208,115 @@ class TestGeomodelResolution:
         assert resolve_geomodel(Config(), reg) is None
         with pytest.raises(GeomodelNotInstalled):
             require_geomodel(Config(), reg)
+
+
+class TestBsgAnalyzeWiring:
+    def test_calibration_applies_through_analyze(self, tmp_path, monkeypatch):
+        """The analyze flow runs BSG post-processing (reference
+        processor.rs:284-318): a strong negative calibration intercept must
+        visibly lower every confidence vs the uncalibrated run."""
+        import csv as _csv
+        from pathlib import Path
+
+        import numpy as np
+
+        from birda_tpu.config.types import Config, ModelConfig, ModelType
+        from birda_tpu.models.zoo import tiny_model
+        from birda_tpu.orchestrator import AnalyzeOptions, analyze_files
+        from fixtures_audio import write_wav
+
+        monkeypatch.setenv("XDG_CONFIG_HOME", str(tmp_path / "config"))
+        monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path / "cache"))
+        monkeypatch.setenv("XDG_DATA_HOME", str(tmp_path / "data"))
+        monkeypatch.setenv("BIRDA_NO_COMPILE_CACHE", "1")
+
+        # Calibrate EVERY label the tiny model can emit, pushing scores down.
+        labels = tiny_model().labels
+        cal = tmp_path / "cal.csv"
+        cal.write_text("species,coef,intercept\n" + "".join(
+            f"{lab},1.0,-3.0\n" for lab in labels))
+
+        rate = 48_000
+        t = np.arange(rate * 4) / rate
+        audio = tmp_path / "rec.wav"
+        write_wav(audio, (0.4 * np.sin(2 * np.pi * 2000 * t)).astype(
+            np.float32), rate)
+
+        def run(with_bsg, outdir):
+            cfg = Config()
+            cfg.models["m"] = ModelConfig(
+                path=Path("synthetic:tiny"), labels=Path("synthetic:tiny"),
+                model_type=(ModelType.BSG_FINLAND if with_bsg
+                            else ModelType.BIRDNET_V24),
+                bsg_calibration=cal if with_bsg else None,
+            )
+            cfg.defaults.model = "m"
+            opts = AnalyzeOptions(
+                inputs=[audio], output_dir=tmp_path / outdir,
+                device_flags={"cpu": True}, min_confidence=0.0,
+            )
+            assert analyze_files(opts, cfg) == 0
+            with open(tmp_path / outdir / "rec.BirdNET.results.csv",
+                      encoding="utf-8-sig") as f:
+                return [float(r["Confidence"])
+                        for r in _csv.DictReader(f)]
+
+        plain = run(False, "out_plain")
+        calibrated = run(True, "out_bsg")
+        assert plain and calibrated
+        # logit shift of -3 must lower every calibrated confidence.
+        assert max(calibrated) < max(plain)
+        assert all(c < 0.55 for c in calibrated) or \
+            np.mean(calibrated) < np.mean(plain) - 0.1
+
+    def test_sdm_migration_window_drops_through_analyze(self, tmp_path,
+                                                        monkeypatch):
+        """SDM engages when location + day resolve: a migration window
+        excluding the given day drops every mapped species."""
+        import csv as _csv
+        from pathlib import Path
+
+        import numpy as np
+
+        from birda_tpu.config.types import Config, ModelConfig, ModelType
+        from birda_tpu.models.zoo import tiny_model
+        from birda_tpu.orchestrator import AnalyzeOptions, analyze_files
+        from fixtures_audio import write_wav
+
+        monkeypatch.setenv("XDG_CONFIG_HOME", str(tmp_path / "config"))
+        monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path / "cache"))
+        monkeypatch.setenv("XDG_DATA_HOME", str(tmp_path / "data"))
+        monkeypatch.setenv("BIRDA_NO_COMPILE_CACHE", "1")
+
+        labels = tiny_model().labels
+        cal = tmp_path / "cal.csv"
+        cal.write_text("species,coef,intercept\n" + "".join(
+            f"{lab},1.0,0.0\n" for lab in labels))
+        mig = tmp_path / "mig.csv"
+        # Every species only present days 200-210; we analyze day 1.
+        mig.write_text("species,start_day,end_day\n" + "".join(
+            f"{lab},200,210\n" for lab in labels))
+
+        rate = 48_000
+        t = np.arange(rate * 4) / rate
+        audio = tmp_path / "rec.wav"
+        write_wav(audio, (0.4 * np.sin(2 * np.pi * 2000 * t)).astype(
+            np.float32), rate)
+
+        cfg = Config()
+        cfg.models["m"] = ModelConfig(
+            path=Path("synthetic:tiny"), labels=Path("synthetic:tiny"),
+            model_type=ModelType.BSG_FINLAND,
+            bsg_calibration=cal, bsg_migration=mig,
+        )
+        cfg.defaults.model = "m"
+        opts = AnalyzeOptions(
+            inputs=[audio], output_dir=tmp_path / "out_sdm",
+            device_flags={"cpu": True}, min_confidence=0.0,
+            lat=61.0, lon=25.0, day_of_year=1,
+        )
+        assert analyze_files(opts, cfg) == 0
+        with open(tmp_path / "out_sdm" / "rec.BirdNET.results.csv",
+                  encoding="utf-8-sig") as f:
+            rows = list(_csv.DictReader(f))
+        assert rows == []  # every mapped species outside its window
