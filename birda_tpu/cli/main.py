@@ -221,6 +221,10 @@ def analyze(inputs, model, model_path, labels_path, model_type, bat, formats,
         raise click.UsageError(
             "--stdout conflicts with --combine/--output-dir/--format"
         )
+    if calibration_audio is not None and precision != "int8":
+        raise click.UsageError(
+            "--calibration-audio only applies with --precision int8"
+        )
 
     try:
         config = _load_validated_config()

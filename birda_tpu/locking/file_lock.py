@@ -35,18 +35,28 @@ def _unregister(path: Path) -> None:
 
 
 def _owned_by_this_process(path: Path) -> bool:
-    """True when the lock body names this pid (or is unreadable/empty —
-    our own freshly-created lock before its body landed)."""
+    """True when the lock body parses and names this pid, or the file is
+    already gone (unlinking is then a harmless no-op).
+
+    Empty or unparseable bodies are NOT treated as ours: registration
+    happens before creation, so between a foreign process's O_EXCL create
+    and its pid write, a path we lost the create race on is briefly a
+    foreign live lock with an empty body. Leaking an empty lock is
+    recoverable via the stale-lock timeout; deleting a live foreign lock
+    causes duplicate processing.
+    """
     try:
         body = path.read_text()
+    except FileNotFoundError:
+        return True  # gone already; unlink below is a no-op
     except OSError:
-        return True  # vanished or unreadable: nothing foreign to protect
+        return False  # unreadable: can't prove ownership, don't touch it
     if not body.strip():
-        return True
+        return False
     try:
         return json.loads(body).get("pid") == os.getpid()
     except (ValueError, AttributeError):
-        return True  # unparseable body: treat as ours (registry put it here)
+        return False
 
 
 def cleanup_all_locks() -> int:

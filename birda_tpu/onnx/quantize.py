@@ -393,7 +393,11 @@ def _smoothing_vectors(graph, calibration, selected, by_weight, qualified,
                 if group == 1:
                     wa = np.max(np.abs(w),
                                 axis=(0,) + tuple(range(2, w.ndim)))
-                elif w.shape[1] == 1:  # depthwise: in channel == out channel
+                elif w.shape[1] == 1 and w.shape[0] == a_c.size:
+                    # depthwise, channel multiplier 1: out channel == in
+                    # channel. Multiplier > 1 (out = in*m) passes the
+                    # group gate above but its per-out-channel maxima
+                    # cannot fold into per-in-channel activation scales.
                     wa = np.max(np.abs(w), axis=tuple(range(1, w.ndim)))
                 else:  # grouped non-depthwise: channel bookkeeping not worth it
                     ok = False

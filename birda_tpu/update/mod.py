@@ -215,8 +215,14 @@ def _extract_binary(archive: Path, dest: Path) -> Path:
             return archive  # bare binary
     except (tarfile.TarError, zipfile.BadZipFile, OSError) as e:
         raise UpdateExtractFailed(str(e)) from e
+    # Match the exact binary names only (reference ``replace.rs:97`` looks
+    # for the precise asset-key name): a loose prefix match would "install"
+    # whatever file happens to sort first — e.g. a bundled
+    # ``birda-runtime.json`` sidecar.
+    key = platform_asset_key()
+    wanted = {"birda", "birda.exe", key, key + ".exe"}
     for p in sorted(out.rglob("*")):
-        if p.is_file() and (p.name == "birda" or p.name.startswith("birda")):
+        if p.is_file() and p.name in wanted:
             return p
     raise UpdateExtractFailed("no birda binary in archive")
 

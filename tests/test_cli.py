@@ -433,6 +433,20 @@ class TestGeomodelFlags:
         assert "--geomodel-path" in r.output
 
 
+class TestCalibrationAudioPreflight:
+    def test_calibration_audio_requires_int8(self, runner, tmp_path):
+        """--calibration-audio without --precision int8 would be silently
+        ignored; make the no-op explicit at parse time."""
+        audio = tmp_path / "a.wav"
+        audio.write_bytes(b"")
+        r = runner.invoke(cli, [
+            "analyze", str(audio), "--cpu",
+            "--calibration-audio", str(audio),
+        ])
+        assert r.exit_code == 2
+        assert "--precision int8" in r.output
+
+
 class TestStdoutPreflight:
     def test_stdout_requires_exactly_one_input(self, runner, home, tmp_path):
         setup_synthetic_model(runner, home)

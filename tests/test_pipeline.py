@@ -84,6 +84,39 @@ class TestFileLock:
             assert not lk.lock_path.exists()
             lk._released = True
 
+    def test_cleanup_spares_foreign_empty_lock(self, tmp_path):
+        """A registered path that is actually a FOREIGN lock mid-creation
+        (empty body: its owner created it but hasn't written the pid yet)
+        must NOT be unlinked — deleting a live foreign lock causes the
+        duplicate processing the lock exists to prevent. Same for a body
+        naming a foreign pid, and for an unparseable body."""
+        from birda_tpu.locking.file_lock import _register, _unregister
+
+        empty = tmp_path / "a.wav.birda.lock"
+        empty.write_text("")
+        foreign = tmp_path / "b.wav.birda.lock"
+        foreign.write_text('{"pid": 999999999}')
+        garbled = tmp_path / "c.wav.birda.lock"
+        garbled.write_text("not json {")
+        for p in (empty, foreign, garbled):
+            _register(p)
+        try:
+            assert cleanup_all_locks() == 0
+            assert empty.exists() and foreign.exists() and garbled.exists()
+        finally:
+            for p in (empty, foreign, garbled):
+                _unregister(p)
+                p.unlink(missing_ok=True)
+
+    def test_cleanup_removes_vanished_registration(self, tmp_path):
+        """A registered path whose file is already gone is just dropped."""
+        from birda_tpu.locking.file_lock import _register
+
+        ghost = tmp_path / "gone.wav.birda.lock"
+        _register(ghost)
+        assert cleanup_all_locks() == 0
+        assert not ghost.exists()
+
 
 class TestConfigLock:
     def test_serializes(self, tmp_path):

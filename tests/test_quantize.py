@@ -355,6 +355,35 @@ class TestSmoothQuant:
         assert worst_rel(smoothed) < 0.5 * worst_rel(plain)
         assert worst_rel(smoothed) < 0.1
 
+    def test_depthwise_multiplier_gt1_skips_smoothing(self):
+        """Depthwise Conv with channel multiplier m>1 (out = in*m) passes
+        the ``w.shape[1]*group == C_in`` gate but its per-out-channel
+        maxima can't fold into per-in-channel activation scales: it must
+        silently skip smoothing (not crash) and still lower correctly."""
+        import jax
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(31)
+        w = rng.normal(0, 0.3, (16, 1, 3, 3)).astype(np.float32)  # m=2
+        mb = fo.model(
+            [fo.node("Conv", ["x", "w"], ["y"], attrs=[
+                fo.attr_ints("pads", [1, 1, 1, 1]),
+                fo.attr_int("group", 8),
+            ])],
+            inputs=[fo.value_info("x", ["batch", 8, 12, 12])],
+            outputs=[fo.value_info("y", ["batch", 16, 12, 12])],
+            initializers=[fo.tensor("w", w)],
+        )
+        x = rng.normal(0, 0.5, (2, 8, 12, 12)).astype(np.float32)
+        calib = calibrate(mb, [x], min_weight_bytes=1)
+        q = lower_int8(mb, calib, compute_dtype=jnp.float32,
+                       min_weight_bytes=1, protect_outputs=False)
+        assert q.smoothed_tensors == []  # skipped, not crashed
+        want = np.asarray(lower(mb)(x), np.float32)
+        got = np.asarray(jax.jit(
+            lambda p, a: q(a, params=p))(q.params, x), np.float32)
+        assert np.max(np.abs(got - want)) / (np.max(np.abs(want)) + 1e-6) < 0.1
+
 
 class TestSelectionRules:
     def test_stft_frontend_conv_stays_float(self):

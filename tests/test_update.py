@@ -141,6 +141,51 @@ class TestPerformUpdate:
         assert b"echo new" in target.read_bytes()
         assert (tmp_path / "birda.backup").read_bytes() == b"old binary"
 
+    def test_decoy_sidecar_not_installed(self, tmp_path, monkeypatch):
+        """An archive whose first-sorting member is ``birda-runtime.json``
+        must still install the actual binary — extraction matches exact
+        binary names, not a ``birda*`` prefix (reference replace.rs:97)."""
+        import birda_tpu.update.mod as upd
+
+        monkeypatch.setattr(upd, "is_dev_build", lambda *a: False)
+        key = platform_asset_key()
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w:gz") as tf:
+            decoy = b'{"jax": "9.9"}'
+            info = tarfile.TarInfo("birda-runtime.json")
+            info.size = len(decoy)
+            tf.addfile(info, io.BytesIO(decoy))
+            binary = b"#!/bin/sh\necho real\n"
+            info = tarfile.TarInfo(key)
+            info.size = len(binary)
+            tf.addfile(info, io.BytesIO(binary))
+        payload = buf.getvalue()
+        sess = _FakeSession({"dl/": _FakeResp(content=payload)})
+        target = tmp_path / "birda"
+        target.write_bytes(b"old")
+        target.chmod(0o755)
+        info = UpdateInfo("v9.9.9", "https://dl/a.tar.gz", f"{key}.tar.gz",
+                          sha256=hashlib.sha256(payload).hexdigest())
+        perform_update(info, session=sess, target=target)
+        assert b"echo real" in target.read_bytes()
+
+    def test_binary_only_decoys_raises(self, tmp_path, monkeypatch):
+        """All-decoy archive (no exact binary name) is a typed failure."""
+        import birda_tpu.update.mod as upd
+        from birda_tpu.errors import UpdateExtractFailed
+        from birda_tpu.update.mod import _extract_binary
+
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w:gz") as tf:
+            decoy = b"{}"
+            info = tarfile.TarInfo("birda-runtime.json")
+            info.size = len(decoy)
+            tf.addfile(info, io.BytesIO(decoy))
+        archive = tmp_path / "a.tar.gz"
+        archive.write_bytes(buf.getvalue())
+        with pytest.raises(UpdateExtractFailed):
+            _extract_binary(archive, tmp_path)
+
     def test_checksum_mismatch(self, tmp_path, monkeypatch):
         import birda_tpu.update.mod as upd
 
