@@ -543,7 +543,13 @@ def models_add(name, path_, labels, type_, set_default):
 
 @models.command("check")
 @click.option("--output-mode", type=click.Choice(["human", "json", "ndjson"]))
-def models_check(output_mode):
+@click.option("--no-graph", is_flag=True,
+              help="Skip the ONNX graph preflight (file-existence checks "
+                   "only).")
+def models_check(output_mode, no_graph):
+    """Validate configured models: files exist, and (for ONNX models) the
+    graph passes the whole-graph supportability preflight — every
+    unsupported op/attribute/dtype reported at once, not just the first."""
     from ..config.validate import validate_model_config
 
     cfg = config_file.load_default_config()
@@ -552,6 +558,17 @@ def models_check(output_mode):
     for name, m in cfg.models.items():
         try:
             validate_model_config(name, m)
+            issues = [] if no_graph else _graph_preflight(m)
+            if issues:
+                failures += 1
+                results.append({"id": name, "ok": False,
+                                "unsupported": issues})
+                if output_mode not in ("json", "ndjson"):
+                    click.echo(f"{name}: FAILED — {len(issues)} unsupported "
+                               "graph element(s):")
+                    for issue in issues:
+                        click.echo(f"    - {issue}")
+                continue
             results.append({"id": name, "ok": True})
             if output_mode not in ("json", "ndjson"):
                 click.echo(f"{name}: OK")
@@ -565,6 +582,24 @@ def models_check(output_mode):
         reporter.result(env.result_payload(ResultType.MODEL_CHECK, models=results))
         reporter.finish()
     sys.exit(1 if failures else 0)
+
+
+def _graph_preflight(m) -> list[str]:
+    """Run the ONNX supportability preflight on a configured model's graph
+    file; returns rendered findings (empty = fully supported). Non-ONNX
+    paths (``synthetic:`` scheme, missing suffix match) are skipped."""
+    path = m.path
+    if not str(path).endswith(".onnx") or not Path(path).is_file():
+        return []
+    from ..errors import OnnxExternalData
+    from ..onnx.preflight import preflight
+
+    try:
+        return [f.render() for f in preflight(str(path))]
+    except OnnxExternalData as e:
+        return [str(e)]
+    except Exception as e:  # noqa: BLE001 — unparseable graph is a finding
+        return [f"graph failed to parse: {e}"]
 
 
 @models.command("info")

@@ -110,10 +110,14 @@ def _validate_range_filter(config: Config) -> None:
 
 
 def validate_model_config(name: str, model: ModelConfig) -> None:
-    """Checks deferred to the point of use: file existence + BSG extras."""
-    if not model.path.exists():
+    """Checks deferred to the point of use: file existence + BSG extras.
+
+    ``synthetic:`` paths are the framework's built-in-architecture scheme
+    (no file on disk to check); they validate as present."""
+    synthetic = str(model.path).startswith("synthetic:")
+    if not synthetic and not model.path.exists():
         raise ModelFileNotFound(str(model.path))
-    if not model.labels.exists():
+    if not synthetic and not model.labels.exists():
         raise LabelsFileNotFound(str(model.labels))
     if model.model_type == ModelType.BSG_FINLAND:
         for attr, what in (

@@ -121,6 +121,14 @@ ModelFileNotFound = _mk("ModelFileNotFound", InferenceError, "model file not fou
 LabelLoad = _mk("LabelLoad", InferenceError, "failed to load labels from {0}: {1}")
 LabelsFileNotFound = _mk("LabelsFileNotFound", InferenceError, "labels file not found: {0}")
 InvalidModelType = _mk("InvalidModelType", InferenceError, "invalid model type: {0}")
+OnnxExternalData = _mk(
+    "OnnxExternalData", InferenceError,
+    "ONNX external weight data unavailable for tensor '{0}': {1}",
+)
+OnnxGraphUnsupported = _mk(
+    "OnnxGraphUnsupported", InferenceError,
+    "ONNX graph is not fully supported — {0} issue(s):\n{1}",
+)
 RangeFilterBuild = _mk(
     "RangeFilterBuild", InferenceError, "failed to build range filter: {0}"
 )

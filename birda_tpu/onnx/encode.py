@@ -67,6 +67,31 @@ def tensor(name: str, arr: np.ndarray) -> bytes:
     return body
 
 
+def external_tensor(name: str, arr: np.ndarray, location: str,
+                    offset: int = 0, length: int | None = None,
+                    with_length: bool = True) -> bytes:
+    """TensorProto with ``data_location = EXTERNAL``: dims/dtype inline,
+    payload expected at ``offset`` (+``length``) inside the sidecar file
+    ``location`` (the onnx ``convert_model_to_external_data`` layout).
+    Returns the proto bytes only — writing the sidecar is the caller's job.
+    """
+    arr = np.ascontiguousarray(np.asarray(arr))
+    body = b""
+    for d in arr.shape:
+        body += _int(1, d)
+    body += _int(2, DT[arr.dtype])
+    body += _str(8, name)
+    entries = [("location", location), ("offset", str(offset))]
+    if with_length:
+        entries.append(
+            ("length", str(arr.nbytes if length is None else length))
+        )
+    for k, v in entries:
+        body += _msg(13, _str(1, k) + _str(2, v))
+    body += _int(14, 1)  # data_location = EXTERNAL
+    return body
+
+
 def attr_int(name: str, v: int) -> bytes:
     return _str(1, name) + _int(3, v) + _int(20, 2)
 

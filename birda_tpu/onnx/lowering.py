@@ -256,6 +256,55 @@ class _Evaluator:
         m = self._lib(x)
         return m.log1p(m.exp(-m.abs(x))) + m.maximum(x, 0)
 
+    def op_Celu(self, node, x):
+        alpha = node.attr("alpha", 1.0)
+        m = self._lib(x)
+        return m.maximum(x, 0) + m.minimum(
+            alpha * (m.exp(m.minimum(x, 0) / alpha) - 1), 0
+        )
+
+    def op_Selu(self, node, x):
+        alpha = node.attr("alpha", 1.6732632423543772)
+        gamma = node.attr("gamma", 1.0507009873554805)
+        m = self._lib(x)
+        return gamma * m.where(x > 0, x, alpha * (m.exp(m.minimum(x, 0)) - 1))
+
+    def op_Mish(self, node, x):
+        m = self._lib(x)
+        return x * m.tanh(self.op_Softplus(node, x))
+
+    def op_Softsign(self, node, x):
+        m = self._lib(x)
+        return x / (1 + m.abs(x))
+
+    def op_ThresholdedRelu(self, node, x):
+        alpha = node.attr("alpha", 1.0)
+        m = self._lib(x)
+        return m.where(x > alpha, x, m.zeros_like(x))
+
+    def op_Shrink(self, node, x):
+        bias = node.attr("bias", 0.0)
+        lambd = node.attr("lambd", 0.5)
+        m = self._lib(x)
+        return m.where(x < -lambd, x + bias,
+                       m.where(x > lambd, x - bias, m.zeros_like(x)))
+
+    def op_Dropout(self, node, x, ratio=None, training_mode=None):
+        # Inference no-op: real exported inference graphs routinely carry
+        # Dropout nodes, and ORT executes them as identity (reference
+        # ``src/inference/runtime.rs:14`` runs whatever the graph holds).
+        if (training_mode is not None and _is_host(training_mode)
+                and bool(np.asarray(training_mode).reshape(-1)[0])):
+            raise UnsupportedOnnxOp(
+                "Dropout with training_mode=True (training graph, not an "
+                "inference export)"
+            )
+        if len(node.outputs) > 1 and node.outputs[1]:
+            mask = (np.ones(np.shape(x), np.bool_) if _is_host(x)
+                    else self._lib(x).ones(x.shape, np.bool_))
+            return x, mask
+        return x
+
     def op_Softmax(self, node, x):
         axis = node.attr("axis", -1)
         if _is_host(x):
@@ -290,6 +339,43 @@ class _Evaluator:
     def op_And(self, node, a, b):
         return self._lib(a, b).logical_and(a, b)
 
+    def op_Or(self, node, a, b):
+        return self._lib(a, b).logical_or(a, b)
+
+    def op_Xor(self, node, a, b):
+        return self._lib(a, b).logical_xor(a, b)
+
+    def op_GreaterOrEqual(self, node, a, b):
+        return self._lib(a, b).greater_equal(a, b)
+
+    def op_LessOrEqual(self, node, a, b):
+        return self._lib(a, b).less_equal(a, b)
+
+    def op_IsNaN(self, node, x):
+        return self._lib(x).isnan(x)
+
+    def op_IsInf(self, node, x):
+        detect_pos = node.attr("detect_positive", 1)
+        detect_neg = node.attr("detect_negative", 1)
+        m = self._lib(x)
+        if detect_pos and detect_neg:
+            return m.isinf(x)
+        if detect_pos:
+            return m.isposinf(x)
+        if detect_neg:
+            return m.isneginf(x)
+        return m.zeros(np.shape(x), np.bool_)
+
+    def op_Sum(self, node, *xs):
+        out = xs[0]
+        m = self._lib(*xs)
+        for x in xs[1:]:
+            out = m.add(out, x)
+        return out
+
+    def op_Mean(self, node, *xs):
+        return self.op_Sum(node, *xs) / len(xs)
+
     def op_Mod(self, node, a, b):
         fmod = node.attr("fmod", 0)
         m = self._lib(a, b)
@@ -307,8 +393,22 @@ class _Evaluator:
         return x.astype(to)
 
     def op_Shape(self, node, x):
-        # Static under jit: emit a host constant.
-        return np.asarray(x.shape, np.int64)
+        # Static under jit: emit a host constant. Opset >= 15 adds
+        # start/end slicing attributes (negative values count from the
+        # back; both clamp to [0, rank] per the ONNX spec).
+        rank = len(np.shape(x))
+
+        def _clamp(v, default):
+            if v is None:
+                return default
+            v = int(v)
+            if v < 0:
+                v += rank
+            return min(max(v, 0), rank)
+
+        start = _clamp(node.attr("start"), 0)
+        end = _clamp(node.attr("end"), rank)
+        return np.asarray(np.shape(x)[start:end], np.int64)
 
     def op_Size(self, node, x):
         return np.asarray(int(np.prod(x.shape)), np.int64)
@@ -479,14 +579,50 @@ class _Evaluator:
     def op_ReduceProd(self, node, x, axes=None):
         return self._reduce(node, x, "prod", axes)
 
-    def op_ArgMax(self, node, x):
+    def op_ReduceL1(self, node, x, axes=None):
+        return self._reduce(node, self._lib(x).abs(x), "sum", axes)
+
+    def op_ReduceL2(self, node, x, axes=None):
+        m = self._lib(x)
+        return m.sqrt(self._reduce(node, m.square(x), "sum", axes))
+
+    def op_ReduceSumSquare(self, node, x, axes=None):
+        return self._reduce(node, self._lib(x).square(x), "sum", axes)
+
+    def op_ReduceLogSum(self, node, x, axes=None):
+        m = self._lib(x)
+        return m.log(self._reduce(node, x, "sum", axes))
+
+    def op_ReduceLogSumExp(self, node, x, axes=None):
+        # Max-subtracted for stability (the ONNX reference semantics are
+        # plain log(sum(exp)); this is the same value without overflow).
+        if axes is None:
+            axes = node.attr("axes")
+        if axes is not None:
+            axes = tuple(int(a) % x.ndim for a in np.asarray(axes).reshape(-1))
+        m = self._lib(x)
+        peak = m.max(x, axis=axes, keepdims=True)
+        out = m.log(m.sum(m.exp(x - peak), axis=axes, keepdims=True)) + peak
+        if not bool(node.attr("keepdims", 1)):
+            out = m.squeeze(out, axis=axes)
+        return out
+
+    def _argreduce(self, node, x, fn_name):
         axis = node.attr("axis", 0)
         keepdims = bool(node.attr("keepdims", 1))
+        if node.attr("select_last_index", 0):
+            raise UnsupportedOnnxOp(f"{node.op_type} select_last_index=1")
         m = self._lib(x)
-        out = m.argmax(x, axis=axis)
+        out = getattr(m, fn_name)(x, axis=axis)
         if keepdims:
             out = m.expand_dims(out, axis)
         return out.astype(np.int64) if m is np else out
+
+    def op_ArgMax(self, node, x):
+        return self._argreduce(node, x, "argmax")
+
+    def op_ArgMin(self, node, x):
+        return self._argreduce(node, x, "argmin")
 
     # -- linear algebra ------------------------------------------------------
 
@@ -1074,6 +1210,12 @@ class OnnxFunction:
             evaluator if evaluator is not None
             else _Evaluator(self.graph, compute_dtype=compute_dtype)
         )
+        # Fail with the FULL list of unsupported ops/attrs/dtypes up front
+        # (one fix list instead of a raise-on-first retry loop); the per-op
+        # raises in the evaluator remain as the runtime backstop.
+        from .preflight import preflight_or_raise
+
+        preflight_or_raise(model, evaluator=self._eval)
         init_names = set(self.graph.initializers)
         self.input_names = [
             vi.name for vi in self.graph.inputs if vi.name not in init_names

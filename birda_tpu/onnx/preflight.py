@@ -1,0 +1,167 @@
+"""Whole-graph supportability preflight for ONNX models.
+
+When the lowering meets an unsupported op it can only raise on the *first*
+one; a real-asset encounter then becomes a fix-one-retry loop. This module
+walks the entire graph up front and reports **every** unsupported op,
+attribute configuration, and dtype in one pass, so day one with a new
+export yields a single actionable fix list (the reference surfaces ~90
+actionable error variants the same way, ``src/error.rs:8``; ORT itself
+validates the whole graph at session build, ``src/inference/runtime.rs:14``).
+
+Used three ways:
+
+- :func:`preflight` returns the findings (``models check`` renders them);
+- :func:`preflight_or_raise` raises one :class:`~birda_tpu.errors.OnnxGraphUnsupported`
+  listing all of them (called by the lowering before execution);
+- the findings format is stable enough to golden-pin in tests.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from .proto import LOCATION_EXTERNAL, _NP_DTYPES, Model, load_model
+
+#: Readable names for ONNX TensorProto.DataType values we may reject.
+_DT_NAMES = {
+    0: "UNDEFINED", 1: "FLOAT", 2: "UINT8", 3: "INT8", 4: "UINT16",
+    5: "INT16", 6: "INT32", 7: "INT64", 8: "STRING", 9: "BOOL",
+    10: "FLOAT16", 11: "DOUBLE", 12: "UINT32", 13: "UINT64",
+    14: "COMPLEX64", 15: "COMPLEX128", 16: "BFLOAT16",
+    17: "FLOAT8E4M3FN", 18: "FLOAT8E4M3FNUZ", 19: "FLOAT8E5M2",
+    20: "FLOAT8E5M2FNUZ", 21: "UINT4", 22: "INT4", 23: "FLOAT4E2M1",
+}
+
+
+@dataclass(frozen=True)
+class Finding:
+    """One preflight issue: where it is, what it is, why it blocks."""
+
+    node: str       #: node or tensor name ("" when the graph omits names)
+    op_type: str    #: op type, or "<initializer>" / "<input>"
+    reason: str
+
+    def render(self) -> str:
+        where = f" (node '{self.node}')" if self.node else ""
+        return f"{self.op_type}{where}: {self.reason}"
+
+
+def _attr_findings(node) -> list[str]:
+    """Statically-checkable attribute limits of otherwise-supported ops.
+
+    Conservative: only configurations the evaluator is *certain* to reject
+    are flagged (attributes are static in the wire format; input-dependent
+    limits are left to runtime).
+    """
+    reasons = []
+    op = node.op_type
+    if op == "CumSum":
+        if node.attr("exclusive", 0) or node.attr("reverse", 0):
+            reasons.append("exclusive/reverse CumSum is not supported")
+    elif op == "TopK":
+        if not node.attr("largest", 1):
+            reasons.append("TopK with largest=0 is not supported")
+    elif op == "Resize":
+        mode = node.attr("mode", b"nearest")
+        if isinstance(mode, bytes):
+            mode = mode.decode()
+        if mode not in ("nearest", "linear", "cubic"):
+            reasons.append(f"Resize mode '{mode}' is not supported")
+    elif op == "DFT":
+        if node.attr("inverse", 0):
+            reasons.append("inverse DFT is not supported")
+    elif op in ("ArgMax", "ArgMin"):
+        if node.attr("select_last_index", 0):
+            reasons.append(f"{op} with select_last_index=1 is not supported")
+    elif op == "Pad":
+        mode = node.attr("mode", b"constant")
+        if isinstance(mode, bytes):
+            mode = mode.decode()
+        if mode not in ("constant", "reflect", "edge", "wrap"):
+            reasons.append(f"Pad mode '{mode}' is not supported")
+    elif op == "Cast":
+        to = node.attr("to")
+        if to not in _NP_DTYPES:
+            reasons.append(
+                f"Cast to {_DT_NAMES.get(to, to)} is not supported"
+            )
+    return reasons
+
+
+def preflight(model: Model | bytes | str, evaluator=None) -> list[Finding]:
+    """Walk the whole graph; return every supportability issue at once.
+
+    ``evaluator`` is the evaluator instance (or class) whose ``op_*``
+    handlers define the supported set — defaults to the stock lowering
+    evaluator, so custom evaluators (e.g. the int8 path) are checked
+    against their own handler surface.
+    """
+    if not isinstance(model, Model):
+        model = load_model(model)
+    if evaluator is None:
+        from .lowering import _Evaluator
+
+        evaluator = _Evaluator
+    graph = model.graph
+    findings: list[Finding] = []
+
+    init_names = set(graph.initializers)
+    for vi in graph.inputs:
+        if vi.name in init_names:
+            continue
+        if vi.elem_type not in _NP_DTYPES:
+            findings.append(Finding(
+                vi.name, "<input>",
+                f"unsupported input dtype "
+                f"{_DT_NAMES.get(vi.elem_type, vi.elem_type)}",
+            ))
+
+    for name, t in graph.initializers.items():
+        if t.data_type not in _NP_DTYPES:
+            findings.append(Finding(
+                name, "<initializer>",
+                f"unsupported tensor dtype "
+                f"{_DT_NAMES.get(t.data_type, t.data_type)}",
+            ))
+        elif t.array is None and t.data_location == LOCATION_EXTERNAL:
+            findings.append(Finding(
+                name, "<initializer>",
+                "external weight data was never resolved (load the model "
+                "through load_model with its base directory)",
+            ))
+
+    seen_missing: set[str] = set()
+    for node in graph.nodes:
+        if node.op_type == "Constant":
+            t = node.attr("value")
+            if (t is not None and getattr(t, "array", None) is None
+                    and getattr(t, "data_type", 1) not in _NP_DTYPES):
+                findings.append(Finding(
+                    node.name, "Constant",
+                    f"unsupported constant dtype "
+                    f"{_DT_NAMES.get(t.data_type, t.data_type)}",
+                ))
+            continue
+        if getattr(evaluator, f"op_{node.op_type}", None) is None:
+            if node.op_type not in seen_missing:
+                seen_missing.add(node.op_type)
+                n = sum(1 for x in graph.nodes if x.op_type == node.op_type)
+                count = f" ({n} occurrence{'s' if n > 1 else ''})" if n > 1 else ""
+                findings.append(Finding(
+                    node.name, node.op_type,
+                    f"op is not supported by the lowering{count}",
+                ))
+            continue
+        for reason in _attr_findings(node):
+            findings.append(Finding(node.name, node.op_type, reason))
+    return findings
+
+
+def preflight_or_raise(model: Model | bytes | str, evaluator=None) -> None:
+    """Raise one :class:`OnnxGraphUnsupported` naming every issue."""
+    findings = preflight(model, evaluator=evaluator)
+    if findings:
+        from ..errors import OnnxGraphUnsupported
+
+        listing = "\n".join(f"  - {f.render()}" for f in findings)
+        raise OnnxGraphUnsupported(len(findings), listing)

@@ -107,12 +107,23 @@ def _signed(v: int) -> int:
 # Decoded structures
 # ---------------------------------------------------------------------------
 
+#: TensorProto.DataLocation values.
+LOCATION_DEFAULT = 0
+LOCATION_EXTERNAL = 1
+
+
 @dataclass
 class Tensor:
     name: str = ""
     dims: tuple[int, ...] = ()
     data_type: int = DT_FLOAT
     array: np.ndarray | None = None
+    #: TensorProto.data_location (LOCATION_EXTERNAL = payload lives in a
+    #: sidecar file; real 400-560 MB exports routinely ship this way).
+    data_location: int = LOCATION_DEFAULT
+    #: TensorProto.external_data key/value entries ("location", "offset",
+    #: "length", "checksum").
+    external_data: dict[str, str] = field(default_factory=dict)
 
 
 @dataclass
@@ -230,8 +241,23 @@ def _decode_tensor(buf: memoryview) -> Tensor:
                 )
             else:
                 double_data.append(struct.unpack("<d", val)[0])
+        elif fnum == 13 and wtype == 2:  # external_data StringStringEntry
+            key = value = ""
+            for f2, w2, v2 in _scan(val):
+                if f2 == 1 and w2 == 2:
+                    key = bytes(v2).decode("utf-8", "replace")
+                elif f2 == 2 and w2 == 2:
+                    value = bytes(v2).decode("utf-8", "replace")
+            if key:
+                t.external_data[key] = value
+        elif fnum == 14 and wtype == 0:
+            t.data_location = val
 
     t.dims = tuple(dims)
+    if t.data_location == LOCATION_EXTERNAL:
+        # Payload lives in a sidecar file; resolved by load_model once the
+        # model's base directory is known. array stays None until then.
+        return t
     np_dtype = _NP_DTYPES.get(t.data_type)
     if np_dtype is None:
         return t  # leave array None for exotic types
@@ -347,12 +373,103 @@ def _decode_graph(buf: memoryview) -> Graph:
     return g
 
 
-def load_model(path: Path | str | bytes) -> Model:
-    """Parse an ONNX file (or raw bytes) into a :class:`Model`."""
+def _external_tensors(graph: Graph):
+    """Yield every tensor in the graph whose payload is external: the
+    initializers plus Constant-node attribute tensors."""
+    for t in graph.initializers.values():
+        if t.data_location == LOCATION_EXTERNAL:
+            yield t
+    for node in graph.nodes:
+        for a in node.attrs.values():
+            if a.t is not None and a.t.data_location == LOCATION_EXTERNAL:
+                yield a.t
+
+
+def _resolve_external_data(graph: Graph, base_dir: Path | None) -> None:
+    """Load ``data_location = EXTERNAL`` tensor payloads from their sidecar
+    files (the onnx ``convert_model_to_external_data`` layout: little-endian
+    raw bytes at ``offset``/``length`` inside ``location``, relative to the
+    model file's directory). Typed ``OnnxExternalData`` errors when the
+    sidecar is absent, escapes the model directory, or is too short —
+    ORT handles these files natively (reference
+    ``src/inference/runtime.rs:14``), so day-one real-asset loading must
+    not brick on them.
+    """
+    from ..errors import OnnxExternalData
+
+    tensors = list(_external_tensors(graph))
+    if not tensors:
+        return
+    if base_dir is None:
+        raise OnnxExternalData(
+            tensors[0].name or "<unnamed>",
+            "the graph references external weight files, but it was loaded "
+            "from raw bytes with no base directory to resolve them against",
+        )
+    base_dir = Path(base_dir).resolve()
+    for t in tensors:
+        tname = t.name or "<unnamed>"
+        loc = t.external_data.get("location")
+        if not loc:
+            raise OnnxExternalData(tname, "external_data has no 'location'")
+        sidecar = (base_dir / loc).resolve()
+        if base_dir not in sidecar.parents and sidecar != base_dir:
+            raise OnnxExternalData(
+                tname, f"location '{loc}' escapes the model directory"
+            )
+        if not sidecar.is_file():
+            raise OnnxExternalData(
+                tname,
+                f"sidecar file '{loc}' not found next to the model — "
+                "external-data exports must be copied with their weight "
+                "files",
+            )
+        try:
+            offset = int(t.external_data.get("offset", 0))
+            length = t.external_data.get("length")
+            length = None if length is None else int(length)
+        except ValueError as e:
+            raise OnnxExternalData(tname, f"bad offset/length: {e}") from e
+        np_dtype = _NP_DTYPES.get(t.data_type)
+        if np_dtype is None:
+            continue  # exotic dtype: leave array None (preflight reports it)
+        count = int(np.prod(t.dims, dtype=np.int64)) if t.dims else 1
+        need = count * np.dtype(np_dtype).itemsize
+        if length is not None and length < need:
+            raise OnnxExternalData(
+                tname, f"length {length} < {need} bytes required by "
+                f"dims {t.dims}"
+            )
+        file_size = sidecar.stat().st_size
+        if offset + need > file_size:
+            raise OnnxExternalData(
+                tname,
+                f"'{loc}' is {file_size} bytes; tensor needs bytes "
+                f"[{offset}, {offset + need})",
+            )
+        with open(sidecar, "rb") as f:
+            f.seek(offset)
+            raw = f.read(need)
+        arr = np.frombuffer(raw, dtype=np.dtype(np_dtype).newbyteorder("<"))
+        if arr.dtype != np_dtype:
+            arr = arr.astype(np_dtype)
+        t.array = arr.reshape(t.dims) if t.dims else arr.reshape(())
+        t.data_location = LOCATION_DEFAULT
+
+
+def load_model(path: Path | str | bytes,
+               base_dir: Path | str | None = None) -> Model:
+    """Parse an ONNX file (or raw bytes) into a :class:`Model`.
+
+    ``base_dir`` resolves ``data_location = EXTERNAL`` tensor sidecars;
+    it defaults to the model file's directory when ``path`` is a path.
+    """
     if isinstance(path, bytes):
         data = path
     else:
         data = Path(path).read_bytes()
+        if base_dir is None:
+            base_dir = Path(path).parent
     m = Model()
     for fnum, wtype, val in _scan(memoryview(data)):
         if fnum == 1 and wtype == 0:
@@ -373,4 +490,7 @@ def load_model(path: Path | str | bytes) -> Model:
                     version = v2
             if domain in (b"", b"ai.onnx"):
                 m.opset = max(m.opset, version)
+    _resolve_external_data(
+        m.graph, None if base_dir is None else Path(base_dir)
+    )
     return m

@@ -433,6 +433,55 @@ class TestGeomodelFlags:
         assert "--geomodel-path" in r.output
 
 
+class TestModelsCheckPreflight:
+    def _add_onnx_model(self, runner, tmp_path, model_bytes, name="m"):
+        onnx = tmp_path / f"{name}.onnx"
+        onnx.write_bytes(model_bytes)
+        labels = tmp_path / f"{name}-labels.txt"
+        labels.write_text("Aaa_Bbb\n" * 64)
+        r = runner.invoke(cli, [
+            "models", "add", name, "--path", str(onnx),
+            "--labels", str(labels), "--type", "birdnet-v24",
+        ])
+        assert r.exit_code == 0, r.output
+
+    def test_check_reports_all_unsupported_elements(self, runner, home,
+                                                    tmp_path):
+        import fixtures_onnx as fo
+
+        bad = fo.model(
+            [fo.node("STFT", ["x"], ["a"]),
+             fo.node("NonMaxSuppression", ["a"], ["y"])],
+            inputs=[fo.value_info("x", [1, 8])],
+            outputs=[fo.value_info("y", [1, 8])],
+        )
+        self._add_onnx_model(runner, tmp_path, bad)
+        r = runner.invoke(cli, ["models", "check"])
+        assert r.exit_code == 1
+        # BOTH unsupported ops in one report — no fix-one-retry loop.
+        assert "STFT" in r.output and "NonMaxSuppression" in r.output
+
+    def test_check_passes_supported_graph(self, runner, home, tmp_path):
+        import fixtures_onnx as fo
+
+        self._add_onnx_model(runner, tmp_path, fo.make_fixture_geomodel())
+        r = runner.invoke(cli, ["models", "check"])
+        assert r.exit_code == 0, r.output
+        assert "OK" in r.output
+
+    def test_no_graph_flag_skips_preflight(self, runner, home, tmp_path):
+        import fixtures_onnx as fo
+
+        bad = fo.model(
+            [fo.node("STFT", ["x"], ["y"])],
+            inputs=[fo.value_info("x", [1, 8])],
+            outputs=[fo.value_info("y", [1, 8])],
+        )
+        self._add_onnx_model(runner, tmp_path, bad)
+        r = runner.invoke(cli, ["models", "check", "--no-graph"])
+        assert r.exit_code == 0, r.output
+
+
 class TestCalibrationAudioPreflight:
     def test_calibration_audio_requires_int8(self, runner, tmp_path):
         """--calibration-audio without --precision int8 would be silently

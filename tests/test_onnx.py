@@ -238,12 +238,15 @@ class TestLoweringVsTorch:
         assert np.max(np.abs(got - x.mean(2))) < 1e-6
 
     def test_unsupported_op_raises(self):
+        from birda_tpu.errors import OnnxGraphUnsupported
+
         mb = fo.model(
             [fo.node("SomeFutureOp", ["x"], ["y"])],
             inputs=[fo.value_info("x", [1])],
             outputs=[fo.value_info("y", [1])],
         )
-        with pytest.raises(UnsupportedOnnxOp):
+        # The preflight rejects at lower() time with the aggregate error.
+        with pytest.raises(OnnxGraphUnsupported, match="SomeFutureOp"):
             lower(mb)(np.zeros(1, np.float32))
 
     def test_jit_compatible(self):
