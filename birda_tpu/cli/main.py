@@ -10,9 +10,11 @@ precedence.
 from __future__ import annotations
 
 import logging
+import os
 import signal
 import sys
 from pathlib import Path
+from typing import Optional
 
 import click
 
@@ -368,7 +370,9 @@ def config_show(output_mode):
     cfg = config_file.load_default_config()
     if output_mode in ("json", "ndjson"):
         reporter = create_reporter(output_mode)
-        reporter.result(env.result_payload(ResultType.CONFIG, config=cfg.to_dict()))
+        reporter.result(env.config_payload(
+            str(config_paths.config_file_path()), cfg.to_dict()
+        ))
         reporter.finish()
         return
     click.echo(toml_writer.dumps(cfg.to_dict()))
@@ -377,13 +381,13 @@ def config_show(output_mode):
 @config.command("path")
 @click.option("--output-mode", type=click.Choice(["human", "json", "ndjson"]))
 def config_path(output_mode):
-    path = str(config_paths.config_file_path())
+    path = config_paths.config_file_path()
     if output_mode in ("json", "ndjson"):
         reporter = create_reporter(output_mode)
-        reporter.result(env.result_payload(ResultType.CONFIG_PATH, path=path))
+        reporter.result(env.config_path_payload(str(path), path.exists()))
         reporter.finish()
         return
-    click.echo(path)
+    click.echo(str(path))
 
 
 # ignore_unknown_options so values beginning with a hyphen are accepted:
@@ -461,18 +465,14 @@ def models_list(output_mode):
     cfg = config_file.load_default_config()
     if output_mode in ("json", "ndjson"):
         reporter = create_reporter(output_mode)
-        reporter.result(env.result_payload(
-            ResultType.MODEL_LIST,
-            models=[
-                {
-                    "id": name,
-                    "model_type": m.model_type.value,
-                    "is_default": cfg.defaults.model == name,
-                    "path": str(m.path),
-                }
-                for name, m in cfg.models.items()
-            ],
-        ))
+        reporter.result(env.model_list_payload([
+            env.model_entry(
+                id=name, model_type=m.model_type.value,
+                is_default=cfg.defaults.model == name,
+                path=str(m.path), labels_path=str(m.labels),
+            )
+            for name, m in cfg.models.items()
+        ]))
         reporter.finish()
         return
     if not cfg.models:
@@ -490,19 +490,36 @@ def models_list_available(output_mode):
 
     reg = load_registry()
     if output_mode in ("json", "ndjson"):
+        rf = None
+        if reg.range_filter is not None:
+            e = reg.range_filter
+            sizes = (e.model.size_bytes, e.labels.size_bytes)
+            rf = env.available_range_filter_entry(
+                # The install handle ("geomodel"), not the asset id: it is
+                # the string a user can type (json_envelope.rs:513-520).
+                id="geomodel", name=e.name or e.id, version=e.version,
+                vendor=e.vendor, license=e.license.type,
+                commercial_use=e.license.commercial_use,
+                share_alike=e.license.share_alike,
+                species_count=e.species_count,
+                # Partial totals would understate the download; both files
+                # are required, so only a full sum is reported.
+                size_bytes=(sum(sizes) if all(s is not None for s in sizes)
+                            else None),
+            )
         reporter = create_reporter(output_mode)
-        reporter.result(env.result_payload(
-            ResultType.AVAILABLE_MODELS,
+        reporter.result(env.available_models_payload(
             models=[
-                {
-                    "id": m.id, "name": m.name, "version": m.version,
-                    "model_type": m.model_type,
-                    "recommended": m.recommended,
-                    "license": m.license.type,
-                    "variants": len(m.variants),
-                }
+                env.available_model_entry(
+                    id=m.id, name=m.name, description=m.description,
+                    vendor=m.vendor, version=m.version,
+                    model_type=m.model_type, recommended=m.recommended,
+                    license=m.license.type,
+                    commercial_use=m.license.commercial_use,
+                )
                 for m in reg.models
             ],
+            available_range_filter=rf,
         ))
         reporter.finish()
         return
@@ -561,27 +578,106 @@ def models_check(output_mode, no_graph):
             issues = [] if no_graph else _graph_preflight(m)
             if issues:
                 failures += 1
-                results.append({"id": name, "ok": False,
-                                "unsupported": issues})
+                results.append(env.model_check_entry(
+                    id=name, valid=False,
+                    error=f"{len(issues)} unsupported graph element(s)",
+                    unsupported=issues,
+                ))
                 if output_mode not in ("json", "ndjson"):
                     click.echo(f"{name}: FAILED — {len(issues)} unsupported "
                                "graph element(s):")
                     for issue in issues:
                         click.echo(f"    - {issue}")
                 continue
-            results.append({"id": name, "ok": True})
+            results.append(env.model_check_entry(id=name, valid=True))
             if output_mode not in ("json", "ndjson"):
                 click.echo(f"{name}: OK")
         except BirdaError as e:
             failures += 1
-            results.append({"id": name, "ok": False, "error": str(e)})
+            results.append(env.model_check_entry(id=name, valid=False,
+                                                 error=str(e)))
             if output_mode not in ("json", "ndjson"):
                 click.echo(f"{name}: FAILED — {e}")
+    geomodel = _check_geomodel_info()
+    leftovers = _find_leftover_downloads()
     if output_mode in ("json", "ndjson"):
         reporter = create_reporter(output_mode)
-        reporter.result(env.result_payload(ResultType.MODEL_CHECK, models=results))
+        reporter.result(env.model_check_payload(
+            models=results, geomodel=geomodel,
+            leftover_downloads=leftovers or None,
+        ))
         reporter.finish()
+    else:
+        if geomodel is not None:
+            if geomodel["installed"]:
+                click.echo(f"BirdNET Geomodel v{geomodel['version']}: OK "
+                           f"({geomodel['species_count']} species)")
+            else:
+                click.echo(
+                    f"BirdNET Geomodel v{geomodel['version']}: not installed "
+                    "(run 'birda models install geomodel' to enable range "
+                    "filtering)"
+                )
+        for p in leftovers:
+            click.echo(f"leftover partial download: {p}")
     sys.exit(1 if failures else 0)
+
+
+def _check_geomodel_info() -> Optional[dict]:
+    """Shared range-filter status for ``models check`` (reference
+    ``lib.rs:2343-2364``): reported once, since every classifier shares it.
+    None when the registry predates the geomodel."""
+    from ..config.geomodel import default_geomodel_paths
+    from ..registry.loader import load_registry
+
+    try:
+        reg = load_registry()
+    except BirdaError:
+        return None
+    entry = reg.range_filter
+    if entry is None:
+        return None
+    paths = default_geomodel_paths(reg)
+    installed = (paths is not None and paths[0].exists()
+                 and paths[1].exists())
+    return env.geomodel_info(
+        version=entry.version, installed=installed,
+        species_count=entry.species_count,
+        model_path=str(paths[0]) if installed else None,
+        labels_path=str(paths[1]) if installed else None,
+    )
+
+
+def _find_leftover_downloads() -> list[str]:
+    """Partial-download files (``<name>.<pid>.part``) whose writing process
+    is gone — an interrupted download holding disk invisibly. Reported,
+    never auto-deleted (reference ``lib.rs:1664-1669``)."""
+    from ..registry.installer import models_dir
+
+    out = []
+    try:
+        parts = sorted(models_dir().glob("*.part"))
+    except OSError:
+        return out
+    for p in parts:
+        bits = p.name.split(".")
+        pid = None
+        if len(bits) >= 3 and bits[-2].isdigit():
+            pid = int(bits[-2])
+        if pid is not None and _pid_alive(pid):
+            continue  # a live download in progress, not a leftover
+        out.append(str(p))
+    return out
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    return True
 
 
 def _graph_preflight(m) -> list[str]:
@@ -605,12 +701,84 @@ def _graph_preflight(m) -> list[str]:
 @models.command("info")
 @click.argument("model_id")
 @click.option("--languages", is_flag=True)
-def models_info(model_id, languages):
+@click.option("--output-mode", type=click.Choice(["human", "json", "ndjson"]))
+def models_info(model_id, languages, output_mode):
+    """Dispatch order matches the reference (``lib.rs:1735-1820``): the
+    geomodel install handle first, then the registry, then the configured
+    models — so an installed registry model reports its registry card, and
+    ``models info geomodel`` works on a registry that has the asset even
+    though it is not a configured model."""
+    from ..registry.installer import GEOMODEL_INSTALL_ID
     from ..registry.loader import load_registry
+
+    structured = output_mode in ("json", "ndjson")
+
+    def emit(details: dict):
+        reporter = create_reporter(output_mode)
+        reporter.result(env.model_info_payload(details))
+        reporter.finish()
+
+    if model_id == GEOMODEL_INSTALL_ID:
+        from ..errors import RangeFilterAssetMissing
+
+        try:
+            reg = load_registry()
+            entry = reg.range_filter
+            if entry is None:
+                raise RangeFilterAssetMissing("not present in this registry")
+        except BirdaError as e:
+            print_error_chain(e)
+            sys.exit(1)
+        if structured:
+            # "range-filter", not a classifier type: a consumer needs the
+            # distinction so it does not offer this as a -m model.
+            emit(env.model_details(
+                id=GEOMODEL_INSTALL_ID, model_type="range-filter",
+                source="registry",
+            ))
+            return
+        click.echo(f"Range filter: {entry.name or entry.id}")
+        click.echo(f"  version: {entry.version}")
+        if languages:
+            click.echo("The range filter has no label language variants. "
+                       "Species names in output come from the active "
+                       "classifier's own labels.")
+            return
+        click.echo(f"  species: {entry.species_count}")
+        click.echo(f"  license: {entry.license.type}")
+        click.echo(f"To install: birda models install {GEOMODEL_INSTALL_ID}")
+        return
+
+    try:
+        rm = load_registry().find_model(model_id)
+    except BirdaError:
+        rm = None
+    if rm is not None:
+        if structured:
+            emit(env.model_details(
+                id=rm.id, model_type=rm.model_type, source="registry",
+            ))
+            return
+        click.echo(f"{rm.id}: {rm.name} v{rm.version}")
+        click.echo(f"  {rm.description}")
+        click.echo(f"  vendor: {rm.vendor}")
+        click.echo(f"  license: {rm.license.type}"
+                   + ("" if rm.license.commercial_use else " (non-commercial)"))
+        if languages and rm.files:
+            click.echo("  languages: "
+                       + ", ".join(l.code for l in rm.files.languages))
+        return
 
     cfg = config_file.load_default_config()
     if model_id in cfg.models:
         m = cfg.models[model_id]
+        if structured:
+            emit(env.model_details(
+                id=model_id, model_type=m.model_type.value,
+                path=str(m.path), labels_path=str(m.labels),
+                source="configured",
+            ))
+            return
         click.echo(f"{model_id} (configured)")
         click.echo(f"  type: {m.model_type.value}")
         click.echo(f"  path: {m.path}")
@@ -618,26 +786,20 @@ def models_info(model_id, languages):
         if m.installed_version:
             click.echo(f"  installed version: {m.installed_version}")
         return
-    try:
-        rm = load_registry().find_model(model_id)
-    except BirdaError as e:
-        print_error_chain(e)
-        sys.exit(1)
-    click.echo(f"{rm.id}: {rm.name} v{rm.version}")
-    click.echo(f"  {rm.description}")
-    click.echo(f"  vendor: {rm.vendor}")
-    click.echo(f"  license: {rm.license.type}"
-               + ("" if rm.license.commercial_use else " (non-commercial)"))
-    if languages and rm.files:
-        click.echo("  languages: "
-                   + ", ".join(l.code for l in rm.files.languages))
+    from ..errors import ModelNotFound
+
+    print_error_chain(ModelNotFound(model_id))
+    sys.exit(1)
 
 
 @models.command("remove")
 @click.argument("name")
 @click.option("--purge", is_flag=True)
-def models_remove(name, purge):
+@click.option("--output-mode", type=click.Choice(["human", "json", "ndjson"]))
+def models_remove(name, purge, output_mode):
+    structured = output_mode in ("json", "ndjson")
     removed_paths = []
+    promoted = []  # new default model id when removal promoted one
 
     def mutate(cfg: Config):
         from ..errors import ModelNotFound
@@ -647,14 +809,21 @@ def models_remove(name, purge):
         m = cfg.models.pop(name)
         if cfg.defaults.model == name:
             cfg.defaults.model = next(iter(cfg.models), None)
+            if cfg.defaults.model is not None:
+                promoted.append(cfg.defaults.model)
         if purge:
             removed_paths.extend([m.path, m.labels])
 
     try:
         config_file.update_config(mutate)
     except BirdaError as e:
+        if structured:
+            reporter = create_reporter(output_mode)
+            reporter.error("model_remove_failed", ErrorSeverity.FATAL, str(e))
+            reporter.finish()
         print_error_chain(e)
         sys.exit(1)
+    purged = 0
     if purge:
         from ..registry import cleanup
         from ..registry.installer import models_dir
@@ -662,10 +831,21 @@ def models_remove(name, purge):
 
         cfg = config_file.load_default_config()
         orphans = cleanup.orphaned_files(models_dir(), cfg, load_registry())
-        n = cleanup.remove_orphans(orphans)
-        click.echo(f"Removed model '{name}' and {n} orphaned file(s)")
+        purged = cleanup.remove_orphans(orphans)
+    if structured:
+        reporter = create_reporter(output_mode)
+        reporter.result(env.model_removed_payload(
+            id=name, purge_requested=purge,
+            new_default=promoted[0] if promoted else None,
+        ))
+        reporter.finish()
+        return
+    if purge:
+        click.echo(f"Removed model '{name}' and {purged} orphaned file(s)")
     else:
         click.echo(f"Removed model '{name}'")
+    if promoted:
+        click.echo(f"New default model: {promoted[0]}")
 
 
 @models.command("regions")
@@ -701,14 +881,62 @@ def models_regions(model_id):
 @click.option("--accept-license", is_flag=True)
 @click.option("-y", "--yes", is_flag=True,
               help="Assume yes for prompts (license acceptance).")
+@click.option("--output-mode", type=click.Choice(["human", "json", "ndjson"]))
 def models_install(model_id, language, region, variant, set_default,
-                   accept_license, yes):
+                   accept_license, yes, output_mode):
     accept_license = accept_license or yes
     from ..registry import installer, license as license_mod
     from ..registry.loader import load_registry
     from ..registry.selection import select_variant
 
+    structured = output_mode in ("json", "ndjson")
     reg = load_registry()
+
+    # The shared range filter installs under its own handle, since it is
+    # used by every classifier rather than belonging to any one of them
+    # (reference lib.rs:2104-2108, handle_geomodel_install:2391).
+    if model_id == installer.GEOMODEL_INSTALL_ID:
+        from ..errors import RangeFilterAssetMissing
+
+        try:
+            entry = reg.range_filter
+            if entry is None:
+                raise RangeFilterAssetMissing("not present in this registry")
+            if not license_mod.prompt_license_acceptance(
+                entry.id, entry.name or entry.id, entry.license,
+                assume_yes=accept_license,
+            ):
+                click.echo("License not accepted; aborting.")
+                sys.exit(1)
+            model_path, labels_path = installer.install_range_filter(entry)
+
+            def mutate(cfg: Config):
+                cfg.defaults.geomodel = model_path
+                cfg.defaults.geomodel_labels = labels_path
+
+            config_file.update_config(mutate)
+        except BirdaError as e:
+            if structured:
+                reporter = create_reporter(output_mode)
+                reporter.error("model_install_failed", ErrorSeverity.FATAL,
+                               str(e))
+                reporter.finish()
+            print_error_chain(e)
+            sys.exit(1)
+        if structured:
+            reporter = create_reporter(output_mode)
+            reporter.result(env.model_installed_payload(
+                id=installer.GEOMODEL_INSTALL_ID, set_as_default=False,
+                model_path=str(model_path), labels_path=str(labels_path),
+            ))
+            reporter.finish()
+            return
+        click.echo(f"{entry.name or entry.id} installed.")
+        click.echo(f"  {model_path}")
+        click.echo(f"  {labels_path}")
+        click.echo(f"Range filtering covers {entry.species_count} species.")
+        return
+
     try:
         rm = reg.find_model(model_id)
         if not license_mod.prompt_license_acceptance(
@@ -758,6 +986,8 @@ def models_install(model_id, language, region, variant, set_default,
         ):
             installer.install_range_filter(reg.range_filter)
 
+        became_default = []
+
         def mutate(cfg: Config):
             cfg.models[model_id] = ModelConfig(
                 path=installed.model_path,
@@ -773,11 +1003,25 @@ def models_install(model_id, language, region, variant, set_default,
             )
             if set_default or cfg.defaults.model is None:
                 cfg.defaults.model = model_id
+                became_default.append(model_id)
 
         config_file.update_config(mutate)
     except BirdaError as e:
+        if structured:
+            reporter = create_reporter(output_mode)
+            reporter.error("model_install_failed", ErrorSeverity.FATAL, str(e))
+            reporter.finish()
         print_error_chain(e)
         sys.exit(1)
+    if structured:
+        reporter = create_reporter(output_mode)
+        reporter.result(env.model_installed_payload(
+            id=model_id, set_as_default=bool(became_default),
+            model_path=str(installed.model_path),
+            labels_path=str(installed.labels_path),
+        ))
+        reporter.finish()
+        return
     click.echo(f"Installed {model_id}")
 
 
@@ -789,18 +1033,19 @@ def models_install(model_id, language, region, variant, set_default,
 @click.option("--output-mode", type=click.Choice(["human", "json", "ndjson"]))
 def providers(output_mode):
     """Show available inference backends."""
-    from ..inference.backend import available_backends
+    from ..inference.backend import available_backends, provider_metadata
 
     avail = available_backends()
     if output_mode in ("json", "ndjson"):
         reporter = create_reporter(output_mode)
-        reporter.result(env.result_payload(
-            ResultType.PROVIDERS, providers=avail,
-        ))
+        reporter.result(env.providers_payload([
+            env.provider_info(**provider_metadata(p)) for p in avail
+        ]))
         reporter.finish()
         return
     for name in ("tpu", "cpu"):
-        mark = "available" if name in avail else "not available"
+        mark = (provider_metadata(name)["description"] if name in avail
+                else "not available")
         click.echo(f"{name}: {mark}")
 
 
@@ -823,7 +1068,8 @@ def providers(output_mode):
 def species(output, lat, lon, week, month, day, threshold, sort, model,
             geomodel_path, geomodel_labels_path, output_mode):
     """Generate a species list from the range filter."""
-    from .species import generate_species_list
+    from .species import (compute_species_list, generate_species_list,
+                          split_species_label)
 
     if week is None and (month is None or day is None):
         raise click.UsageError("provide --week, or --month with --day")
@@ -833,12 +1079,22 @@ def species(output, lat, lon, week, month, day, threshold, sort, model,
         )
     structured = output_mode in ("json", "ndjson")
     try:
-        path, count = generate_species_list(
-            output=output, lat=lat, lon=lon, week=week, month=month, day=day,
-            threshold=threshold, sort=sort, model_name=model,
-            geomodel_path=geomodel_path,
-            geomodel_labels_path=geomodel_labels_path,
-        )
+        if structured:
+            # Entries ride the payload inline; no file is written in
+            # structured mode (reference species.rs:150-186).
+            result = compute_species_list(
+                lat=lat, lon=lon, week=week, month=month, day=day,
+                threshold=threshold, sort=sort, model_name=model,
+                geomodel_path=geomodel_path,
+                geomodel_labels_path=geomodel_labels_path,
+            )
+        else:
+            path, count = generate_species_list(
+                output=output, lat=lat, lon=lon, week=week, month=month,
+                day=day, threshold=threshold, sort=sort, model_name=model,
+                geomodel_path=geomodel_path,
+                geomodel_labels_path=geomodel_labels_path,
+            )
     except BirdaError as e:
         if structured:
             reporter = create_reporter(output_mode)
@@ -847,11 +1103,16 @@ def species(output, lat, lon, week, month, day, threshold, sort, model,
         print_error_chain(e)
         sys.exit(1)
     if structured:
+        entries = []
+        for label, score in result.entries:
+            sci, common = split_species_label(label)
+            entries.append(env.species_entry(
+                scientific_name=sci, common_name=common, frequency=score,
+            ))
         reporter = create_reporter(output_mode)
-        reporter.result(env.result_payload(
-            ResultType.SPECIES_LIST,
-            output_file=str(path), species_count=count,
-            lat=lat, lon=lon, week=week,
+        reporter.result(env.species_list_payload(
+            lat=lat, lon=lon, week=result.week, threshold=result.threshold,
+            species=entries, output_file=None,
         ))
         reporter.finish()
         return
@@ -893,12 +1154,25 @@ def clip(files, output, audio, base_dir, pre, post, confidence, species_,
         sys.exit(1)
     if structured:
         reporter = create_reporter(output_mode)
-        reporter.result(env.result_payload(
-            ResultType.CLIP_EXTRACTION,
+        reporter.result(env.clip_extraction_payload(
+            output_dir=str(args.output),
             total_clips=summary.total_clips,
-            processed_files=summary.processed_files,
-            clips=summary.clips,
-            failures=summary.failures,
+            total_files=summary.processed_files,
+            clips=[
+                env.clip_extraction_entry(
+                    source_audio=c["source_audio"],
+                    scientific_name=c["species"],
+                    confidence=c["confidence"],
+                    start_time=c["start"], end_time=c["end"],
+                    output_file=c["path"],
+                )
+                for c in summary.clips
+            ],
+            failed_files=[
+                env.clip_extraction_failure(file=f["file"],
+                                            error=f["message"])
+                for f in summary.failures
+            ],
         ))
         reporter.finish()
         return

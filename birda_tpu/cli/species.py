@@ -8,6 +8,7 @@ alphabetically, written one label per line.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
 from pathlib import Path
 from typing import Optional
 
@@ -25,8 +26,17 @@ from ..utils.fs import write_atomic
 DEFAULT_OUTPUT = "species_list.txt"
 
 
-def generate_species_list(
-    output: Optional[Path],
+@dataclass
+class SpeciesListResult:
+    """Computed list plus the resolved week/threshold, so callers can report
+    the values actually used (flags leave both optional)."""
+
+    entries: list[tuple[str, float]]  # (label, occurrence score), sorted
+    week: int
+    threshold: float
+
+
+def compute_species_list(
     lat: float,
     lon: float,
     week: Optional[int] = None,
@@ -37,12 +47,16 @@ def generate_species_list(
     model_name: Optional[str] = None,
     geomodel_path: Optional[Path] = None,
     geomodel_labels_path: Optional[Path] = None,
-) -> tuple[Path, int]:
-    """Returns (output path, species count). Geomodel unavailability is FATAL
-    here — unlike the analyze path, the geomodel IS the feature
-    (reference ``species.rs:66-75``). ``geomodel_path`` /
-    ``geomodel_labels_path`` override the configured copy (the reference's
-    global --geomodel-path flags reach this command too, args.rs notes)."""
+) -> SpeciesListResult:
+    """One geomodel pass at (lat, lon, week) → thresholded, sorted entries.
+    Writes nothing: structured output modes report the list inline without
+    touching the filesystem (reference ``species.rs:150-188``).
+
+    Geomodel unavailability is FATAL here — unlike the analyze path, the
+    geomodel IS the feature (reference ``species.rs:66-75``).
+    ``geomodel_path`` / ``geomodel_labels_path`` override the configured
+    copy (the reference's global --geomodel-path flags reach this command
+    too, args.rs notes)."""
     config = geomodel_cfg.config_with_override(
         config_file.load_default_config(), geomodel_path,
         geomodel_labels_path,
@@ -86,10 +100,44 @@ def generate_species_list(
     else:
         entries.sort(key=lambda e: (-e[1], e[0].lower()))
 
+    return SpeciesListResult(entries=entries, week=week, threshold=threshold)
+
+
+def split_species_label(label: str) -> tuple[str, str]:
+    """``"Genus species_Common Name"`` → (scientific, common); labels with
+    no separator keep the whole string as the scientific name
+    (reference ``species.rs:160-168``)."""
+    if "_" in label:
+        sci, common = label.split("_", 1)
+        return sci, common
+    return label, ""
+
+
+def generate_species_list(
+    output: Optional[Path],
+    lat: float,
+    lon: float,
+    week: Optional[int] = None,
+    month: Optional[int] = None,
+    day: Optional[int] = None,
+    threshold: Optional[float] = None,
+    sort: str = "freq",
+    model_name: Optional[str] = None,
+    geomodel_path: Optional[Path] = None,
+    geomodel_labels_path: Optional[Path] = None,
+) -> tuple[Path, int]:
+    """Compute the list and write it one label per line (human mode).
+    Returns (output path, species count)."""
+    result = compute_species_list(
+        lat=lat, lon=lon, week=week, month=month, day=day,
+        threshold=threshold, sort=sort, model_name=model_name,
+        geomodel_path=geomodel_path,
+        geomodel_labels_path=geomodel_labels_path,
+    )
     out_path = output if output is not None else Path(DEFAULT_OUTPUT)
-    text = "".join(f"{label}\n" for label, _ in entries)
+    text = "".join(f"{label}\n" for label, _ in result.entries)
     try:
         write_atomic(out_path, text.encode("utf-8"))
     except OSError as e:
         raise SpeciesListWrite(str(out_path), str(e)) from e
-    return out_path, len(entries)
+    return out_path, len(result.entries)

@@ -167,6 +167,8 @@ def _execute_direct(args: ClipArgs) -> ClipSummary:
             "path": str(path),
             "start": group.start,
             "end": group.end,
+            "source_audio": str(audio_file),
+            "confidence": group.max_confidence,
         })
     if summary.processed_files == 0 and summary.failures:
         raise ClipBatchAllFailed()
@@ -231,6 +233,7 @@ def _process_detection_file(
                 "start": group.start,
                 "end": group.end,
                 "source_audio": str(audio_path),
+                "confidence": group.max_confidence,
             })
         except BirdaError as e:
             logger.warning("clip %s %.1f-%.1f failed: %s",

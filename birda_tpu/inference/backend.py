@@ -54,6 +54,27 @@ def available_backends() -> list[str]:
     return found
 
 
+#: Display metadata per backend, the analogue of the reference's
+#: ``provider_metadata`` table (``src/inference/provider.rs:17-70``):
+#: ``id`` is the CLI flag identifier, ``description`` the human line.
+_PROVIDER_METADATA = {
+    "cpu": {"id": "cpu", "name": "CPU",
+            "description": "CPU (always available)"},
+    "tpu": {"id": "tpu", "name": "TPU",
+            "description": "TPU (Google TPU via XLA)"},
+}
+
+
+def provider_metadata(platform: str) -> dict:
+    """id/name/description for a backend platform; unknown platforms get
+    identity metadata rather than a KeyError (a new jax plugin should list,
+    not crash, the providers command)."""
+    return _PROVIDER_METADATA.get(
+        platform,
+        {"id": platform, "name": platform, "description": platform},
+    )
+
+
 def ensure_runtime_available() -> None:
     """Fail fast if jax cannot initialize any backend at all
     (reference ``ensure_runtime_available``, ``src/inference/runtime.rs:14``)."""

@@ -261,3 +261,197 @@ def bsg_metadata(calibration_applied: bool, sdm_applied: bool,
 
 def result_payload(result_type: ResultType, **fields) -> dict:
     return {"result_type": result_type.value, **_clean(fields)}
+
+
+# ---------------------------------------------------------------------------
+# Typed result payload builders — one per ResultType the reference emits
+# (``json_envelope.rs:163-742``: 12 payload structs; ``analysis`` is an
+# enum-only discriminator there too). CLI commands MUST build their result
+# envelopes through these, so the golden pin in
+# ``tests/golden/results.ndjson`` catches any GUI-facing drift.
+# ---------------------------------------------------------------------------
+
+def model_entry(id: str, model_type: str, is_default: bool,
+                path: Optional[str] = None,
+                labels_path: Optional[str] = None) -> dict:
+    return _clean({
+        "id": id, "model_type": model_type, "is_default": is_default,
+        "path": path, "labels_path": labels_path,
+    })
+
+
+def model_list_payload(models: list[dict]) -> dict:
+    """``ModelListPayload`` (json_envelope.rs:402); entries sorted by id
+    for deterministic output (lib.rs:1624)."""
+    return result_payload(
+        ResultType.MODEL_LIST, models=sorted(models, key=lambda m: m["id"])
+    )
+
+
+def model_details(id: str, model_type: str, source: str,
+                  path: Optional[str] = None,
+                  labels_path: Optional[str] = None) -> dict:
+    """``ModelDetails``: source is "configured" or "registry"."""
+    return _clean({
+        "id": id, "model_type": model_type, "path": path,
+        "labels_path": labels_path, "source": source,
+    })
+
+
+def model_info_payload(model: dict) -> dict:
+    return result_payload(ResultType.MODEL_INFO, model=model)
+
+
+def provider_info(id: str, name: str, description: str) -> dict:
+    return {"id": id, "name": name, "description": description}
+
+
+def providers_payload(providers: list[dict]) -> dict:
+    return result_payload(ResultType.PROVIDERS, providers=providers)
+
+
+def config_payload(config_path: str, config: dict) -> dict:
+    """``ConfigPayload``: the file path plus its parsed contents."""
+    return result_payload(
+        ResultType.CONFIG, config_path=config_path, config=config
+    )
+
+
+def config_path_payload(config_path: str, exists: bool) -> dict:
+    return result_payload(
+        ResultType.CONFIG_PATH, config_path=config_path, exists=exists
+    )
+
+
+def available_model_entry(id: str, name: str, description: str, vendor: str,
+                          version: str, model_type: str, recommended: bool,
+                          license: str, commercial_use: bool) -> dict:
+    return {
+        "id": id, "name": name, "description": description,
+        "vendor": vendor, "version": version, "model_type": model_type,
+        "recommended": recommended, "license": license,
+        "commercial_use": commercial_use,
+    }
+
+
+def available_models_payload(
+    models: list[dict], available_range_filter: Optional[dict] = None,
+) -> dict:
+    """``AvailableModelsPayload``: the geomodel rides its own field — it is
+    not ``-m``-selectable, so folding it into ``models`` would offer a
+    picker entry that fails on use (json_envelope.rs:488-511)."""
+    return result_payload(
+        ResultType.AVAILABLE_MODELS, models=models,
+        available_range_filter=available_range_filter,
+    )
+
+
+def available_range_filter_entry(id: str, name: str, version: str,
+                                 vendor: str, license: str,
+                                 commercial_use: bool, share_alike: bool,
+                                 species_count: int,
+                                 size_bytes: Optional[int] = None) -> dict:
+    return _clean({
+        "id": id, "name": name, "version": version, "vendor": vendor,
+        "license": license, "commercial_use": commercial_use,
+        "share_alike": share_alike, "species_count": species_count,
+        "size_bytes": size_bytes,
+    })
+
+
+def model_check_entry(id: str, valid: bool, error: Optional[str] = None,
+                      unsupported: Optional[list[str]] = None) -> dict:
+    """``ModelCheckEntry`` plus the additive ``unsupported`` list (our
+    whole-graph ONNX preflight findings; absent when not applicable)."""
+    return _clean({
+        "id": id, "valid": valid, "error": error,
+        "unsupported": unsupported or None,
+    })
+
+
+def geomodel_info(version: str, installed: bool, species_count: int,
+                  model_path: Optional[str] = None,
+                  labels_path: Optional[str] = None,
+                  obsolete_files: Optional[list[str]] = None) -> dict:
+    return _clean({
+        "version": version, "installed": installed,
+        "species_count": species_count, "model_path": model_path,
+        "labels_path": labels_path,
+        "obsolete_files": obsolete_files or None,
+    })
+
+
+def model_check_payload(models: list[dict], geomodel: Optional[dict] = None,
+                        leftover_downloads: Optional[list[str]] = None) -> dict:
+    return result_payload(
+        ResultType.MODEL_CHECK, models=models, geomodel=geomodel,
+        leftover_downloads=leftover_downloads or None,
+    )
+
+
+def model_removed_payload(id: str, purge_requested: bool,
+                          new_default: Optional[str] = None) -> dict:
+    # new_default carries no skip_serializing_if in the reference struct
+    # (json_envelope.rs:633-643): it serializes as null when absent.
+    return {
+        "result_type": ResultType.MODEL_REMOVED.value,
+        "id": id, "purge_requested": purge_requested,
+        "new_default": new_default,
+    }
+
+
+def model_installed_payload(id: str, set_as_default: bool, model_path: str,
+                            labels_path: str) -> dict:
+    return result_payload(
+        ResultType.MODEL_INSTALLED, id=id, set_as_default=set_as_default,
+        model_path=model_path, labels_path=labels_path,
+    )
+
+
+def species_entry(scientific_name: str, common_name: str,
+                  frequency: float) -> dict:
+    return {"scientific_name": scientific_name, "common_name": common_name,
+            "frequency": frequency}
+
+
+def species_list_payload(lat: float, lon: float, week: int, threshold: float,
+                         species: list[dict],
+                         output_file: Optional[str] = None) -> dict:
+    """``SpeciesListPayload``: entries inline; ``output_file`` omitted in
+    pure-JSON mode where no file is written (species.rs:177-186)."""
+    return result_payload(
+        ResultType.SPECIES_LIST, lat=lat, lon=lon, week=week,
+        threshold=threshold, species_count=len(species),
+        output_file=output_file, species=species,
+    )
+
+
+def version_payload(version: str) -> dict:
+    return result_payload(ResultType.VERSION, version=version)
+
+
+def clip_extraction_entry(source_audio: str, scientific_name: str,
+                          confidence: float, start_time: float,
+                          end_time: float, output_file: str) -> dict:
+    return {
+        "source_audio": source_audio, "scientific_name": scientific_name,
+        "confidence": confidence, "start_time": start_time,
+        "end_time": end_time, "output_file": output_file,
+    }
+
+
+def clip_extraction_failure(file: str, error: str) -> dict:
+    """``ClipExtractionFailure`` (json_envelope.rs:742-747)."""
+    return {"file": file, "error": error}
+
+
+def clip_extraction_payload(output_dir: str, total_clips: int,
+                            total_files: int, clips: list[dict],
+                            failed_files: Optional[list[dict]] = None) -> dict:
+    """``ClipExtractionPayload``: ``failed_files`` omitted when empty so a
+    consumer that never sees failures reads the pre-#319 shape."""
+    return result_payload(
+        ResultType.CLIP_EXTRACTION, output_dir=output_dir,
+        total_clips=total_clips, total_files=total_files, clips=clips,
+        failed_files=failed_files or None,
+    )

@@ -24,7 +24,10 @@ from .schema import FileRef, RangeFilterEntry, Registry, RegistryModel, Variant
 
 logger = logging.getLogger(__name__)
 
-GEOMODEL_INSTALL_ID = "birdnet-geomodel-v3"
+#: The id a user types to install/inspect the shared range filter
+#: (``birda models install geomodel``) — the install handle, deliberately
+#: not the registry asset id (reference ``src/registry/installer.rs:13``).
+GEOMODEL_INSTALL_ID = "geomodel"
 
 
 def models_dir() -> Path:

@@ -168,6 +168,8 @@ class RangeFilterEntry:
     model: FileRef
     labels: FileRef
     license: LicenseInfo = field(default_factory=LicenseInfo)
+    name: str = ""
+    vendor: str = ""
 
     @classmethod
     def from_dict(cls, d: dict) -> "RangeFilterEntry":
@@ -177,6 +179,7 @@ class RangeFilterEntry:
             model=FileRef.from_dict(d["model"]),
             labels=FileRef.from_dict(d["labels"]),
             license=LicenseInfo.from_dict(d.get("license", {})),
+            name=d.get("name", ""), vendor=d.get("vendor", ""),
         )
 
 

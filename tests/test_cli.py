@@ -159,7 +159,7 @@ class TestProviders:
     def test_human(self, runner, home):
         r = runner.invoke(cli, ["providers"])
         assert r.exit_code == 0
-        assert "cpu: available" in r.output
+        assert "cpu: CPU (always available)" in r.output
 
     def test_json(self, runner, home):
         r = runner.invoke(cli, ["providers", "--output-mode", "ndjson"])
@@ -167,7 +167,11 @@ class TestProviders:
         doc = json.loads(r.output.splitlines()[0])
         assert doc["event"] == "result"
         assert doc["payload"]["result_type"] == "providers"
-        assert "cpu" in doc["payload"]["providers"]
+        # ProviderInfo entries (id/name/description), reference
+        # json_envelope.rs:462-472 — not bare platform strings.
+        cpu = [p for p in doc["payload"]["providers"] if p["id"] == "cpu"]
+        assert cpu and cpu[0]["name"] == "CPU"
+        assert "description" in cpu[0]
 
 
 class TestAnalyze:
@@ -305,8 +309,10 @@ class TestStructuredCommandResults:
         assert "defaults" in p["config"]
 
     def test_config_path(self, runner, home):
+        # ConfigPathPayload: config_path + exists (json_envelope.rs:617-626)
         p = self.check(runner, ["config", "path"], "config_path")
-        assert p["path"].endswith("config.toml")
+        assert p["config_path"].endswith("config.toml")
+        assert isinstance(p["exists"], bool)
 
     def test_models_list(self, runner, home):
         setup_synthetic_model(runner, home)
@@ -364,6 +370,88 @@ class TestStructuredCommandResults:
         doc = json.loads([l for l in r.output.splitlines() if l.startswith("{")][0])
         assert doc["payload"]["result_type"] == "species_list"
         assert doc["payload"]["species_count"] == 5
+        # Entries ride inline with scientific/common split; no file is
+        # written in structured mode (reference species.rs:150-186).
+        sp = doc["payload"]["species"]
+        assert len(sp) == 5
+        assert sp[0]["scientific_name"].startswith("Geo s")
+        assert "frequency" in sp[0]
+        assert "output_file" not in doc["payload"]
+        assert not out.exists()
+        # lat/lon/week/threshold are reported as used.
+        assert doc["payload"]["week"] == 10
+        assert doc["payload"]["threshold"] == 0.0
+
+    def test_models_info_structured(self, runner, home):
+        setup_synthetic_model(runner, home)
+        p = self.check(runner, ["models", "info", "tiny"], "model_info")
+        m = p["model"]
+        assert m["id"] == "tiny"
+        assert m["source"] == "configured"
+        assert m["path"] == "synthetic:tiny"
+        # A registry model reports the registry card, path-less.
+        p = self.check(runner, ["models", "info", "birdnet-v24"],
+                       "model_info")
+        assert p["model"]["source"] == "registry"
+        assert "path" not in p["model"]
+
+    def test_models_check_geomodel_and_leftovers(self, runner, home):
+        from birda_tpu.registry.installer import models_dir
+
+        setup_synthetic_model(runner, home)
+        # A .part file from a dead pid is a leftover; one from a live pid
+        # (ours) is an in-progress download and must not be reported.
+        mdir = models_dir()
+        mdir.mkdir(parents=True, exist_ok=True)
+        dead = mdir / "big.onnx.999999.part"
+        dead.write_bytes(b"x")
+        import os
+
+        live = mdir / f"big2.onnx.{os.getpid()}.part"
+        live.write_bytes(b"x")
+        p = self.check(runner, ["models", "check"], "model_check")
+        # The embedded registry carries the geomodel asset: reported once,
+        # not installed in this sandbox (reference lib.rs:2343-2364).
+        assert p["geomodel"]["installed"] is False
+        assert p["geomodel"]["species_count"] == 12012
+        assert p["leftover_downloads"] == [str(dead)]
+
+    def test_clip_failed_files(self, runner, home, tmp_path):
+        """Per-file clip failures ride failed_files as {file, error}
+        (reference json_envelope.rs:718-747)."""
+        rate = 48000
+        x = (0.4 * np.sin(2 * np.pi * 1000 * np.arange(rate * 10) / rate)
+             ).astype(np.float32)
+        write_wav(tmp_path / "rec.wav", x, rate)
+        good = tmp_path / "rec.wav.BirdNET.results.csv"
+        good.write_text(
+            "Start (s),End (s),Scientific name,Common name,Confidence,File\n"
+            "1.0,2.0,Parus major,Great Tit,0.9,rec.wav\n"
+        )
+        bad = tmp_path / "ghost.wav.BirdNET.results.csv"
+        bad.write_text(
+            "Start (s),End (s),Scientific name,Common name,Confidence,File\n"
+            "1.0,2.0,Parus major,Great Tit,0.9,ghost.wav\n"
+        )
+        r = runner.invoke(cli, [
+            "clip", str(good), str(bad), "-o", str(tmp_path / "clips"),
+            "--output-mode", "ndjson",
+        ])
+        assert r.exit_code == 0, r.output
+        doc = json.loads(
+            [l for l in r.output.splitlines() if l.startswith("{")][0])
+        p = doc["payload"]
+        assert p["total_clips"] == 1
+        assert p["total_files"] == 1
+        assert p["output_dir"] == str(tmp_path / "clips")
+        c = p["clips"][0]
+        assert c["scientific_name"] == "Parus major"
+        assert c["confidence"] == 0.9
+        assert c["source_audio"].endswith("rec.wav")
+        assert c["output_file"].endswith(".wav")
+        f = p["failed_files"][0]
+        assert f["file"] == str(bad)
+        assert "error" in f and "ghost" in f["error"]
 
 
 class TestGeomodelFlags:

@@ -228,3 +228,181 @@ def test_install_bsg_records_extras(home, tmp_path, monkeypatch):
     assert mc.bsg_migration is not None and mc.bsg_migration.exists()
     assert mc.bsg_distribution_maps is not None
     validate_model_config("bsg-test", mc)  # would raise without the extras
+
+
+def _fake_geomodel_registry(monkeypatch):
+    """Registry with only a range_filter asset; returns the download map."""
+    from birda_tpu.registry import loader
+    from birda_tpu.registry.schema import Registry
+
+    model_bytes = fo.make_fixture_geomodel(num_species=5)
+    labels_bytes = b"".join(f"Geo{i} sp_Common {i}\n".encode()
+                            for i in range(5))
+    registry_doc = {
+        "schema_version": "tpu-1.0", "registry_version": 1,
+        "models": [],
+        "range_filter": {
+            "id": "birdnet-geomodel-v3",
+            "name": "BirdNET Geomodel v3.0.2",
+            "vendor": "Cornell Lab of Ornithology",
+            "version": "3.0.2", "species_count": 5,
+            "license": {"type": "CC-BY-SA-4.0", "commercial_use": True,
+                        "share_alike": True},
+            "model": {"url": "https://x/geo.onnx", "filename": "geo.onnx",
+                      "sha256": hashlib.sha256(model_bytes).hexdigest(),
+                      "size_bytes": len(model_bytes)},
+            "labels": {"url": "https://x/geo.txt", "filename": "geo.txt",
+                       "sha256": hashlib.sha256(labels_bytes).hexdigest(),
+                       "size_bytes": len(labels_bytes)},
+        },
+    }
+    monkeypatch.setattr(loader, "load_registry",
+                        lambda cache=None: Registry.from_dict(registry_doc))
+    downloads = {"https://x/geo.onnx": model_bytes,
+                 "https://x/geo.txt": labels_bytes}
+
+    class FakeRequests:
+        @staticmethod
+        def get(url, **kw):
+            return _Resp(downloads[url])
+
+    import birda_tpu.registry.installer as inst_mod
+
+    real_download = inst_mod.download_verified
+    monkeypatch.setattr(
+        inst_mod, "download_verified",
+        lambda fr, d, progress=None, session=None:
+            real_download(fr, d, progress, FakeRequests),
+    )
+    return downloads
+
+
+def test_install_geomodel_handle(home, tmp_path, monkeypatch):
+    """``models install geomodel`` installs the shared range filter under
+    its install handle (reference lib.rs:2104-2108, installer.rs:13) and
+    records the paths in config defaults."""
+    import json
+
+    _fake_geomodel_registry(monkeypatch)
+    runner = CliRunner()
+    r = runner.invoke(cli, ["models", "install", "geomodel", "-y",
+                            "--output-mode", "ndjson"])
+    assert r.exit_code == 0, r.output
+    doc = json.loads(
+        [l for l in r.output.splitlines() if l.startswith("{")][0])
+    p = doc["payload"]
+    assert p["result_type"] == "model_installed"
+    assert p["id"] == "geomodel"
+    assert p["set_as_default"] is False
+    assert p["model_path"].endswith("geo.onnx")
+
+    from birda_tpu.config import file as config_file
+
+    cfg = config_file.load_default_config()
+    assert cfg.defaults.geomodel is not None
+    assert cfg.defaults.geomodel.exists()
+    assert cfg.defaults.geomodel_labels.exists()
+
+    # models info resolves the handle too, as a range-filter, not a model.
+    r = runner.invoke(cli, ["models", "info", "geomodel",
+                            "--output-mode", "ndjson"])
+    assert r.exit_code == 0, r.output
+    doc = json.loads(
+        [l for l in r.output.splitlines() if l.startswith("{")][0])
+    assert doc["payload"]["model"]["model_type"] == "range-filter"
+    assert doc["payload"]["model"]["source"] == "registry"
+
+
+def test_install_structured_payload(home, tmp_path, monkeypatch):
+    """A classifier install in ndjson mode emits ModelInstalledPayload;
+    removing it emits ModelRemovedPayload with default promotion."""
+    import json
+
+    from birda_tpu.registry import loader
+    from birda_tpu.registry.schema import Registry
+
+    model_bytes = fo.make_fixture_geomodel(num_species=5)
+    labels_bytes = b"".join(f"Sp{i} x_C{i}\n".encode() for i in range(5))
+
+    def ref(url, data, name):
+        return {"url": url, "filename": name,
+                "sha256": hashlib.sha256(data).hexdigest()}
+
+    registry_doc = {
+        "schema_version": "tpu-1.0", "registry_version": 1,
+        "models": [{
+            "id": "mini", "name": "Mini", "description": "", "vendor": "",
+            "version": "1.0", "model_type": "birdnet-v24",
+            "license": {"type": "MIT", "commercial_use": True},
+            "files": {
+                "model": ref("https://x/m.onnx", model_bytes, "mini.onnx"),
+                "labels": {
+                    "default_language": "en",
+                    "languages": [{"code": "en", "name": "English",
+                                   "url": "https://x/l.txt",
+                                   "filename": "mini-en.txt"}],
+                },
+            },
+        }],
+    }
+    monkeypatch.setattr(loader, "load_registry",
+                        lambda cache=None: Registry.from_dict(registry_doc))
+    downloads = {"https://x/m.onnx": model_bytes,
+                 "https://x/l.txt": labels_bytes}
+
+    class FakeRequests:
+        @staticmethod
+        def get(url, **kw):
+            return _Resp(downloads[url])
+
+    import birda_tpu.registry.installer as inst_mod
+
+    real_download = inst_mod.download_verified
+    monkeypatch.setattr(
+        inst_mod, "download_verified",
+        lambda fr, d, progress=None, session=None:
+            real_download(fr, d, progress, FakeRequests),
+    )
+
+    runner = CliRunner()
+    r = runner.invoke(cli, ["models", "install", "mini", "--default",
+                            "--output-mode", "ndjson"])
+    assert r.exit_code == 0, r.output
+    doc = json.loads(
+        [l for l in r.output.splitlines() if l.startswith("{")][0])
+    p = doc["payload"]
+    assert p["result_type"] == "model_installed"
+    assert p["id"] == "mini"
+    assert p["set_as_default"] is True
+    assert p["model_path"].endswith("mini.onnx")
+    assert p["labels_path"].endswith("mini-en.txt")
+
+    # Add a second model manually so removal promotes it to default.
+    from birda_tpu.config import file as config_file
+    from birda_tpu.config.types import Config, ModelConfig, ModelType
+
+    other_model = tmp_path / "other.onnx"
+    other_model.write_bytes(model_bytes)
+    other_labels = tmp_path / "other.txt"
+    other_labels.write_bytes(labels_bytes)
+
+    def mutate(cfg: Config):
+        cfg.models["other"] = ModelConfig(
+            path=other_model, labels=other_labels,
+            model_type=ModelType("birdnet-v24"),
+        )
+
+    config_file.update_config(mutate)
+
+    r = runner.invoke(cli, ["models", "remove", "mini",
+                            "--output-mode", "ndjson"])
+    assert r.exit_code == 0, r.output
+    doc = json.loads(
+        [l for l in r.output.splitlines() if l.startswith("{")][0])
+    p = doc["payload"]
+    assert p["result_type"] == "model_removed"
+    assert p["id"] == "mini"
+    assert p["purge_requested"] is False
+    # new_default serializes even when promotion happened — and names the
+    # promoted model (reference json_envelope.rs:633-643).
+    assert p["new_default"] == "other"

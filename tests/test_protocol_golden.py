@@ -60,9 +60,13 @@ def canonical_lines() -> str:
             files_failed=0, files_skipped=0, total_detections=31,
             total_segments=80, duration_ms=2450, realtime_factor=97.9,
         )),
-        env.envelope_line(env.EventType.RESULT, env.result_payload(
-            env.ResultType.SPECIES_LIST, count=212,
-            output_file="species_list.txt",
+        env.envelope_line(env.EventType.RESULT, env.species_list_payload(
+            lat=60.17, lon=24.94, week=24, threshold=0.03,
+            species=[env.species_entry(
+                scientific_name="Turdus merula",
+                common_name="Common Blackbird", frequency=0.81,
+            )],
+            output_file=None,
         )),
     ]
     return "\n".join(TS.sub('"timestamp":"<TS>"', ln) for ln in lines) + "\n"
