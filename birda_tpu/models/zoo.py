@@ -14,6 +14,7 @@ contract and labels. Two construction paths:
 
 from __future__ import annotations
 
+import logging
 from dataclasses import dataclass
 from pathlib import Path
 from typing import Any, Callable
@@ -21,6 +22,8 @@ from typing import Any, Callable
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+logger = logging.getLogger(__name__)
 
 from ..ops.melspec import MelSpecConfig
 from . import contracts
@@ -213,7 +216,7 @@ def onnx_model_int8(
     governs the non-quantized ops (None = bf16 on TPU, fp32 elsewhere);
     quantized weights ship/live as int8 (half the bf16 footprint).
     """
-    from ..onnx.quantize import lower_int8
+    from ..onnx.quantize import int8_throughput_advisory, lower_int8
 
     fn = lower_int8(path if isinstance(path, bytes) else str(path),
                     calibration, compute_dtype=compute_dtype)
@@ -231,6 +234,26 @@ def onnx_model_int8(
         "int8_boundary_tensors": len(fn.int8_boundary_tensors),
         "skipped_nodes": len(fn.skipped_nodes),
     }
+    # Static throughput advisory (the selection-never-picks-a-known-worse-
+    # variant analogue, reference src/registry/selection.rs:160): warn when
+    # the graph is compute-shaped and int8's quantize/requantize epilogues
+    # are likely to outweigh the bandwidth saved (measured on Perch v2:
+    # -3.6% vs bf16). Evaluated at the large-batch shape where the weight
+    # savings are fully amortized — if it loses there, it loses everywhere.
+    try:
+        import jax
+
+        probe = jax.ShapeDtypeStruct((256, config.sample_count), np.float32)
+        advisory = int8_throughput_advisory(fn, probe)
+    except Exception:  # noqa: BLE001 — advisory must never block a load
+        advisory = None
+    if advisory is not None:
+        logger.warning("--precision int8: %s", advisory["message"])
+        model.precision_info["advisory"] = {
+            "compute_shaped": True,
+            "intensity_flop_per_byte": round(
+                advisory["intensity_flop_per_byte"], 1),
+        }
     return model
 
 

@@ -439,12 +439,21 @@ class _Int8Evaluator(_Evaluator):
         self._wscale = wscale    # weight name -> np.float32 [out_channels]
         self._store_int8 = store_int8 or set()  # boundary-stored tensors
         self._asmooth = asmooth or {}  # tensor name -> per-channel divisor
+        #: When set to a dict, trace-time static cost accounting lands here
+        #: (see :func:`int8_cost_report`); None = no accounting overhead.
+        self.cost: dict | None = None
+
+    def _acct(self, key: str, n):
+        if self.cost is not None:
+            n = int(n)
+            self.cost[key] = self.cost.get(key, 0) + n
 
     def _qact(self, x, name: str):
         import jax.numpy as jnp
 
         if _dtype_kind(x) == "i":
             return x  # already materialized int8 at the producer boundary
+        self._acct("quantize_elems", x.size)
         mult = np.float32(1.0 / self._ascale[name])
         sm = self._asmooth.get(name)
         if sm is not None:  # SmoothQuant: per-channel divide, folded here
@@ -454,10 +463,14 @@ class _Int8Evaluator(_Evaluator):
         return jnp.clip(q, -QMAX, QMAX).astype(jnp.int8)
 
     def _store(self, name, val):
-        if name not in self._store_int8 or val is None or _is_host(val) \
-                or _dtype_kind(val) != "f":
-            return val
-        return self._qact(val, name)
+        if (name in self._store_int8 and val is not None
+                and not _is_host(val) and _dtype_kind(val) == "f"):
+            val = self._qact(val, name)
+            self._acct("boundary_int8_bytes", val.size)
+        if (self.cost is not None and val is not None and not _is_host(val)
+                and hasattr(val, "dtype")):
+            self._acct("act_bytes", val.size * val.dtype.itemsize)
+        return val
 
     def op_Conv(self, node, x, w, b=None):
         if node.outputs[0] not in self._qnodes:
@@ -477,6 +490,10 @@ class _Int8Evaluator(_Evaluator):
             acc = super().op_Conv(node, xq, w, None)  # int32 accumulation
         finally:
             self.compute_dtype = saved
+        k_red = (np.prod(w.shape[1:])  # C_in/group × prod(kernel)
+                 if not _is_host(w) or isinstance(w, np.ndarray) else 0)
+        self._acct("macs", acc.size * int(k_red))
+        self._acct("dequant_elems", acc.size)
         scale = (np.float32(sx) * sw).reshape((1, -1) + (1,) * spatial)
         out = acc.astype(jnp.float32) * scale
         if b is not None:
@@ -491,6 +508,8 @@ class _Int8Evaluator(_Evaluator):
         sw = self._wscale[node.inputs[1]]
         aq = self._qact(a, node.inputs[0])
         acc = jnp.matmul(aq, wq, preferred_element_type=jnp.int32)
+        self._acct("macs", acc.size * int(np.shape(wq)[0]))
+        self._acct("dequant_elems", acc.size)
         return acc.astype(jnp.float32) * (np.float32(sx) * sw)
 
     def _deq_act(self, a, name):
@@ -749,3 +768,124 @@ def lower_int8(
     fn.int8_boundary_tensors = sorted(store_int8)
     fn.smoothed_tensors = sorted(smooth)
     return fn
+
+
+# ---------------------------------------------------------------------------
+# Static cost accounting + throughput advisory
+# ---------------------------------------------------------------------------
+
+def int8_cost_report(fn: OnnxFunction, *example_args) -> dict:
+    """Static per-inference cost accounting for an int8-lowered function.
+
+    Traces the program once with ``jax.eval_shape`` (no compilation, no
+    device) and accumulates the quantized subgraph's trace-time costs:
+
+    - ``macs``: int8 multiply-accumulates of the quantized Conv/MatMul/Gemm
+      nodes (output elements × reduction depth);
+    - ``quantize_elems`` / ``dequant_elems``: elements through the runtime
+      quantize (float → int8) and dequant (int32 → float) epilogues — the
+      VPU work int8 *adds*;
+    - ``act_bytes``: HBM bytes of every traced node output at its stored
+      dtype (boundary tensors count at 1 byte/element);
+    - ``boundary_int8_bytes``: the subset stored int8 at fusion boundaries
+      (each element here saves 1 activation byte vs bf16);
+    - ``weight_bytes_int8`` / ``weight_bytes_float``: parameter footprint
+      as shipped vs what the same weights cost at 2 bytes (bf16) — weights
+      are re-read from HBM every step, so the delta is per-inference
+      traffic saved.
+
+    ``example_args`` are arrays or ``jax.ShapeDtypeStruct``s matching the
+    graph inputs at the batch shape of interest.
+    """
+    import jax
+
+    ev = fn._eval
+    if not isinstance(ev, _Int8Evaluator):
+        raise TypeError("int8_cost_report needs a lower_int8() function")
+    ev.cost = {}
+    try:
+        jax.eval_shape(lambda *a: fn(*a), *example_args)
+        cost = dict(ev.cost)
+    finally:
+        ev.cost = None
+    w_int8 = w_float = 0
+    for name, arr in fn.params.items():
+        if arr.dtype == np.int8:
+            w_int8 += arr.nbytes
+            w_float += arr.size * 2  # what the same weight costs in bf16
+        else:
+            w_float += arr.size * 2
+            w_int8 += arr.size * 2  # unquantized params ship as-is
+    cost.setdefault("macs", 0)
+    cost.setdefault("quantize_elems", 0)
+    cost.setdefault("dequant_elems", 0)
+    cost.setdefault("act_bytes", 0)
+    cost.setdefault("boundary_int8_bytes", 0)
+    cost["weight_bytes_int8"] = w_int8
+    cost["weight_bytes_float"] = w_float
+    cost["bytes_saved"] = (w_float - w_int8) + cost["boundary_int8_bytes"]
+    cost["epilogue_elems"] = cost["quantize_elems"] + cost["dequant_elems"]
+    return cost
+
+
+#: Arithmetic intensity (FLOPs per bf16-equivalent activation byte) of the
+#: quantized subgraph above which int8 has measured as NOT a throughput
+#: win. Calibrated on the three full-scale measurements (docs/performance.md
+#: "int8 execution mode", batch 256): BirdNET v2.4 measures ~6.3 FLOP/B —
+#: bandwidth-bound, int8's activation-byte cuts pay, measured **+4.7%**;
+#: Perch v2 ~38.9 and BirdNET v3.0 ~47 — compute-shaped, the byte savings
+#: buy nothing and the quantize/requantize epilogues eat the margin,
+#: measured **−3.6%** and **+2.2%** (≈ noise around zero). 20 separates
+#: the clear-win regime from the ≈neutral/negative one with 3x margin on
+#: both sides.
+ADVISORY_INTENSITY_FLOP_PER_BYTE = 20.0
+
+
+def int8_throughput_advisory(fn: OnnxFunction, *example_args) -> dict | None:
+    """Warn when int8 execution is unlikely to be a throughput win.
+
+    The reference's variant selection never auto-picks a known-worse
+    variant (``src/registry/selection.rs:160``); this is the analogue for
+    ``--precision int8``: a static shape-derived heuristic flags
+    compute-shaped graphs, where int8 measured −3.6%…+2.2% vs bf16
+    (Perch v2 / BirdNET v3.0, docs/performance.md) because the saved
+    activation bytes were never the binding resource there.
+
+    The discriminator is the quantized subgraph's arithmetic intensity:
+    ``2·macs / activation bytes at bf16 storage``. Low intensity means the
+    program is paying HBM traffic per FLOP — exactly what int8's
+    fusion-boundary byte cuts attack (BirdNET v2.4: ~6.3 FLOP/B, measured
+    +4.7%). High intensity means the MXU is the constraint and smaller
+    tensors change nothing. (An epilogue-cost ratio was tried first and
+    measured nearly constant ~2.3 across all three families — epilogue
+    work scales with coverage everywhere, so it separates nothing.)
+
+    Returns None when int8 looks profitable; otherwise a dict with the
+    computed intensity and a human-readable rationale (the caller decides
+    whether to warn; the explicit user flag is honored either way).
+    """
+    cost = int8_cost_report(fn, *example_args)
+    # What the traced activations would occupy at 2 B/element (boundary
+    # tensors were counted at their int8 byte size).
+    act_bf16 = cost["act_bytes"] + cost["boundary_int8_bytes"]
+    if act_bf16 <= 0:
+        return None  # nothing quantized / nothing traced: no claim to make
+    intensity = 2.0 * cost["macs"] / act_bf16
+    if intensity <= ADVISORY_INTENSITY_FLOP_PER_BYTE:
+        return None
+    return {
+        "intensity_flop_per_byte": intensity,
+        "threshold": ADVISORY_INTENSITY_FLOP_PER_BYTE,
+        "macs": cost["macs"],
+        "act_bytes_bf16": act_bf16,
+        "bytes_saved": cost["bytes_saved"],
+        "message": (
+            "this graph is compute-shaped "
+            f"({intensity:.0f} FLOP per activation byte, threshold "
+            f"{ADVISORY_INTENSITY_FLOP_PER_BYTE:g}): int8 is unlikely to "
+            "improve throughput (measured -3.6%..+2.2% on Perch v2 / "
+            "BirdNET v3.0-class graphs, docs/performance.md) — its benefit "
+            "here is the ~2x weight-memory cut, not speed. Validate on "
+            "your own data or use --precision bf16."
+        ),
+    }

@@ -677,3 +677,120 @@ class TestEndToEndParity:
         fbytes = sum(np.asarray(v).nbytes for v in ffn.params.values())
         qbytes = sum(np.asarray(v).nbytes for v in qfn.params.values())
         assert qbytes < 0.55 * fbytes
+
+
+class TestCostReportAndAdvisory:
+    """Static cost accounting + the compute-shaped throughput advisory
+    (the selection-never-picks-a-known-worse-variant analogue, reference
+    src/registry/selection.rs:160)."""
+
+    def _report(self, mb, x):
+        import jax
+
+        from birda_tpu.onnx.quantize import int8_cost_report
+
+        calib = calibrate(mb, [x], min_weight_bytes=1)
+        qfn = lower_int8(mb, calib, min_weight_bytes=1)
+        rep = int8_cost_report(
+            qfn, jax.ShapeDtypeStruct(x.shape, np.float32))
+        return qfn, rep
+
+    def test_cost_report_exact_counts(self):
+        """MAC/epilogue counts are exact on a graph small enough to count
+        by hand: Conv(4->8, 3x3 on 8x8) -> Relu -> Flatten -> Gemm(288->16),
+        batch 2, gemm head protected (output-head guard)."""
+        mb, _ = conv_gemm_graph()
+        x = np.random.default_rng(5).normal(
+            0, 1, (2, 4, 8, 8)).astype(np.float32)
+        qfn, rep = self._report(mb, x)
+        # Only the conv quantizes (the gemm is the output head).
+        assert set(qfn.quantized_nodes) == {"c"}
+        # conv out: [2, 8, 6, 6] = 576 elems, reduction depth 4*3*3 = 36.
+        assert rep["macs"] == 576 * 36
+        assert rep["dequant_elems"] == 576
+        # one quantize of the conv input x: 2*4*8*8 elems.
+        assert rep["quantize_elems"] == 2 * 4 * 8 * 8
+        assert rep["act_bytes"] > 0
+        # eval_shape accounting leaves no accumulator behind.
+        assert qfn._eval.cost is None
+
+    def test_advisory_fires_on_compute_shaped_graph(self):
+        """A deep-reduction matmul chain (K=1024, intensity hundreds of
+        FLOP/B) draws the advisory; measured basis: Perch v2 int8 -3.6%."""
+        import jax
+
+        from birda_tpu.onnx.quantize import int8_throughput_advisory
+
+        rng = np.random.default_rng(6)
+        w1 = rng.normal(0, 0.03, (1024, 1024)).astype(np.float32)
+        w2 = rng.normal(0, 0.03, (1024, 16)).astype(np.float32)
+        mb = fo.model(
+            [
+                fo.node("MatMul", ["x", "w1"], ["h"]),
+                fo.node("Relu", ["h"], ["r"]),
+                fo.node("MatMul", ["r", "w2"], ["y"]),
+            ],
+            inputs=[fo.value_info("x", ["batch", 1024])],
+            outputs=[fo.value_info("y", ["batch", 16])],
+            initializers=[fo.tensor("w1", w1), fo.tensor("w2", w2)],
+        )
+        x = rng.normal(0, 1, (8, 1024)).astype(np.float32)
+        calib = calibrate(mb, [x], min_weight_bytes=1)
+        qfn = lower_int8(mb, calib, min_weight_bytes=1)
+        assert "h" in qfn.quantized_nodes  # the deep matmul quantized
+        adv = int8_throughput_advisory(
+            qfn, jax.ShapeDtypeStruct((64, 1024), np.float32))
+        assert adv is not None
+        assert adv["intensity_flop_per_byte"] > adv["threshold"]
+        assert "compute-shaped" in adv["message"]
+        assert "--precision bf16" in adv["message"]
+
+    def test_advisory_quiet_on_bandwidth_shaped_graph(self):
+        """Shallow-reduction convs (K=36) stay under the threshold — the
+        v2.4-shaped regime where int8 measured +4.7%."""
+        import jax
+
+        from birda_tpu.onnx.quantize import int8_throughput_advisory
+
+        mb, _ = conv_gemm_graph()
+        x = np.random.default_rng(7).normal(
+            0, 1, (2, 4, 8, 8)).astype(np.float32)
+        calib = calibrate(mb, [x], min_weight_bytes=1)
+        qfn = lower_int8(mb, calib, min_weight_bytes=1)
+        adv = int8_throughput_advisory(
+            qfn, jax.ShapeDtypeStruct(x.shape, np.float32))
+        assert adv is None
+
+    def test_advisory_lands_in_precision_info(self):
+        """onnx_model_int8 surfaces the advisory through precision_info,
+        which rides the pipeline_started payload to GUI clients."""
+        from birda_tpu.models import contracts
+        from birda_tpu.models.zoo import onnx_model_int8, synthetic_labels
+
+        rng = np.random.default_rng(8)
+        n = 256
+        w1 = rng.normal(0, 0.05, (n, n)).astype(np.float32)
+        w2 = rng.normal(0, 0.05, (n, 5)).astype(np.float32)
+        mb = fo.model(
+            [
+                fo.node("MatMul", ["x", "w1"], ["h"]),
+                fo.node("Relu", ["h"], ["r"]),
+                fo.node("MatMul", ["r", "w2"], ["y"]),
+            ],
+            inputs=[fo.value_info("x", ["batch", n])],
+            outputs=[fo.value_info("y", ["batch", 5])],
+            initializers=[fo.tensor("w1", w1), fo.tensor("w2", w2)],
+        )
+        x = rng.normal(0, 1, (4, n)).astype(np.float32)
+        calib = calibrate(mb, [x], min_weight_bytes=1)
+        cfg = contracts.ModelConfig(
+            family=contracts.ModelFamily.CUSTOM, sample_rate=n,
+            segment_duration=1.0, sample_count=n, num_classes=5,
+            activation=contracts.ScoreActivation.SIGMOID, embedding_dim=None,
+        )
+        # min_weight_bytes default (4096) keeps w1 (256 KB) eligible.
+        m = onnx_model_int8(mb, cfg, synthetic_labels(5), calib)
+        assert m.precision_info["mode"] == "int8"
+        adv = m.precision_info.get("advisory")
+        assert adv is not None and adv["compute_shaped"] is True
+        assert adv["intensity_flop_per_byte"] > 20
