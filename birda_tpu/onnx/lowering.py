@@ -700,6 +700,20 @@ class _Evaluator:
         ):
             k = w.shape[2]
             t_out = (x.shape[2] - k) // strides[0] + 1
+            from ..ops import stft_conv
+
+            if stft_conv.enabled(x.shape, w.shape, strides[0],
+                                 self.compute_dtype):
+                # Pallas block-slab kernel: signal read once, DFT slabs
+                # VMEM-resident, no frames materialization / layout copy
+                # (ops/stft_conv.py; bf16-on-TPU only — fp32 parity and
+                # CPU stay on the gather path below).
+                out = stft_conv.conv1d_stft(
+                    x[:, 0, :], jnp.asarray(w)[:, 0, :], hop=strides[0]
+                )
+                if b is not None:
+                    out = out + jnp.asarray(b, out.dtype).reshape(1, -1, 1)
+                return out
             row = lax.broadcasted_iota(jnp.int32, (t_out, k), 0) * strides[0]
             col = lax.broadcasted_iota(jnp.int32, (t_out, k), 1)
             xx, wmat = self._mm_cast(x[:, 0, :], jnp.asarray(w)[:, 0, :].T)
