@@ -1,0 +1,259 @@
+"""Graph-level fusion passes (the TensorRT layer-fusion analogue).
+
+The shipped BirdNET graphs spell their spectrogram front-end as a chain of
+ONNX nodes (reference manifests ``graph.notes``; synthesized at real scale
+in :mod:`.fullscale`):
+
+    Conv1d(stft_w, stride=hop)            # [B, 2*bins, T] windowed DFT
+    -> Slice(re) / Slice(im)              # cos / sin banks
+    -> Mul, Mul, Add                      # power spectrum
+    -> Transpose(0,2,1)                   # [B, T, bins]
+    -> MatMul(mel_fb) [x n banks]         # mel projection(s)
+    -> Concat(axis=2)                     # when several banks
+    -> Add(eps) -> Log                    # log compression
+
+Executed node by node, the ``[B, 2*bins, T]`` spectrum is written to HBM
+and re-read by the power ops and every mel bank — ~1.6 GB of traffic per
+batch-256 inference for v2.4. :func:`fuse_mel_frontend` pattern-matches
+the chain (conservatively: initializer-backed weights, chain-internal
+tensors single-consumed and not graph outputs, exact re/im slice split)
+and splices in a single ``BirdaFusedMelFrontend`` node that the evaluator
+lowers to one Pallas kernel (``ops/stft_conv.py::fused_logmel``) emitting
+the ~50 MB log-mel image directly.
+
+Anything that does not match is left untouched — the pass is a pure
+optimization with the node-by-node path as its semantics reference.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .proto import Attribute, Graph, Node, Tensor
+
+FUSED_OP = "BirdaFusedMelFrontend"
+
+
+def _attr_i(name: str, v: int) -> Attribute:
+    return Attribute(name=name, i=int(v))
+
+
+def _attr_f(name: str, v: float) -> Attribute:
+    return Attribute(name=name, f=float(v))
+
+
+def _slice_params(graph: Graph, node: Node):
+    """(starts, ends, axes) for a Slice node from attrs or initializer
+    inputs; None when dynamic (non-initializer) inputs are used."""
+    if len(node.inputs) == 1:
+        st, en, ax = (node.attr("starts"), node.attr("ends"),
+                      node.attr("axes"))
+        if st is None or en is None:
+            return None
+        return list(st), list(en), (list(ax) if ax is not None else None)
+    vals = []
+    for name in node.inputs[1:4]:
+        if not name:
+            vals.append(None)
+            continue
+        t = graph.initializers.get(name)
+        if t is None or t.array is None:
+            return None
+        vals.append([int(v) for v in np.asarray(t.array).reshape(-1)])
+    while len(vals) < 3:
+        vals.append(None)
+    if len(node.inputs) > 4 and node.inputs[4]:
+        t = graph.initializers.get(node.inputs[4])
+        if t is None or t.array is None:
+            return None
+        if any(int(v) != 1 for v in np.asarray(t.array).reshape(-1)):
+            return None  # strided slices never match the re/im split
+    st, en, ax = vals
+    if st is None or en is None:
+        return None
+    return st, en, ax
+
+
+def _scalar_init(graph: Graph, name: str):
+    t = graph.initializers.get(name)
+    if t is None or t.array is None:
+        return None
+    a = np.asarray(t.array)
+    if a.size != 1:
+        return None
+    return float(a.reshape(()))
+
+
+def fuse_mel_frontend(graph: Graph) -> int:
+    """Splice matching Conv1d-STFT→…→Log chains in place; returns the
+    number of chains fused (0 = graph untouched)."""
+    consumers: dict[str, list[Node]] = {}
+    for n in graph.nodes:
+        for inp in n.inputs:
+            # Dedupe: Mul(x, x) is ONE consumer of x, not two.
+            if inp and (inp not in consumers
+                        or consumers[inp][-1] is not n):
+                consumers.setdefault(inp, []).append(n)
+    out_names = {vi.name for vi in graph.outputs}
+
+    def sole_consumer(tensor: str, op_type: str | None = None):
+        """The unique consumer of ``tensor`` (None if shared or an
+        output); optionally requiring its op type."""
+        if tensor in out_names:
+            return None
+        cons = consumers.get(tensor, [])
+        if len(cons) != 1:
+            return None
+        if op_type is not None and cons[0].op_type != op_type:
+            return None
+        return cons[0]
+
+    fused = 0
+    for conv in list(graph.nodes):
+        match = _match_chain(graph, conv, consumers, out_names,
+                             sole_consumer)
+        if match is None:
+            continue
+        _apply(graph, match)
+        fused += 1
+        # Maps are stale after a splice; one chain per graph in practice.
+        break
+    return fused
+
+
+def _match_chain(graph, conv, consumers, out_names, sole_consumer):
+    if conv.op_type != "Conv" or len(conv.inputs) < 2 or \
+            (len(conv.inputs) > 2 and conv.inputs[2]):
+        return None  # bias-less single-input conv only
+    w = graph.initializers.get(conv.inputs[1])
+    if w is None or w.array is None or w.array.ndim != 3 or \
+            w.array.shape[1] != 1 or w.array.shape[2] < 256:
+        return None
+    if w.array.shape[0] % 2:
+        return None
+    strides = conv.attr("strides")
+    dil = conv.attr("dilations")
+    pads = conv.attr("pads")
+    if not strides or len(strides) != 1:
+        return None
+    if dil is not None and list(dil) != [1]:
+        return None
+    if pads is not None and any(int(p) for p in pads):
+        return None
+    if conv.attr("group", 1) != 1:
+        return None
+    if conv.attr("auto_pad", b"NOTSET") not in (b"NOTSET", b"VALID"):
+        return None
+    bins = w.array.shape[0] // 2
+
+    cons = [] if conv.outputs[0] in out_names else \
+        consumers.get(conv.outputs[0], [])
+    if len(cons) != 2 or any(n.op_type != "Slice" for n in cons):
+        return None
+    re_sl = im_sl = None
+    for sl in cons:
+        p = _slice_params(graph, sl)
+        if p is None:
+            return None
+        st, en, ax = p
+        if ax is not None and list(ax) != [1]:
+            return None
+        if st == [0] and en == [bins]:
+            re_sl = sl
+        elif st == [bins] and en[0] >= 2 * bins:
+            im_sl = sl
+    if re_sl is None or im_sl is None:
+        return None
+
+    re_mul = sole_consumer(re_sl.outputs[0], "Mul")
+    im_mul = sole_consumer(im_sl.outputs[0], "Mul")
+    if re_mul is None or im_mul is None:
+        return None
+    if re_mul.inputs != [re_sl.outputs[0]] * 2:
+        return None
+    if im_mul.inputs != [im_sl.outputs[0]] * 2:
+        return None
+    add = sole_consumer(re_mul.outputs[0], "Add")
+    if add is None or add is not sole_consumer(im_mul.outputs[0], "Add"):
+        return None
+    if set(add.inputs) != {re_mul.outputs[0], im_mul.outputs[0]}:
+        return None
+    tr = sole_consumer(add.outputs[0], "Transpose")
+    if tr is None or list(tr.attr("perm") or []) != [0, 2, 1]:
+        return None
+
+    # One or more mel matmuls off the transposed power spectrum.
+    if tr.outputs[0] in out_names:
+        return None
+    mm_nodes = consumers.get(tr.outputs[0], [])
+    if not mm_nodes or any(n.op_type != "MatMul" for n in mm_nodes):
+        return None
+    fbs = []
+    for mm in mm_nodes:
+        if mm.inputs[0] != tr.outputs[0]:
+            return None
+        fb = graph.initializers.get(mm.inputs[1])
+        if fb is None or fb.array is None or fb.array.ndim != 2 or \
+                fb.array.shape[0] != bins:
+            return None
+        fbs.append((mm, fb.array))
+    if len(mm_nodes) == 1:
+        mel_out = mm_nodes[0].outputs[0]
+        chain_tail = list(mm_nodes)
+        fb_cat = fbs[0][1]
+    else:
+        concat = sole_consumer(mm_nodes[0].outputs[0], "Concat")
+        if concat is None or concat.attr("axis") != 2:
+            return None
+        # Concat input order defines the bank order in the fused matrix.
+        order = []
+        for inp in concat.inputs:
+            mm = next((m for m, _ in fbs if m.outputs[0] == inp), None)
+            if mm is None or sole_consumer(inp, "Concat") is not concat:
+                return None
+            order.append(next(a for m, a in fbs if m is mm))
+        mel_out = concat.outputs[0]
+        chain_tail = list(mm_nodes) + [concat]
+        fb_cat = np.concatenate(order, axis=1)
+
+    eps_add = sole_consumer(mel_out, "Add")
+    if eps_add is None:
+        return None
+    others = [i for i in eps_add.inputs if i != mel_out]
+    if len(others) != 1:
+        return None
+    eps = _scalar_init(graph, others[0])
+    if eps is None or not (0.0 < eps < 1.0):
+        return None
+    log = sole_consumer(eps_add.outputs[0], "Log")
+    if log is None:
+        return None
+
+    chain = [conv, re_sl, im_sl, re_mul, im_mul, add, tr,
+             *chain_tail, eps_add, log]
+    return {
+        "chain": chain, "conv": conv, "log": log, "fb_cat": fb_cat,
+        "hop": int(strides[0]), "eps": eps, "bins": bins,
+    }
+
+
+def _apply(graph: Graph, m: dict) -> None:
+    fb_name = m["conv"].inputs[1] + "__fused_melfb"
+    fb = np.ascontiguousarray(m["fb_cat"].astype(np.float32))
+    graph.initializers[fb_name] = Tensor(
+        name=fb_name, dims=tuple(fb.shape), array=fb,
+    )
+    fused = Node(
+        op_type=FUSED_OP,
+        name=(m["conv"].name or "stft") + "_fused_melfrontend",
+        inputs=[m["conv"].inputs[0], m["conv"].inputs[1], fb_name],
+        outputs=[m["log"].outputs[0]],
+        attrs={
+            "hop": _attr_i("hop", m["hop"]),
+            "eps": _attr_f("eps", m["eps"]),
+        },
+    )
+    chain_set = set(map(id, m["chain"]))
+    idx = graph.nodes.index(m["conv"])
+    graph.nodes = [n for n in graph.nodes if id(n) not in chain_set]
+    graph.nodes.insert(idx, fused)

@@ -745,6 +745,21 @@ class _Evaluator:
             out = out + jnp.asarray(b).reshape((1, -1) + (1,) * spatial)
         return out if pref is jnp.int32 else self._mm_out(out)
 
+    def op_BirdaFusedMelFrontend(self, node, x, w, fb):
+        """Fused spectrogram front-end spliced in by
+        :func:`birda_tpu.onnx.fuse.fuse_mel_frontend`: windowed-DFT conv,
+        power spectrum, mel projection and log in one Pallas kernel
+        (``ops/stft_conv.py::fused_logmel``). ``x`` is the conv input
+        ``[B, 1, S]``; output ``[B, T, sum(mels)]`` = the chain's Log."""
+        import jax.numpy as jnp
+
+        from ..ops import stft_conv
+
+        return stft_conv.fused_logmel(
+            x[:, 0, :], jnp.asarray(w)[:, 0, :], jnp.asarray(fb),
+            hop=node.attr("hop"), eps=node.attr("eps"),
+        )
+
     def op_ConvTranspose(self, node, x, w, b=None):
         import jax.numpy as jnp
         from jax import lax
@@ -1198,7 +1213,21 @@ def lower(model: Model | bytes | str, compute_dtype=None) -> "OnnxFunction":
     """
     if not isinstance(model, Model):
         model = load_model(model)
+    maybe_fuse_frontend(model, compute_dtype)
     return OnnxFunction(model, compute_dtype=compute_dtype)
+
+
+def maybe_fuse_frontend(model: Model, compute_dtype) -> int:
+    """Apply the mel-front-end fusion pass when the Pallas kernel path is
+    active (bf16 on TPU); a no-op otherwise, keeping CPU tests and the
+    fp32 parity route on the reference node-by-node semantics."""
+    from ..ops import stft_conv
+
+    if not stft_conv.kernel_enabled(compute_dtype):
+        return 0
+    from .fuse import fuse_mel_frontend
+
+    return fuse_mel_frontend(model.graph)
 
 
 class OnnxFunction:

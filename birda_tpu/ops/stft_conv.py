@@ -48,13 +48,11 @@ import numpy as np
 TILE_T = 128  # frames per program: [TILE_T, HOP] @ [HOP, C] per slab
 
 
-def enabled(x_shape, w_shape, hop: int, compute_dtype) -> bool:
-    """The kernel applies to the Conv1d-STFT geometry on a TPU backend at
-    bfloat16 compute (fp32 stays on the bit-faithful gather path; fp32
-    DFT slabs could also exceed the VMEM budget).
-    ``BIRDA_STFT_KERNEL=gather`` forces the fallback for A/B measurement;
-    ``=pallas`` forces the kernel regardless of backend (tests use it
-    with ``interpret=True``)."""
+def kernel_enabled(compute_dtype) -> bool:
+    """Backend/dtype/env gate shared by the plain kernel and the fused
+    mel-front-end graph pass: bf16-on-TPU, overridable with
+    ``BIRDA_STFT_KERNEL=gather`` (force off) / ``pallas`` (force on,
+    interpret mode off-TPU — tests)."""
     import os
 
     mode = os.environ.get("BIRDA_STFT_KERNEL", "auto")
@@ -68,6 +66,15 @@ def enabled(x_shape, w_shape, hop: int, compute_dtype) -> bool:
                 return False
         except RuntimeError:
             return False
+    return True
+
+
+def enabled(x_shape, w_shape, hop: int, compute_dtype) -> bool:
+    """The kernel applies to the Conv1d-STFT geometry when
+    :func:`kernel_enabled` allows it and the working set fits VMEM
+    (fp32 stays on the bit-faithful gather path)."""
+    if not kernel_enabled(compute_dtype):
+        return False
     k = int(w_shape[-1])
     c = int(w_shape[0])
     nblk = -(-k // hop)
@@ -158,4 +165,100 @@ def _conv1d_stft(x, w, hop: int, interpret: bool = False):
         ),
         interpret=interpret,
     )(xb, slabs)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Fused log-mel front-end: DFT conv -> |X|^2 -> mel matmul -> log, one kernel
+# ---------------------------------------------------------------------------
+
+def _fused_kernel(nblk, bins, interpret, eps,
+                  x_ref, w_ref, fb_ref, o_ref, acc_ref):
+    from jax.experimental import pallas as pl
+
+    pad = -(-nblk // 8) * 8
+    t0 = pl.multiple_of(pl.program_id(1) * TILE_T, 8)
+    sup = x_ref[0, pl.ds(t0, TILE_T + pad), :]
+    acc = jnp.zeros(acc_ref.shape, jnp.float32)
+    for j in range(nblk):
+        lhs, rhs = sup[j:j + TILE_T, :], w_ref[j]
+        if interpret:  # XLA:CPU has no bf16 dot (operands already rounded)
+            lhs, rhs = lhs.astype(jnp.float32), rhs.astype(jnp.float32)
+        acc = acc + jnp.dot(lhs, rhs, preferred_element_type=jnp.float32)
+    acc_ref[:] = acc
+    # |X|^2 from the [cos bank ; sin bank] halves, in fp32 straight off the
+    # accumulator (the XLA path materializes bf16 first — strictly worse).
+    re = acc_ref[:, :bins]
+    im = acc_ref[:, bins:2 * bins]
+    power = (re * re + im * im).astype(jnp.bfloat16)
+    fb = fb_ref[:]
+    if interpret:
+        power, fb = power.astype(jnp.float32), fb.astype(jnp.float32)
+    mel = jnp.dot(power, fb, preferred_element_type=jnp.float32)
+    o_ref[0] = jnp.log(mel + eps).astype(o_ref.dtype)
+
+
+def fused_logmel(x, w, fb, hop: int, eps: float,
+                 interpret: bool | None = None):
+    """``[B,S] x [2*bins,K] x [bins,M] -> [B,T,M]`` fused log-mel.
+
+    The whole spectrogram front-end in one pass: windowed-DFT slab matmuls
+    (as :func:`conv1d_stft`), power spectrum from the fp32 accumulator,
+    mel projection, ``log(. + eps)``. Per inference the HBM-resident
+    intermediate drops from the full ``[B, 2*bins, T]`` spectrum (536 MB
+    for BirdNET v2.4 at batch 256, written once and re-read by power and
+    by each mel bank) to just the ``[B, T, M]`` log-mel image (~50 MB).
+
+    ``fb`` is the mel filterbank for all banks concatenated column-wise
+    (``[bins, sum(n_mels)]``); ``w`` rows are the ``[cos ; -sin]`` banks.
+    """
+    if interpret is None:
+        try:
+            interpret = jax.default_backend() != "tpu"
+        except RuntimeError:
+            interpret = True
+    return _fused_logmel(x, w, fb, hop, float(eps), interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("hop", "eps", "interpret"))
+def _fused_logmel(x, w, fb, hop: int, eps: float, interpret: bool):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, s = x.shape
+    c, k = w.shape
+    bins, m = fb.shape
+    assert c == 2 * bins, (c, bins)
+    nblk = -(-k // hop)
+    t = (s - k) // hop + 1
+    n_tiles = -(-t // TILE_T)
+    nb = n_tiles * TILE_T + -(-nblk // 8) * 8
+    need = nb * hop
+    xx = jnp.pad(x.astype(jnp.bfloat16), ((0, 0), (0, need - s)))
+    xb = xx.reshape(b, nb, hop)
+    wp = jnp.pad(w.astype(jnp.bfloat16), ((0, 0), (0, nblk * hop - k)))
+    slabs = wp.reshape(c, nblk, hop).transpose(1, 2, 0)
+
+    out = pl.pallas_call(
+        functools.partial(_fused_kernel, nblk, bins, interpret, eps),
+        out_shape=jax.ShapeDtypeStruct((b, t, m), jnp.bfloat16),
+        grid=(b, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, nb, hop), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nblk, hop, c), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bins, m), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, TILE_T, m), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((TILE_T, c), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * t * (k * c + bins * m),
+            bytes_accessed=b * s * 2 + nblk * hop * c * 2 + b * t * m * 2,
+            transcendentals=b * t * m,
+        ),
+        interpret=interpret,
+    )(xb, slabs, fb.astype(jnp.bfloat16))
     return out

@@ -118,3 +118,73 @@ class TestConv1dStftKernel:
         got = np.asarray(fn2(x, params=fn2.params), np.float32)
         assert got.shape == want.shape
         assert np.abs(got - want).max() / np.abs(want).max() < 2e-2
+
+
+class TestMelFrontendFusion:
+    """Graph-level fusion of the Conv1d-STFT→power→mel→log chain
+    (onnx/fuse.py) into the fused Pallas kernel."""
+
+    def _tiny(self):
+        from birda_tpu.onnx import fullscale as fs
+
+        return fs.cached_build(fs.tiny_spec(fs.BIRDNET_V24_SPEC), seed=1)
+
+    def test_pass_matches_and_splices(self):
+        from birda_tpu.onnx.fuse import FUSED_OP, fuse_mel_frontend
+        from birda_tpu.onnx.proto import load_model
+
+        g = self._tiny()
+        model = load_model(g.model_bytes)
+        n_before = len(model.graph.nodes)
+        fused = fuse_mel_frontend(model.graph)
+        assert fused == 1
+        ops = [n.op_type for n in model.graph.nodes]
+        assert FUSED_OP in ops
+        # The whole chain (conv, 2 slices, 2 muls, add, transpose,
+        # 2 mel matmuls, concat, eps-add, log = 12 nodes) became one.
+        assert len(model.graph.nodes) == n_before - 11
+        node = next(n for n in model.graph.nodes if n.op_type == FUSED_OP)
+        assert node.attr("hop") == g.spec.hop
+        # The fused filterbank concatenates both banks column-wise.
+        fb = model.graph.initializers[node.inputs[2]].array
+        assert fb.shape == (g.spec.n_fft // 2 + 1,
+                            sum(m for m, _, _ in g.spec.mel_banks))
+
+    def test_pass_leaves_non_matching_graphs_alone(self):
+        import fixtures_onnx as fo
+        from birda_tpu.onnx.fuse import fuse_mel_frontend
+        from birda_tpu.onnx.proto import load_model
+
+        model = load_model(fo.make_fixture_geomodel(num_species=5))
+        nodes = [n.op_type for n in model.graph.nodes]
+        assert fuse_mel_frontend(model.graph) == 0
+        assert [n.op_type for n in model.graph.nodes] == nodes
+
+    def test_fused_scores_match_unfused(self, monkeypatch):
+        """End to end on the tiny full-scale graph: scores through the
+        fused front-end match the node-by-node bf16 path."""
+        import jax.numpy as jnp
+
+        from birda_tpu.onnx.lowering import lower
+
+        g = self._tiny()
+        rng = np.random.default_rng(3)
+        x = rng.normal(0, 0.1, (2, g.spec.sample_count)).astype(np.float32)
+
+        # Reference: the bit-faithful fp32 lowering (XLA:CPU cannot execute
+        # the bf16 gather path's einsum — DotThunk gap — so the comparison
+        # budget is the documented bf16-vs-fp32 score drift).
+        monkeypatch.setenv("BIRDA_STFT_KERNEL", "gather")
+        fn = lower(g.model_bytes, compute_dtype=None)
+        assert not any(n.op_type == "BirdaFusedMelFrontend"
+                       for n in fn.graph.nodes)
+        want = np.asarray(fn(x, params=fn.params)[0], np.float32)
+
+        monkeypatch.setenv("BIRDA_STFT_KERNEL", "pallas")
+        fn2 = lower(g.model_bytes, compute_dtype=jnp.bfloat16)
+        assert any(n.op_type == "BirdaFusedMelFrontend"
+                   for n in fn2.graph.nodes)
+        got = np.asarray(fn2(x, params=fn2.params)[0], np.float32)
+        assert got.shape == want.shape
+        assert np.max(np.abs(got - want)) < 0.05
+        assert np.array_equal(np.argmax(got, -1), np.argmax(want, -1))
