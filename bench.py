@@ -169,9 +169,12 @@ def main() -> None:
 
     extra = {}
 
-    rt_v24, _ = _bench_onnx(fs.BIRDNET_V24_SPEC, batch=256, iters=8)
+    # Batch choices are measured optima per (graph, precision) on this
+    # chip with the fused front-end (docs/performance.md batch scaling):
+    # v2.4 bf16 peaks at 768, v2.4 int8 at 512, Perch/v3.0 at 256.
+    rt_v24, _ = _bench_onnx(fs.BIRDNET_V24_SPEC, batch=768, iters=4)
     try:
-        rt_i8 = _bench_onnx_int8(fs.BIRDNET_V24_SPEC, batch=256, iters=8)
+        rt_i8 = _bench_onnx_int8(fs.BIRDNET_V24_SPEC, batch=512, iters=6)
         extra["birdnet_v24_int8_x_realtime"] = round(rt_i8, 0)
         extra["birdnet_v24_int8_vs_baseline"] = round(
             rt_i8 / BASELINE_BIRDNET_V24, 3)
@@ -202,7 +205,7 @@ def main() -> None:
 
     print(json.dumps({
         "metric": ("birdnet-v2.4 ONNX-lowered full-scale inference realtime "
-                   f"({platform}, batch 256, bf16)"),
+                   f"({platform}, batch 768, bf16, fused mel front-end)"),
         "value": round(rt_v24, 1),
         "unit": "x realtime",
         "vs_baseline": round(rt_v24 / BASELINE_BIRDNET_V24, 3),

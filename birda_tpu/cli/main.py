@@ -618,6 +618,8 @@ def models_check(output_mode, no_graph):
                     "(run 'birda models install geomodel' to enable range "
                     "filtering)"
                 )
+            for p in geomodel.get("obsolete_files") or ():
+                click.echo(f"{p} is no longer used and can be deleted")
         for p in leftovers:
             click.echo(f"leftover partial download: {p}")
     sys.exit(1 if failures else 0)
@@ -628,6 +630,7 @@ def _check_geomodel_info() -> Optional[dict]:
     ``lib.rs:2343-2364``): reported once, since every classifier shares it.
     None when the registry predates the geomodel."""
     from ..config.geomodel import default_geomodel_paths
+    from ..registry.installer import find_obsolete_files, models_dir
     from ..registry.loader import load_registry
 
     try:
@@ -640,11 +643,16 @@ def _check_geomodel_info() -> Optional[dict]:
     paths = default_geomodel_paths(reg)
     installed = (paths is not None and paths[0].exists()
                  and paths[1].exists())
+    try:
+        obsolete = [str(p) for p in find_obsolete_files(models_dir())]
+    except OSError:
+        obsolete = []
     return env.geomodel_info(
         version=entry.version, installed=installed,
         species_count=entry.species_count,
         model_path=str(paths[0]) if installed else None,
         labels_path=str(paths[1]) if installed else None,
+        obsolete_files=obsolete or None,
     )
 
 

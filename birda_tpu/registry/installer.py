@@ -30,6 +30,21 @@ logger = logging.getLogger(__name__)
 GEOMODEL_INSTALL_ID = "geomodel"
 
 
+def find_obsolete_files(directory: Path) -> list[Path]:
+    """Files from earlier versions that are no longer used and can be
+    deleted (e.g. a leftover ``birdnet-v24-meta.onnx``, replaced by the
+    shared Geomodel v3.0.2) — reported by ``models check``, never deleted
+    automatically (reference ``src/registry/installer.rs:393``)."""
+    from ..constants import obsolete_files
+
+    found = []
+    for name in obsolete_files.NAMES:
+        candidate = directory / name
+        if candidate.is_file():
+            found.append(candidate)
+    return found
+
+
 def models_dir() -> Path:
     return config_paths.data_dir()
 

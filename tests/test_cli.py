@@ -409,12 +409,19 @@ class TestStructuredCommandResults:
 
         live = mdir / f"big2.onnx.{os.getpid()}.part"
         live.write_bytes(b"x")
+        # A leftover v2.4 meta model is obsolete (superseded by the
+        # geomodel) — reported, never auto-deleted (installer.rs:393).
+        meta = mdir / "birdnet-v24-meta.onnx"
+        meta.write_bytes(b"old")
         p = self.check(runner, ["models", "check"], "model_check")
         # The embedded registry carries the geomodel asset: reported once,
         # not installed in this sandbox (reference lib.rs:2343-2364).
         assert p["geomodel"]["installed"] is False
         assert p["geomodel"]["species_count"] == 12012
+        assert p["geomodel"]["obsolete_files"] == [str(meta)]
         assert p["leftover_downloads"] == [str(dead)]
+        r = runner.invoke(cli, ["models", "check"])
+        assert "no longer used and can be deleted" in r.output
 
     def test_clip_failed_files(self, runner, home, tmp_path):
         """Per-file clip failures ride failed_files as {file, error}
