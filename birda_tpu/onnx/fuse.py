@@ -165,13 +165,22 @@ def _match_chain(graph, conv, consumers, out_names, sole_consumer):
     if re_sl is None or im_sl is None:
         return None
 
-    re_mul = sole_consumer(re_sl.outputs[0], "Mul")
-    im_mul = sole_consumer(im_sl.outputs[0], "Mul")
+    def _square_of(tensor: str):
+        """The node squaring ``tensor`` — ``Mul(x, x)`` or the exporter
+        spelling ``Pow(x, 2)``; None when it is anything else."""
+        node = sole_consumer(tensor)
+        if node is None:
+            return None
+        if node.op_type == "Mul" and node.inputs == [tensor] * 2:
+            return node
+        if node.op_type == "Pow" and node.inputs[0] == tensor and \
+                _scalar_init(graph, node.inputs[1]) == 2.0:
+            return node
+        return None
+
+    re_mul = _square_of(re_sl.outputs[0])
+    im_mul = _square_of(im_sl.outputs[0])
     if re_mul is None or im_mul is None:
-        return None
-    if re_mul.inputs != [re_sl.outputs[0]] * 2:
-        return None
-    if im_mul.inputs != [im_sl.outputs[0]] * 2:
         return None
     add = sole_consumer(re_mul.outputs[0], "Add")
     if add is None or add is not sole_consumer(im_mul.outputs[0], "Add"):

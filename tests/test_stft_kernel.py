@@ -188,3 +188,93 @@ class TestMelFrontendFusion:
         assert got.shape == want.shape
         assert np.max(np.abs(got - want)) < 0.05
         assert np.array_equal(np.argmax(got, -1), np.argmax(want, -1))
+
+    def test_single_bank_v30_shape_fuses(self):
+        """v3.0's single mel bank takes the no-Concat branch."""
+        from birda_tpu.onnx import fullscale as fs
+        from birda_tpu.onnx.fuse import FUSED_OP, fuse_mel_frontend
+        from birda_tpu.onnx.proto import load_model
+
+        g = fs.cached_build(fs.tiny_spec(fs.BIRDNET_V30_SPEC), seed=1)
+        model = load_model(g.model_bytes)
+        assert fuse_mel_frontend(model.graph) == 1
+        node = next(n for n in model.graph.nodes if n.op_type == FUSED_OP)
+        fb = model.graph.initializers[node.inputs[2]].array
+        assert fb.shape[0] == g.spec.n_fft // 2 + 1
+
+    def test_pow_squared_spelling_matches(self):
+        """Real exporters often spell |X|^2 as Pow(x, 2); the matcher
+        accepts it alongside Mul(x, x)."""
+        import fixtures_onnx as fo
+        from birda_tpu.onnx.fuse import FUSED_OP, fuse_mel_frontend
+        from birda_tpu.onnx.proto import load_model
+
+        rng = np.random.default_rng(4)
+        k, hop, s = 512, 160, 8000
+        bins = 40
+        t = (s - k) // hop + 1
+        w = rng.normal(0, 0.05, (2 * bins, 1, k)).astype(np.float32)
+        fb = rng.uniform(0, 0.1, (bins, 16)).astype(np.float32)
+        mb = fo.model(
+            [
+                fo.node("Conv", ["x", "w"], ["c"], attrs=[
+                    fo.attr_ints("strides", [hop]),
+                    fo.attr_ints("kernel_shape", [k]),
+                ]),
+                fo.node("Slice", ["c"], ["re"], attrs=[
+                    fo.attr_ints("starts", [0]), fo.attr_ints("ends", [bins]),
+                    fo.attr_ints("axes", [1])]),
+                fo.node("Slice", ["c"], ["im"], attrs=[
+                    fo.attr_ints("starts", [bins]),
+                    fo.attr_ints("ends", [2 * bins]),
+                    fo.attr_ints("axes", [1])]),
+                fo.node("Pow", ["re", "two"], ["re2"]),
+                fo.node("Pow", ["im", "two"], ["im2"]),
+                fo.node("Add", ["re2", "im2"], ["p"]),
+                fo.node("Transpose", ["p"], ["pt"],
+                        attrs=[fo.attr_ints("perm", [0, 2, 1])]),
+                fo.node("MatMul", ["pt", "fb"], ["mel"]),
+                fo.node("Add", ["mel", "eps"], ["mele"]),
+                fo.node("Log", ["mele"], ["y"]),
+            ],
+            inputs=[fo.value_info("x", ["batch", 1, s])],
+            outputs=[fo.value_info("y", ["batch", t, 16])],
+            initializers=[
+                fo.tensor("w", w), fo.tensor("fb", fb),
+                fo.tensor("two", np.float32(2.0)),
+                fo.tensor("eps", np.float32(1e-6)),
+            ],
+        )
+        model = load_model(mb)
+        assert fuse_mel_frontend(model.graph) == 1
+        assert any(n.op_type == FUSED_OP for n in model.graph.nodes)
+
+    def test_int8_mode_composes_with_fusion(self, monkeypatch):
+        """--precision int8 on a graph with the fused front-end: the DSP
+        stays float through the kernel, the backbone quantizes, and the
+        scores track the unfused int8 build."""
+        import jax.numpy as jnp
+
+        from birda_tpu.onnx import fullscale as fs
+        from birda_tpu.onnx.quantize import (calibrate, calibration_signals,
+                                             lower_int8)
+
+        g = fs.cached_build(fs.tiny_spec(fs.BIRDNET_V24_SPEC), seed=1)
+        batches = list(calibration_signals(g.spec.sample_count, batch=2,
+                                           n_batches=1))
+        calib = calibrate(g.model_bytes, batches, min_weight_bytes=256)
+        x = batches[0]
+
+        monkeypatch.setenv("BIRDA_STFT_KERNEL", "gather")
+        q1 = lower_int8(g.model_bytes, calib, min_weight_bytes=256)
+        want = np.asarray(q1(x, params=q1.params)[0], np.float32)
+
+        monkeypatch.setenv("BIRDA_STFT_KERNEL", "pallas")
+        q2 = lower_int8(g.model_bytes, calib, min_weight_bytes=256,
+                        compute_dtype=jnp.bfloat16)
+        assert any(n.op_type == "BirdaFusedMelFrontend"
+                   for n in q2.graph.nodes)
+        assert len(q2.quantized_nodes) >= 20  # backbone still quantizes
+        got = np.asarray(q2(x, params=q2.params)[0], np.float32)
+        assert np.max(np.abs(got - want)) < 0.06
+        assert np.array_equal(np.argmax(got, -1), np.argmax(want, -1))
