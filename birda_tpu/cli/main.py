@@ -35,6 +35,7 @@ logger = logging.getLogger(__name__)
 
 SUBCOMMANDS = {
     "config", "models", "providers", "clip", "update", "species", "analyze",
+    "version",
 }
 
 
@@ -492,12 +493,15 @@ def models_list_available(output_mode):
     if output_mode in ("json", "ndjson"):
         rf = None
         if reg.range_filter is not None:
+            from ..registry.installer import GEOMODEL_INSTALL_ID
+
             e = reg.range_filter
             sizes = (e.model.size_bytes, e.labels.size_bytes)
             rf = env.available_range_filter_entry(
                 # The install handle ("geomodel"), not the asset id: it is
                 # the string a user can type (json_envelope.rs:513-520).
-                id="geomodel", name=e.name or e.id, version=e.version,
+                id=GEOMODEL_INSTALL_ID, name=e.name or e.id,
+                version=e.version,
                 vendor=e.vendor, license=e.license.type,
                 commercial_use=e.license.commercial_use,
                 share_alike=e.license.share_alike,
@@ -757,10 +761,18 @@ def models_info(model_id, languages, output_mode):
         click.echo(f"To install: birda models install {GEOMODEL_INSTALL_ID}")
         return
 
+    from ..errors import ModelNotFoundInRegistry
+
     try:
+        # Only a genuine not-in-registry falls through to the configured
+        # models; a registry-layer failure (corrupt cache, bad schema)
+        # surfaces its real cause instead of masquerading as "not found".
         rm = load_registry().find_model(model_id)
-    except BirdaError:
+    except ModelNotFoundInRegistry:
         rm = None
+    except BirdaError as e:
+        print_error_chain(e)
+        sys.exit(1)
     if rm is not None:
         if structured:
             emit(env.model_details(
@@ -1036,6 +1048,19 @@ def models_install(model_id, language, region, variant, set_default,
 # ---------------------------------------------------------------------------
 # providers / species / clip / update
 # ---------------------------------------------------------------------------
+
+@cli.command()
+@click.option("--output-mode", type=click.Choice(["human", "json", "ndjson"]))
+def version(output_mode):
+    """Show the birda version (VersionPayload in structured modes —
+    the consumer GUIs use this to gate protocol features)."""
+    if output_mode in ("json", "ndjson"):
+        reporter = create_reporter(output_mode)
+        reporter.result(env.version_payload(__version__))
+        reporter.finish()
+        return
+    click.echo(f"birda {__version__}")
+
 
 @cli.command()
 @click.option("--output-mode", type=click.Choice(["human", "json", "ndjson"]))

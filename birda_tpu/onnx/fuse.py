@@ -263,6 +263,16 @@ def _apply(graph: Graph, m: dict) -> None:
         },
     )
     chain_set = set(map(id, m["chain"]))
+    chain_inits = {
+        i for n in m["chain"] for i in n.inputs if i in graph.initializers
+    }
     idx = graph.nodes.index(m["conv"])
     graph.nodes = [n for n in graph.nodes if id(n) not in chain_set]
     graph.nodes.insert(idx, fused)
+    # Drop initializers the chain alone consumed (the per-bank mel
+    # matrices are large enough to be param-lifted and shipped to the
+    # device — dead weight once the concatenated copy replaces them).
+    still_used = {i for n in graph.nodes for i in n.inputs}
+    still_used.update(vi.name for vi in graph.outputs)
+    for name in chain_inits - still_used:
+        del graph.initializers[name]

@@ -750,15 +750,38 @@ class _Evaluator:
         :func:`birda_tpu.onnx.fuse.fuse_mel_frontend`: windowed-DFT conv,
         power spectrum, mel projection and log in one Pallas kernel
         (``ops/stft_conv.py::fused_logmel``). ``x`` is the conv input
-        ``[B, 1, S]``; output ``[B, T, sum(mels)]`` = the chain's Log."""
+        ``[B, 1, S]``; output ``[B, T, sum(mels)]`` = the chain's Log.
+
+        The fusion pass cannot see the signal length, so the VMEM budget
+        is re-checked here with real shapes; a geometry the kernel cannot
+        hold falls back to the same math as composed XLA ops."""
         import jax.numpy as jnp
 
         from ..ops import stft_conv
 
-        return stft_conv.fused_logmel(
-            x[:, 0, :], jnp.asarray(w)[:, 0, :], jnp.asarray(fb),
-            hop=node.attr("hop"), eps=node.attr("eps"),
-        )
+        hop, eps = node.attr("hop"), node.attr("eps")
+        sig = x[:, 0, :]
+        wm = jnp.asarray(w)[:, 0, :]
+        fbm = jnp.asarray(fb)
+        s, (c, k), m = sig.shape[-1], wm.shape, fbm.shape[1]
+        if stft_conv.fused_fits(int(s), int(k), hop, int(c), int(m)):
+            return stft_conv.fused_logmel(sig, wm, fbm, hop=hop, eps=eps)
+        # Composed fallback (identical semantics at compute dtype): the
+        # gather-form DFT conv, power from the re/im halves, mel, log.
+        from jax import lax
+
+        bins = c // 2
+        t_out = (s - k) // hop + 1
+        row = lax.broadcasted_iota(jnp.int32, (t_out, k), 0) * hop
+        col = lax.broadcasted_iota(jnp.int32, (t_out, k), 1)
+        xx, wmat = self._mm_cast(sig, wm.T)
+        frames = jnp.take(xx, row + col, axis=1)
+        spec = jnp.einsum("btk,kc->btc", frames, wmat,
+                          preferred_element_type=jnp.float32)
+        power = (spec[..., :bins] ** 2 + spec[..., bins:2 * bins] ** 2)
+        (power, fbc) = self._mm_cast(self._mm_out(power), fbm)
+        mel = jnp.matmul(power, fbc, preferred_element_type=jnp.float32)
+        return self._mm_out(jnp.log(mel + jnp.float32(eps)))
 
     def op_ConvTranspose(self, node, x, w, b=None):
         import jax.numpy as jnp
@@ -1211,8 +1234,12 @@ def lower(model: Model | bytes | str, compute_dtype=None) -> "OnnxFunction":
     ``compute_dtype`` (e.g. ``jnp.bfloat16``) runs matmuls/convs in mixed
     precision with fp32 accumulation; None is the bit-faithful fp32 path.
     """
-    if not isinstance(model, Model):
-        model = load_model(model)
+    if isinstance(model, Model):
+        # A caller-owned Model is never mutated: the fusion pass splices
+        # nodes in place, and the same object may later be lowered on the
+        # fp32 parity path, which must see the original node-by-node graph.
+        return OnnxFunction(model, compute_dtype=compute_dtype)
+    model = load_model(model)
     maybe_fuse_frontend(model, compute_dtype)
     return OnnxFunction(model, compute_dtype=compute_dtype)
 
@@ -1220,7 +1247,8 @@ def lower(model: Model | bytes | str, compute_dtype=None) -> "OnnxFunction":
 def maybe_fuse_frontend(model: Model, compute_dtype) -> int:
     """Apply the mel-front-end fusion pass when the Pallas kernel path is
     active (bf16 on TPU); a no-op otherwise, keeping CPU tests and the
-    fp32 parity route on the reference node-by-node semantics."""
+    fp32 parity route on the reference node-by-node semantics. Only call
+    on a Model this module loaded itself (the pass mutates the graph)."""
     from ..ops import stft_conv
 
     if not stft_conv.kernel_enabled(compute_dtype):

@@ -610,11 +610,13 @@ def lower_int8(
             compute_dtype = jnp.bfloat16
     if not isinstance(model, Model):
         model = load_model(model)
-    # The float DSP front-end benefits from the fused Pallas kernel in
-    # int8 mode too (it never quantizes); the pass gates itself.
-    from .lowering import maybe_fuse_frontend
+        # The float DSP front-end benefits from the fused Pallas kernel in
+        # int8 mode too (it never quantizes); the pass gates itself. Only
+        # applied to a Model loaded here — never to a caller-owned object
+        # (the pass mutates the graph in place).
+        from .lowering import maybe_fuse_frontend
 
-    maybe_fuse_frontend(model, compute_dtype)
+        maybe_fuse_frontend(model, compute_dtype)
     graph = model.graph
 
     consumers: dict = {}

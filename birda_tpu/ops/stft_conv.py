@@ -172,6 +172,23 @@ def _conv1d_stft(x, w, hop: int, interpret: bool = False):
 # Fused log-mel front-end: DFT conv -> |X|^2 -> mel matmul -> log, one kernel
 # ---------------------------------------------------------------------------
 
+def fused_fits(s: int, k: int, hop: int, c: int, m: int) -> bool:
+    """VMEM budget for :func:`fused_logmel` at signal length ``s``, DFT
+    kernel ``[c, k]``, mel matrix ``[c//2, m]`` — the runtime analogue of
+    :func:`enabled`'s check (the fusion pass cannot know ``s`` at graph
+    time, so the evaluator falls back to composed ops when this fails)."""
+    nblk = -(-k // hop)
+    t = (s - k) // hop + 1
+    n_tiles = max(1, -(-t // TILE_T))
+    nb = n_tiles * TILE_T + -(-nblk // 8) * 8
+    w_bytes = nblk * hop * c * 2
+    fb_bytes = (c // 2) * m * 2
+    row_bytes = nb * hop * 2
+    acc_bytes = TILE_T * c * 4 + TILE_T * m * 2
+    return (w_bytes + fb_bytes + 2 * row_bytes + 2 * acc_bytes
+            < 13 * 2**20)
+
+
 def _fused_kernel(nblk, bins, interpret, eps,
                   x_ref, w_ref, fb_ref, o_ref, acc_ref):
     from jax.experimental import pallas as pl

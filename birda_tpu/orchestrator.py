@@ -524,7 +524,7 @@ def analyze_files(options: AnalyzeOptions, config: Config, reporter=None) -> int
             logger.warning(
                 "Range filtering requested but the geomodel is not installed; "
                 "continuing WITHOUT range filtering. Run 'birda models "
-                "install birdnet-geomodel-v3' to enable it."
+                "install geomodel' to enable it."
             )
             range_request = None
 

@@ -382,6 +382,30 @@ class TestStructuredCommandResults:
         assert doc["payload"]["week"] == 10
         assert doc["payload"]["threshold"] == 0.0
 
+    def test_version(self, runner, home):
+        from birda_tpu import __version__
+
+        p = self.check(runner, ["version"], "version")
+        assert p["version"] == __version__
+        r = runner.invoke(cli, ["version"])
+        assert __version__ in r.output
+
+    def test_models_info_registry_failure_surfaces(self, runner, home,
+                                                   monkeypatch):
+        """A corrupt registry must report its own error, not 'model not
+        found' (only ModelNotFoundInRegistry falls through)."""
+        from birda_tpu.errors import RegistryParse
+        from birda_tpu.registry import loader
+
+        def boom(cache=None):
+            raise RegistryParse("cache corrupted")
+
+        monkeypatch.setattr(loader, "load_registry", boom)
+        r = runner.invoke(cli, ["models", "info", "whatever"])
+        assert r.exit_code == 1
+        assert "cache corrupted" in r.output
+        assert "model not found" not in r.output
+
     def test_models_info_structured(self, runner, home):
         setup_synthetic_model(runner, home)
         p = self.check(runner, ["models", "info", "tiny"], "model_info")

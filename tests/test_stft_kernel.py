@@ -149,6 +149,12 @@ class TestMelFrontendFusion:
         fb = model.graph.initializers[node.inputs[2]].array
         assert fb.shape == (g.spec.n_fft // 2 + 1,
                             sum(m for m, _, _ in g.spec.mel_banks))
+        # The superseded per-bank mel matrices and the eps scalar are
+        # dropped — otherwise the big ones get param-lifted and shipped
+        # to the device unused.
+        used = {i for n in model.graph.nodes for i in n.inputs}
+        for name in model.graph.initializers:
+            assert name in used, f"orphaned initializer {name}"
 
     def test_pass_leaves_non_matching_graphs_alone(self):
         import fixtures_onnx as fo
@@ -277,4 +283,46 @@ class TestMelFrontendFusion:
         assert len(q2.quantized_nodes) >= 20  # backbone still quantizes
         got = np.asarray(q2(x, params=q2.params)[0], np.float32)
         assert np.max(np.abs(got - want)) < 0.06
+        assert np.array_equal(np.argmax(got, -1), np.argmax(want, -1))
+
+    def test_caller_owned_model_never_mutated(self, monkeypatch):
+        """lower() must not splice the fusion into a Model object the
+        caller passed in — the same object may later be lowered on the
+        fp32 parity path, which needs the original node-by-node graph."""
+        import jax.numpy as jnp
+
+        from birda_tpu.onnx.lowering import lower
+        from birda_tpu.onnx.proto import load_model
+
+        g = self._tiny()
+        model = load_model(g.model_bytes)
+        ops_before = [n.op_type for n in model.graph.nodes]
+        monkeypatch.setenv("BIRDA_STFT_KERNEL", "pallas")
+        lower(model, compute_dtype=jnp.bfloat16)
+        assert [n.op_type for n in model.graph.nodes] == ops_before
+
+    def test_vmem_overflow_falls_back_to_composed_ops(self, monkeypatch):
+        """A fused node whose geometry the kernel cannot hold in VMEM is
+        executed as composed ops with identical semantics (the fusion
+        pass cannot see the signal length, so this is a runtime check)."""
+        import jax.numpy as jnp
+
+        from birda_tpu.onnx.lowering import lower
+        from birda_tpu.ops import stft_conv
+
+        g = self._tiny()
+        rng = np.random.default_rng(5)
+        x = rng.normal(0, 0.1, (2, g.spec.sample_count)).astype(np.float32)
+
+        monkeypatch.setenv("BIRDA_STFT_KERNEL", "pallas")
+        fn = lower(g.model_bytes, compute_dtype=jnp.bfloat16)
+        assert any(n.op_type == "BirdaFusedMelFrontend"
+                   for n in fn.graph.nodes)
+        want = np.asarray(fn(x, params=fn.params)[0], np.float32)
+
+        monkeypatch.setattr(stft_conv, "fused_fits",
+                            lambda *a, **k: False)
+        fn2 = lower(g.model_bytes, compute_dtype=jnp.bfloat16)
+        got = np.asarray(fn2(x, params=fn2.params)[0], np.float32)
+        assert np.max(np.abs(got - want)) < 0.05
         assert np.array_equal(np.argmax(got, -1), np.argmax(want, -1))
