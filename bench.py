@@ -171,10 +171,13 @@ def main() -> None:
 
     # Batch choices are measured optima per (graph, precision) on this
     # chip with the fused front-end (docs/performance.md batch scaling):
-    # v2.4 bf16 peaks at 768, v2.4 int8 at 512, Perch/v3.0 at 256.
+    # v2.4 bf16 peaks at 768, Perch/v3.0 at 256. v2.4 int8 under the
+    # boundary_store="all" traffic cut kept climbing (19,383 at b512 →
+    # 20,819 at b1536); b1024 (20,447×) is the bench point — b1536 buys
+    # +1.8% but needs a ~7 GB incompressible upload through the tunnel.
     rt_v24, _ = _bench_onnx(fs.BIRDNET_V24_SPEC, batch=768, iters=4)
     try:
-        rt_i8 = _bench_onnx_int8(fs.BIRDNET_V24_SPEC, batch=512, iters=6)
+        rt_i8 = _bench_onnx_int8(fs.BIRDNET_V24_SPEC, batch=1024, iters=6)
         extra["birdnet_v24_int8_x_realtime"] = round(rt_i8, 0)
         extra["birdnet_v24_int8_vs_baseline"] = round(
             rt_i8 / BASELINE_BIRDNET_V24, 3)

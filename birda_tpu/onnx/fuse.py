@@ -6,7 +6,9 @@ in :mod:`.fullscale`):
 
     Conv1d(stft_w, stride=hop)            # [B, 2*bins, T] windowed DFT
     -> Slice(re) / Slice(im)              # cos / sin banks
+       (or the exporter spelling: one Split(axis=1) into equal halves)
     -> Mul, Mul, Add                      # power spectrum
+       (squares also match the Pow(x, 2) spelling)
     -> Transpose(0,2,1)                   # [B, T, bins]
     -> MatMul(mel_fb) [x n banks]         # mel projection(s)
     -> Concat(axis=2)                     # when several banks
@@ -148,21 +150,41 @@ def _match_chain(graph, conv, consumers, out_names, sole_consumer):
 
     cons = [] if conv.outputs[0] in out_names else \
         consumers.get(conv.outputs[0], [])
-    if len(cons) != 2 or any(n.op_type != "Slice" for n in cons):
-        return None
-    re_sl = im_sl = None
-    for sl in cons:
-        p = _slice_params(graph, sl)
-        if p is None:
+    if len(cons) == 2 and all(n.op_type == "Slice" for n in cons):
+        re_sl = im_sl = None
+        for sl in cons:
+            p = _slice_params(graph, sl)
+            if p is None:
+                return None
+            st, en, ax = p
+            if ax is not None and list(ax) != [1]:
+                return None
+            if st == [0] and en == [bins]:
+                re_sl = sl
+            elif st == [bins] and en[0] >= 2 * bins:
+                im_sl = sl
+        if re_sl is None or im_sl is None:
             return None
-        st, en, ax = p
-        if ax is not None and list(ax) != [1]:
+        re_name, im_name = re_sl.outputs[0], im_sl.outputs[0]
+        split_nodes = [re_sl, im_sl]
+    elif len(cons) == 1 and cons[0].op_type == "Split":
+        # Exporter spelling: one Split(axis=1) into equal cos/sin halves
+        # instead of two Slices. Which half is cos vs sin is irrelevant —
+        # the chain squares and sums both.
+        sp = cons[0]
+        if sp.attr("axis", 0) != 1 or len(sp.outputs) != 2:
             return None
-        if st == [0] and en == [bins]:
-            re_sl = sl
-        elif st == [bins] and en[0] >= 2 * bins:
-            im_sl = sl
-    if re_sl is None or im_sl is None:
+        sizes = sp.attr("split")
+        if sizes is None and len(sp.inputs) > 1 and sp.inputs[1]:
+            t = graph.initializers.get(sp.inputs[1])
+            if t is None or t.array is None:
+                return None
+            sizes = [int(v) for v in np.asarray(t.array).reshape(-1)]
+        if sizes is not None and list(sizes) != [bins, bins]:
+            return None  # absent sizes = equal split of 2*bins = [bins, bins]
+        re_name, im_name = sp.outputs
+        split_nodes = [sp]
+    else:
         return None
 
     def _square_of(tensor: str):
@@ -178,8 +200,8 @@ def _match_chain(graph, conv, consumers, out_names, sole_consumer):
             return node
         return None
 
-    re_mul = _square_of(re_sl.outputs[0])
-    im_mul = _square_of(im_sl.outputs[0])
+    re_mul = _square_of(re_name)
+    im_mul = _square_of(im_name)
     if re_mul is None or im_mul is None:
         return None
     add = sole_consumer(re_mul.outputs[0], "Add")
@@ -238,7 +260,7 @@ def _match_chain(graph, conv, consumers, out_names, sole_consumer):
     if log is None:
         return None
 
-    chain = [conv, re_sl, im_sl, re_mul, im_mul, add, tr,
+    chain = [conv, *split_nodes, re_mul, im_mul, add, tr,
              *chain_tail, eps_add, log]
     return {
         "chain": chain, "conv": conv, "log": log, "fb_cat": fb_cat,

@@ -108,7 +108,10 @@ class _Evaluator:
                 raise UnsupportedOnnxOp(
                     f"ONNX op '{node.op_type}' (node '{node.name}') is not supported"
                 )
-            args = [env[i] if i else None for i in node.inputs]
+            args = [
+                self._fetch(node, pos, i, env[i]) if i else None
+                for pos, i in enumerate(node.inputs)
+            ]
             result = handler(node, *args)
             if not isinstance(result, tuple):
                 result = (result,)
@@ -121,6 +124,13 @@ class _Evaluator:
         """Hook over every value entering the environment; subclasses may
         change the materialized representation (e.g. the int8 PTQ path
         stores fusion-boundary tensors as int8)."""
+        return val
+
+    def _fetch(self, node, pos, name, val):
+        """Hook over every value leaving the environment for a node input;
+        subclasses may adapt the representation per consumer (the int8 PTQ
+        path hands boundary-stored int8 tensors to quantized consumers
+        as-is and dequantizes them for everyone else)."""
         return val
 
     # -- numeric dispatch: numpy for host constants, jnp for traced ---------
@@ -289,6 +299,42 @@ class _Evaluator:
         return m.where(x < -lambd, x + bias,
                        m.where(x > lambd, x - bias, m.zeros_like(x)))
 
+    # Trigonometric family: rare in classifier backbones but trivial to
+    # support, and preflight should not flag an export over them (ORT runs
+    # whatever the graph holds, reference src/inference/runtime.rs:14).
+    def op_Sin(self, node, x):
+        return self._lib(x).sin(x)
+
+    def op_Cos(self, node, x):
+        return self._lib(x).cos(x)
+
+    def op_Tan(self, node, x):
+        return self._lib(x).tan(x)
+
+    def op_Asin(self, node, x):
+        return self._lib(x).arcsin(x)
+
+    def op_Acos(self, node, x):
+        return self._lib(x).arccos(x)
+
+    def op_Atan(self, node, x):
+        return self._lib(x).arctan(x)
+
+    def op_Sinh(self, node, x):
+        return self._lib(x).sinh(x)
+
+    def op_Cosh(self, node, x):
+        return self._lib(x).cosh(x)
+
+    def op_Asinh(self, node, x):
+        return self._lib(x).arcsinh(x)
+
+    def op_Acosh(self, node, x):
+        return self._lib(x).arccosh(x)
+
+    def op_Atanh(self, node, x):
+        return self._lib(x).arctanh(x)
+
     def op_Dropout(self, node, x, ratio=None, training_mode=None):
         # Inference no-op: real exported inference graphs routinely carry
         # Dropout nodes, and ORT executes them as identity (reference
@@ -313,6 +359,24 @@ class _Evaluator:
         import jax
 
         return jax.nn.softmax(x, axis=axis)
+
+    def op_LogSoftmax(self, node, x):
+        axis = node.attr("axis", -1)
+        if _is_host(x):
+            z = x - np.max(x, axis=axis, keepdims=True)
+            return z - np.log(np.exp(z).sum(axis=axis, keepdims=True))
+        import jax
+
+        return jax.nn.log_softmax(x, axis=axis)
+
+    def op_Hardmax(self, node, x):
+        ax = node.attr("axis", -1) % x.ndim
+        m = self._lib(x)
+        idx = m.argmax(x, axis=ax)
+        shape = [1] * x.ndim
+        shape[ax] = x.shape[ax]
+        one = m.reshape(m.arange(x.shape[ax]), shape) == m.expand_dims(idx, ax)
+        return one.astype(_np(x).dtype if _is_host(x) else x.dtype)
 
     def op_Clip(self, node, x, lo=None, hi=None):
         if lo is None:
@@ -518,6 +582,38 @@ class _Evaluator:
     def op_Tile(self, node, x, repeats):
         repeats = [int(r) for r in np.asarray(repeats).reshape(-1)]
         return self._lib(x).tile(x, repeats)
+
+    def op_SpaceToDepth(self, node, x):
+        """NCHW [N,C,H,W] -> [N,C*b*b,H/b,W/b] (the classic TPU stem
+        rewrite shows up in some EfficientNet exports)."""
+        b = node.attr("blocksize")
+        n, c, h, w = x.shape
+        m = self._lib(x)
+        y = m.reshape(x, (n, c, h // b, b, w // b, b))
+        y = m.transpose(y, (0, 3, 5, 1, 2, 4))
+        return m.reshape(y, (n, c * b * b, h // b, w // b))
+
+    def op_DepthToSpace(self, node, x):
+        b = node.attr("blocksize")
+        mode = node.attr("mode", b"DCR")
+        if isinstance(mode, bytes):
+            mode = mode.decode()
+        n, c, h, w = x.shape
+        m = self._lib(x)
+        if mode == "DCR":
+            y = m.reshape(x, (n, b, b, c // (b * b), h, w))
+            y = m.transpose(y, (0, 3, 4, 1, 5, 2))
+        else:  # CRD
+            y = m.reshape(x, (n, c // (b * b), b, b, h, w))
+            y = m.transpose(y, (0, 1, 4, 2, 5, 3))
+        return m.reshape(y, (n, c // (b * b), h * b, w * b))
+
+    def op_Trilu(self, node, x, k=None):
+        kk = 0 if k is None else int(np.asarray(k).reshape(-1)[0])
+        m = self._lib(x)
+        if node.attr("upper", 1):
+            return m.triu(x, kk)
+        return m.tril(x, kk)
 
     def op_Range(self, node, start, limit, delta):
         return np.arange(int(start), int(limit), int(delta), dtype=np.int64)

@@ -20,7 +20,11 @@ graph gains an int8 execution mode:
   quantized matmuls/convs behaves exactly like ``--precision bf16``.
 
 What quantizes: ``Conv``/``MatMul``/``Gemm`` nodes whose weight operand is
-a float graph initializer of at least ``min_weight_bytes`` — minus
+a float graph initializer of at least ``min_weight_bytes`` OR whose
+calibrated per-sample activation has at least ``min_act_elems`` elements
+(the early small-channel backbone convs pair tiny weights with the
+graph's largest activations — the byte savings scale with the
+activation) — minus
 
 - the Conv1d-STFT / framer front-end convs (single input channel, kernel
   >= 256): they are the DSP, already compute-bound at MXU-friendly shapes
@@ -59,8 +63,24 @@ from .proto import Model, load_model
 
 QMAX = 127.0
 #: Weights below this size stay float: the dequant epilogue costs more than
-#: the tiny matmul saves.
+#: the tiny matmul saves — UNLESS the node's activation is large (see
+#: DEFAULT_MIN_ACT_ELEMS): int8's real win on bandwidth-bound backbones is
+#: activation bytes, and the early small-channel convs pair tiny weights
+#: with the graph's LARGEST activations (v2.4 stem: 1,152 B of weights
+#: against a 786k-element/sample input image).
 DEFAULT_MIN_WEIGHT_BYTES = 4096
+#: Activation-size eligibility gate (``min_act_elems``): a node whose
+#: calibrated per-sample activation has at least this many elements
+#: quantizes even when its weight is below DEFAULT_MIN_WEIGHT_BYTES — the
+#: fusion-boundary byte savings scale with the activation, not the weight.
+#: **Off by default** (None): measured on the v2.4 full-scale graph
+#: (round-3 boundary A/B, docs/performance.md), widening eligibility to
+#: the early small-weight convs LOST 1.6–2.2% — the quantize epilogues on
+#: the graph's largest tensors (and int8 depthwise on the VPU) cost more
+#: than the saved bytes on this platform. Kept as an opt-in experiment
+#: knob; 16_384 is the value that separates spatial backbone tensors from
+#: SE squeezes and head matmuls if enabled.
+DEFAULT_MIN_ACT_ELEMS = 16_384
 #: Skip quantizing a node when the calibrated ``mean(|x|)`` is below this
 #: many quantization steps (LSB = scale = amax/127): the grid spends its 7
 #: magnitude bits on the outliers and rounds the bulk of the tensor to
@@ -104,7 +124,7 @@ class CalibrationResult:
     """Per-tensor activation statistics from a calibration run.
 
     ``stats`` maps tensor name ->
-    ``{"amax", "pctl", "amean", "ndim", "chamax"}``; the activation scale
+    ``{"amax", "pctl", "amean", "ndim", "aelems", "chamax"}``; the activation scale
     is ``amax/127`` (method "max") or ``pctl/127`` (method "percentile" —
     clips the outlier tail, finer grid for the bulk). ``chamax`` is the
     per-channel |x| max (channel = axis 1), feeding the SmoothQuant-style
@@ -138,7 +158,10 @@ class CalibrationResult:
 
 
 class _CaptureEvaluator(_Evaluator):
-    """Float evaluator recording activation stats at eligible node inputs.
+    """Float evaluator recording activation stats at eligible node inputs
+    — plus every *large* device intermediate (``_store`` hook), so the
+    ``boundary_store="all"`` policy can int8-materialize tensors no
+    matmul/conv ever reads (SE pool/gate streams).
 
     Captured values are jax tracers during jit tracing; :func:`calibrate`
     returns them as program outputs and reduces across batches host-side.
@@ -150,12 +173,31 @@ class _CaptureEvaluator(_Evaluator):
         self.targets = targets
         self.percentile = percentile
         self.captured: dict = {}
-        self.ndims: dict = {}  # static, recorded at trace time
+        self.ndims: dict = {}   # static, recorded at trace time
+        self.aelems: dict = {}  # per-sample activation elements (static)
+        self._out_names = {vi.name for vi in graph.outputs}
+
+    def _store(self, name, val):
+        # Large-intermediate capture (beyond the eligible node inputs
+        # recorded by ``_record``): any big float device tensor gets stats
+        # so lower_int8's "all" policy can boundary-store it. Graph
+        # outputs never store; targets are recorded at their consumer.
+        if (val is not None and not _is_host(val)
+                and getattr(val, "ndim", 0) >= 2
+                and _dtype_kind(val) == "f"
+                and name not in self.targets
+                and name not in self._out_names
+                and int(np.prod(val.shape[1:])) >= DEFAULT_MIN_ACT_ELEMS):
+            self._record_value(name, val)
+        return val
 
     def _record(self, node, x):
         name = node.inputs[0]
         if name not in self.targets or x is None or _is_host(x):
             return
+        self._record_value(name, x)
+
+    def _record_value(self, name, x):
         import jax.numpy as jnp
 
         xa = jnp.abs(x.astype(jnp.float32))
@@ -174,6 +216,9 @@ class _CaptureEvaluator(_Evaluator):
             chamax = jnp.maximum(chamax, prev[3])
         self.captured[name] = (amax, pctl, amean, chamax)
         self.ndims[name] = int(x.ndim)
+        # Per-sample element count (shape is static at trace time): the
+        # activation-size eligibility gate in lower_int8 keys on this.
+        self.aelems[name] = int(np.prod(x.shape[1:])) if x.ndim >= 1 else 1
 
     def op_Conv(self, node, x, w, b=None):
         self._record(node, x)
@@ -217,11 +262,15 @@ def calibrate(
     if not isinstance(model, Model):
         model = load_model(model)
     graph = model.graph
+    # Record stats for EVERY structurally eligible node — selection happens
+    # in lower_int8, where both size gates (weight bytes OR activation
+    # elements) need the stats to decide. ``min_weight_bytes`` is kept for
+    # API compatibility but no longer prunes the capture set: the extra
+    # stats cost a few scalars per node.
+    del min_weight_bytes
     targets = set()
     for node in graph.nodes:
-        wname = _structurally_eligible(graph, node)
-        if wname is not None and \
-                graph.initializers[wname].array.nbytes >= min_weight_bytes:
+        if _structurally_eligible(graph, node) is not None:
             targets.add(node.inputs[0])
 
     compute_dtype = None
@@ -267,6 +316,7 @@ def calibrate(
         name: {
             "amax": a, "pctl": p_, "amean": m / max(n, 1),
             "ndim": ev.ndims.get(name, 0),
+            "aelems": ev.aelems.get(name, 0),
             # rounded to 6 significant digits: keeps the cached JSON small
             # without moving any scale that matters
             "chamax": [float(f"{v:.6g}") for v in np.atleast_1d(c)],
@@ -324,8 +374,11 @@ def cached_calibration(model_bytes: bytes, sample_count: int):
     sha = hashlib.sha256(model_bytes).hexdigest()
     # Keyed on graph digest AND calibration input length (the same graph
     # calibrated at another sample_count has different activation ranges).
-    # v2: adds per-channel chamax stats (SmoothQuant); old caches recompute.
-    cpath = cache_dir() / "int8_calib" / f"{sha[:24]}-{sample_count}-max-v2.json"
+    # v2: adds per-channel chamax stats (SmoothQuant); v3: widens capture
+    # to every structurally eligible node, every large intermediate
+    # (boundary_store="all"), and per-sample activation element counts
+    # (the activation-size eligibility gate). Old caches recompute.
+    cpath = cache_dir() / "int8_calib" / f"{sha[:24]}-{sample_count}-max-v3b.json"
     if cpath.exists():
         try:
             return CalibrationResult.from_json(cpath.read_text()), True
@@ -423,11 +476,14 @@ class _Int8Evaluator(_Evaluator):
     -> int32 with a float dequant epilogue; everything else runs exactly as
     the base evaluator at ``compute_dtype``.
 
-    Tensors whose consumers are *all* quantized nodes are materialized as
-    int8 at production time (``store_int8``): XLA fuses the quantize into
-    the producer's epilogue, so the HBM-resident fusion-boundary tensor is
-    1 byte/element instead of 2 — the traffic cut that matters on
-    bandwidth-bound backbones — and consumers skip their own quantize step.
+    Tensors in ``store_int8`` are materialized as int8 at production time:
+    XLA fuses the quantize into the producer's epilogue, so the
+    HBM-resident fusion-boundary tensor is 1 byte/element instead of 2 —
+    the traffic cut that matters on bandwidth-bound backbones. Quantized
+    consumers read the int8 raw (skipping their own quantize step);
+    every other reader gets a transparent dequantize-on-read via
+    ``_fetch`` (fused into its own consuming fusion). The set is chosen by
+    :func:`lower_int8`'s ``boundary_store`` policy.
     """
 
     def __init__(self, graph, qnodes: set, ascale: dict, wscale: dict,
@@ -470,6 +526,28 @@ class _Int8Evaluator(_Evaluator):
         if (self.cost is not None and val is not None and not _is_host(val)
                 and hasattr(val, "dtype")):
             self._acct("act_bytes", val.size * val.dtype.itemsize)
+        return val
+
+    def _fetch(self, node, pos, name, val):
+        """Boundary-stored int8 tensors reach quantized consumers raw (they
+        accumulate from int8 directly); every other reader — residual Adds,
+        SE pools/Muls, shape ops — gets the dequantized float, fused into
+        its own consuming fusion (no extra HBM pass; the tensor's HBM
+        residency stays 1 byte/element)."""
+        if (name in self._store_int8 and val is not None
+                and not _is_host(val) and _dtype_kind(val) == "i"):
+            if (pos == 0 and node.op_type in ("Conv", "MatMul", "Gemm")
+                    and node.outputs and node.outputs[0] in self._qnodes):
+                return val
+            self._acct("fetch_dequant_elems", val.size)
+            out = self._deq_act(val, name)
+            # At the bf16 compute dtype, keep the dequantized tensor bf16 so
+            # downstream elementwise chains don't widen to 4 B/element at
+            # their own fusion boundaries (the int8 grid is coarser than
+            # bf16's mantissa anyway).
+            if self.compute_dtype is not None:
+                out = out.astype(self.compute_dtype)
+            return out
         return val
 
     def op_Conv(self, node, x, w, b=None):
@@ -588,6 +666,8 @@ def lower_int8(
     min_mean_lsb: float = DEFAULT_MIN_MEAN_LSB,
     protect_outputs: bool = True,
     smooth_alpha: float | None = 0.5,
+    min_act_elems: int | None = None,
+    boundary_store: str = "all",
 ) -> OnnxFunction:
     """Lower an ONNX model with calibrated int8 execution of its heavy
     matmuls/convs (see module docstring for the selection rules).
@@ -596,6 +676,30 @@ def lower_int8(
     bfloat16 on TPU and fp32 elsewhere (XLA:CPU has no bf16 dot support).
     ``smooth_alpha`` controls the SmoothQuant-style channel rebalancing
     (:func:`_smoothing_vectors`); ``None`` disables it.
+    ``min_act_elems`` is the activation-size eligibility gate (a node with
+    a small weight still quantizes when its per-sample activation has at
+    least this many elements; grouped convs are exempt — int8 depthwise on
+    the VPU measured as a loss). **None (default) disables the gate**: on
+    the v2.4 full-scale graph every widened-eligibility variant measured
+    1.6–2.2% slower than the weight-gate-only rule (round-3 boundary A/B,
+    docs/performance.md). ``boundary_store`` picks the
+    fusion-boundary int8 materialization policy:
+
+    - ``"strict"``: store a tensor int8 only when every consumer is a
+      quantized node reading it as its activation (the consumers then skip
+      their own quantize step; nothing ever dequantizes on read);
+    - ``"tolerant"``: store every calibrated activation tensor int8 (graph
+      outputs excepted); non-quantized consumers — residual ``Add``s, SE
+      ``Mul``/pool chains — transparently dequantize on read (fused into
+      their own fusion, no extra HBM pass). This is what halves the
+      residual-stream traffic on MBConv backbones;
+    - ``"frontier"``: tolerant, minus tensors whose sole consumer is a
+      quantized node — there the consumer's own quantize-on-read gives the
+      same HBM bytes while leaving XLA free to fuse the producer chain
+      into the consumer without forcing a materialization;
+    - ``"all"``: frontier, plus int8-store every large calibrated
+      intermediate that no matmul/conv reads (the SE pool/gate streams —
+      the biggest tensors the consumer-derived policies can't reach).
     The result is a drop-in :class:`OnnxFunction`: quantized weights live
     in ``params`` as int8 (half the bf16 HBM footprint), and extra
     attributes report the selection — ``quantized_nodes`` (list of node
@@ -647,10 +751,24 @@ def lower_int8(
             continue
         key = node.outputs[0]
         arr = graph.initializers[wname].array
-        if arr.nbytes < min_weight_bytes:
+        st = calibration.stats.get(node.inputs[0])
+        # Size gate: a big weight OR a big activation justifies the dequant
+        # epilogue — the early small-channel backbone convs pair tiny
+        # weights with the graph's largest activations, and their
+        # fusion-boundary byte savings scale with the activation
+        # (``aelems`` absent on pre-v3 calibration caches = 0 = old rule).
+        # Grouped (depthwise) convs are exempt from the activation gate:
+        # they run on the VPU where int8 execution measured as a net loss
+        # on the v2.4 backbone (int32 upcast + quantize epilogues on the
+        # graph's largest tensors outweigh the byte savings —
+        # docs/performance.md, round-3 boundary A/B).
+        aelems = 0 if st is None else st.get("aelems", 0)
+        grouped = node.op_type == "Conv" and node.attr("group", 1) > 1
+        act_big = (min_act_elems is not None and not grouped
+                   and aelems >= min_act_elems)
+        if arr.nbytes < min_weight_bytes and not act_big:
             skipped[key] = "small-weight"
             continue
-        st = calibration.stats.get(node.inputs[0])
         if st is None:
             skipped[key] = "uncalibrated"
             continue
@@ -744,13 +862,42 @@ def lower_int8(
         else:
             skipped[key] = "weight-shared-with-float-consumer"
 
-    # Fusion-boundary int8 materialization: a tensor whose consumers are
-    # ALL quantized nodes reading it as their activation operand is stored
-    # int8 at production time — XLA fuses the quantize into the producer's
+    # Fusion-boundary int8 materialization: tensors stored int8 at
+    # production time — XLA fuses the quantize into the producer's
     # epilogue, so the HBM-resident tensor costs 1 byte/element instead of
-    # 2 (the traffic that binds bandwidth-bound backbones) and consumers
-    # skip their own quantize. Graph outputs always stay float.
+    # 2 (the traffic that binds bandwidth-bound backbones). Quantized
+    # consumers read the int8 directly (skipping their own quantize);
+    # everyone else transparently dequantizes on read via ``_fetch``
+    # (fused into the consumer's own fusion). Policy per ``boundary_store``
+    # (see docstring). Graph outputs always stay float.
+    if boundary_store not in ("strict", "tolerant", "frontier", "all"):
+        raise ValueError(f"unknown boundary_store policy {boundary_store!r}")
     out_names = {vi.name for vi in graph.outputs}
+    if boundary_store == "all" and not qnodes:
+        # Nothing quantized (e.g. every node guarded off): storage-only
+        # int8 is untested territory — behave like frontier (a no-op).
+        boundary_store = "frontier"
+    if boundary_store == "all":
+        # "all" = frontier + int8-store large calibrated intermediates no
+        # matmul/conv reads (SE pool/gate streams — the biggest tensors the
+        # consumer-based policies can't reach). Same heavy-tail guard as
+        # node selection; custom-op producers (the fused Pallas front-end)
+        # are excluded — XLA cannot fuse a quantize into a custom call, so
+        # storing would add a standalone pass instead of riding an epilogue.
+        producers = {o: n for n in graph.nodes for o in n.outputs if o}
+        for name, st in calibration.stats.items():
+            if (name in ascale or name in out_names
+                    or name in graph.initializers
+                    or st.get("aelems", 0) < DEFAULT_MIN_ACT_ELEMS):
+                continue
+            prod = producers.get(name)
+            if prod is None or prod.op_type.startswith("Birda"):
+                continue
+            scale = calibration.scale(name) or 0.0
+            if scale <= 0.0 or st["amean"] < min_mean_lsb * scale:
+                continue
+            ascale[name] = scale
+        boundary_store = "frontier"
     act_consumers: dict = {}
     for node in graph.nodes:
         for pos, inp in enumerate(node.inputs):
@@ -761,9 +908,16 @@ def lower_int8(
         if name in out_names:
             continue
         cons = act_consumers.get(name, [])
-        if cons and all(
-            n.outputs[0] in qnodes and pos == 0 for n, pos in cons
-        ):
+        if not cons:
+            continue
+        q_reads = [n.outputs[0] in qnodes and pos == 0 for n, pos in cons]
+        if boundary_store == "strict":
+            if all(q_reads):
+                store_int8.add(name)
+        elif boundary_store == "frontier":
+            if not (len(cons) == 1 and q_reads[0]):
+                store_int8.add(name)
+        else:  # tolerant
             store_int8.add(name)
 
     ev = _Int8Evaluator(graph, qnodes, ascale, wscale, compute_dtype,
@@ -826,12 +980,14 @@ def int8_cost_report(fn: OnnxFunction, *example_args) -> dict:
     cost.setdefault("macs", 0)
     cost.setdefault("quantize_elems", 0)
     cost.setdefault("dequant_elems", 0)
+    cost.setdefault("fetch_dequant_elems", 0)
     cost.setdefault("act_bytes", 0)
     cost.setdefault("boundary_int8_bytes", 0)
     cost["weight_bytes_int8"] = w_int8
     cost["weight_bytes_float"] = w_float
     cost["bytes_saved"] = (w_float - w_int8) + cost["boundary_int8_bytes"]
-    cost["epilogue_elems"] = cost["quantize_elems"] + cost["dequant_elems"]
+    cost["epilogue_elems"] = (cost["quantize_elems"] + cost["dequant_elems"]
+                              + cost["fetch_dequant_elems"])
     return cost
 
 

@@ -470,3 +470,128 @@ class TestMoreOpsVsTorch:
         y, q = fn(x)
         assert np.array_equal(np.asarray(q), x[:, 3:])
         assert np.array_equal(np.asarray(y), np.tile(x[:, :3], (2, 1)))
+
+
+class TestRound3Ops:
+    """Ops added for real-asset preflight breadth: trig family,
+    LogSoftmax/Hardmax, SpaceToDepth/DepthToSpace, Trilu. ORT executes
+    whatever an export holds (reference src/inference/runtime.rs:14);
+    preflight should not flag graphs over these."""
+
+    def test_trig_family(self):
+        x = np.linspace(-0.9, 0.9, 19, dtype=np.float32)
+        ops = ["Sin", "Cos", "Tan", "Asin", "Acos", "Atan",
+               "Sinh", "Cosh", "Asinh", "Atanh"]
+        mb = fo.model(
+            [fo.node(op, ["x"], [op.lower()]) for op in ops],
+            inputs=[fo.value_info("x", [19])],
+            outputs=[fo.value_info(op.lower(), [19]) for op in ops],
+        )
+        fn = lower(mb)
+        got = [np.asarray(v) for v in fn(x)]
+        tx = torch.from_numpy(x)
+        want = [torch.sin(tx), torch.cos(tx), torch.tan(tx),
+                torch.asin(tx), torch.acos(tx), torch.atan(tx),
+                torch.sinh(tx), torch.cosh(tx), torch.asinh(tx),
+                torch.atanh(tx)]
+        for op, g, w in zip(ops, got, want):
+            assert np.max(np.abs(g - w.numpy())) < 1e-5, op
+
+    def test_acosh(self):
+        x = np.linspace(1.0, 5.0, 9, dtype=np.float32)
+        mb = fo.model(
+            [fo.node("Acosh", ["x"], ["y"])],
+            inputs=[fo.value_info("x", [9])],
+            outputs=[fo.value_info("y", [9])],
+        )
+        got = run_model(mb, x)
+        assert np.max(np.abs(got - torch.acosh(torch.from_numpy(x)).numpy())) < 1e-5
+
+    def test_logsoftmax(self):
+        x = np.random.default_rng(0).normal(0, 2, (3, 7)).astype(np.float32)
+        mb = fo.model(
+            [fo.node("LogSoftmax", ["x"], ["y"], attrs=[fo.attr_int("axis", 1)])],
+            inputs=[fo.value_info("x", [3, 7])],
+            outputs=[fo.value_info("y", [3, 7])],
+        )
+        got = run_model(mb, x)
+        want = F.log_softmax(torch.from_numpy(x), dim=1).numpy()
+        assert np.max(np.abs(got - want)) < 1e-5
+
+    def test_hardmax(self):
+        x = np.random.default_rng(1).normal(0, 1, (4, 6)).astype(np.float32)
+        for axis in (0, 1, -1):
+            mb = fo.model(
+                [fo.node("Hardmax", ["x"], ["y"],
+                         attrs=[fo.attr_int("axis", axis)])],
+                inputs=[fo.value_info("x", [4, 6])],
+                outputs=[fo.value_info("y", [4, 6])],
+            )
+            got = run_model(mb, x)
+            ax = axis % 2
+            want = np.zeros_like(x)
+            idx = np.argmax(x, axis=ax)
+            if ax == 0:
+                want[idx, np.arange(x.shape[1])] = 1.0
+            else:
+                want[np.arange(x.shape[0]), idx] = 1.0
+            assert np.array_equal(got, want), axis
+
+    def test_space_to_depth_and_back(self):
+        rng = np.random.default_rng(2)
+        x = rng.normal(0, 1, (2, 3, 4, 6)).astype(np.float32)
+        b = 2
+        mb = fo.model(
+            [fo.node("SpaceToDepth", ["x"], ["y"],
+                     attrs=[fo.attr_int("blocksize", b)])],
+            inputs=[fo.value_info("x", [2, 3, 4, 6])],
+            outputs=[fo.value_info("y", [2, 12, 2, 3])],
+        )
+        got = run_model(mb, x)
+        # Independent loop-spelled expectation from the ONNX spec:
+        # y[n, (i*b+j)*C + c, h, w] = x[n, c, h*b+i, w*b+j]
+        want = np.zeros((2, 12, 2, 3), np.float32)
+        for i in range(b):
+            for j in range(b):
+                for c in range(3):
+                    want[:, (i * b + j) * 3 + c] = x[:, c, i::b, j::b]
+        assert np.array_equal(got, want)
+
+        # DepthToSpace(DCR) inverts SpaceToDepth.
+        mb2 = fo.model(
+            [fo.node("DepthToSpace", ["y"], ["z"],
+                     attrs=[fo.attr_int("blocksize", b)])],
+            inputs=[fo.value_info("y", [2, 12, 2, 3])],
+            outputs=[fo.value_info("z", [2, 3, 4, 6])],
+        )
+        back = run_model(mb2, got)
+        assert np.array_equal(back, x)
+
+    def test_depth_to_space_crd_matches_pixel_shuffle(self):
+        rng = np.random.default_rng(3)
+        x = rng.normal(0, 1, (2, 12, 3, 5)).astype(np.float32)
+        mb = fo.model(
+            [fo.node("DepthToSpace", ["x"], ["y"], attrs=[
+                fo.attr_int("blocksize", 2), fo.attr_str("mode", "CRD")])],
+            inputs=[fo.value_info("x", [2, 12, 3, 5])],
+            outputs=[fo.value_info("y", [2, 3, 6, 10])],
+        )
+        got = run_model(mb, x)
+        want = F.pixel_shuffle(torch.from_numpy(x), 2).numpy()
+        assert np.array_equal(got, want)
+
+    def test_trilu(self):
+        x = np.random.default_rng(4).normal(0, 1, (2, 5, 5)).astype(np.float32)
+        for upper, k in ((1, 0), (0, 0), (1, 1), (0, -1)):
+            nodes = [fo.node("Trilu", ["x", "k"], ["y"],
+                             attrs=[fo.attr_int("upper", upper)])]
+            mb = fo.model(
+                nodes,
+                inputs=[fo.value_info("x", [2, 5, 5])],
+                outputs=[fo.value_info("y", [2, 5, 5])],
+                initializers=[fo.tensor("k", np.array(k, np.int64))],
+            )
+            got = run_model(mb, x)
+            tw = torch.triu if upper else torch.tril
+            want = tw(torch.from_numpy(x), k).numpy()
+            assert np.array_equal(got, want), (upper, k)

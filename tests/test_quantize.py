@@ -468,6 +468,194 @@ class TestSelectionRules:
         qfn = lower_int8(mb, calib)  # conv w is 1152 B, gemm g is 18 KB
         assert "small-weight" in qfn.skipped_nodes.values()
 
+    def test_activation_gate_is_opt_in_and_exempts_depthwise(self):
+        """With ``min_act_elems`` set, a dense conv with a 576 B weight but
+        a 16k-element activation quantizes (byte savings scale with the
+        activation) — while a depthwise conv of the same activation size
+        stays float (int8 depthwise on the VPU measured as a loss), and
+        the default (gate off) quantizes neither."""
+        import jax
+        import jax.numpy as jnp
+
+        from birda_tpu.onnx.quantize import DEFAULT_MIN_ACT_ELEMS
+
+        rng = np.random.default_rng(10)
+        w = rng.normal(0, 0.2, (4, 4, 3, 3)).astype(np.float32)   # 576 B
+        wd = rng.normal(0, 0.3, (4, 1, 3, 3)).astype(np.float32)  # 144 B
+        mb = fo.model(
+            [
+                fo.node("Conv", ["x", "w"], ["y"], attrs=[
+                    fo.attr_ints("pads", [1, 1, 1, 1]),
+                ]),
+                fo.node("Conv", ["y", "wd"], ["z"], attrs=[
+                    fo.attr_ints("pads", [1, 1, 1, 1]),
+                    fo.attr_int("group", 4),
+                ]),
+            ],
+            inputs=[fo.value_info("x", ["batch", 4, 64, 64])],
+            outputs=[fo.value_info("z", ["batch", 4, 64, 64])],
+            initializers=[fo.tensor("w", w), fo.tensor("wd", wd)],
+        )
+        x = rng.normal(0, 0.5, (2, 4, 64, 64)).astype(np.float32)
+        calib = calibrate(mb, [x])
+        assert calib.stats["x"]["aelems"] == 4 * 64 * 64
+        # Default: gate off, both convs stay float (the measured optimum).
+        q0 = lower_int8(mb, calib, protect_outputs=False)
+        assert q0.quantized_nodes == []
+        # Gate on: the dense conv quantizes, the depthwise stays exempt.
+        qfn = lower_int8(mb, calib, compute_dtype=jnp.float32,
+                         protect_outputs=False,
+                         min_act_elems=DEFAULT_MIN_ACT_ELEMS)
+        assert qfn.quantized_nodes == ["y"]
+        assert qfn.skipped_nodes["z"] == "small-weight"
+        got = np.asarray(jax.jit(
+            lambda p, a: qfn(a, params=p))(qfn.params, x), np.float32)
+        want = np.asarray(lower(mb)(x), np.float32)
+        assert np.max(np.abs(got - want)) < 0.05 * np.max(np.abs(want))
+
+
+class TestBoundaryStorePolicies:
+    """Fusion-boundary int8 materialization policies and the
+    dequantize-on-read path for non-quantized consumers (residual Adds,
+    SE pools — the tensors the strict rule left at 2 B/element)."""
+
+    def _mixed_consumer_graph(self):
+        """u = Relu(Conv1(x)) feeds BOTH Conv2 (quantized) and a residual
+        Add (not) — the MBConv residual-stream pattern."""
+        rng = np.random.default_rng(30)
+        w1 = rng.normal(0, 0.15, (16, 16, 3, 3)).astype(np.float32)  # 9 KB
+        w2 = rng.normal(0, 0.15, (16, 16, 3, 3)).astype(np.float32)
+        nodes = [
+            fo.node("Conv", ["x", "w1"], ["c1"], attrs=[
+                fo.attr_ints("pads", [1, 1, 1, 1]),
+            ]),
+            fo.node("Relu", ["c1"], ["u"]),
+            fo.node("Conv", ["u", "w2"], ["c2"], attrs=[
+                fo.attr_ints("pads", [1, 1, 1, 1]),
+            ]),
+            fo.node("Add", ["c2", "u"], ["y"]),  # residual over u
+        ]
+        mb = fo.model(
+            nodes,
+            inputs=[fo.value_info("x", ["batch", 16, 12, 12])],
+            outputs=[fo.value_info("y", ["batch", 16, 12, 12])],
+            initializers=[fo.tensor("w1", w1), fo.tensor("w2", w2)],
+        )
+        x = rng.normal(0, 0.5, (2, 16, 12, 12)).astype(np.float32)
+        return mb, x
+
+    def test_tolerant_stores_mixed_consumer_tensor(self):
+        import jax
+        import jax.numpy as jnp
+
+        mb, x = self._mixed_consumer_graph()
+        calib = calibrate(mb, [x])
+        wantfn = lower(mb)
+        want = np.asarray(wantfn(x, params=wantfn.params), np.float32)
+        results = {}
+        for policy in ("strict", "tolerant", "frontier"):
+            qfn = lower_int8(mb, calib, compute_dtype=jnp.float32,
+                             min_weight_bytes=1, protect_outputs=False,
+                             boundary_store=policy)
+            assert set(qfn.quantized_nodes) == {"c1", "c2"}
+            got = np.asarray(jax.jit(
+                lambda p, a: qfn(a, params=p))(qfn.params, x), np.float32)
+            assert np.max(np.abs(got - want)) < 0.05 * np.max(np.abs(want)), \
+                policy
+            results[policy] = set(qfn.int8_boundary_tensors)
+        # u has a non-quantized consumer (the Add): strict leaves it float,
+        # tolerant and frontier store it int8 and the Add dequantizes on
+        # read. x is a graph feed (never stored); y is an output.
+        assert "u" not in results["strict"]
+        assert "u" in results["tolerant"]
+        assert "u" in results["frontier"]
+        assert "y" not in results["tolerant"]
+
+    def test_frontier_skips_sole_quantized_consumer(self):
+        """A tensor whose only reader is a quantized node is left to the
+        consumer's quantize-on-read under "frontier" (same HBM bytes, no
+        forced materialization of an XLA-fusable producer chain)."""
+        import jax.numpy as jnp
+
+        mb, x = self._mixed_consumer_graph()
+        calib = calibrate(mb, [x])
+        q_f = lower_int8(mb, calib, compute_dtype=jnp.float32,
+                         min_weight_bytes=1, protect_outputs=False,
+                         boundary_store="frontier")
+        q_t = lower_int8(mb, calib, compute_dtype=jnp.float32,
+                         min_weight_bytes=1, protect_outputs=False,
+                         boundary_store="tolerant")
+        # x (the graph input) is c1's activation with conv c1 its sole
+        # reader: tolerant lists it, frontier does not.
+        assert "x" in q_t.int8_boundary_tensors
+        assert "x" not in q_f.int8_boundary_tensors
+
+    def test_all_policy_stores_se_style_stream(self):
+        """"all" additionally stores a large tensor that only elementwise
+        ops read (the SE pool/gate stream): consumer-derived policies
+        can't reach it because no matmul/conv consumes it."""
+        import jax
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(33)
+        w1 = rng.normal(0, 0.15, (16, 16, 3, 3)).astype(np.float32)
+        w2 = rng.normal(0, 0.15, (16, 16, 3, 3)).astype(np.float32)
+        nodes = [
+            fo.node("Conv", ["x", "w1"], ["c1"], attrs=[
+                fo.attr_ints("pads", [1, 1, 1, 1]),
+            ]),
+            fo.node("Relu", ["c1"], ["r"]),           # 16*32*32 = 16384/sample
+            fo.node("GlobalAveragePool", ["r"], ["g"]),
+            fo.node("Sigmoid", ["g"], ["s"]),
+            fo.node("Mul", ["r", "s"], ["m"]),        # SE gate over r
+            fo.node("Conv", ["m", "w2"], ["y"], attrs=[
+                fo.attr_ints("pads", [1, 1, 1, 1]),
+            ]),
+        ]
+        mb = fo.model(
+            nodes,
+            inputs=[fo.value_info("x", ["batch", 16, 32, 32])],
+            outputs=[fo.value_info("y", ["batch", 16, 32, 32])],
+            initializers=[fo.tensor("w1", w1), fo.tensor("w2", w2)],
+        )
+        x = rng.normal(0, 0.5, (2, 16, 32, 32)).astype(np.float32)
+        calib = calibrate(mb, [x])
+        assert "r" in calib.stats  # large-intermediate capture
+        q_fro = lower_int8(mb, calib, compute_dtype=jnp.float32,
+                           protect_outputs=False, boundary_store="frontier")
+        q_all = lower_int8(mb, calib, compute_dtype=jnp.float32,
+                           protect_outputs=False, boundary_store="all")
+        # r is read only by GlobalAveragePool and Mul — no conv/matmul —
+        # so only "all" can store it.
+        assert "r" not in q_fro.int8_boundary_tensors
+        assert "r" in q_all.int8_boundary_tensors
+        wantfn = lower(mb)
+        want = np.asarray(wantfn(x, params=wantfn.params), np.float32)
+        got = np.asarray(jax.jit(
+            lambda p, a: q_all(a, params=p))(q_all.params, x), np.float32)
+        assert np.max(np.abs(got - want)) < 0.06 * np.max(np.abs(want))
+
+    def test_unknown_policy_rejected(self):
+        mb, x = self._mixed_consumer_graph()
+        calib = calibrate(mb, [x])
+        with pytest.raises(ValueError):
+            lower_int8(mb, calib, boundary_store="eager")
+
+    def test_fetch_dequant_accounted_in_cost_report(self):
+        import jax
+
+        from birda_tpu.onnx.quantize import int8_cost_report
+
+        mb, x = self._mixed_consumer_graph()
+        calib = calibrate(mb, [x])
+        qfn = lower_int8(mb, calib, min_weight_bytes=1,
+                         protect_outputs=False, boundary_store="tolerant")
+        rep = int8_cost_report(
+            qfn, jax.ShapeDtypeStruct(x.shape, np.float32))
+        # The Add's read of boundary-stored u dequantizes on fetch.
+        assert rep["fetch_dequant_elems"] >= x.size
+        assert rep["epilogue_elems"] >= rep["fetch_dequant_elems"]
+
 
 class TestEndToEndParity:
     @pytest.mark.parametrize("spec", [fs.BIRDNET_V24_SPEC, fs.PERCH_V2_SPEC])
@@ -489,11 +677,17 @@ class TestEndToEndParity:
         # 14x drift cut on the full-depth graph).
         assert list(qfn.skipped_nodes.values()).count("output-head") == 2
 
-        # Backbone-internal tensors materialize int8 at fusion boundaries
-        # (every consumer quantized); the graph outputs never do.
-        assert len(qfn.int8_boundary_tensors) >= 10
+        # Backbone-internal tensors materialize int8 at fusion boundaries;
+        # the default "all"/frontier policy deliberately leaves
+        # sole-quantized-reader tensors to quantize-at-consumer (measured
+        # faster — docs/performance.md), so the tiny graph stores only a
+        # few. Under "strict" every all-consumers-quantized tensor stores.
+        assert len(qfn.int8_boundary_tensors) >= 1
         assert not {"predictions", "embeddings"} & set(
             qfn.int8_boundary_tensors)
+        q_strict = lower_int8(g.model_bytes, calib, min_weight_bytes=256,
+                              boundary_store="strict")
+        assert len(q_strict.int8_boundary_tensors) >= 10
         ffn = lower(g.model_bytes)
         test = next(calibration_signals(g.spec.sample_count, batch=4,
                                         n_batches=1, seed=99))

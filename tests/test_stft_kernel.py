@@ -255,6 +255,107 @@ class TestMelFrontendFusion:
         assert fuse_mel_frontend(model.graph) == 1
         assert any(n.op_type == FUSED_OP for n in model.graph.nodes)
 
+    def test_split_spelling_matches(self):
+        """Exporters may separate the cos/sin banks with one Split(axis=1)
+        instead of two Slices; the fused scores must match the
+        node-by-node execution exactly in fp32."""
+        import fixtures_onnx as fo
+        from birda_tpu.onnx.fuse import FUSED_OP, fuse_mel_frontend
+        from birda_tpu.onnx.lowering import OnnxFunction, lower
+        from birda_tpu.onnx.proto import load_model
+
+        rng = np.random.default_rng(6)
+        k, hop, s = 512, 160, 8000
+        bins = 40
+        t = (s - k) // hop + 1
+        w = rng.normal(0, 0.05, (2 * bins, 1, k)).astype(np.float32)
+        fb = rng.uniform(0, 0.1, (bins, 16)).astype(np.float32)
+        mb = fo.model(
+            [
+                fo.node("Conv", ["x", "w"], ["c"], attrs=[
+                    fo.attr_ints("strides", [hop]),
+                    fo.attr_ints("kernel_shape", [k]),
+                ]),
+                fo.node("Split", ["c"], ["re", "im"],
+                        attrs=[fo.attr_int("axis", 1)]),
+                fo.node("Mul", ["re", "re"], ["re2"]),
+                fo.node("Mul", ["im", "im"], ["im2"]),
+                fo.node("Add", ["re2", "im2"], ["p"]),
+                fo.node("Transpose", ["p"], ["pt"],
+                        attrs=[fo.attr_ints("perm", [0, 2, 1])]),
+                fo.node("MatMul", ["pt", "fb"], ["mel"]),
+                fo.node("Add", ["mel", "eps"], ["mele"]),
+                fo.node("Log", ["mele"], ["y"]),
+            ],
+            inputs=[fo.value_info("x", ["batch", 1, s])],
+            outputs=[fo.value_info("y", ["batch", t, 16])],
+            initializers=[
+                fo.tensor("w", w), fo.tensor("fb", fb),
+                fo.tensor("eps", np.float32(1e-6)),
+            ],
+        )
+        x = rng.normal(0, 0.3, (2, 1, s)).astype(np.float32)
+        plain = lower(mb)
+        want = np.asarray(plain(x, params=plain.params), np.float32)
+
+        model = load_model(mb)
+        assert fuse_mel_frontend(model.graph) == 1
+        assert any(n.op_type == FUSED_OP for n in model.graph.nodes)
+        fn = OnnxFunction(model)
+        got = np.asarray(fn(x, params=fn.params), np.float32)
+        # The fused kernel computes its DFT slabs in bf16 (its production
+        # dtype) even when the surrounding graph is fp32, so the budget is
+        # the documented bf16 drift, not exactness.
+        assert np.abs(got - want).max() / np.abs(want).max() < 2e-2
+
+    def test_split_uneven_or_wrong_axis_left_alone(self):
+        """A Split that is not the equal cos/sin halving must not match."""
+        import fixtures_onnx as fo
+        from birda_tpu.onnx.fuse import fuse_mel_frontend
+        from birda_tpu.onnx.proto import load_model
+
+        rng = np.random.default_rng(7)
+        k, hop, s = 512, 160, 8000
+        bins = 40
+        t = (s - k) // hop + 1
+        w = rng.normal(0, 0.05, (2 * bins, 1, k)).astype(np.float32)
+        fb = rng.uniform(0, 0.1, (bins, 16)).astype(np.float32)
+
+        def graph(split_attrs, split_outputs):
+            return fo.model(
+                [
+                    fo.node("Conv", ["x", "w"], ["c"], attrs=[
+                        fo.attr_ints("strides", [hop]),
+                        fo.attr_ints("kernel_shape", [k]),
+                    ]),
+                    fo.node("Split", ["c"], split_outputs,
+                            attrs=split_attrs),
+                    fo.node("Mul", ["re", "re"], ["re2"]),
+                    fo.node("Mul", ["im", "im"], ["im2"]),
+                    fo.node("Add", ["re2", "im2"], ["p"]),
+                    fo.node("Transpose", ["p"], ["pt"],
+                            attrs=[fo.attr_ints("perm", [0, 2, 1])]),
+                    fo.node("MatMul", ["pt", "fb"], ["mel"]),
+                    fo.node("Add", ["mel", "eps"], ["mele"]),
+                    fo.node("Log", ["mele"], ["y"]),
+                ],
+                inputs=[fo.value_info("x", ["batch", 1, s])],
+                outputs=[fo.value_info("y", ["batch", t, 16])],
+                initializers=[
+                    fo.tensor("w", w), fo.tensor("fb", fb),
+                    fo.tensor("eps", np.float32(1e-6)),
+                ],
+            )
+
+        # Uneven halves: not the re/im separation.
+        m1 = load_model(graph(
+            [fo.attr_int("axis", 1),
+             fo.attr_ints("split", [bins - 8, bins + 8])], ["re", "im"]))
+        assert fuse_mel_frontend(m1.graph) == 0
+        # Wrong axis.
+        m2 = load_model(graph([fo.attr_int("axis", 2)], ["re", "im"]))
+        assert fuse_mel_frontend(m2.graph) == 0
+
     def test_int8_mode_composes_with_fusion(self, monkeypatch):
         """--precision int8 on a graph with the fused front-end: the DSP
         stays float through the kernel, the backbone quantizes, and the
