@@ -191,10 +191,22 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001
         extra["perch_v2_error"] = str(e)[:200]
     try:
+        rt_perch_i8 = _bench_onnx_int8(fs.PERCH_V2_SPEC, batch=256, iters=6)
+        extra["perch_v2_int8_x_realtime"] = round(rt_perch_i8, 0)
+        extra["perch_v2_int8_vs_its_baseline"] = round(
+            rt_perch_i8 / BASELINE_PERCH_V2, 2)
+    except Exception as e:  # noqa: BLE001
+        extra["perch_v2_int8_error"] = str(e)[:200]
+    try:
         rt_v30, _ = _bench_onnx(fs.BIRDNET_V30_SPEC, batch=256, iters=6)
         extra["birdnet_v30_onnx_x_realtime"] = round(rt_v30, 0)
     except Exception as e:  # noqa: BLE001
         extra["birdnet_v30_error"] = str(e)[:200]
+    try:
+        extra["birdnet_v30_int8_x_realtime"] = round(
+            _bench_onnx_int8(fs.BIRDNET_V30_SPEC, batch=256, iters=6), 0)
+    except Exception as e:  # noqa: BLE001
+        extra["birdnet_v30_int8_error"] = str(e)[:200]
     try:
         extra["native_flax_v24_x_realtime"] = round(
             _bench_native(batch=256, iters=8), 0)

@@ -216,10 +216,19 @@ def onnx_model_int8(
     governs the non-quantized ops (None = bf16 on TPU, fp32 elsewhere);
     quantized weights ship/live as int8 (half the bf16 footprint).
     """
+    import os
+
     from ..onnx.quantize import int8_throughput_advisory, lower_int8
 
+    # Experiment escape hatch for real-asset tuning: the boundary-storage
+    # policy default ("all") is the measured optimum on the synthetic
+    # full-scale graphs (docs/performance.md "Fusion-boundary storage
+    # policy"); a real export with a different fusion landscape can be
+    # re-tuned without a code change.
+    boundary = os.environ.get("BIRDA_INT8_BOUNDARY", "all")
     fn = lower_int8(path if isinstance(path, bytes) else str(path),
-                    calibration, compute_dtype=compute_dtype)
+                    calibration, compute_dtype=compute_dtype,
+                    boundary_store=boundary)
     if compute_dtype is None:
         import jax
 
@@ -232,6 +241,7 @@ def onnx_model_int8(
         "mode": "int8",
         "quantized_nodes": len(fn.quantized_nodes),
         "int8_boundary_tensors": len(fn.int8_boundary_tensors),
+        "boundary_store": boundary,
         "skipped_nodes": len(fn.skipped_nodes),
     }
     # Static throughput advisory (the selection-never-picks-a-known-worse-

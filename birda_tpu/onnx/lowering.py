@@ -1313,6 +1313,8 @@ class _Evaluator:
         n = int(dft_length) if dft_length is not None else None
         # x: [..., 1 or 2] last dim = real/imag pair per ONNX DFT contract.
         xr = x[..., 0] if x.shape[-1] in (1, 2) else x
+        if not _is_host(xr) and xr.dtype not in (jnp.float32, jnp.float64):
+            xr = xr.astype(jnp.float32)  # jax FFT rejects bf16 inputs
         out = jnp.fft.rfft(xr, n=n, axis=ax) if onesided else jnp.fft.fft(xr, n=n, axis=ax)
         return jnp.stack([out.real, out.imag], axis=-1).astype(jnp.float32)
 

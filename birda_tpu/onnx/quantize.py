@@ -885,9 +885,26 @@ def lower_int8(
         # are excluded — XLA cannot fuse a quantize into a custom call, so
         # storing would add a standalone pass instead of riding an epilogue.
         producers = {o: n for n in graph.nodes for o in n.outputs if o}
+        # DSP guard: tensors that reach a DFT through elementwise/shape ops
+        # are time-domain audio about to be transformed — 8-bit storage
+        # puts a quantization noise floor under the whole spectrum (the
+        # same reasoning that keeps the Conv1d-STFT front-end float). Walk
+        # backward from every DFT input, stopping at matmul/conv producers.
+        dsp_block: set = set()
+        work = [i for nd in graph.nodes if nd.op_type == "DFT"
+                for i in nd.inputs if i]
+        while work:
+            t = work.pop()
+            if t in dsp_block or t in graph.initializers:
+                continue
+            dsp_block.add(t)
+            prod = producers.get(t)
+            if prod is not None and prod.op_type not in (
+                    "Conv", "MatMul", "Gemm"):
+                work.extend(i for i in prod.inputs if i)
         for name, st in calibration.stats.items():
             if (name in ascale or name in out_names
-                    or name in graph.initializers
+                    or name in graph.initializers or name in dsp_block
                     or st.get("aelems", 0) < DEFAULT_MIN_ACT_ELEMS):
                 continue
             prod = producers.get(name)
@@ -992,16 +1009,17 @@ def int8_cost_report(fn: OnnxFunction, *example_args) -> dict:
 
 
 #: Arithmetic intensity (FLOPs per bf16-equivalent activation byte) of the
-#: quantized subgraph above which int8 has measured as NOT a throughput
-#: win. Calibrated on the three full-scale measurements (docs/performance.md
-#: "int8 execution mode", batch 256): BirdNET v2.4 measures ~6.3 FLOP/B —
-#: bandwidth-bound, int8's activation-byte cuts pay, measured **+4.7%**;
-#: Perch v2 ~38.9 and BirdNET v3.0 ~47 — compute-shaped, the byte savings
-#: buy nothing and the quantize/requantize epilogues eat the margin,
-#: measured **−3.6%** and **+2.2%** (≈ noise around zero). 20 separates
-#: the clear-win regime from the ≈neutral/negative one with 3x margin on
-#: both sides.
-ADVISORY_INTENSITY_FLOP_PER_BYTE = 20.0
+#: quantized subgraph above which int8 draws a "validate before trusting
+#: the speedup" advisory. History: at 20 this separated the round-3
+#: first-pass measurements (v2.4 ~6.3 FLOP/B = +4.7%; Perch ~38.9 =
+#: -3.6%, v3.0 ~47 = +2.2%). The boundary-storage pass
+#: (``boundary_store="all"``) then turned EVERY measured family into a
+#: clear win -- v2.4 +17%, v3.0 +17.9%, Perch +7.7% (docs/performance.md)
+#: -- so the threshold now sits at ~2x the highest measured-positive
+#: intensity: inside measured territory int8 is known-good; only
+#: far-outlier graphs (deep-reduction MLP stacks) still warrant the
+#: warning.
+ADVISORY_INTENSITY_FLOP_PER_BYTE = 100.0
 
 
 def int8_throughput_advisory(fn: OnnxFunction, *example_args) -> dict | None:
@@ -1009,10 +1027,12 @@ def int8_throughput_advisory(fn: OnnxFunction, *example_args) -> dict | None:
 
     The reference's variant selection never auto-picks a known-worse
     variant (``src/registry/selection.rs:160``); this is the analogue for
-    ``--precision int8``: a static shape-derived heuristic flags
-    compute-shaped graphs, where int8 measured −3.6%…+2.2% vs bf16
-    (Perch v2 / BirdNET v3.0, docs/performance.md) because the saved
-    activation bytes were never the binding resource there.
+    ``--precision int8``: a static shape-derived heuristic flags graphs
+    far more compute-shaped than anything measured. Under the original
+    strict boundary policy, compute-shaped families measured int8 as a
+    loss (Perch −3.6%); the ``boundary_store="all"`` pass flipped every
+    measured family positive (v2.4 +17%, v3.0 +17.9%, Perch +7.7%), so
+    the advisory now only fires beyond measured territory.
 
     The discriminator is the quantized subgraph's arithmetic intensity:
     ``2·macs / activation bytes at bf16 storage``. Low intensity means the
@@ -1045,10 +1065,11 @@ def int8_throughput_advisory(fn: OnnxFunction, *example_args) -> dict | None:
         "message": (
             "this graph is compute-shaped "
             f"({intensity:.0f} FLOP per activation byte, threshold "
-            f"{ADVISORY_INTENSITY_FLOP_PER_BYTE:g}): int8 is unlikely to "
-            "improve throughput (measured -3.6%..+2.2% on Perch v2 / "
-            "BirdNET v3.0-class graphs, docs/performance.md) — its benefit "
-            "here is the ~2x weight-memory cut, not speed. Validate on "
+            f"{ADVISORY_INTENSITY_FLOP_PER_BYTE:g}) — far beyond the "
+            "measured families (6–47 FLOP/B, all int8-positive after the "
+            "boundary-storage pass, docs/performance.md): the MXU, not "
+            "activation traffic, is likely the constraint here, so expect "
+            "the ~2x weight-memory cut rather than a speedup. Validate on "
             "your own data or use --precision bf16."
         ),
     }

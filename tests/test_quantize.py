@@ -635,6 +635,46 @@ class TestBoundaryStorePolicies:
             lambda p, a: q_all(a, params=p))(q_all.params, x), np.float32)
         assert np.max(np.abs(got - want)) < 0.06 * np.max(np.abs(want))
 
+    def test_all_policy_never_stores_pre_dft_audio(self):
+        """Tensors feeding a DFT are time-domain audio: int8-storing them
+        puts a quantization noise floor under the whole spectrum, and a
+        bf16 dequant once crashed jax's rfft outright (Perch v2 family).
+        The DSP guard walks backward from DFT inputs through
+        elementwise/shape ops and excludes the lot; the graph must still
+        execute at the bf16 compute dtype."""
+        import jax.numpy as jnp
+
+        g = fs.cached_build(fs.tiny_spec(fs.PERCH_V2_SPEC), seed=1)
+        batches = list(calibration_signals(g.spec.sample_count, batch=2,
+                                           n_batches=1))
+        calib = calibrate(g.model_bytes, batches, min_weight_bytes=256)
+        qfn = lower_int8(g.model_bytes, calib, min_weight_bytes=256,
+                         compute_dtype=jnp.bfloat16,
+                         boundary_store="all")
+        dft_inputs = {i for n in qfn.graph.nodes if n.op_type == "DFT"
+                      for i in n.inputs if i}
+        assert dft_inputs  # the tiny Perch graph carries the DFT op
+        assert not dft_inputs & set(qfn.int8_boundary_tensors)
+        # The framer conv's output reaches the DFT through Transpose/Mul
+        # and must be excluded too (the walk crosses elementwise ops).
+        stored = set(qfn.int8_boundary_tensors)
+        for n in qfn.graph.nodes:
+            if n.op_type == "Transpose" and any(
+                    o in dft_inputs or o in stored for o in n.outputs):
+                assert not set(n.inputs) & stored
+        # Traces end to end at bf16 — the rfft-rejects-bf16 regression
+        # fired at trace time (XLA:CPU cannot *execute* bf16 dots, so the
+        # numeric check below runs fp32).
+        import jax
+
+        shapes = jax.eval_shape(lambda a: qfn(a, params=qfn.params),
+                                batches[0])
+        assert shapes[0].shape[1] == g.spec.num_classes
+        q32 = lower_int8(g.model_bytes, calib, min_weight_bytes=256,
+                         compute_dtype=jnp.float32, boundary_store="all")
+        out = np.asarray(q32(batches[0], params=q32.params)[0], np.float32)
+        assert np.isfinite(out).all()
+
     def test_unknown_policy_rejected(self):
         mb, x = self._mixed_consumer_graph()
         calib = calibrate(mb, [x])
@@ -855,6 +895,32 @@ class TestEndToEndParity:
         p0 = env.pipeline_started_payload(1, "m", 0.1, {"requested": "cpu"})
         assert "precision" not in p0
 
+    def test_boundary_policy_env_knob(self, monkeypatch):
+        """BIRDA_INT8_BOUNDARY re-tunes the storage policy without a code
+        change (real-asset day-one escape hatch); the chosen policy is
+        surfaced through precision_info."""
+        from birda_tpu.models.contracts import ModelFamily, contract_for
+        from birda_tpu.models.zoo import onnx_model_int8, synthetic_labels
+
+        g = fs.cached_build(fs.tiny_spec(fs.BIRDNET_V24_SPEC), seed=1)
+        x = next(calibration_signals(g.spec.sample_count, batch=2,
+                                     n_batches=1))
+        calib = calibrate(g.model_bytes, [x])
+        contract = contract_for(ModelFamily.BIRDNET_V24)
+        m_def = onnx_model_int8(g.model_bytes, contract,
+                                synthetic_labels(contract.num_classes),
+                                calib)
+        assert m_def.precision_info["boundary_store"] == "all"
+        monkeypatch.setenv("BIRDA_INT8_BOUNDARY", "strict")
+        m_env = onnx_model_int8(g.model_bytes, contract,
+                                synthetic_labels(contract.num_classes),
+                                calib)
+        assert m_env.precision_info["boundary_store"] == "strict"
+        # strict stores strictly more on the tiny graph (sole-quantized
+        # readers are the common case there).
+        assert (m_env.precision_info["int8_boundary_tensors"]
+                > m_def.precision_info["int8_boundary_tensors"])
+
     def test_int8_params_halve_the_footprint(self):
         g = fs.cached_build(fs.tiny_spec(fs.BIRDNET_V30_SPEC), seed=1)
         x = next(calibration_signals(g.spec.sample_count, batch=2,
@@ -962,7 +1028,10 @@ class TestCostReportAndAdvisory:
         from birda_tpu.models.zoo import onnx_model_int8, synthetic_labels
 
         rng = np.random.default_rng(8)
-        n = 256
+        # Deep enough that the intensity clears the recalibrated threshold
+        # (100 since the boundary-storage pass — every measured family at
+        # 6-47 FLOP/B is now int8-positive, so only far outliers warn).
+        n = 1024
         w1 = rng.normal(0, 0.05, (n, n)).astype(np.float32)
         w2 = rng.normal(0, 0.05, (n, 5)).astype(np.float32)
         mb = fo.model(
