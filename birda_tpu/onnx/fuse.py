@@ -34,6 +34,7 @@ import numpy as np
 from .proto import Attribute, Graph, Node, Tensor
 
 FUSED_OP = "BirdaFusedMelFrontend"
+FUSED_SE_OP = "BirdaFusedSE"
 
 
 def _attr_i(name: str, v: int) -> Attribute:
@@ -266,6 +267,139 @@ def _match_chain(graph, conv, consumers, out_names, sole_consumer):
         "chain": chain, "conv": conv, "log": log, "fb_cat": fb_cat,
         "hop": int(strides[0]), "eps": eps, "bins": bins,
     }
+
+
+def fuse_se(graph: Graph) -> int:
+    """Splice every squeeze-and-excitation gate chain
+
+        GlobalAveragePool -> Conv(1x1) -> Mul(.,Sigmoid(.)) [swish]
+        -> Conv(1x1) -> Sigmoid -> Mul(x, .)
+
+    into one ``BirdaFusedSE`` node (lowered to the VMEM-resident Pallas
+    kernel in ``ops/se.py`` when geometry allows; composed ops otherwise).
+    Matching is conservative — initializer-backed 1x1 group-1 convs,
+    chain-internal tensors single-consumed and not graph outputs — and
+    ``x`` itself may have other consumers (it stays live as the fused
+    node's input). Returns the number of chains fused."""
+    fused = 0
+    while True:
+        m = _match_one_se(graph)
+        if m is None:
+            return fused
+        _apply_se(graph, m)
+        fused += 1
+
+
+def _se_conv_1x1(graph, node):
+    """(w, b_name) for an initializer-backed 1x1 group-1 Conv; None if the
+    node is anything else. ``w`` keeps its ONNX [C_out, C_in, 1, 1] shape."""
+    if node.op_type != "Conv" or len(node.inputs) < 2:
+        return None
+    w = graph.initializers.get(node.inputs[1])
+    if w is None or w.array is None or w.array.ndim != 4 or \
+            w.array.shape[2:] != (1, 1):
+        return None
+    if node.attr("group", 1) != 1:
+        return None
+    strides = node.attr("strides")
+    if strides is not None and any(int(s) != 1 for s in strides):
+        return None
+    dil = node.attr("dilations")
+    if dil is not None and any(int(d) != 1 for d in dil):
+        return None
+    pads = node.attr("pads")
+    if pads is not None and any(int(p) for p in pads):
+        return None
+    if node.attr("auto_pad", b"NOTSET") not in (b"NOTSET", b"VALID"):
+        return None
+    b_name = node.inputs[2] if len(node.inputs) > 2 and node.inputs[2] else ""
+    if b_name and b_name not in graph.initializers:
+        return None
+    return w.array, b_name
+
+
+def _match_one_se(graph):
+    consumers: dict[str, list[Node]] = {}
+    for n in graph.nodes:
+        for inp in n.inputs:
+            if inp and (inp not in consumers or consumers[inp][-1] is not n):
+                consumers.setdefault(inp, []).append(n)
+    out_names = {vi.name for vi in graph.outputs}
+
+    def sole_consumer(tensor, op_type=None):
+        if tensor in out_names:
+            return None
+        cons = consumers.get(tensor, [])
+        if len(cons) != 1:
+            return None
+        if op_type is not None and cons[0].op_type != op_type:
+            return None
+        return cons[0]
+
+    for pool in graph.nodes:
+        if pool.op_type != "GlobalAveragePool":
+            continue
+        x = pool.inputs[0]
+        conv1 = sole_consumer(pool.outputs[0], "Conv")
+        if conv1 is None:
+            continue
+        p1 = _se_conv_1x1(graph, conv1)
+        if p1 is None:
+            continue
+        w1, b1_name = p1
+        # swish: r consumed by exactly {Sigmoid sg, Mul mu(r, sg.out)}
+        r = conv1.outputs[0]
+        if r in out_names:
+            continue
+        cons_r = consumers.get(r, [])
+        if len(cons_r) != 2:
+            continue
+        sg = next((n for n in cons_r if n.op_type == "Sigmoid"), None)
+        mu = next((n for n in cons_r if n.op_type == "Mul"), None)
+        if sg is None or mu is None or \
+                sole_consumer(sg.outputs[0], "Mul") is not mu or \
+                set(mu.inputs) != {r, sg.outputs[0]}:
+            continue
+        conv2 = sole_consumer(mu.outputs[0], "Conv")
+        if conv2 is None:
+            continue
+        p2 = _se_conv_1x1(graph, conv2)
+        if p2 is None:
+            continue
+        w2, b2_name = p2
+        # shape consistency: w1 [C_se, C, 1, 1], w2 [C, C_se, 1, 1]
+        c_se, c = w1.shape[0], w1.shape[1]
+        if w2.shape[0] != c or w2.shape[1] != c_se:
+            continue
+        sg2 = sole_consumer(conv2.outputs[0], "Sigmoid")
+        if sg2 is None:
+            continue
+        gate_mul = sole_consumer(sg2.outputs[0], "Mul")
+        if gate_mul is None or set(gate_mul.inputs) != {x, sg2.outputs[0]}:
+            continue
+        return {
+            "x": x, "pool": pool, "conv1": conv1, "sg": sg, "mu": mu,
+            "conv2": conv2, "sg2": sg2, "gate_mul": gate_mul,
+            "w1_name": conv1.inputs[1], "b1_name": b1_name,
+            "w2_name": conv2.inputs[1], "b2_name": b2_name,
+            "chain": [pool, conv1, sg, mu, conv2, sg2, gate_mul],
+        }
+    return None
+
+
+def _apply_se(graph: Graph, m: dict) -> None:
+    fused = Node(
+        op_type=FUSED_SE_OP,
+        name=(m["pool"].name or "se") + "_fused_se",
+        inputs=[m["x"], m["w1_name"], m["b1_name"],
+                m["w2_name"], m["b2_name"]],
+        outputs=[m["gate_mul"].outputs[0]],
+        attrs={},
+    )
+    chain_set = set(map(id, m["chain"]))
+    idx = graph.nodes.index(m["pool"])
+    graph.nodes = [n for n in graph.nodes if id(n) not in chain_set]
+    graph.nodes.insert(idx, fused)
 
 
 def _apply(graph: Graph, m: dict) -> None:

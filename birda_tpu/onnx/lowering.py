@@ -879,6 +879,45 @@ class _Evaluator:
         mel = jnp.matmul(power, fbc, preferred_element_type=jnp.float32)
         return self._mm_out(jnp.log(mel + jnp.float32(eps)))
 
+    def op_BirdaFusedSE(self, node, x, w1, b1, w2, b2):
+        """Fused squeeze-and-excitation gate spliced in by
+        :func:`birda_tpu.onnx.fuse.fuse_se`: pool + gate MLP + multiply in
+        one VMEM-resident pass (``ops/se.py::fused_se``) — the slab is
+        read once instead of twice (reference model family spells this as
+        GlobalAveragePool/Conv/swish/Conv/Sigmoid/Mul around every MBConv
+        depthwise output). The fusion pass cannot see activation shapes,
+        so Mosaic geometry is re-checked here; a slab the kernel cannot
+        tile falls back to the same math as composed XLA ops."""
+        import jax.numpy as jnp
+
+        from ..ops import se as se_ops
+
+        w1m = jnp.asarray(w1)[:, :, 0, 0]
+        w2m = jnp.asarray(w2)[:, :, 0, 0]
+        c_se, c = w1m.shape
+        b1m = jnp.zeros(c_se, jnp.float32) if b1 is None else \
+            jnp.asarray(b1, jnp.float32)
+        b2m = jnp.zeros(c, jnp.float32) if b2 is None else \
+            jnp.asarray(b2, jnp.float32)
+        if not _is_host(x) and se_ops.geometry_ok(x.shape):
+            return se_ops.fused_se(x, w1m, b1m, w2m, b2m)
+        # Composed fallback (identical semantics at compute dtype).
+        m = self._lib(x)
+        s = m.mean(x, axis=tuple(range(2, x.ndim)), keepdims=True)
+        sq, w1c = self._mm_cast(s[:, :, 0, 0], w1m)
+        r = self._mm_out(m.matmul(
+            sq, w1c.T, **(
+                {} if m is np else {"preferred_element_type": jnp.float32})
+        ) + b1m)
+        r = r * self.op_Sigmoid(node, r)
+        rq, w2c = self._mm_cast(r, w2m)
+        g = m.matmul(
+            rq, w2c.T, **(
+                {} if m is np else {"preferred_element_type": jnp.float32})
+        ) + b2m
+        gate = self.op_Sigmoid(node, self._mm_out(g))
+        return x * gate[:, :, None, None].astype(x.dtype)
+
     def op_ConvTranspose(self, node, x, w, b=None):
         import jax.numpy as jnp
         from jax import lax
@@ -1339,6 +1378,7 @@ def lower(model: Model | bytes | str, compute_dtype=None) -> "OnnxFunction":
         return OnnxFunction(model, compute_dtype=compute_dtype)
     model = load_model(model)
     maybe_fuse_frontend(model, compute_dtype)
+    maybe_fuse_se(model, compute_dtype)
     return OnnxFunction(model, compute_dtype=compute_dtype)
 
 
@@ -1354,6 +1394,19 @@ def maybe_fuse_frontend(model: Model, compute_dtype) -> int:
     from .fuse import fuse_mel_frontend
 
     return fuse_mel_frontend(model.graph)
+
+
+def maybe_fuse_se(model: Model, compute_dtype) -> int:
+    """Apply the squeeze-and-excitation fusion pass when its Pallas kernel
+    path is active (bf16 on TPU, ``BIRDA_SE_KERNEL`` overridable); same
+    mutation contract as :func:`maybe_fuse_frontend`."""
+    from ..ops import se as se_ops
+
+    if not se_ops.kernel_enabled(compute_dtype):
+        return 0
+    from .fuse import fuse_se
+
+    return fuse_se(model.graph)
 
 
 class OnnxFunction:

@@ -1,0 +1,206 @@
+"""Fused squeeze-and-excitation kernel (ops/se.py) and its graph pass.
+
+The kernel only engages on a TPU backend at bf16 compute; these tests force
+it on CPU via ``BIRDA_SE_KERNEL=pallas`` (interpret mode) and pin that the
+fused gate computes the same math as the composed-op SE chain it replaces
+(reference model family: EfficientNet MBConv, spelled in ONNX as
+GlobalAveragePool -> Conv -> swish -> Conv -> Sigmoid -> Mul).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+
+def _reference_se(x, w1, b1, w2, b2):
+    """Composed-op SE in float64 — the semantics both paths approximate."""
+    xs = x.astype(np.float64)
+    s = xs.mean(axis=(2, 3))                       # [B, C]
+    r = s @ w1.astype(np.float64).T + b1           # [B, C_se]
+    r = r * (1.0 / (1.0 + np.exp(-r)))  # swish
+    g = r @ w2.astype(np.float64).T + b2           # [B, C]
+    gate = 1.0 / (1.0 + np.exp(-g))
+    return (xs * gate[:, :, None, None]).astype(np.float32)
+
+
+GEOMETRIES = [
+    pytest.param(3, 32, 16, 8, 8, id="v24-stage1-shape"),
+    pytest.param(2, 96, 8, 16, 4, id="v24-stage2-shape"),
+    pytest.param(2, 240, 4, 32, 10, id="wide-small-spatial"),
+]
+
+
+class TestFusedSeKernel:
+    @pytest.mark.parametrize("b,c,h,w,c_se", GEOMETRIES)
+    def test_matches_reference(self, b, c, h, w, c_se):
+        from birda_tpu.ops.se import fused_se, geometry_ok
+
+        rng = np.random.default_rng(0)
+        x = rng.normal(0, 1, (b, c, h, w)).astype(np.float32)
+        w1 = rng.normal(0, 0.3, (c_se, c)).astype(np.float32)
+        b1 = rng.normal(0, 0.1, c_se).astype(np.float32)
+        w2 = rng.normal(0, 0.3, (c, c_se)).astype(np.float32)
+        b2 = rng.normal(0, 0.1, c).astype(np.float32)
+        assert geometry_ok(x.shape)
+        got = np.asarray(fused_se(x, w1, b1, w2, b2, interpret=True),
+                         np.float32)
+        want = _reference_se(x, w1, b1, w2, b2)
+        assert got.shape == want.shape
+        # bf16 slab and matmul operands; fp32 pool/gate accumulation.
+        assert np.abs(got - want).max() / np.abs(want).max() < 2e-2
+
+    def test_geometry_gating(self):
+        from birda_tpu.ops.se import geometry_ok
+
+        assert geometry_ok((4, 96, 128, 48))       # v2.4 stage-2 slab
+        assert not geometry_ok((4, 96, 16, 6))     # HW % 128 != 0
+        assert not geometry_ok((4, 30, 128, 48))   # C % 8 != 0
+        assert not geometry_ok((4, 96, 48))        # not 4-D
+        # A slab over the VMEM budget falls back (C * HW * 2 * 2 > 13 MB).
+        assert not geometry_ok((1, 1024, 128, 64))
+
+    def test_kernel_enabled_gating(self, monkeypatch):
+        from birda_tpu.ops import se
+
+        monkeypatch.delenv("BIRDA_SE_KERNEL", raising=False)
+        # CPU backend, auto mode: off (composed path serves tests/parity).
+        assert not se.kernel_enabled(jnp.bfloat16)
+        monkeypatch.setenv("BIRDA_SE_KERNEL", "pallas")
+        assert se.kernel_enabled(jnp.bfloat16)
+        assert not se.kernel_enabled(None)  # fp32 parity mode: never
+        monkeypatch.setenv("BIRDA_SE_KERNEL", "off")
+        assert not se.kernel_enabled(jnp.bfloat16)
+
+
+def _se_graph(c=16, c_se=4, h=8, w=16, swish=True, extra_consumer=False,
+              bias=True):
+    """A standalone SE chain around input x [B, c, h, w]."""
+    import fixtures_onnx as fo
+
+    rng = np.random.default_rng(1)
+    w1 = rng.normal(0, 0.3, (c_se, c, 1, 1)).astype(np.float32)
+    w2 = rng.normal(0, 0.3, (c, c_se, 1, 1)).astype(np.float32)
+    b1 = rng.normal(0, 0.1, c_se).astype(np.float32)
+    b2 = rng.normal(0, 0.1, c).astype(np.float32)
+    conv1_in = ["s", "w1", "b1"] if bias else ["s", "w1"]
+    conv2_in = ["r2", "w2", "b2"] if bias else ["r2", "w2"]
+    nodes = [
+        fo.node("GlobalAveragePool", ["x"], ["s"]),
+        fo.node("Conv", conv1_in, ["r"]),
+    ]
+    if swish:
+        nodes += [
+            fo.node("Sigmoid", ["r"], ["rs"]),
+            fo.node("Mul", ["r", "rs"], ["r2"]),
+        ]
+    else:
+        nodes += [fo.node("Relu", ["r"], ["r2"])]
+    nodes += [
+        fo.node("Conv", conv2_in, ["g0"]),
+        fo.node("Sigmoid", ["g0"], ["g"]),
+        fo.node("Mul", ["x", "g"], ["y"]),
+    ]
+    outputs = [fo.value_info("y", ["batch", c, h, w])]
+    if extra_consumer:
+        nodes.append(fo.node("Relu", ["r2"], ["z"]))
+        outputs.append(fo.value_info("z", ["batch", c_se, 1, 1]))
+    inits = [fo.tensor("w1", w1), fo.tensor("w2", w2)]
+    if bias:
+        inits += [fo.tensor("b1", b1), fo.tensor("b2", b2)]
+    return fo.model(
+        nodes,
+        inputs=[fo.value_info("x", ["batch", c, h, w])],
+        outputs=outputs,
+        initializers=inits,
+    )
+
+
+class TestSeFusionPass:
+    def test_pass_splices_the_chain(self):
+        from birda_tpu.onnx.fuse import FUSED_SE_OP, fuse_se
+        from birda_tpu.onnx.proto import load_model
+
+        model = load_model(_se_graph())
+        assert fuse_se(model.graph) == 1
+        ops = [n.op_type for n in model.graph.nodes]
+        assert ops == [FUSED_SE_OP]
+        node = model.graph.nodes[0]
+        assert node.inputs == ["x", "w1", "b1", "w2", "b2"]
+        assert node.outputs == ["y"]
+
+    def test_biasless_convs_fuse_with_empty_inputs(self):
+        from birda_tpu.onnx.fuse import FUSED_SE_OP, fuse_se
+        from birda_tpu.onnx.proto import load_model
+
+        model = load_model(_se_graph(bias=False))
+        assert fuse_se(model.graph) == 1
+        node = next(n for n in model.graph.nodes
+                    if n.op_type == FUSED_SE_OP)
+        assert node.inputs == ["x", "w1", "", "w2", ""]
+
+    def test_non_swish_or_shared_tensors_left_alone(self):
+        from birda_tpu.onnx.fuse import fuse_se
+        from birda_tpu.onnx.proto import load_model
+
+        m1 = load_model(_se_graph(swish=False))
+        assert fuse_se(m1.graph) == 0
+        m2 = load_model(_se_graph(extra_consumer=True))
+        assert fuse_se(m2.graph) == 0
+
+    def test_tiny_v24_fuses_every_se_block(self):
+        from birda_tpu.onnx import fullscale as fs
+        from birda_tpu.onnx.fuse import FUSED_SE_OP, fuse_se
+        from birda_tpu.onnx.proto import load_model
+
+        g = fs.cached_build(fs.tiny_spec(fs.BIRDNET_V24_SPEC), seed=1)
+        model = load_model(g.model_bytes)
+        n_before = len(model.graph.nodes)
+        # v2.4-tiny: 7 stages x 1 repeat, all plain MBConv -> 7 SE chains.
+        fused = fuse_se(model.graph)
+        assert fused == 7
+        # Each chain is 7 nodes -> 1.
+        assert len(model.graph.nodes) == n_before - 6 * fused
+        assert sum(n.op_type == FUSED_SE_OP
+                   for n in model.graph.nodes) == fused
+
+    def test_fused_scores_match_unfused(self, monkeypatch):
+        """End to end on the tiny full-scale graph: scores through the
+        fused SE (Pallas where geometry allows, composed fallback
+        elsewhere) match the bit-faithful fp32 node-by-node path within
+        the documented bf16 budget."""
+        from birda_tpu.onnx import fullscale as fs
+        from birda_tpu.onnx.lowering import lower
+
+        g = fs.cached_build(fs.tiny_spec(fs.BIRDNET_V24_SPEC), seed=1)
+        rng = np.random.default_rng(3)
+        x = rng.normal(0, 0.1, (2, g.spec.sample_count)).astype(np.float32)
+
+        monkeypatch.setenv("BIRDA_STFT_KERNEL", "gather")
+        monkeypatch.setenv("BIRDA_SE_KERNEL", "off")
+        fn = lower(g.model_bytes, compute_dtype=None)
+        assert not any(n.op_type == "BirdaFusedSE" for n in fn.graph.nodes)
+        want = np.asarray(fn(x, params=fn.params)[0], np.float32)
+
+        monkeypatch.setenv("BIRDA_STFT_KERNEL", "pallas")
+        monkeypatch.setenv("BIRDA_SE_KERNEL", "pallas")
+        fn2 = lower(g.model_bytes, compute_dtype=jnp.bfloat16)
+        assert any(n.op_type == "BirdaFusedSE" for n in fn2.graph.nodes)
+        got = np.asarray(fn2(x, params=fn2.params)[0], np.float32)
+        assert got.shape == want.shape
+        assert np.max(np.abs(got - want)) < 0.05
+        assert np.array_equal(np.argmax(got, -1), np.argmax(want, -1))
+
+    def test_int8_path_stays_unfused(self):
+        """--precision int8 keeps the SE chain composed: its boundary
+        storage policy (quantize.py) owns those streams."""
+        from birda_tpu.onnx import fullscale as fs
+        from birda_tpu.onnx.quantize import (calibrate, calibration_signals,
+                                             lower_int8)
+
+        g = fs.cached_build(fs.tiny_spec(fs.BIRDNET_V24_SPEC), seed=1)
+        batches = list(calibration_signals(g.spec.sample_count, batch=2,
+                                           n_batches=1))
+        calib = calibrate(g.model_bytes, batches, min_weight_bytes=256)
+        q = lower_int8(g.model_bytes, calib, min_weight_bytes=256)
+        assert not any(n.op_type == "BirdaFusedSE" for n in q.graph.nodes)
