@@ -337,7 +337,24 @@ def _match_one_se(graph):
         return cons[0]
 
     for pool in graph.nodes:
-        if pool.op_type != "GlobalAveragePool":
+        if pool.op_type == "GlobalAveragePool":
+            pass
+        elif pool.op_type == "ReduceMean":
+            # tf2onnx spells the squeeze pool as ReduceMean over the
+            # spatial axes with keepdims — identical semantics for the
+            # NCHW 4-D slabs this pass targets.
+            if not pool.attr("keepdims", 1):
+                continue
+            axes = pool.attr("axes")
+            if axes is None and len(pool.inputs) > 1 and pool.inputs[1]:
+                t = graph.initializers.get(pool.inputs[1])
+                if t is None or t.array is None:
+                    continue
+                axes = [int(v) for v in np.asarray(t.array).reshape(-1)]
+            if axes is None or sorted(
+                    int(a) % 4 for a in axes) != [2, 3]:
+                continue  # matched slabs are 4-D, so -2/-1 ≡ 2/3
+        else:
             continue
         x = pool.inputs[0]
         conv1 = sole_consumer(pool.outputs[0], "Conv")

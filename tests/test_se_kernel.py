@@ -74,7 +74,7 @@ class TestFusedSeKernel:
 
 
 def _se_graph(c=16, c_se=4, h=8, w=16, swish=True, extra_consumer=False,
-              bias=True):
+              bias=True, pool_spelling="global"):
     """A standalone SE chain around input x [B, c, h, w]."""
     import fixtures_onnx as fo
 
@@ -85,8 +85,13 @@ def _se_graph(c=16, c_se=4, h=8, w=16, swish=True, extra_consumer=False,
     b2 = rng.normal(0, 0.1, c).astype(np.float32)
     conv1_in = ["s", "w1", "b1"] if bias else ["s", "w1"]
     conv2_in = ["r2", "w2", "b2"] if bias else ["r2", "w2"]
+    if pool_spelling == "global":
+        pool = fo.node("GlobalAveragePool", ["x"], ["s"])
+    else:  # the tf2onnx spelling
+        pool = fo.node("ReduceMean", ["x"], ["s"], attrs=[
+            fo.attr_ints("axes", [2, 3]), fo.attr_int("keepdims", 1)])
     nodes = [
-        fo.node("GlobalAveragePool", ["x"], ["s"]),
+        pool,
         fo.node("Conv", conv1_in, ["r"]),
     ]
     if swish:
@@ -138,6 +143,16 @@ class TestSeFusionPass:
         node = next(n for n in model.graph.nodes
                     if n.op_type == FUSED_SE_OP)
         assert node.inputs == ["x", "w1", "", "w2", ""]
+
+    def test_reducemean_spelling_fuses(self):
+        """tf2onnx spells the squeeze pool as ReduceMean([2,3], keepdims);
+        the matcher accepts it alongside GlobalAveragePool."""
+        from birda_tpu.onnx.fuse import FUSED_SE_OP, fuse_se
+        from birda_tpu.onnx.proto import load_model
+
+        model = load_model(_se_graph(pool_spelling="reducemean"))
+        assert fuse_se(model.graph) == 1
+        assert any(n.op_type == FUSED_SE_OP for n in model.graph.nodes)
 
     def test_non_swish_or_shared_tensors_left_alone(self):
         from birda_tpu.onnx.fuse import fuse_se
