@@ -35,6 +35,7 @@ from .proto import Attribute, Graph, Node, Tensor
 
 FUSED_OP = "BirdaFusedMelFrontend"
 FUSED_SE_OP = "BirdaFusedSE"
+FUSED_SE_PROJECT_OP = "BirdaFusedSEProject"
 
 
 def _attr_i(name: str, v: int) -> Attribute:
@@ -269,7 +270,7 @@ def _match_chain(graph, conv, consumers, out_names, sole_consumer):
     }
 
 
-def fuse_se(graph: Graph) -> int:
+def fuse_se(graph: Graph, absorb_project: bool = True) -> int:
     """Splice every squeeze-and-excitation gate chain
 
         GlobalAveragePool -> Conv(1x1) -> Mul(.,Sigmoid(.)) [swish]
@@ -277,13 +278,17 @@ def fuse_se(graph: Graph) -> int:
 
     into one ``BirdaFusedSE`` node (lowered to the VMEM-resident Pallas
     kernel in ``ops/se.py`` when geometry allows; composed ops otherwise).
-    Matching is conservative — initializer-backed 1x1 group-1 convs,
-    chain-internal tensors single-consumed and not graph outputs — and
-    ``x`` itself may have other consumers (it stays live as the fused
-    node's input). Returns the number of chains fused."""
+    With ``absorb_project`` (the default) a chain whose gated output is
+    sole-consumed by the MBConv block's 1x1 project conv is spliced as
+    ``BirdaFusedSEProject`` instead — the gated slab then never crosses
+    HBM (``ops/se.py::fused_se_project``). Matching is conservative —
+    initializer-backed 1x1 group-1 convs, chain-internal tensors
+    single-consumed and not graph outputs — and ``x`` itself may have
+    other consumers (it stays live as the fused node's input). Returns
+    the number of chains fused."""
     fused = 0
     while True:
-        m = _match_one_se(graph)
+        m = _match_one_se(graph, absorb_project)
         if m is None:
             return fused
         _apply_se(graph, m)
@@ -318,7 +323,7 @@ def _se_conv_1x1(graph, node):
     return w.array, b_name
 
 
-def _match_one_se(graph):
+def _match_one_se(graph, absorb_project=True):
     consumers: dict[str, list[Node]] = {}
     for n in graph.nodes:
         for inp in n.inputs:
@@ -394,25 +399,46 @@ def _match_one_se(graph):
         gate_mul = sole_consumer(sg2.outputs[0], "Mul")
         if gate_mul is None or set(gate_mul.inputs) != {x, sg2.outputs[0]}:
             continue
-        return {
+        m = {
             "x": x, "pool": pool, "conv1": conv1, "sg": sg, "mu": mu,
             "conv2": conv2, "sg2": sg2, "gate_mul": gate_mul,
             "w1_name": conv1.inputs[1], "b1_name": b1_name,
             "w2_name": conv2.inputs[1], "b2_name": b2_name,
             "chain": [pool, conv1, sg, mu, conv2, sg2, gate_mul],
+            "proj": None,
         }
+        if absorb_project:
+            proj = sole_consumer(gate_mul.outputs[0], "Conv")
+            pp = _se_conv_1x1(graph, proj) if proj is not None else None
+            # wp [O, C, 1, 1] contracting the gated slab's C channels.
+            if pp is not None and pp[0].shape[1] == c:
+                m["proj"] = proj
+                m["wp_name"], m["bp_name"] = proj.inputs[1], pp[1]
+                m["chain"] = m["chain"] + [proj]
+        return m
     return None
 
 
 def _apply_se(graph: Graph, m: dict) -> None:
-    fused = Node(
-        op_type=FUSED_SE_OP,
-        name=(m["pool"].name or "se") + "_fused_se",
-        inputs=[m["x"], m["w1_name"], m["b1_name"],
-                m["w2_name"], m["b2_name"]],
-        outputs=[m["gate_mul"].outputs[0]],
-        attrs={},
-    )
+    if m["proj"] is not None:
+        fused = Node(
+            op_type=FUSED_SE_PROJECT_OP,
+            name=(m["pool"].name or "se") + "_fused_se_project",
+            inputs=[m["x"], m["w1_name"], m["b1_name"],
+                    m["w2_name"], m["b2_name"],
+                    m["wp_name"], m["bp_name"]],
+            outputs=[m["proj"].outputs[0]],
+            attrs={},
+        )
+    else:
+        fused = Node(
+            op_type=FUSED_SE_OP,
+            name=(m["pool"].name or "se") + "_fused_se",
+            inputs=[m["x"], m["w1_name"], m["b1_name"],
+                    m["w2_name"], m["b2_name"]],
+            outputs=[m["gate_mul"].outputs[0]],
+            attrs={},
+        )
     chain_set = set(map(id, m["chain"]))
     idx = graph.nodes.index(m["pool"])
     graph.nodes = [n for n in graph.nodes if id(n) not in chain_set]

@@ -918,6 +918,44 @@ class _Evaluator:
         gate = self.op_Sigmoid(node, self._mm_out(g))
         return x * gate[:, :, None, None].astype(x.dtype)
 
+    def op_BirdaFusedSEProject(self, node, x, w1, b1, w2, b2, wp, bp):
+        """SE gate + the MBConv block's 1x1 project conv in one kernel
+        (``ops/se.py::fused_se_project``, spliced by ``fuse.fuse_se`` with
+        ``absorb_project``): the gated slab stays VMEM-resident, so the
+        chain's HBM crossings drop from 5 to 3. Geometry the kernel
+        cannot hold falls back to the SE handler plus a plain matmul —
+        identical semantics at compute dtype."""
+        import jax.numpy as jnp
+
+        from ..ops import se as se_ops
+
+        wpm = jnp.asarray(wp)[:, :, 0, 0]
+        o_ch = wpm.shape[0]
+        bpm = jnp.zeros(o_ch, jnp.float32) if bp is None else \
+            jnp.asarray(bp, jnp.float32)
+        if (not _is_host(x) and o_ch % 8 == 0
+                and se_ops.geometry_ok_project(x.shape, o_ch)):
+            w1m = jnp.asarray(w1)[:, :, 0, 0]
+            w2m = jnp.asarray(w2)[:, :, 0, 0]
+            c_se, c = w1m.shape
+            b1m = jnp.zeros(c_se, jnp.float32) if b1 is None else \
+                jnp.asarray(b1, jnp.float32)
+            b2m = jnp.zeros(c, jnp.float32) if b2 is None else \
+                jnp.asarray(b2, jnp.float32)
+            return se_ops.fused_se_project(x, w1m, b1m, w2m, b2m, wpm, bpm)
+        gated = self.op_BirdaFusedSE(node, x, w1, b1, w2, b2)
+        m = self._lib(gated)
+        gq, wpc = self._mm_cast(gated, wpm)
+        # 1x1 conv as einsum over the channel axis (same math/dtypes as
+        # op_Conv's conv_general_dilated for kernel 1, stride 1, pad 0).
+        if m is np:
+            out = np.einsum("bchw,oc->bohw", gq, wpc)
+        else:
+            out = jnp.einsum("bchw,oc->bohw", gq, wpc,
+                             preferred_element_type=jnp.float32)
+        out = out + bpm.reshape(1, -1, 1, 1)
+        return self._mm_out(out) if not _is_host(out) else out
+
     def op_ConvTranspose(self, node, x, w, b=None):
         import jax.numpy as jnp
         from jax import lax
@@ -1406,7 +1444,8 @@ def maybe_fuse_se(model: Model, compute_dtype) -> int:
         return 0
     from .fuse import fuse_se
 
-    return fuse_se(model.graph)
+    return fuse_se(model.graph,
+                   absorb_project=se_ops.absorb_project_enabled())
 
 
 class OnnxFunction:

@@ -46,8 +46,9 @@ _VMEM_BUDGET = 13 * 2**20
 
 def kernel_enabled(compute_dtype) -> bool:
     """bf16-on-TPU gate, same contract as ``stft_conv.kernel_enabled``:
-    ``BIRDA_SE_KERNEL=off`` forces the composed path, ``=pallas`` forces
-    the kernel on (interpret mode off-TPU — tests)."""
+    ``BIRDA_SE_KERNEL=off`` forces the composed path, ``=se`` fuses the
+    gate but not the project conv (A/B isolation), ``=pallas`` forces the
+    kernel on (interpret mode off-TPU — tests)."""
     import os
 
     mode = os.environ.get("BIRDA_SE_KERNEL", "auto")
@@ -55,13 +56,23 @@ def kernel_enabled(compute_dtype) -> bool:
         return False
     if compute_dtype != jnp.bfloat16:
         return False
-    if mode != "pallas":
+    if mode not in ("pallas", "pallas-se"):
         try:
             if jax.default_backend() != "tpu":
                 return False
         except RuntimeError:
             return False
     return True
+
+
+def absorb_project_enabled() -> bool:
+    """Whether the fusion pass may absorb the block's 1x1 project conv
+    into the SE kernel (``BIRDA_SE_KERNEL=se`` / ``pallas-se`` keep them
+    separate — the A/B isolation modes)."""
+    import os
+
+    return os.environ.get("BIRDA_SE_KERNEL", "auto") not in (
+        "se", "pallas-se")
 
 
 def geometry_ok(x_shape) -> bool:
@@ -75,6 +86,18 @@ def geometry_ok(x_shape) -> bool:
         return False
     slab = c * hw * 2
     return 2 * slab + c * 128 * 4 * 2 < _VMEM_BUDGET
+
+
+def geometry_ok_project(x_shape, out_ch: int) -> bool:
+    """:func:`geometry_ok` plus the project-conv output slab and its fp32
+    accumulator in the same VMEM budget."""
+    if not geometry_ok(x_shape):
+        return False
+    _, c, h, w = (int(d) for d in x_shape)
+    hw = h * w
+    slab = c * hw * 2
+    out = out_ch * hw * 2 + out_ch * hw * 4  # bf16 out + fp32 acc
+    return 2 * slab + out + c * 128 * 4 * 2 < _VMEM_BUDGET
 
 
 def _kernel(hw, interpret, x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
@@ -151,3 +174,98 @@ def _fused_se(x, w1, b1, w2, b2, interpret: bool):
         interpret=interpret,
     )(xs, w1m, b1m, w2m, b2m)
     return out.reshape(b, c, h, w).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# SE + project-conv in one kernel: the gated slab never leaves VMEM
+# ---------------------------------------------------------------------------
+
+def _kernel_project(hw, interpret,
+                    x_ref, w1_ref, b1_ref, w2_ref, b2_ref, wp_ref, bp_ref,
+                    o_ref):
+    slab = x_ref[0]  # [C, HW] bf16
+    pool = (jnp.sum(slab.astype(jnp.float32), axis=1, keepdims=True)
+            * (1.0 / hw))
+    s = jnp.broadcast_to(pool, (pool.shape[0], 128)).astype(slab.dtype)
+    w1, w2, wp = w1_ref[:], w2_ref[:], wp_ref[:]
+    if interpret:
+        s, w1, w2, wp = (v.astype(jnp.float32) for v in (s, w1, w2, wp))
+    r = jnp.dot(w1, s, preferred_element_type=jnp.float32) + b1_ref[:]
+    r = r * jax.nn.sigmoid(r)
+    rb = r.astype(slab.dtype)
+    if interpret:
+        rb = rb.astype(jnp.float32)
+    g = jnp.dot(w2, rb, preferred_element_type=jnp.float32) + b2_ref[:]
+    gate = jax.nn.sigmoid(g[:, :1]).astype(slab.dtype)
+    gated = slab * gate  # [C, HW], VMEM only — never written to HBM
+    if interpret:
+        gated = gated.astype(jnp.float32)
+    acc = jnp.dot(wp, gated, preferred_element_type=jnp.float32)  # [O, HW]
+    o_ref[0] = (acc + bp_ref[:]).astype(o_ref.dtype)
+
+
+def fused_se_project(x, w1, b1, w2, b2, wp, bp,
+                     interpret: bool | None = None):
+    """``[B,C,H,W] -> [B,O,H,W]``: SE gate + the block's 1x1 project conv.
+
+    Same gate math as :func:`fused_se`, then the project matmul
+    ``wp [O, C]`` (+ ``bp [O]``) runs on the MXU against the VMEM-resident
+    gated slab — the chain's HBM crossings drop from
+    ``write(h) + read(mul) + write(gated) + read(project) + write(out)``
+    to ``write(h) + read(kernel) + write(out)``.
+    """
+    if interpret is None:
+        try:
+            interpret = jax.default_backend() != "tpu"
+        except RuntimeError:
+            interpret = True
+    return _fused_se_project(x, w1, b1, w2, b2, wp, bp, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _fused_se_project(x, w1, b1, w2, b2, wp, bp, interpret: bool):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, c, h, w = x.shape
+    hw = h * w
+    c_se = w1.shape[0]
+    o_ch = wp.shape[0]
+    xs = x.reshape(b, c, hw).astype(jnp.bfloat16)
+    w1m = jnp.asarray(w1, jnp.bfloat16)
+    w2m = jnp.asarray(w2, jnp.bfloat16)
+    wpm = jnp.asarray(wp, jnp.bfloat16)
+    b1m = jnp.asarray(b1, jnp.float32).reshape(c_se, 1)
+    b2m = jnp.asarray(b2, jnp.float32).reshape(c, 1)
+    bpm = jnp.asarray(bp, jnp.float32).reshape(o_ch, 1)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel_project, hw, interpret),
+        out_shape=jax.ShapeDtypeStruct((b, o_ch, hw), jnp.bfloat16),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, c, hw), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c_se, c), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c_se, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, c_se), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((o_ch, c), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((o_ch, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, o_ch, hw), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * (c * hw + 2 * c * c_se * 128 + o_ch * c * hw),
+            bytes_accessed=b * (c + o_ch) * hw * 2 + o_ch * c * 2,
+            transcendentals=b * (c + c_se) * 128,
+        ),
+        interpret=interpret,
+    )(xs, w1m, b1m, w2m, b2m, wpm, bpm)
+    return out.reshape(b, o_ch, h, w).astype(x.dtype)

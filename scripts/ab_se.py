@@ -4,8 +4,9 @@
 Two builds of the full-scale bf16 graph at one batch size, scan+fetch
 methodology (the tunnel defeats naive timing — bench.py docstring):
 
-- se_off : composed-op SE chain (BIRDA_SE_KERNEL=off)
-- se_on  : BirdaFusedSE Pallas kernel where geometry allows
+- se_off  : composed-op SE chain (BIRDA_SE_KERNEL=off)
+- se_gate : BirdaFusedSE gate kernel, project conv left to XLA (=se)
+- se_proj : BirdaFusedSEProject — gate + project in one kernel (=auto)
 
 Prints one JSON line per variant (ms/step, x realtime, score drift vs
 the off build) then a combined line. int8 is untouched by this pass, so
@@ -64,10 +65,12 @@ def main() -> None:
 
     ref_scores = None
     out = {}
-    for name, mode in (("se_off", "off"), ("se_on", "auto")):
+    for name, mode in (("se_off", "off"), ("se_gate", "se"),
+                       ("se_proj", "auto")):
         os.environ["BIRDA_SE_KERNEL"] = mode
         fn = lower(g.model_bytes, compute_dtype=jnp.bfloat16)
-        n_fused = sum(n.op_type == "BirdaFusedSE" for n in fn.graph.nodes)
+        n_fused = sum(n.op_type in ("BirdaFusedSE", "BirdaFusedSEProject")
+                      for n in fn.graph.nodes)
         params = put(fn.params)
         sc = np.asarray(fn(probe, params=params)[0], np.float32)
         if ref_scores is None:

@@ -165,19 +165,29 @@ class TestSeFusionPass:
 
     def test_tiny_v24_fuses_every_se_block(self):
         from birda_tpu.onnx import fullscale as fs
-        from birda_tpu.onnx.fuse import FUSED_SE_OP, fuse_se
+        from birda_tpu.onnx.fuse import (FUSED_SE_OP, FUSED_SE_PROJECT_OP,
+                                         fuse_se)
         from birda_tpu.onnx.proto import load_model
 
         g = fs.cached_build(fs.tiny_spec(fs.BIRDNET_V24_SPEC), seed=1)
         model = load_model(g.model_bytes)
         n_before = len(model.graph.nodes)
-        # v2.4-tiny: 7 stages x 1 repeat, all plain MBConv -> 7 SE chains.
+        # v2.4-tiny: 7 stages x 1 repeat, all plain MBConv -> 7 SE chains,
+        # each gated output sole-consumed by the block's project conv.
         fused = fuse_se(model.graph)
         assert fused == 7
-        # Each chain is 7 nodes -> 1.
-        assert len(model.graph.nodes) == n_before - 6 * fused
-        assert sum(n.op_type == FUSED_SE_OP
+        # Each chain is 8 nodes (incl. the absorbed project conv) -> 1.
+        assert len(model.graph.nodes) == n_before - 7 * fused
+        assert sum(n.op_type == FUSED_SE_PROJECT_OP
                    for n in model.graph.nodes) == fused
+
+        # With absorption disabled the project convs stay separate.
+        m2 = load_model(g.model_bytes)
+        n2 = len(m2.graph.nodes)
+        assert fuse_se(m2.graph, absorb_project=False) == 7
+        assert len(m2.graph.nodes) == n2 - 6 * 7
+        assert sum(n.op_type == FUSED_SE_OP
+                   for n in m2.graph.nodes) == 7
 
     def test_fused_scores_match_unfused(self, monkeypatch):
         """End to end on the tiny full-scale graph: scores through the
@@ -198,11 +208,94 @@ class TestSeFusionPass:
         want = np.asarray(fn(x, params=fn.params)[0], np.float32)
 
         monkeypatch.setenv("BIRDA_STFT_KERNEL", "pallas")
-        monkeypatch.setenv("BIRDA_SE_KERNEL", "pallas")
+        monkeypatch.setenv("BIRDA_SE_KERNEL", "pallas-se")
         fn2 = lower(g.model_bytes, compute_dtype=jnp.bfloat16)
         assert any(n.op_type == "BirdaFusedSE" for n in fn2.graph.nodes)
         got = np.asarray(fn2(x, params=fn2.params)[0], np.float32)
         assert got.shape == want.shape
+        assert np.max(np.abs(got - want)) < 0.05
+        assert np.array_equal(np.argmax(got, -1), np.argmax(want, -1))
+
+    def test_fused_se_project_kernel_matches_reference(self):
+        from birda_tpu.ops.se import fused_se_project, geometry_ok_project
+
+        rng = np.random.default_rng(5)
+        b, c, h, w, c_se, o = 2, 96, 8, 16, 4, 24
+        x = rng.normal(0, 1, (b, c, h, w)).astype(np.float32)
+        w1 = rng.normal(0, 0.3, (c_se, c)).astype(np.float32)
+        b1 = rng.normal(0, 0.1, c_se).astype(np.float32)
+        w2 = rng.normal(0, 0.3, (c, c_se)).astype(np.float32)
+        b2 = rng.normal(0, 0.1, c).astype(np.float32)
+        wp = rng.normal(0, 0.2, (o, c)).astype(np.float32)
+        bp = rng.normal(0, 0.1, o).astype(np.float32)
+        assert geometry_ok_project(x.shape, o)
+        got = np.asarray(
+            fused_se_project(x, w1, b1, w2, b2, wp, bp, interpret=True),
+            np.float32)
+        gated = _reference_se(x, w1, b1, w2, b2).astype(np.float64)
+        want = (np.einsum("bchw,oc->bohw", gated, wp.astype(np.float64))
+                + bp[None, :, None, None]).astype(np.float32)
+        assert got.shape == want.shape
+        assert np.abs(got - want).max() / np.abs(want).max() < 2e-2
+
+    def test_se_mode_env_keeps_project_separate(self, monkeypatch):
+        """BIRDA_SE_KERNEL=se lowers with the gate fused but the project
+        conv left to XLA — the A/B isolation mode."""
+        from birda_tpu.onnx import fullscale as fs
+        from birda_tpu.onnx.lowering import lower
+
+        g = fs.cached_build(fs.tiny_spec(fs.BIRDNET_V24_SPEC), seed=1)
+        monkeypatch.setenv("BIRDA_STFT_KERNEL", "pallas")
+        monkeypatch.setenv("BIRDA_SE_KERNEL", "pallas-se")
+        fn = lower(g.model_bytes, compute_dtype=jnp.bfloat16)
+        ops = [n.op_type for n in fn.graph.nodes]
+        assert "BirdaFusedSE" in ops
+        assert "BirdaFusedSEProject" not in ops
+
+    def test_project_scores_match_unfused(self, monkeypatch):
+        """End to end with project absorption (kernel where geometry
+        allows, composed fallback elsewhere) vs the fp32 path."""
+        from birda_tpu.onnx import fullscale as fs
+        from birda_tpu.onnx.lowering import lower
+
+        g = fs.cached_build(fs.tiny_spec(fs.BIRDNET_V24_SPEC), seed=1)
+        rng = np.random.default_rng(7)
+        x = rng.normal(0, 0.1, (2, g.spec.sample_count)).astype(np.float32)
+
+        monkeypatch.setenv("BIRDA_STFT_KERNEL", "gather")
+        monkeypatch.setenv("BIRDA_SE_KERNEL", "off")
+        fn = lower(g.model_bytes, compute_dtype=None)
+        want = np.asarray(fn(x, params=fn.params)[0], np.float32)
+
+        monkeypatch.setenv("BIRDA_STFT_KERNEL", "pallas")
+        monkeypatch.setenv("BIRDA_SE_KERNEL", "pallas")
+        fn2 = lower(g.model_bytes, compute_dtype=jnp.bfloat16)
+        assert any(n.op_type == "BirdaFusedSEProject"
+                   for n in fn2.graph.nodes)
+        got = np.asarray(fn2(x, params=fn2.params)[0], np.float32)
+        assert np.max(np.abs(got - want)) < 0.05
+        assert np.array_equal(np.argmax(got, -1), np.argmax(want, -1))
+
+    def test_project_vmem_overflow_falls_back(self, monkeypatch):
+        """Geometry the project kernel cannot hold falls back to the SE
+        handler + einsum with identical semantics."""
+        from birda_tpu.onnx import fullscale as fs
+        from birda_tpu.onnx.lowering import lower
+        from birda_tpu.ops import se as se_ops
+
+        g = fs.cached_build(fs.tiny_spec(fs.BIRDNET_V24_SPEC), seed=1)
+        rng = np.random.default_rng(8)
+        x = rng.normal(0, 0.1, (2, g.spec.sample_count)).astype(np.float32)
+
+        monkeypatch.setenv("BIRDA_STFT_KERNEL", "pallas")
+        monkeypatch.setenv("BIRDA_SE_KERNEL", "pallas")
+        fn = lower(g.model_bytes, compute_dtype=jnp.bfloat16)
+        want = np.asarray(fn(x, params=fn.params)[0], np.float32)
+
+        monkeypatch.setattr(se_ops, "geometry_ok_project",
+                            lambda *a, **k: False)
+        fn2 = lower(g.model_bytes, compute_dtype=jnp.bfloat16)
+        got = np.asarray(fn2(x, params=fn2.params)[0], np.float32)
         assert np.max(np.abs(got - want)) < 0.05
         assert np.array_equal(np.argmax(got, -1), np.argmax(want, -1))
 
