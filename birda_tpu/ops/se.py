@@ -28,8 +28,8 @@ The pooled vector is broadcast to 128 lanes so both gate matmuls are
 ordinary MXU dots (every lane computes the same gate; 128x redundant
 compute on a ~C*C_se/4 FLOP matmul is noise next to one slab read).
 
-Applies when ``C % 8 == 0`` and ``H*W % 128 == 0`` (true for all v2.4
-stages except the last two tiny-spatial ones) and the slab fits VMEM;
+Applies when ``C % 8 == 0`` and ``H*W % 8 == 0`` (true for every SE
+block of the three release-graph geometries) and the slab fits VMEM;
 everything else falls back to the composed-op path in
 ``onnx/lowering.py::op_BirdaFusedSE``.
 """
@@ -76,13 +76,15 @@ def absorb_project_enabled() -> bool:
 
 
 def geometry_ok(x_shape) -> bool:
-    """Mosaic-friendly slab: channels tile sublanes, pixels tile lanes,
-    in + out + fp32 gate scratch under the VMEM budget."""
+    """Mosaic-friendly slab: channels on 8-aligned sublanes, pixels on
+    lanes (any 8-multiple — Mosaic pads the lane tail internally and the
+    kernel's reductions/dots see logical shapes), in + out + fp32 gate
+    scratch under the VMEM budget."""
     if len(x_shape) != 4:
         return False
     _, c, h, w = (int(d) for d in x_shape)
     hw = h * w
-    if c % 8 or hw % 128:
+    if c % 8 or hw % 8:
         return False
     slab = c * hw * 2
     return 2 * slab + c * 128 * 4 * 2 < _VMEM_BUDGET

@@ -28,6 +28,8 @@ GEOMETRIES = [
     pytest.param(3, 32, 16, 8, 8, id="v24-stage1-shape"),
     pytest.param(2, 96, 8, 16, 4, id="v24-stage2-shape"),
     pytest.param(2, 240, 4, 32, 10, id="wide-small-spatial"),
+    pytest.param(2, 672, 16, 6, 28, id="v24-tail-hw96"),
+    pytest.param(2, 64, 31, 8, 8, id="odd-hw-not-128-multiple"),
 ]
 
 
@@ -54,7 +56,9 @@ class TestFusedSeKernel:
         from birda_tpu.ops.se import geometry_ok
 
         assert geometry_ok((4, 96, 128, 48))       # v2.4 stage-2 slab
-        assert not geometry_ok((4, 96, 16, 6))     # HW % 128 != 0
+        assert geometry_ok((4, 672, 16, 6))        # v2.4 tail: HW=96
+        assert geometry_ok((4, 64, 249, 64))       # v3.0-ish: HW%128!=0
+        assert not geometry_ok((4, 96, 11, 5))     # HW % 8 != 0
         assert not geometry_ok((4, 30, 128, 48))   # C % 8 != 0
         assert not geometry_ok((4, 96, 48))        # not 4-D
         # A slab over the VMEM budget falls back (C * HW * 2 * 2 > 13 MB).
