@@ -152,19 +152,31 @@ def main() -> None:
 
     from birda_tpu.onnx import fullscale as fs
 
-    platform = jax.default_backend()
+    tunnel_error = None
+    try:
+        platform = jax.default_backend()
+    except RuntimeError as e:
+        # Accelerator plugin failed to initialize (tunnel outage). Confine
+        # jax to CPU and report the smoke number with the failure noted —
+        # a degraded-but-valid line beats a stack trace in the record.
+        tunnel_error = str(e)[:200]
+        jax.config.update("jax_platforms", "cpu")
+        platform = jax.default_backend()
     on_accel = platform == "tpu"
 
     if not on_accel:
         # CPU smoke (CI-sized): tiny graph, same code path.
         rt, _ = _bench_onnx(fs.tiny_spec(fs.BIRDNET_V24_SPEC),
                             batch=8, iters=2)
-        print(json.dumps({
+        out = {
             "metric": "birdnet-v2.4 ONNX-lowered realtime (cpu smoke, tiny)",
             "value": round(rt, 1),
             "unit": "x realtime",
             "vs_baseline": round(rt / BASELINE_BIRDNET_V24, 3),
-        }))
+        }
+        if tunnel_error:
+            out["extra"] = {"accelerator_unavailable": tunnel_error}
+        print(json.dumps(out))
         return
 
     extra = {}
