@@ -159,6 +159,9 @@ def main(argv=None):
     ap.add_argument("--top", type=int, default=25)
     ap.add_argument("--markdown", action="store_true",
                     help="emit a docs-ready markdown table")
+    ap.add_argument("--json", metavar="FILE", default=None,
+                    help="dump EVERY entry-instruction row (+ summary) to "
+                         "FILE for offline attribution")
     args = ap.parse_args(argv)
 
     lowered, spec = build_step(args.spec, args.precision, args.batch)
@@ -185,6 +188,9 @@ def main(argv=None):
             flops / xla_bytes if xla_bytes else None),
     }
     print(json.dumps(summary))
+    if args.json:
+        Path(args.json).write_text(json.dumps(
+            {"summary": summary, "rows": rows}, indent=1))
 
     if args.markdown:
         print()
