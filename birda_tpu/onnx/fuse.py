@@ -415,19 +415,76 @@ def _match_one_se(graph, absorb_project=True):
                 m["proj"] = proj
                 m["wp_name"], m["bp_name"] = proj.inputs[1], pp[1]
                 m["chain"] = m["chain"] + [proj]
+                m["bn"] = m["res"] = None
+                m["out_node"] = proj
+                # Optional absorptions past the project conv: the BN
+                # affine (folded to scale/shift at graph time) and the
+                # block's residual Add — each saves the project output's
+                # own HBM round trip through the elementwise fusion.
+                tail = sole_consumer(proj.outputs[0],
+                                     "BatchNormalization")
+                if tail is not None and _bn_fold(graph, tail) is not None:
+                    m["bn"] = tail
+                    m["chain"] = m["chain"] + [tail]
+                    m["out_node"] = tail
+                add = sole_consumer(m["out_node"].outputs[0], "Add")
+                if add is not None:
+                    others = [i for i in add.inputs
+                              if i != m["out_node"].outputs[0]]
+                    # A residual reads a tensor produced BEFORE this block
+                    # (never an initializer, never a chain tensor) — the
+                    # fused node is inserted at the pool's position, so
+                    # the operand must already be live there.
+                    pool_idx = graph.nodes.index(pool)
+                    produced_before = {
+                        o for n in graph.nodes[:pool_idx] for o in n.outputs
+                    } | {vi.name for vi in graph.inputs}
+                    if (len(others) == 1
+                            and others[0] not in graph.initializers
+                            and others[0] in produced_before):
+                        m["res"] = add
+                        m["res_name"] = others[0]
+                        m["chain"] = m["chain"] + [add]
+                        m["out_node"] = add
         return m
     return None
 
 
+def _bn_fold(graph: Graph, bn: Node):
+    """(scale, shift) float32 vectors folding an initializer-backed
+    BatchNormalization's affine; None when any input is dynamic."""
+    arrs = []
+    for name in bn.inputs[1:5]:
+        t = graph.initializers.get(name)
+        if t is None or t.array is None or t.array.ndim != 1:
+            return None
+        arrs.append(np.asarray(t.array, np.float64))
+    s, b, mean, var = arrs
+    eps = bn.attr("epsilon", 1e-5)
+    scale = s / np.sqrt(var + eps)
+    shift = b - mean * scale
+    return scale.astype(np.float32), shift.astype(np.float32)
+
+
 def _apply_se(graph: Graph, m: dict) -> None:
     if m["proj"] is not None:
+        bn_s_name = bn_t_name = ""
+        if m["bn"] is not None:
+            scale, shift = _bn_fold(graph, m["bn"])
+            bn_s_name = m["bn"].inputs[1] + "__fused_se_scale"
+            bn_t_name = m["bn"].inputs[1] + "__fused_se_shift"
+            graph.initializers[bn_s_name] = Tensor(
+                name=bn_s_name, dims=tuple(scale.shape), array=scale)
+            graph.initializers[bn_t_name] = Tensor(
+                name=bn_t_name, dims=tuple(shift.shape), array=shift)
         fused = Node(
             op_type=FUSED_SE_PROJECT_OP,
             name=(m["pool"].name or "se") + "_fused_se_project",
             inputs=[m["x"], m["w1_name"], m["b1_name"],
                     m["w2_name"], m["b2_name"],
-                    m["wp_name"], m["bp_name"]],
-            outputs=[m["proj"].outputs[0]],
+                    m["wp_name"], m["bp_name"], bn_s_name, bn_t_name,
+                    m["res_name"] if m["res"] is not None else ""],
+            outputs=[m["out_node"].outputs[0]],
             attrs={},
         )
     else:
@@ -440,9 +497,18 @@ def _apply_se(graph: Graph, m: dict) -> None:
             attrs={},
         )
     chain_set = set(map(id, m["chain"]))
+    chain_inits = {
+        i for n in m["chain"] for i in n.inputs if i in graph.initializers
+    }
     idx = graph.nodes.index(m["pool"])
     graph.nodes = [n for n in graph.nodes if id(n) not in chain_set]
     graph.nodes.insert(idx, fused)
+    # Drop initializers the chain alone consumed (raw BN stats after the
+    # fold, the ReduceMean axes tensor) — same discipline as the mel pass.
+    still_used = {i for n in graph.nodes for i in n.inputs}
+    still_used.update(vi.name for vi in graph.outputs)
+    for name in chain_inits - still_used:
+        del graph.initializers[name]
 
 
 def _apply(graph: Graph, m: dict) -> None:

@@ -918,13 +918,17 @@ class _Evaluator:
         gate = self.op_Sigmoid(node, self._mm_out(g))
         return x * gate[:, :, None, None].astype(x.dtype)
 
-    def op_BirdaFusedSEProject(self, node, x, w1, b1, w2, b2, wp, bp):
-        """SE gate + the MBConv block's 1x1 project conv in one kernel
+    def op_BirdaFusedSEProject(self, node, x, w1, b1, w2, b2, wp, bp,
+                               bn_s=None, bn_t=None, x_res=None):
+        """SE gate + the MBConv block's 1x1 project conv (+ optionally the
+        folded BatchNorm affine and the residual Add) in one kernel
         (``ops/se.py::fused_se_project``, spliced by ``fuse.fuse_se`` with
-        ``absorb_project``): the gated slab stays VMEM-resident, so the
-        chain's HBM crossings drop from 5 to 3. Geometry the kernel
-        cannot hold falls back to the SE handler plus a plain matmul —
-        identical semantics at compute dtype."""
+        ``absorb_project``): the gated slab stays VMEM-resident and the
+        project output skips its own HBM round trip through the
+        elementwise BN+add fusion. Geometry the kernel cannot hold (or a
+        residual whose shape disagrees at runtime) falls back to the SE
+        handler plus plain matmul/affine/add — identical semantics at
+        compute dtype."""
         import jax.numpy as jnp
 
         from ..ops import se as se_ops
@@ -933,8 +937,12 @@ class _Evaluator:
         o_ch = wpm.shape[0]
         bpm = jnp.zeros(o_ch, jnp.float32) if bp is None else \
             jnp.asarray(bp, jnp.float32)
-        if (not _is_host(x) and o_ch % 8 == 0
-                and se_ops.geometry_ok_project(x.shape, o_ch)):
+        res_ok = x_res is None or (
+            not _is_host(x_res) and tuple(x_res.shape)
+            == (x.shape[0], o_ch) + tuple(x.shape[2:]))
+        if (not _is_host(x) and o_ch % 8 == 0 and res_ok
+                and se_ops.geometry_ok_project(x.shape, o_ch,
+                                               has_res=x_res is not None)):
             w1m = jnp.asarray(w1)[:, :, 0, 0]
             w2m = jnp.asarray(w2)[:, :, 0, 0]
             c_se, c = w1m.shape
@@ -942,7 +950,9 @@ class _Evaluator:
                 jnp.asarray(b1, jnp.float32)
             b2m = jnp.zeros(c, jnp.float32) if b2 is None else \
                 jnp.asarray(b2, jnp.float32)
-            return se_ops.fused_se_project(x, w1m, b1m, w2m, b2m, wpm, bpm)
+            return se_ops.fused_se_project(
+                x, w1m, b1m, w2m, b2m, wpm, bpm,
+                bn_scale=bn_s, bn_shift=bn_t, x_res=x_res)
         gated = self.op_BirdaFusedSE(node, x, w1, b1, w2, b2)
         m = self._lib(gated)
         gq, wpc = self._mm_cast(gated, wpm)
@@ -954,7 +964,13 @@ class _Evaluator:
             out = jnp.einsum("bchw,oc->bohw", gq, wpc,
                              preferred_element_type=jnp.float32)
         out = out + bpm.reshape(1, -1, 1, 1)
-        return self._mm_out(out) if not _is_host(out) else out
+        if bn_s is not None:
+            out = (out * m.asarray(bn_s).reshape(1, -1, 1, 1)
+                   + m.asarray(bn_t).reshape(1, -1, 1, 1))
+        out = self._mm_out(out) if not _is_host(out) else out
+        if x_res is not None:
+            out = out + x_res
+        return out
 
     def op_ConvTranspose(self, node, x, w, b=None):
         import jax.numpy as jnp

@@ -90,16 +90,18 @@ def geometry_ok(x_shape) -> bool:
     return 2 * slab + c * 128 * 4 * 2 < _VMEM_BUDGET
 
 
-def geometry_ok_project(x_shape, out_ch: int) -> bool:
-    """:func:`geometry_ok` plus the project-conv output slab and its fp32
-    accumulator in the same VMEM budget."""
+def geometry_ok_project(x_shape, out_ch: int, has_res: bool = False) -> bool:
+    """:func:`geometry_ok` plus the project-conv output slab, its fp32
+    accumulator, and (when absorbed) the residual slab in the same VMEM
+    budget."""
     if not geometry_ok(x_shape):
         return False
     _, c, h, w = (int(d) for d in x_shape)
     hw = h * w
     slab = c * hw * 2
     out = out_ch * hw * 2 + out_ch * hw * 4  # bf16 out + fp32 acc
-    return 2 * slab + out + c * 128 * 4 * 2 < _VMEM_BUDGET
+    res = out_ch * hw * 2 if has_res else 0
+    return 2 * slab + out + res + c * 128 * 4 * 2 < _VMEM_BUDGET
 
 
 def _kernel(hw, interpret, x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
@@ -182,9 +184,17 @@ def _fused_se(x, w1, b1, w2, b2, interpret: bool):
 # SE + project-conv in one kernel: the gated slab never leaves VMEM
 # ---------------------------------------------------------------------------
 
-def _kernel_project(hw, interpret,
-                    x_ref, w1_ref, b1_ref, w2_ref, b2_ref, wp_ref, bp_ref,
-                    o_ref):
+def _kernel_project(hw, interpret, has_bn, has_res, *refs):
+    # refs: x, w1, b1, w2, b2, wp, bp, [bn_s, bn_t], [x_res], o
+    (x_ref, w1_ref, b1_ref, w2_ref, b2_ref, wp_ref, bp_ref), rest = \
+        refs[:7], refs[7:]
+    bn_s_ref = bn_t_ref = res_ref = None
+    if has_bn:
+        bn_s_ref, bn_t_ref, rest = rest[0], rest[1], rest[2:]
+    if has_res:
+        res_ref, rest = rest[0], rest[1:]
+    (o_ref,) = rest
+
     slab = x_ref[0]  # [C, HW] bf16
     pool = (jnp.sum(slab.astype(jnp.float32), axis=1, keepdims=True)
             * (1.0 / hw))
@@ -203,29 +213,41 @@ def _kernel_project(hw, interpret,
     if interpret:
         gated = gated.astype(jnp.float32)
     acc = jnp.dot(wp, gated, preferred_element_type=jnp.float32)  # [O, HW]
-    o_ref[0] = (acc + bp_ref[:]).astype(o_ref.dtype)
+    acc = acc + bp_ref[:]
+    if has_bn:
+        acc = acc * bn_s_ref[:] + bn_t_ref[:]
+    if has_res:
+        acc = acc + res_ref[0].astype(jnp.float32)
+    o_ref[0] = acc.astype(o_ref.dtype)
 
 
-def fused_se_project(x, w1, b1, w2, b2, wp, bp,
+def fused_se_project(x, w1, b1, w2, b2, wp, bp, bn_scale=None,
+                     bn_shift=None, x_res=None,
                      interpret: bool | None = None):
-    """``[B,C,H,W] -> [B,O,H,W]``: SE gate + the block's 1x1 project conv.
+    """``[B,C,H,W] -> [B,O,H,W]``: SE gate + the block's 1x1 project conv,
+    optionally + the folded BatchNorm affine and the block's residual add.
 
     Same gate math as :func:`fused_se`, then the project matmul
     ``wp [O, C]`` (+ ``bp [O]``) runs on the MXU against the VMEM-resident
     gated slab — the chain's HBM crossings drop from
     ``write(h) + read(mul) + write(gated) + read(project) + write(out)``
-    to ``write(h) + read(kernel) + write(out)``.
+    to ``write(h) + read(kernel) + write(out)``. Absorbing the BN affine
+    (``bn_scale``/``bn_shift`` per channel, folded at graph time) and the
+    residual (``x_res [B,O,H,W]``) also saves the project output's own
+    HBM round trip through the elementwise BN+add fusion.
     """
     if interpret is None:
         try:
             interpret = jax.default_backend() != "tpu"
         except RuntimeError:
             interpret = True
-    return _fused_se_project(x, w1, b1, w2, b2, wp, bp, interpret)
+    return _fused_se_project(x, w1, b1, w2, b2, wp, bp, bn_scale,
+                             bn_shift, x_res, interpret)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _fused_se_project(x, w1, b1, w2, b2, wp, bp, interpret: bool):
+def _fused_se_project(x, w1, b1, w2, b2, wp, bp, bn_scale, bn_shift,
+                      x_res, interpret: bool):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -233,6 +255,8 @@ def _fused_se_project(x, w1, b1, w2, b2, wp, bp, interpret: bool):
     hw = h * w
     c_se = w1.shape[0]
     o_ch = wp.shape[0]
+    has_bn = bn_scale is not None
+    has_res = x_res is not None
     xs = x.reshape(b, c, hw).astype(jnp.bfloat16)
     w1m = jnp.asarray(w1, jnp.bfloat16)
     w2m = jnp.asarray(w2, jnp.bfloat16)
@@ -241,33 +265,37 @@ def _fused_se_project(x, w1, b1, w2, b2, wp, bp, interpret: bool):
     b2m = jnp.asarray(b2, jnp.float32).reshape(c, 1)
     bpm = jnp.asarray(bp, jnp.float32).reshape(o_ch, 1)
 
+    full = lambda shape: pl.BlockSpec(  # noqa: E731 — weight-resident spec
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
+    operands = [xs, w1m, b1m, w2m, b2m, wpm, bpm]
+    in_specs = [
+        pl.BlockSpec((1, c, hw), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        full((c_se, c)), full((c_se, 1)), full((c, c_se)), full((c, 1)),
+        full((o_ch, c)), full((o_ch, 1)),
+    ]
+    if has_bn:
+        operands += [jnp.asarray(bn_scale, jnp.float32).reshape(o_ch, 1),
+                     jnp.asarray(bn_shift, jnp.float32).reshape(o_ch, 1)]
+        in_specs += [full((o_ch, 1)), full((o_ch, 1))]
+    if has_res:
+        operands.append(x_res.reshape(b, o_ch, hw).astype(jnp.bfloat16))
+        in_specs.append(pl.BlockSpec((1, o_ch, hw), lambda i: (i, 0, 0),
+                                     memory_space=pltpu.VMEM))
+
     out = pl.pallas_call(
-        functools.partial(_kernel_project, hw, interpret),
+        functools.partial(_kernel_project, hw, interpret, has_bn, has_res),
         out_shape=jax.ShapeDtypeStruct((b, o_ch, hw), jnp.bfloat16),
         grid=(b,),
-        in_specs=[
-            pl.BlockSpec((1, c, hw), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((c_se, c), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((c_se, 1), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((c, c_se), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((c, 1), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((o_ch, c), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((o_ch, 1), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, o_ch, hw), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * (c * hw + 2 * c * c_se * 128 + o_ch * c * hw),
-            bytes_accessed=b * (c + o_ch) * hw * 2 + o_ch * c * 2,
+            bytes_accessed=(b * (c + o_ch * (1 + has_res)) * hw * 2
+                            + o_ch * c * 2),
             transcendentals=b * (c + c_se) * 128,
         ),
         interpret=interpret,
-    )(xs, w1m, b1m, w2m, b2m, wpm, bpm)
+    )(*operands)
     return out.reshape(b, o_ch, h, w).astype(x.dtype)

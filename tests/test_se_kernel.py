@@ -175,15 +175,25 @@ class TestSeFusionPass:
 
         g = fs.cached_build(fs.tiny_spec(fs.BIRDNET_V24_SPEC), seed=1)
         model = load_model(g.model_bytes)
-        n_before = len(model.graph.nodes)
         # v2.4-tiny: 7 stages x 1 repeat, all plain MBConv -> 7 SE chains,
-        # each gated output sole-consumed by the block's project conv.
+        # each gated output sole-consumed by the block's project conv,
+        # each project followed by a BN (absorbed, folded to scale/shift)
+        # and — for the stride-1 same-width block — a residual Add.
         fused = fuse_se(model.graph)
         assert fused == 7
-        # Each chain is 8 nodes (incl. the absorbed project conv) -> 1.
-        assert len(model.graph.nodes) == n_before - 7 * fused
         assert sum(n.op_type == FUSED_SE_PROJECT_OP
                    for n in model.graph.nodes) == fused
+        # Only the head's global pool survives; every SE pool is fused.
+        assert sum(n.op_type == "GlobalAveragePool"
+                   for n in model.graph.nodes) == 1
+        sep = [n for n in model.graph.nodes
+               if n.op_type == FUSED_SE_PROJECT_OP]
+        assert all(n.inputs[7] and n.inputs[8] for n in sep)  # BN folded
+        assert sum(bool(n.inputs[9]) for n in sep) == 1  # one residual
+        # No orphaned initializers (raw BN stats dropped after the fold).
+        used = {i for n in model.graph.nodes for i in n.inputs}
+        for name in model.graph.initializers:
+            assert name in used, f"orphaned initializer {name}"
 
         # With absorption disabled the project convs stay separate.
         m2 = load_model(g.model_bytes)
@@ -241,6 +251,18 @@ class TestSeFusionPass:
                 + bp[None, :, None, None]).astype(np.float32)
         assert got.shape == want.shape
         assert np.abs(got - want).max() / np.abs(want).max() < 2e-2
+
+        # With the folded BN affine and the residual absorbed too.
+        bn_s = rng.uniform(0.8, 1.2, o).astype(np.float32)
+        bn_t = rng.normal(0, 0.1, o).astype(np.float32)
+        x_res = rng.normal(0, 1, (b, o, h, w)).astype(np.float32)
+        got2 = np.asarray(
+            fused_se_project(x, w1, b1, w2, b2, wp, bp, bn_scale=bn_s,
+                             bn_shift=bn_t, x_res=x_res, interpret=True),
+            np.float32)
+        want2 = (want.astype(np.float64) * bn_s[None, :, None, None]
+                 + bn_t[None, :, None, None] + x_res).astype(np.float32)
+        assert np.abs(got2 - want2).max() / np.abs(want2).max() < 2e-2
 
     def test_se_mode_env_keeps_project_separate(self, monkeypatch):
         """BIRDA_SE_KERNEL=se lowers with the gate fused but the project
