@@ -972,6 +972,98 @@ class _Evaluator:
             out = out + x_res
         return out
 
+    def op_BirdaFusedMBConvS1(self, node, x0, we, ae_s, ae_t, wd, ad_s,
+                              ad_t, w1, b1, w2, b2, wp, ap_s, ap_t,
+                              x_res=None):
+        """Whole stride-1 MBConv block in one kernel
+        (``ops/mbconv.py::fused_mbconv_s1``, spliced by
+        ``fuse.fuse_mbconv_s1``): expand 1x1 + affine + swish, depthwise
+        kxk SAME, affine + swish, SE gate, project 1x1 + affine, optional
+        residual — the 6x-expanded mid slab never leaves VMEM. BN affines
+        and conv biases arrive pre-folded as scale/shift initializers.
+        Geometry the kernel cannot hold falls back to composed ops with
+        identical semantics at compute dtype."""
+        import jax.numpy as jnp
+
+        from ..ops import mbconv as mb_ops
+
+        cm, kk = wd.shape
+        k = int(round(float(kk) ** 0.5))
+        w1m = jnp.asarray(w1)[:, :, 0, 0]
+        w2m = jnp.asarray(w2)[:, :, 0, 0]
+        wpm = jnp.asarray(wp)[:, :, 0, 0]
+        c_se = w1m.shape[0]
+        o_ch = wpm.shape[0]
+        wem = None if we is None else jnp.asarray(we)[:, :, 0, 0]
+        b1m = jnp.zeros(c_se, jnp.float32) if b1 is None else \
+            jnp.asarray(b1, jnp.float32)
+        b2m = jnp.zeros(cm, jnp.float32) if b2 is None else \
+            jnp.asarray(b2, jnp.float32)
+        has_expand = wem is not None
+        chan_ok = (x0.shape[1] == (wem.shape[1] if has_expand else cm))
+        res_ok = x_res is None or (
+            not _is_host(x_res) and tuple(x_res.shape)
+            == (x0.shape[0], o_ch) + tuple(x0.shape[2:]))
+        if (not _is_host(x0) and chan_ok and res_ok
+                and mb_ops.kernel_enabled(self.compute_dtype)
+                and mb_ops.geometry_ok(x0.shape, cm, o_ch, k, has_expand,
+                                       x_res is not None)):
+            return mb_ops.fused_mbconv_s1(
+                x0, wem, ae_s, ae_t, jnp.asarray(wd), ad_s, ad_t,
+                w1m, b1m, w2m, b2m, wpm, ap_s, ap_t, x_res=x_res)
+        # Composed fallback: identical semantics at compute dtype.
+        from jax import lax
+
+        m = self._lib(x0)
+        h = x0
+        if has_expand:
+            hq, wec = self._mm_cast(h, wem)
+            if m is np:
+                h = np.einsum("bchw,mc->bmhw", hq, wec)
+            else:
+                h = jnp.einsum("bchw,mc->bmhw", hq, wec,
+                               preferred_element_type=jnp.float32)
+            h = h * m.asarray(ae_s).reshape(1, -1, 1, 1) \
+                + m.asarray(ae_t).reshape(1, -1, 1, 1)
+            h = self._mm_out(h) if not _is_host(h) else h
+            h = h * self.op_Sigmoid(node, h)
+        wd4 = m.asarray(wd).reshape(cm, 1, k, k)
+        hq, wdc = self._mm_cast(h, wd4)
+        if m is np:
+            raise UnsupportedOnnxOp(
+                "BirdaFusedMBConvS1 on host constants")  # never spliced
+        dn = lax.conv_dimension_numbers(
+            hq.shape, wdc.shape, ("NCHW", "OIHW", "NCHW"))
+        p = k // 2
+        h = lax.conv_general_dilated(
+            jnp.asarray(hq), jnp.asarray(wdc), window_strides=(1, 1),
+            padding=[(p, p), (p, p)], dimension_numbers=dn,
+            feature_group_count=cm,
+            preferred_element_type=jnp.float32)
+        h = h * jnp.asarray(ad_s).reshape(1, -1, 1, 1) \
+            + jnp.asarray(ad_t).reshape(1, -1, 1, 1)
+        h = self._mm_out(h)
+        h = h * self.op_Sigmoid(node, h)
+        # SE gate + project + affine, sharing the SE fallback math.
+        s = jnp.mean(h, axis=(2, 3))
+        sq, w1c = self._mm_cast(s, w1m)
+        r = self._mm_out(jnp.matmul(
+            sq, w1c.T, preferred_element_type=jnp.float32) + b1m)
+        r = r * self.op_Sigmoid(node, r)
+        rq, w2c = self._mm_cast(r, w2m)
+        g = jnp.matmul(rq, w2c.T, preferred_element_type=jnp.float32) + b2m
+        gate = self.op_Sigmoid(node, self._mm_out(g))
+        gated = h * gate[:, :, None, None].astype(h.dtype)
+        gq, wpc = self._mm_cast(gated, wpm)
+        out = jnp.einsum("bchw,oc->bohw", gq, wpc,
+                         preferred_element_type=jnp.float32)
+        out = out * jnp.asarray(ap_s).reshape(1, -1, 1, 1) \
+            + jnp.asarray(ap_t).reshape(1, -1, 1, 1)
+        out = self._mm_out(out)
+        if x_res is not None:
+            out = out + x_res
+        return out
+
     def op_ConvTranspose(self, node, x, w, b=None):
         import jax.numpy as jnp
         from jax import lax
@@ -1451,17 +1543,26 @@ def maybe_fuse_frontend(model: Model, compute_dtype) -> int:
 
 
 def maybe_fuse_se(model: Model, compute_dtype) -> int:
-    """Apply the squeeze-and-excitation fusion pass when its Pallas kernel
-    path is active (bf16 on TPU, ``BIRDA_SE_KERNEL`` overridable); same
-    mutation contract as :func:`maybe_fuse_frontend`."""
+    """Apply the whole-block and squeeze-and-excitation fusion passes
+    when their Pallas kernel paths are active (bf16 on TPU,
+    ``BIRDA_MBCONV_KERNEL`` / ``BIRDA_SE_KERNEL`` overridable); same
+    mutation contract as :func:`maybe_fuse_frontend`. Stride-1 MBConv
+    blocks fuse whole (``fuse_mbconv_s1``); remaining SE chains
+    (stride-2 blocks) fuse their gate/project."""
+    from ..ops import mbconv as mb_ops
     from ..ops import se as se_ops
 
-    if not se_ops.kernel_enabled(compute_dtype):
-        return 0
-    from .fuse import fuse_se
+    n = 0
+    if mb_ops.kernel_enabled(compute_dtype):
+        from .fuse import fuse_mbconv_s1
 
-    return fuse_se(model.graph,
-                   absorb_project=se_ops.absorb_project_enabled())
+        n += fuse_mbconv_s1(model.graph)
+    if se_ops.kernel_enabled(compute_dtype):
+        from .fuse import fuse_se
+
+        n += fuse_se(model.graph,
+                     absorb_project=se_ops.absorb_project_enabled())
+    return n
 
 
 class OnnxFunction:

@@ -7,6 +7,9 @@ methodology (the tunnel defeats naive timing — bench.py docstring):
 - se_off  : composed-op SE chain (BIRDA_SE_KERNEL=off)
 - se_gate : BirdaFusedSE gate kernel, project conv left to XLA (=se)
 - se_proj : BirdaFusedSEProject — gate + project in one kernel (=auto)
+- block   : + BirdaFusedMBConvS1 — whole stride-1 MBConv blocks in one
+            kernel (expand/dw/SE/project/BN/residual, ops/mbconv.py);
+            stride-2 blocks keep the SEP kernel
 
 Prints one JSON line per variant (ms/step, x realtime, score drift vs
 the off build) then a combined line. int8 is untouched by this pass, so
@@ -65,11 +68,17 @@ def main() -> None:
 
     ref_scores = None
     out = {}
-    for name, mode in (("se_off", "off"), ("se_gate", "se"),
-                       ("se_proj", "auto")):
+    variants = (("se_off", "off", "off"), ("se_gate", "se", "off"),
+                ("se_proj", "auto", "off"), ("block", "auto", "auto"))
+    pick = os.environ.get("AB_VARIANTS")
+    if pick:
+        variants = tuple(v for v in variants if v[0] in pick.split(","))
+    for name, mode, mb_mode in variants:
         os.environ["BIRDA_SE_KERNEL"] = mode
+        os.environ["BIRDA_MBCONV_KERNEL"] = mb_mode
         fn = lower(g.model_bytes, compute_dtype=jnp.bfloat16)
-        n_fused = sum(n.op_type in ("BirdaFusedSE", "BirdaFusedSEProject")
+        n_fused = sum(n.op_type in ("BirdaFusedSE", "BirdaFusedSEProject",
+                                    "BirdaFusedMBConvS1")
                       for n in fn.graph.nodes)
         params = put(fn.params)
         sc = np.asarray(fn(probe, params=params)[0], np.float32)

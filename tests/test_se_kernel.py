@@ -338,3 +338,199 @@ class TestSeFusionPass:
         calib = calibrate(g.model_bytes, batches, min_weight_bytes=256)
         q = lower_int8(g.model_bytes, calib, min_weight_bytes=256)
         assert not any(n.op_type == "BirdaFusedSE" for n in q.graph.nodes)
+
+
+def _reference_mbconv(x, we, ae, wd, k, ad, w1, b1, w2, b2, wp, ap, x_res):
+    """Composed f64 reference for the whole stride-1 block."""
+    def swish(v):
+        return v * (1.0 / (1.0 + np.exp(-v)))
+
+    h = x.astype(np.float64)
+    if we is not None:
+        h = np.einsum("mc,bchw->bmhw", we.astype(np.float64), h)
+        h = swish(h * ae[0][None, :, None, None]
+                  + ae[1][None, :, None, None])
+    b, cm, hh, ww = h.shape
+    p = k // 2
+    hp = np.pad(h, ((0, 0), (0, 0), (p, p), (p, p)))
+    dw = np.zeros_like(h)
+    for dy in range(k):
+        for dx in range(k):
+            dw += (wd[:, dy * k + dx][None, :, None, None]
+                   * hp[:, :, dy:dy + hh, dx:dx + ww])
+    h = swish(dw * ad[0][None, :, None, None] + ad[1][None, :, None, None])
+    s = h.mean(axis=(2, 3))
+    r = swish(s @ w1.astype(np.float64).T + b1)
+    g = 1.0 / (1.0 + np.exp(-(r @ w2.astype(np.float64).T + b2)))
+    gated = h * g[:, :, None, None]
+    out = (np.einsum("om,bmhw->bohw", wp.astype(np.float64), gated)
+           * ap[0][None, :, None, None] + ap[1][None, :, None, None])
+    if x_res is not None:
+        out = out + x_res
+    return out.astype(np.float32)
+
+
+class TestMBConvKernel:
+    def test_kernel_matches_reference(self):
+        from birda_tpu.ops.mbconv import fused_mbconv_s1, geometry_ok
+
+        rng = np.random.default_rng(11)
+        B, Cin, H, W = 2, 24, 16, 24
+        Cm, k, Cse, O = 144, 5, 6, 24
+        x = rng.normal(0, 1, (B, Cin, H, W)).astype(np.float32)
+        we = rng.normal(0, 0.2, (Cm, Cin)).astype(np.float32)
+        ae = (rng.uniform(0.8, 1.2, Cm).astype(np.float32),
+              rng.normal(0, .1, Cm).astype(np.float32))
+        wd = rng.normal(0, 0.2, (Cm, k * k)).astype(np.float32)
+        ad = (rng.uniform(0.8, 1.2, Cm).astype(np.float32),
+              rng.normal(0, .1, Cm).astype(np.float32))
+        w1 = rng.normal(0, 0.3, (Cse, Cm)).astype(np.float32)
+        b1 = rng.normal(0, .1, Cse).astype(np.float32)
+        w2 = rng.normal(0, 0.3, (Cm, Cse)).astype(np.float32)
+        b2 = rng.normal(0, .1, Cm).astype(np.float32)
+        wp = rng.normal(0, 0.2, (O, Cm)).astype(np.float32)
+        ap = (rng.uniform(0.8, 1.2, O).astype(np.float32),
+              rng.normal(0, .1, O).astype(np.float32))
+        xr = rng.normal(0, 1, (B, O, H, W)).astype(np.float32)
+        assert geometry_ok(x.shape, Cm, O, k, True, True)
+        got = np.asarray(fused_mbconv_s1(
+            x, we, ae[0], ae[1], wd, ad[0], ad[1], w1, b1, w2, b2,
+            wp, ap[0], ap[1], x_res=xr, interpret=True), np.float32)
+        want = _reference_mbconv(x, we, ae, wd, k, ad, w1, b1, w2, b2,
+                                 wp, ap, xr)
+        assert got.shape == want.shape
+        assert np.abs(got - want).max() / np.abs(want).max() < 2e-2
+
+    def test_no_expand_no_res(self):
+        from birda_tpu.ops.mbconv import fused_mbconv_s1
+
+        rng = np.random.default_rng(12)
+        B, Cm, H, W, k, Cse, O = 2, 32, 8, 16, 3, 8, 16
+        x = rng.normal(0, 1, (B, Cm, H, W)).astype(np.float32)
+        wd = rng.normal(0, 0.2, (Cm, k * k)).astype(np.float32)
+        ad = (rng.uniform(0.8, 1.2, Cm).astype(np.float32),
+              rng.normal(0, .1, Cm).astype(np.float32))
+        w1 = rng.normal(0, 0.3, (Cse, Cm)).astype(np.float32)
+        b1 = rng.normal(0, .1, Cse).astype(np.float32)
+        w2 = rng.normal(0, 0.3, (Cm, Cse)).astype(np.float32)
+        b2 = rng.normal(0, .1, Cm).astype(np.float32)
+        wp = rng.normal(0, 0.2, (O, Cm)).astype(np.float32)
+        ap = (np.ones(O, np.float32), np.zeros(O, np.float32))
+        got = np.asarray(fused_mbconv_s1(
+            x, None, np.ones(1, np.float32), np.zeros(1, np.float32),
+            wd, ad[0], ad[1], w1, b1, w2, b2, wp, ap[0], ap[1],
+            interpret=True), np.float32)
+        want = _reference_mbconv(x, None, None, wd, k, ad, w1, b1, w2,
+                                 b2, wp, ap, None)
+        assert np.abs(got - want).max() / np.abs(want).max() < 2e-2
+
+    def test_geometry_and_env_gating(self, monkeypatch):
+        from birda_tpu.ops import mbconv
+
+        assert mbconv.geometry_ok((4, 24, 128, 48), 144, 24, 3, True, True)
+        assert not mbconv.geometry_ok((4, 24, 128, 48), 144, 24, 4,
+                                      True, True)   # even k
+        assert not mbconv.geometry_ok((4, 24, 4, 3), 20, 24, 3,
+                                      True, False)  # Cm % 8
+        monkeypatch.delenv("BIRDA_MBCONV_KERNEL", raising=False)
+        assert not mbconv.kernel_enabled(jnp.bfloat16)  # CPU auto: off
+        monkeypatch.setenv("BIRDA_MBCONV_KERNEL", "pallas")
+        assert mbconv.kernel_enabled(jnp.bfloat16)
+        assert not mbconv.kernel_enabled(None)
+        monkeypatch.setenv("BIRDA_MBCONV_KERNEL", "off")
+        assert not mbconv.kernel_enabled(jnp.bfloat16)
+
+
+class TestMBConvFusionPass:
+    def test_tiny_v24_block_split(self):
+        """Tiny v2.4: stages 1/5/7 are stride-1 (whole-block fusable,
+        stage 1 with residual and no expand), stages 2/3/4/6 are
+        stride-2 (SE+project only)."""
+        from birda_tpu.onnx import fullscale as fs
+        from birda_tpu.onnx.fuse import (FUSED_MBCONV_OP,
+                                         FUSED_SE_PROJECT_OP,
+                                         fuse_mbconv_s1, fuse_se)
+        from birda_tpu.onnx.proto import load_model
+
+        g = fs.cached_build(fs.tiny_spec(fs.BIRDNET_V24_SPEC), seed=1)
+        model = load_model(g.model_bytes)
+        n_mega = fuse_mbconv_s1(model.graph)
+        assert n_mega == 3
+        n_se = fuse_se(model.graph)
+        assert n_se == 4
+        mega = [n for n in model.graph.nodes
+                if n.op_type == FUSED_MBCONV_OP]
+        assert len(mega) == 3
+        assert sum(n.op_type == FUSED_SE_PROJECT_OP
+                   for n in model.graph.nodes) == 4
+        # stage 1: no expand (ratio 1), residual present.
+        assert mega[0].inputs[1] == ""
+        assert mega[0].inputs[14] != ""
+        # stage 5/7: expanded, no residual.
+        assert mega[1].inputs[1] != "" and mega[1].inputs[14] == ""
+        # No orphaned initializers (absorbed convs/BNs dropped).
+        used = {i for n in model.graph.nodes for i in n.inputs}
+        for name in model.graph.initializers:
+            assert name in used, f"orphaned initializer {name}"
+
+    def test_e2e_scores_match_fp32(self, monkeypatch):
+        from birda_tpu.onnx import fullscale as fs
+        from birda_tpu.onnx.lowering import lower
+
+        g = fs.cached_build(fs.tiny_spec(fs.BIRDNET_V24_SPEC), seed=1)
+        rng = np.random.default_rng(13)
+        x = rng.normal(0, 0.1, (2, g.spec.sample_count)).astype(np.float32)
+
+        monkeypatch.setenv("BIRDA_STFT_KERNEL", "gather")
+        monkeypatch.setenv("BIRDA_SE_KERNEL", "off")
+        monkeypatch.setenv("BIRDA_MBCONV_KERNEL", "off")
+        fn = lower(g.model_bytes, compute_dtype=None)
+        want = np.asarray(fn(x, params=fn.params)[0], np.float32)
+
+        monkeypatch.setenv("BIRDA_STFT_KERNEL", "pallas")
+        monkeypatch.setenv("BIRDA_SE_KERNEL", "pallas")
+        monkeypatch.setenv("BIRDA_MBCONV_KERNEL", "pallas")
+        fn2 = lower(g.model_bytes, compute_dtype=jnp.bfloat16)
+        ops = [n.op_type for n in fn2.graph.nodes]
+        assert "BirdaFusedMBConvS1" in ops
+        got = np.asarray(fn2(x, params=fn2.params)[0], np.float32)
+        assert got.shape == want.shape
+        assert np.max(np.abs(got - want)) < 0.05
+        assert np.array_equal(np.argmax(got, -1), np.argmax(want, -1))
+
+    def test_vmem_overflow_falls_back(self, monkeypatch):
+        from birda_tpu.onnx import fullscale as fs
+        from birda_tpu.onnx.lowering import lower
+        from birda_tpu.ops import mbconv as mb_ops
+
+        g = fs.cached_build(fs.tiny_spec(fs.BIRDNET_V24_SPEC), seed=1)
+        rng = np.random.default_rng(14)
+        x = rng.normal(0, 0.1, (2, g.spec.sample_count)).astype(np.float32)
+
+        monkeypatch.setenv("BIRDA_STFT_KERNEL", "pallas")
+        monkeypatch.setenv("BIRDA_SE_KERNEL", "off")
+        monkeypatch.setenv("BIRDA_MBCONV_KERNEL", "pallas")
+        fn = lower(g.model_bytes, compute_dtype=jnp.bfloat16)
+        want = np.asarray(fn(x, params=fn.params)[0], np.float32)
+
+        monkeypatch.setattr(mb_ops, "geometry_ok", lambda *a, **k: False)
+        fn2 = lower(g.model_bytes, compute_dtype=jnp.bfloat16)
+        got = np.asarray(fn2(x, params=fn2.params)[0], np.float32)
+        assert np.max(np.abs(got - want)) < 0.05
+        assert np.array_equal(np.argmax(got, -1), np.argmax(want, -1))
+
+    def test_int8_path_stays_unfused(self):
+        """--precision int8 keeps every block composed: its boundary
+        storage policy (quantize.py) owns those streams."""
+        from birda_tpu.onnx import fullscale as fs
+        from birda_tpu.onnx.quantize import (calibrate, calibration_signals,
+                                             lower_int8)
+
+        g = fs.cached_build(fs.tiny_spec(fs.BIRDNET_V24_SPEC), seed=1)
+        batches = list(calibration_signals(g.spec.sample_count, batch=2,
+                                           n_batches=1))
+        calib = calibrate(g.model_bytes, batches, min_weight_bytes=256)
+        q = lower_int8(g.model_bytes, calib, min_weight_bytes=256)
+        assert not any(n.op_type.startswith("BirdaFusedSE")
+                       or n.op_type == "BirdaFusedMBConvS1"
+                       for n in q.graph.nodes)
