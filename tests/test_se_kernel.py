@@ -473,6 +473,20 @@ class TestMBConvFusionPass:
         for name in model.graph.initializers:
             assert name in used, f"orphaned initializer {name}"
 
+    def test_tiny_v30_only_mbconv_stages_match(self):
+        """v3.0's fused-MBConv early stages (no SE, no depthwise) must
+        not match; its late MBConv stages split by stride like v2.4."""
+        from birda_tpu.onnx import fullscale as fs
+        from birda_tpu.onnx.fuse import fuse_mbconv_s1, fuse_se
+        from birda_tpu.onnx.proto import load_model
+
+        g = fs.cached_build(fs.tiny_spec(fs.BIRDNET_V30_SPEC), seed=1)
+        model = load_model(g.model_bytes)
+        # v3.0-tiny: stages 4-7 are MBConv (w/ SE); strides [2,1,2,1]
+        # -> stages 5 and 7 fuse whole, stages 4 and 6 keep SE+project.
+        assert fuse_mbconv_s1(model.graph) == 2
+        assert fuse_se(model.graph) == 2
+
     def test_e2e_scores_match_fp32(self, monkeypatch):
         from birda_tpu.onnx import fullscale as fs
         from birda_tpu.onnx.lowering import lower
