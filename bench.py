@@ -39,20 +39,37 @@ BASELINE_PERCH_V2 = 2_550.0      # reference best: CUDA b32, RTX 5080
 
 
 def _measure(step_fn, args, xs_shape, seconds_per_segment, iters):
-    """Upload fresh-random inputs, scan once inside jit, fetch results."""
+    """Upload fresh-random inputs, scan once inside jit, fetch results.
+
+    ``BIRDA_BENCH_TRANSPORT=int16`` uploads the inputs as int16 and
+    dequantizes in-graph — the production chunk transport
+    (``inference/classifier.py``), half the tunnel upload, and the knob
+    that makes >1k batches practical over the compressing link. The
+    dequant multiply is inside the timed step (honest: production pays
+    it too). Default stays float32 for comparability with prior rounds.
+    """
+    import os
+
     import jax
     import jax.numpy as jnp
     from jax import lax
 
+    int16_transport = os.environ.get("BIRDA_BENCH_TRANSPORT") == "int16"
     rng = np.random.default_rng(int(time.time() * 1000) % 2**31)
-    xs = jax.device_put(
-        rng.normal(0, 0.1, xs_shape).astype(np.float32)
-    )
+    host = rng.normal(0, 0.1, xs_shape).astype(np.float32)
+    if int16_transport:
+        xs = jax.device_put(
+            np.clip(host * 32767.0, -32768, 32767).astype(np.int16))
+    else:
+        xs = jax.device_put(host)
+    del host
     _ = np.asarray(xs[(0,) * (len(xs_shape) - 1) + (slice(0, 2),)])
 
     @jax.jit
     def multi(a, stacked):
         def body(carry, x):
+            if int16_transport:
+                x = x.astype(jnp.float32) * (1.0 / 32768.0)
             vals, idx = step_fn(a, x)
             return carry, (vals, idx)
         return lax.scan(body, jnp.int32(0), stacked)[1]
