@@ -50,7 +50,9 @@ def kernel_enabled(compute_dtype) -> bool:
     ``=pallas`` forces the kernel on (interpret mode off-TPU — tests)."""
     import os
 
-    mode = os.environ.get("BIRDA_MBCONV_KERNEL", "auto")
+    # Default "off" until the kernel is Mosaic-verified on the real chip
+    # (scripts/verify_kernels_tpu.py) — the tunnel was down when it landed.
+    mode = os.environ.get("BIRDA_MBCONV_KERNEL", "off")
     if mode == "off":
         return False
     if compute_dtype != jnp.bfloat16:

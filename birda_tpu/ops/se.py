@@ -51,7 +51,9 @@ def kernel_enabled(compute_dtype) -> bool:
     kernel on (interpret mode off-TPU — tests)."""
     import os
 
-    mode = os.environ.get("BIRDA_SE_KERNEL", "auto")
+    # Default "off" until the kernel is Mosaic-verified on the real chip
+    # (scripts/verify_kernels_tpu.py) — the tunnel was down when it landed.
+    mode = os.environ.get("BIRDA_SE_KERNEL", "off")
     if mode == "off":
         return False
     if compute_dtype != jnp.bfloat16:
