@@ -22,7 +22,9 @@ class BirdaError(Exception):
         err: BaseException | None = self
         while err is not None:
             msg = str(err)
-            if msg and msg not in seen:
+            # Wrapper messages embed their cause ("failed to X: <cause>");
+            # re-printing the embedded cause as its own line is noise.
+            if msg and not any(msg in prior for prior in seen):
                 seen.append(msg)
             err = err.__cause__
         return seen

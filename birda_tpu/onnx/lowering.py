@@ -742,6 +742,16 @@ class _Evaluator:
         )
 
     def op_Gemm(self, node, a, b, c=None):
+        # The ONNX spec requires rank-2 A and B; a rank mismatch would
+        # otherwise surface as an opaque dot_general shape error deep in
+        # the jit trace (ORT rejects such graphs at session build).
+        if getattr(a, "ndim", 2) != 2 or getattr(b, "ndim", 2) != 2:
+            raise UnsupportedOnnxOp(
+                f"Gemm requires rank-2 inputs, got A rank "
+                f"{getattr(a, 'ndim', '?')} and B rank "
+                f"{getattr(b, 'ndim', '?')} (node {node.name or node.op_type}"
+                f"; the graph is invalid per the ONNX spec)"
+            )
         alpha = node.attr("alpha", 1.0)
         beta = node.attr("beta", 1.0)
         if node.attr("transA", 0):

@@ -638,7 +638,17 @@ def analyze_files(options: AnalyzeOptions, config: Config, reporter=None) -> int
             - int(round(overlap * classifier.sample_rate)),
         )
         runner = classifier.chunk_runner(batch_size, step_model)
-        report = runner.ensure_warm()
+        try:
+            report = runner.ensure_warm()
+        except BirdaError:
+            raise
+        except Exception as e:
+            # Warmup is the graph's first trace/compile: a graph the
+            # lowering accepts but jax rejects (bad ranks, dtype clashes)
+            # surfaces here. Fold it into the typed tree so main prints a
+            # cause chain, not a traceback (reference: every build failure
+            # is an Error variant, classifier.rs:250).
+            raise ClassifierBuild(str(e)) from e
         if report is not None:
             what = "compiled" if report.was_build else "loaded from cache"
             logger.info(
@@ -782,6 +792,21 @@ def process_all_files(
             if options.fail_fast:
                 raise
             continue
+        except Exception as e:  # noqa: BLE001 — per-file isolation is the
+            # contract (SURVEY §5): one hostile file must not kill a batch
+            # run even when it trips a non-typed failure path.
+            stats.files_failed += 1
+            logger.error("Failed to process %s: %s: %s", input_path,
+                         type(e).__name__, e)
+            logger.debug("unhandled per-file exception", exc_info=True)
+            if reporter is not None:
+                reporter.file_completed_failure(
+                    str(input_path), PROCESSING_ERROR_CODE,
+                    f"{type(e).__name__}: {e}",
+                )
+            if options.fail_fast:
+                raise
+            continue
 
         stats.files_processed += 1
         stats.total_detections += result.detections
@@ -884,6 +909,21 @@ def _process_files_parallel(
             if reporter is not None:
                 reporter.file_completed_failure(
                     str(input_path), PROCESSING_ERROR_CODE, str(e)
+                )
+            return
+        except Exception as e:  # noqa: BLE001 — same per-file isolation as
+            # the sequential loop; a worker's unhandled exception must not
+            # take down the pool (--fail-fast never reaches this path: the
+            # parallel loop is only selected when fail_fast is off).
+            with lock:
+                stats.files_failed += 1
+            logger.error("Failed to process %s: %s: %s", input_path,
+                         type(e).__name__, e)
+            logger.debug("unhandled per-file exception", exc_info=True)
+            if reporter is not None:
+                reporter.file_completed_failure(
+                    str(input_path), PROCESSING_ERROR_CODE,
+                    f"{type(e).__name__}: {e}",
                 )
             return
         with lock:

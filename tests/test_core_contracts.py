@@ -202,5 +202,20 @@ class TestErrors:
         assert any("latitude" in m for m in chain)
         assert "root cause" in chain
 
+    def test_cause_chain_drops_embedded_cause(self):
+        """A wrapper whose message embeds the cause ("failed to X: <cause>")
+        prints one line, not two (reference main.rs:43-52 dedup)."""
+        from birda_tpu.errors import ClassifierBuild
+
+        try:
+            try:
+                raise ValueError("Gemm requires rank-2 inputs")
+            except ValueError as e:
+                raise ClassifierBuild(str(e)) from e
+        except BirdaError as err:
+            chain = err.cause_chain()
+        assert len(chain) == 1
+        assert "rank-2" in chain[0]
+
     def test_message_formatting(self):
         assert "123" in str(InvalidLatitude(123.0))

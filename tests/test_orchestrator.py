@@ -219,6 +219,74 @@ class TestAnalyzeEndToEnd:
         assert code == 0
         assert (out / "zz_good.BirdNET.results.csv").exists()
 
+    def test_unexpected_exception_isolated_per_file(self, home, tmp_path,
+                                                    monkeypatch):
+        """A non-BirdaError escaping process_file (a bug, a jax error on a
+        hostile file) fails that file but not the run (SURVEY §5 per-file
+        isolation); --fail-fast still re-raises it."""
+        import birda_tpu.orchestrator as orch
+
+        bad = make_audio(tmp_path, name="aa_bad.wav", secs=3.0)
+        good = make_audio(tmp_path, name="zz_good.wav", secs=3.0)
+        real_process_file = orch.process_file
+
+        def exploding(classifier, pcfg):
+            if pcfg.input_path.name == "aa_bad.wav":
+                raise RuntimeError("synthetic internal failure")
+            return real_process_file(classifier, pcfg)
+
+        monkeypatch.setattr(orch, "process_file", exploding)
+        out = tmp_path / "out"
+        opts = AnalyzeOptions(
+            inputs=[bad, good], output_dir=out, formats=[OutputFormat.CSV],
+            min_confidence=0.0, device_flags={"cpu": True},
+        )
+        code = analyze_files(opts, synthetic_config())
+        assert code == 0  # at least one file processed
+        assert (out / "zz_good.BirdNET.results.csv").exists()
+        assert not (out / "aa_bad.BirdNET.results.csv").exists()
+
+        opts.fail_fast = True
+        with pytest.raises(RuntimeError, match="synthetic internal"):
+            analyze_files(opts, synthetic_config())
+
+    def test_warmup_trace_failure_is_typed(self, home, tmp_path):
+        """A graph the lowering accepts node-by-node but that cannot trace
+        (invalid Gemm rank) surfaces as ClassifierBuild, not a raw
+        traceback, from the warmup compile."""
+        from birda_tpu.errors import ClassifierBuild
+
+        n_cls = 6522
+        rng = np.random.default_rng(0)
+        w = rng.normal(0, 0.2, (16, n_cls)).astype(np.float32)
+        m = fo.model(
+            [fo.node("Reshape", ["input", "shp"], ["r"]),
+             # keepdims=1 leaves a rank-3 input to Gemm: invalid ONNX.
+             fo.node("ReduceMean", ["r"], ["f"],
+                     attrs=[fo.attr_ints("axes", [2])]),
+             fo.node("Gemm", ["f", "W"], ["logits"]),
+             fo.node("Sigmoid", ["logits"], ["probabilities"])],
+            inputs=[fo.value_info("input", ["batch", 144000])],
+            outputs=[fo.value_info("probabilities", ["batch", n_cls])],
+            initializers=[
+                fo.tensor("shp", np.array([-1, 16, 9000], np.int64)),
+                fo.tensor("W", w)],
+        )
+        model_path = tmp_path / "bad.onnx"
+        model_path.write_bytes(m)
+        labels = tmp_path / "labels.txt"
+        labels.write_text("".join(f"G s{i}_Common {i}\n" for i in range(n_cls)))
+
+        audio = make_audio(tmp_path)
+        opts = AnalyzeOptions(
+            inputs=[audio], output_dir=tmp_path / "out",
+            formats=[OutputFormat.CSV], min_confidence=0.0,
+            device_flags={"cpu": True}, model_path=model_path,
+            labels_path=labels, model_type=ModelType.BIRDNET_V24,
+        )
+        with pytest.raises(ClassifierBuild, match="rank-2"):
+            analyze_files(opts, Config())
+
     def test_combine_raven_renumbers(self, home, tmp_path):
         for i in range(2):
             make_audio(tmp_path, name=f"r{i}.wav", secs=3.0)
