@@ -32,7 +32,7 @@ from typing import Any
 
 import numpy as np
 
-from .proto import Graph, Model, load_model
+from .proto import _NP_DTYPES, Graph, Model, load_model
 
 _NP_FROM_ONNX_DT = {
     1: np.float32, 2: np.uint8, 3: np.int8, 4: np.uint16, 5: np.int16,
@@ -73,11 +73,38 @@ def _autopad_amounts(op_shape, kernel, strides, dilations, mode):
     return pads
 
 
+def _constant_payload(node):
+    """The array a ``Constant`` node carries, across its attribute
+    spellings: ``value`` (tensor) plus the opset-12 scalar/list forms
+    ``value_float/value_int/value_floats/value_ints``. Returns None when
+    the node uses a spelling we cannot fold (``sparse_value``, strings) —
+    preflight reports those as findings."""
+    t = node.attr("value")
+    if t is not None and getattr(t, "array", None) is not None:
+        return t.array
+    v = node.attr("value_float")
+    if v is not None:
+        return np.float32(v)
+    v = node.attr("value_int")
+    if v is not None:
+        return np.int64(v)
+    v = node.attr("value_floats")
+    if v is not None:
+        return np.asarray(list(v), np.float32)
+    v = node.attr("value_ints")
+    if v is not None:
+        return np.asarray(list(v), np.int64)
+    return None
+
+
 class _Evaluator:
     """Executes a graph node-by-node over a value environment."""
 
-    def __init__(self, graph: Graph, compute_dtype=None):
+    def __init__(self, graph: Graph, compute_dtype=None, opset: int = 0):
         self.graph = graph
+        #: Default-domain opset version; 0 = unknown (treated as modern).
+        #: Gates version-dependent semantics (old coerce-2D Softmax).
+        self.opset = opset
         #: When set (e.g. bfloat16), conv/matmul *inputs* are cast to this
         #: dtype while accumulation stays fp32 via preferred_element_type —
         #: the mixed-precision inference recipe (TensorRT fp16-engine
@@ -90,9 +117,9 @@ class _Evaluator:
         # Pre-fold Constant nodes into the constant pool.
         for node in graph.nodes:
             if node.op_type == "Constant" and node.outputs:
-                t = node.attr("value")
-                if t is not None and getattr(t, "array", None) is not None:
-                    self.const[node.outputs[0]] = t.array
+                v = _constant_payload(node)
+                if v is not None:
+                    self.const[node.outputs[0]] = v
 
     # -- execution ----------------------------------------------------------
 
@@ -351,27 +378,41 @@ class _Evaluator:
             return x, mask
         return x
 
-    def op_Softmax(self, node, x):
-        axis = node.attr("axis", -1)
-        if _is_host(x):
-            e = np.exp(x - np.max(x, axis=axis, keepdims=True))
-            return e / e.sum(axis=axis, keepdims=True)
-        import jax
+    def _softmax_axes(self, node, x) -> tuple:
+        """Opset >= 13: softmax along one axis (default -1). Opset < 13:
+        the input is coerced to 2-D at ``axis`` (default 1) and softmax
+        runs over the flattened trailing block — equivalent to reducing
+        jointly over every axis from ``axis`` on."""
+        if 0 < self.opset < 13:
+            ax = node.attr("axis", 1) % x.ndim
+            return tuple(range(ax, x.ndim))
+        return (node.attr("axis", -1) % x.ndim,)
 
-        return jax.nn.softmax(x, axis=axis)
+    def op_Softmax(self, node, x):
+        axes = self._softmax_axes(node, x)
+        m = self._lib(x)
+        e = m.exp(x - m.max(x, axis=axes, keepdims=True))
+        return e / e.sum(axis=axes, keepdims=True)
 
     def op_LogSoftmax(self, node, x):
-        axis = node.attr("axis", -1)
-        if _is_host(x):
-            z = x - np.max(x, axis=axis, keepdims=True)
-            return z - np.log(np.exp(z).sum(axis=axis, keepdims=True))
-        import jax
-
-        return jax.nn.log_softmax(x, axis=axis)
+        axes = self._softmax_axes(node, x)
+        m = self._lib(x)
+        z = x - m.max(x, axis=axes, keepdims=True)
+        return z - m.log(m.exp(z).sum(axis=axes, keepdims=True))
 
     def op_Hardmax(self, node, x):
-        ax = node.attr("axis", -1) % x.ndim
         m = self._lib(x)
+        if 0 < self.opset < 13:
+            # Coerce-2D semantics: one-hot argmax over the flattened
+            # trailing block.
+            ax = node.attr("axis", 1) % x.ndim
+            rows = int(np.prod(x.shape[:ax], dtype=np.int64)) if ax else 1
+            flat = m.reshape(x, (rows, -1))
+            idx = m.argmax(flat, axis=1)
+            one = m.arange(flat.shape[1]) == m.expand_dims(idx, 1)
+            out_dtype = _np(x).dtype if _is_host(x) else x.dtype
+            return m.reshape(one.astype(out_dtype), x.shape)
+        ax = node.attr("axis", -1) % x.ndim
         idx = m.argmax(x, axis=ax)
         shape = [1] * x.ndim
         shape[ax] = x.shape[ax]
@@ -651,14 +692,30 @@ class _Evaluator:
 
     # -- reductions ----------------------------------------------------------
 
-    def _reduce(self, node, x, fn_name, axes=None):
+    _REDUCE_NOOP = object()  # sentinel: output == input, untransformed
+
+    def _reduce_plan(self, node, x, axes):
+        """Resolve the Reduce* axes spelling (input > attr) to a non-empty
+        tuple, None (= reduce all axes), or :data:`_REDUCE_NOOP`. Empty or
+        absent axes follow ``noop_with_empty_axes`` (opset 13+ attr,
+        default 0 = reduce all — older opsets never carry it)."""
         if axes is None:
             axes = node.attr("axes")
-        keepdims = bool(node.attr("keepdims", 1))
         if axes is not None:
-            axes = tuple(int(a) % x.ndim for a in np.asarray(axes).reshape(-1))
-        m = self._lib(x)
-        return getattr(m, fn_name)(x, axis=axes, keepdims=keepdims)
+            t = tuple(int(a) % x.ndim for a in np.asarray(axes).reshape(-1))
+            if t:
+                return t
+        return self._REDUCE_NOOP if node.attr("noop_with_empty_axes", 0) \
+            else None
+
+    def _reduce(self, node, x, fn_name, axes=None, pre=None):
+        plan = self._reduce_plan(node, x, axes)
+        if plan is self._REDUCE_NOOP:
+            return x
+        y = x if pre is None else pre(self._lib(x), x)
+        keepdims = bool(node.attr("keepdims", 1))
+        m = self._lib(y)
+        return getattr(m, fn_name)(y, axis=plan, keepdims=keepdims)
 
     def op_ReduceMean(self, node, x, axes=None):
         return self._reduce(node, x, "mean", axes)
@@ -676,31 +733,33 @@ class _Evaluator:
         return self._reduce(node, x, "prod", axes)
 
     def op_ReduceL1(self, node, x, axes=None):
-        return self._reduce(node, self._lib(x).abs(x), "sum", axes)
+        return self._reduce(node, x, "sum", axes, pre=lambda m, v: m.abs(v))
 
     def op_ReduceL2(self, node, x, axes=None):
-        m = self._lib(x)
-        return m.sqrt(self._reduce(node, m.square(x), "sum", axes))
+        out = self._reduce(node, x, "sum", axes,
+                           pre=lambda m, v: m.square(v))
+        return out if out is x else self._lib(out).sqrt(out)
 
     def op_ReduceSumSquare(self, node, x, axes=None):
-        return self._reduce(node, self._lib(x).square(x), "sum", axes)
+        return self._reduce(node, x, "sum", axes,
+                            pre=lambda m, v: m.square(v))
 
     def op_ReduceLogSum(self, node, x, axes=None):
-        m = self._lib(x)
-        return m.log(self._reduce(node, x, "sum", axes))
+        out = self._reduce(node, x, "sum", axes)
+        return out if out is x else self._lib(out).log(out)
 
     def op_ReduceLogSumExp(self, node, x, axes=None):
         # Max-subtracted for stability (the ONNX reference semantics are
         # plain log(sum(exp)); this is the same value without overflow).
-        if axes is None:
-            axes = node.attr("axes")
-        if axes is not None:
-            axes = tuple(int(a) % x.ndim for a in np.asarray(axes).reshape(-1))
+        plan = self._reduce_plan(node, x, axes)
+        if plan is self._REDUCE_NOOP:
+            return x
         m = self._lib(x)
-        peak = m.max(x, axis=axes, keepdims=True)
-        out = m.log(m.sum(m.exp(x - peak), axis=axes, keepdims=True)) + peak
+        peak = m.max(x, axis=plan, keepdims=True)
+        out = m.log(m.sum(m.exp(x - peak), axis=plan, keepdims=True)) + peak
         if not bool(node.attr("keepdims", 1)):
-            out = m.squeeze(out, axis=axes)
+            out = m.squeeze(out, axis=plan) if plan is not None \
+                else m.reshape(out, ())
         return out
 
     def _argreduce(self, node, x, fn_name):
@@ -1118,9 +1177,10 @@ class _Evaluator:
         spatial = x.ndim - 2
         kernel = list(node.attr("kernel_shape"))
         strides = list(node.attr("strides") or [1] * spatial)
+        dilations = [int(d) for d in (node.attr("dilations")
+                                      or [1] * spatial)]
         autopad = node.attr("auto_pad", b"NOTSET")
         pads_attr = node.attr("pads")
-        dilations = [1] * spatial
         if autopad in (b"SAME_UPPER", b"SAME_LOWER"):
             pads = _autopad_amounts(x.shape[2:], kernel, strides, dilations, autopad)
         elif autopad == b"VALID" or pads_attr is None:
@@ -1129,27 +1189,56 @@ class _Evaluator:
             p = [int(v) for v in pads_attr]
             pads = list(zip(p[:spatial], p[spatial:]))
 
+        base_pads = list(pads)
+        if node.attr("ceil_mode", 0):
+            # Ceil output size = extra high-side padding; reduce_window
+            # pads with `init`, which is the identity for max/sum, so the
+            # extension never changes window values. ONNX guarantees the
+            # last window starts inside input+pads, which this formula
+            # preserves.
+            pads = []
+            for d, k, s, dl, (pl, ph) in zip(
+                    x.shape[2:], kernel, strides, dilations, base_pads):
+                eff_k = (k - 1) * dl + 1
+                n_out = -(-(d + pl + ph - eff_k) // s) + 1
+                need = (n_out - 1) * s + eff_k - (d + pl)
+                pads.append((pl, max(ph, need)))
+
         window = (1, 1) + tuple(kernel)
         stride = (1, 1) + tuple(strides)
+        dilation = (1, 1) + tuple(dilations)
         padding = ((0, 0), (0, 0)) + tuple(pads)
         x = jnp.asarray(x)
-        out = lax.reduce_window(x, init, reducer, window, stride, padding)
+        out = lax.reduce_window(x, init, reducer, window, stride, padding,
+                                window_dilation=dilation)
         if is_avg:
-            count_include_pad = node.attr("count_include_pad", 0)
-            if count_include_pad:
-                denom = float(np.prod(kernel))
-                out = out / denom
-            else:
-                ones = jnp.ones(x.shape, x.dtype)
+            ones = jnp.ones(x.shape, x.dtype)
+            if node.attr("count_include_pad", 0):
+                # Denominator counts the explicit padding but not the
+                # ceil-mode extension (ORT semantics): pad ones with 1 over
+                # base_pads, with 0 over anything ceil added beyond them.
+                ones = jnp.pad(
+                    ones, ((0, 0), (0, 0)) + tuple(base_pads),
+                    constant_values=1.0)
+                extra = tuple(
+                    (0, ph - bh)
+                    for (_, ph), (_, bh) in zip(pads, base_pads))
                 counts = lax.reduce_window(
-                    ones, 0.0, lax.add, window, stride, padding
-                )
-                out = out / counts
+                    ones, 0.0, lax.add, window, stride,
+                    ((0, 0), (0, 0)) + extra, window_dilation=dilation)
+            else:
+                counts = lax.reduce_window(
+                    ones, 0.0, lax.add, window, stride, padding,
+                    window_dilation=dilation)
+            out = out / counts
         return out
 
     def op_MaxPool(self, node, x):
         from jax import lax
 
+        if sum(1 for o in node.outputs if o) > 1:
+            raise UnsupportedOnnxOp(
+                "MaxPool with an Indices output is not supported")
         return self._pool(node, x, lax.max, -np.inf, False)
 
     def op_AveragePool(self, node, x):
@@ -1254,26 +1343,136 @@ class _Evaluator:
         vals, idx = jax.lax.top_k(x, k)
         return vals, idx.astype(np.int64)
 
+    @staticmethod
+    def _resize_coords(ct: str, d_in: int, d_out: int, scale: float):
+        """ONNX output→input coordinate map for one axis. Host math: shapes
+        are static, so indices/weights bake into the program as constants
+        (tiny — one vector per resized axis)."""
+        i = np.arange(d_out, dtype=np.float64)
+        if ct == "half_pixel":
+            return (i + 0.5) / scale - 0.5
+        if ct == "pytorch_half_pixel":
+            return (i + 0.5) / scale - 0.5 if d_out > 1 else np.zeros(1)
+        if ct == "asymmetric":
+            return i / scale
+        if ct == "align_corners":
+            if d_out == 1:
+                return np.zeros(1)
+            return i * ((d_in - 1) / (d_out - 1))
+        if ct == "tf_half_pixel_for_nn":
+            return (i + 0.5) / scale
+        raise UnsupportedOnnxOp(
+            f"Resize coordinate_transformation_mode '{ct}'")
+
+    def _resize(self, node, x, out_shape, sc, mode: str, ct: str):
+        """Shared Resize/Upsample body: exact ONNX semantics via per-axis
+        gathers (nearest) / two-point lerps (linear) with host-computed
+        indices and weights."""
+        m = self._lib(x)
+        if mode == "nearest":
+            nm = node.attr("nearest_mode", b"round_prefer_floor")
+            nm = nm.decode() if isinstance(nm, bytes) else nm
+            out = x
+            for ax, (d_in, d_out) in enumerate(zip(x.shape, out_shape)):
+                if d_in == d_out:
+                    continue
+                scale = float(sc[ax]) if sc is not None else d_out / d_in
+                coord = self._resize_coords(ct, d_in, d_out, scale)
+                if nm == "round_prefer_floor":
+                    idx = np.ceil(coord - 0.5)
+                elif nm == "round_prefer_ceil":
+                    idx = np.floor(coord + 0.5)
+                elif nm == "floor":
+                    idx = np.floor(coord)
+                elif nm == "ceil":
+                    idx = np.ceil(coord)
+                else:
+                    raise UnsupportedOnnxOp(f"Resize nearest_mode '{nm}'")
+                idx = np.clip(idx, 0, d_in - 1).astype(np.int64)
+                out = m.take(out, idx, axis=ax)
+            return out
+        if mode in ("linear", "bilinear"):
+            out = x
+            for ax, (d_in, d_out) in enumerate(zip(x.shape, out_shape)):
+                if d_in == d_out:
+                    continue
+                scale = float(sc[ax]) if sc is not None else d_out / d_in
+                coord = self._resize_coords(ct, d_in, d_out, scale)
+                lo = np.floor(coord)
+                w = (coord - lo).astype(np.float32)
+                lo_i = np.clip(lo, 0, d_in - 1).astype(np.int64)
+                hi_i = np.clip(lo + 1, 0, d_in - 1).astype(np.int64)
+                wshape = [1] * out.ndim
+                wshape[ax] = d_out
+                w = w.reshape(wshape)
+                a = m.take(out, lo_i, axis=ax)
+                b = m.take(out, hi_i, axis=ax)
+                out = a * (1.0 - w) + b * w
+            return out
+        if mode == "cubic":
+            if ct != "half_pixel":
+                raise UnsupportedOnnxOp(
+                    f"Resize cubic with coordinate mode '{ct}'")
+            import jax
+
+            return jax.image.resize(x, out_shape, method="bicubic")
+        raise UnsupportedOnnxOp(f"Resize mode {mode}")
+
     def op_Resize(self, node, x, roi=None, scales=None, sizes=None):
         mode = node.attr("mode", b"nearest")
         if isinstance(mode, bytes):
             mode = mode.decode()
-        if sizes is not None:
+        ct = node.attr("coordinate_transformation_mode", b"half_pixel")
+        ct = ct.decode() if isinstance(ct, bytes) else ct
+        if ct == "tf_crop_and_resize":
+            raise UnsupportedOnnxOp("Resize tf_crop_and_resize")
+        if node.attr("antialias", 0):
+            raise UnsupportedOnnxOp("Resize antialias=1")
+        if node.attr("exclude_outside", 0):
+            raise UnsupportedOnnxOp("Resize exclude_outside=1")
+        kap = node.attr("keep_aspect_ratio_policy", b"stretch")
+        kap = kap.decode() if isinstance(kap, bytes) else kap
+        if kap != "stretch":
+            raise UnsupportedOnnxOp(
+                f"Resize keep_aspect_ratio_policy '{kap}'")
+        sc = None
+        if sizes is not None and np.asarray(sizes).size:
             out_shape = [int(s) for s in np.asarray(sizes).reshape(-1)]
-        elif scales is not None:
-            sc = np.asarray(scales).reshape(-1)
+        elif scales is not None and np.asarray(scales).size:
+            sc = np.asarray(scales, np.float64).reshape(-1)
             out_shape = [
-                int(round(d * float(s))) for d, s in zip(x.shape, sc)
+                int(np.floor(d * s)) for d, s in zip(x.shape, sc)
             ]
         else:
             raise UnsupportedOnnxOp("Resize needs scales or sizes")
-        import jax
+        return self._resize(node, x, out_shape, sc, mode, ct)
 
-        method = {"nearest": "nearest", "linear": "bilinear",
-                  "cubic": "bicubic"}.get(mode)
-        if method is None:
-            raise UnsupportedOnnxOp(f"Resize mode {mode}")
-        return jax.image.resize(x, out_shape, method=method)
+    def op_Upsample(self, node, x, scales=None):
+        # Deprecated (opset 7 attr / opset 9 input spelling); Resize
+        # replaced it at opset 10. Legacy semantics = asymmetric
+        # coordinates with floor rounding (what Resize-10 did, and what
+        # torch/tf emitted through it).
+        if scales is None:
+            scales = node.attr("scales")
+        if scales is None:
+            raise UnsupportedOnnxOp("Upsample needs scales")
+        sc = np.asarray(scales, np.float64).reshape(-1)
+        out_shape = [int(np.floor(d * s)) for d, s in zip(x.shape, sc)]
+        mode = node.attr("mode", b"nearest")
+        if isinstance(mode, bytes):
+            mode = mode.decode()
+        if mode == "nearest":
+            m = self._lib(x)
+            out = x
+            for ax, (d_in, d_out) in enumerate(zip(x.shape, out_shape)):
+                if d_in == d_out:
+                    continue
+                idx = np.clip(
+                    np.floor(np.arange(d_out) / sc[ax]), 0, d_in - 1
+                ).astype(np.int64)
+                out = m.take(out, idx, axis=ax)
+            return out
+        return self._resize(node, x, out_shape, sc, mode, "asymmetric")
 
     def op_Einsum(self, node, *xs):
         eq = node.attr("equation")
@@ -1513,6 +1712,185 @@ class _Evaluator:
         out = jnp.fft.rfft(xr, n=n, axis=ax) if onesided else jnp.fft.fft(xr, n=n, axis=ax)
         return jnp.stack([out.real, out.imag], axis=-1).astype(jnp.float32)
 
+    def op_STFT(self, node, signal, frame_step, window=None,
+                frame_length=None):
+        # Opset-17 in-graph STFT (the spelling the v3.0 manifest notes say
+        # upstream replaced with Conv1d — a future export may ship it raw).
+        import jax.numpy as jnp
+
+        if not node.attr("onesided", 1):
+            raise UnsupportedOnnxOp("STFT onesided=0")
+        if signal.ndim == 3:
+            if signal.shape[-1] != 1:
+                raise UnsupportedOnnxOp("STFT on complex signals")
+            signal = signal[..., 0]
+        step = int(np.asarray(frame_step).reshape(()))
+        if window is not None:
+            w_len = int(window.shape[-1])
+        elif frame_length is not None:
+            w_len = int(np.asarray(frame_length).reshape(()))
+        else:
+            raise UnsupportedOnnxOp("STFT needs window or frame_length")
+        n_frames = 1 + (signal.shape[-1] - w_len) // step
+        sig = jnp.asarray(signal)
+        if sig.dtype not in (jnp.float32, jnp.float64):
+            sig = sig.astype(jnp.float32)
+        # Overlapping frames via an on-device gather (indices are iota
+        # math, not a host constant — keeps the serialized HLO small).
+        from jax import lax
+
+        row = lax.broadcasted_iota(jnp.int32, (n_frames, w_len), 0) * step
+        col = lax.broadcasted_iota(jnp.int32, (n_frames, w_len), 1)
+        frames = jnp.take(sig, row + col, axis=-1)  # [B, n_frames, w_len]
+        if window is not None:
+            frames = frames * jnp.asarray(window, frames.dtype)
+        out = jnp.fft.rfft(frames, axis=-1)
+        return jnp.stack([out.real, out.imag], axis=-1).astype(jnp.float32)
+
+    # -- scatter / gather extras ---------------------------------------------
+
+    def op_CastLike(self, node, x, target):
+        dt = _np(target).dtype if _is_host(target) else target.dtype
+        if _is_host(x):
+            return np.asarray(x).astype(dt)
+        return x.astype(dt)
+
+    def op_EyeLike(self, node, x):
+        k = node.attr("k", 0)
+        to = node.attr("dtype")
+        dt = _NP_DTYPES[to] if to is not None else (
+            _np(x).dtype if _is_host(x) else x.dtype)
+        return np.eye(x.shape[0], x.shape[1], k=k, dtype=dt)
+
+    def op_OneHot(self, node, indices, depth, values):
+        axis = node.attr("axis", -1)
+        d = int(np.asarray(depth).reshape(()))
+        m = self._lib(indices, values)
+        idx = indices % d if _is_host(indices) else indices % d
+        nd = idx.ndim + 1
+        ax = axis % nd
+        shape = [1] * nd
+        shape[ax] = d
+        rng = np.arange(d).reshape(shape)
+        hot = m.expand_dims(idx, ax) == rng
+        off, on = (values[0], values[1]) if _is_host(values) else (
+            values[0], values[1])
+        return m.where(hot, on, off)
+
+    def op_GatherND(self, node, data, indices):
+        batch_dims = node.attr("batch_dims", 0)
+        if batch_dims:
+            raise UnsupportedOnnxOp(
+                f"GatherND batch_dims={batch_dims} is not supported")
+        idx = _np(indices) if _is_host(indices) else indices
+        last = indices.shape[-1]
+        if _is_host(data) and _is_host(indices):
+            return _np(data)[tuple(np.moveaxis(_np(indices), -1, 0))]
+        import jax.numpy as jnp
+
+        parts = tuple(idx[..., i] for i in range(last))
+        return jnp.asarray(data)[parts]
+
+    def _scatter_reduce(self, node):
+        red = node.attr("reduction", b"none")
+        red = red.decode() if isinstance(red, bytes) else red
+        if red not in ("none", "add", "mul", "max", "min"):
+            raise UnsupportedOnnxOp(
+                f"{node.op_type} reduction '{red}' is not supported")
+        return red
+
+    def op_ScatterND(self, node, data, indices, updates):
+        red = self._scatter_reduce(node)
+        import jax.numpy as jnp
+
+        d = jnp.asarray(data)
+        idx = _np(indices) if _is_host(indices) else indices
+        last = indices.shape[-1]
+        parts = tuple(idx[..., i] for i in range(last))
+        at = d.at[parts]
+        if red == "none":
+            return at.set(updates)
+        return getattr(at, {"add": "add", "mul": "multiply",
+                            "max": "max", "min": "min"}[red])(updates)
+
+    def op_ScatterElements(self, node, data, indices, updates):
+        red = self._scatter_reduce(node)
+        axis = node.attr("axis", 0)
+        if _is_host(data) and _is_host(indices) and _is_host(updates) \
+                and red == "none":
+            out = _np(data).copy()
+            np.put_along_axis(out, _np(indices), _np(updates), axis=axis)
+            return out
+        import jax.numpy as jnp
+
+        if red == "none":
+            return jnp.put_along_axis(
+                jnp.asarray(data), indices, updates, axis=axis,
+                inplace=False)
+        # Reduction form: expand to explicit ND coordinates, reuse the
+        # .at[] machinery.
+        d = jnp.asarray(data)
+        idx = jnp.asarray(indices)
+        coords = [
+            jnp.broadcast_to(
+                np.arange(idx.shape[a]).reshape(
+                    [-1 if i == a else 1 for i in range(idx.ndim)]),
+                idx.shape,
+            )
+            for a in range(idx.ndim)
+        ]
+        coords[axis % d.ndim] = idx
+        at = d.at[tuple(coords)]
+        return getattr(at, {"add": "add", "mul": "multiply",
+                            "max": "max", "min": "min"}[red])(updates)
+
+    def op_Scatter(self, node, data, indices, updates):
+        # Deprecated opset-9 alias of ScatterElements.
+        return self.op_ScatterElements(node, data, indices, updates)
+
+    # -- normalization extras --------------------------------------------------
+
+    def op_MeanVarianceNormalization(self, node, x):
+        axes = node.attr("axes", [0, 2, 3])
+        axes = tuple(int(a) % x.ndim for a in np.asarray(axes).reshape(-1))
+        m = self._lib(x)
+        mu = m.mean(x, axis=axes, keepdims=True)
+        var = m.mean(m.square(x), axis=axes, keepdims=True) - m.square(mu)
+        return (x - mu) / m.sqrt(var + 1e-9)
+
+    def op_LpNormalization(self, node, x):
+        p = node.attr("p", 2)
+        axis = node.attr("axis", -1)
+        m = self._lib(x)
+        if p == 1:
+            norm = m.sum(m.abs(x), axis=axis, keepdims=True)
+        elif p == 2:
+            norm = m.sqrt(m.sum(m.square(x), axis=axis, keepdims=True))
+        else:
+            raise UnsupportedOnnxOp(f"LpNormalization p={p}")
+        return x / norm
+
+    def op_GlobalLpPool(self, node, x):
+        p = node.attr("p", 2)
+        m = self._lib(x)
+        axes = tuple(range(2, x.ndim))
+        if p == 1:
+            return m.sum(m.abs(x), axis=axes, keepdims=True)
+        if p == 2:
+            return m.sqrt(m.sum(m.square(x), axis=axes, keepdims=True))
+        raise UnsupportedOnnxOp(f"GlobalLpPool p={p}")
+
+    def op_LpPool(self, node, x):
+        from jax import lax
+
+        p = node.attr("p", 2)
+        if p not in (1, 2):
+            raise UnsupportedOnnxOp(f"LpPool p={p}")
+        m = self._lib(x)
+        powered = m.abs(x) if p == 1 else m.square(x)
+        out = self._pool(node, powered, lax.add, 0.0, False)
+        return out if p == 1 else self._lib(out).sqrt(out)
+
 
 #: Float initializers at least this large are lifted out of the trace into
 #: an explicit params pytree: one device copy shared by every compiled batch
@@ -1596,8 +1974,14 @@ class OnnxFunction:
         # :mod:`.quantize` rides this hook).
         self._eval = (
             evaluator if evaluator is not None
-            else _Evaluator(self.graph, compute_dtype=compute_dtype)
+            else _Evaluator(self.graph, compute_dtype=compute_dtype,
+                            opset=model.opset)
         )
+        # Caller-supplied evaluators (int8 path, calibration) are built
+        # from the graph alone; thread the model's opset through so
+        # version-gated semantics stay consistent.
+        if getattr(self._eval, "opset", 0) == 0:
+            self._eval.opset = model.opset
         # Fail with the FULL list of unsupported ops/attrs/dtypes up front
         # (one fix list instead of a raise-on-first retry loop); the per-op
         # raises in the evaluator remain as the runtime backstop.

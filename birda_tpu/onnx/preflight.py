@@ -67,6 +67,38 @@ def _attr_findings(node) -> list[str]:
             mode = mode.decode()
         if mode not in ("nearest", "linear", "cubic"):
             reasons.append(f"Resize mode '{mode}' is not supported")
+        ct = node.attr("coordinate_transformation_mode", b"half_pixel")
+        if isinstance(ct, bytes):
+            ct = ct.decode()
+        supported_ct = ("half_pixel", "pytorch_half_pixel", "asymmetric",
+                        "align_corners", "tf_half_pixel_for_nn")
+        if ct not in supported_ct:
+            reasons.append(
+                f"Resize coordinate_transformation_mode '{ct}' "
+                "is not supported")
+        elif mode == "cubic" and ct != "half_pixel":
+            reasons.append(
+                f"Resize cubic supports only half_pixel coordinates "
+                f"(got '{ct}')")
+        nm = node.attr("nearest_mode", b"round_prefer_floor")
+        if isinstance(nm, bytes):
+            nm = nm.decode()
+        if mode == "nearest" and nm not in (
+                "round_prefer_floor", "round_prefer_ceil", "floor", "ceil"):
+            reasons.append(f"Resize nearest_mode '{nm}' is not supported")
+        if node.attr("antialias", 0):
+            reasons.append("Resize antialias=1 is not supported")
+        if node.attr("exclude_outside", 0):
+            reasons.append("Resize exclude_outside=1 is not supported")
+        kap = node.attr("keep_aspect_ratio_policy", b"stretch")
+        if isinstance(kap, bytes):
+            kap = kap.decode()
+        if kap != "stretch":
+            reasons.append(
+                f"Resize keep_aspect_ratio_policy '{kap}' is not supported")
+    elif op == "MaxPool":
+        if sum(1 for o in node.outputs if o) > 1:
+            reasons.append("MaxPool with an Indices output is not supported")
     elif op == "DFT":
         if node.attr("inverse", 0):
             reasons.append("inverse DFT is not supported")
@@ -141,6 +173,18 @@ def preflight(model: Model | bytes | str, evaluator=None) -> list[Finding]:
                     f"unsupported constant dtype "
                     f"{_DT_NAMES.get(t.data_type, t.data_type)}",
                 ))
+            elif t is None or getattr(t, "array", None) is None:
+                # No foldable payload: the numeric value_* spellings fold
+                # (lowering._constant_payload); sparse/string ones do not.
+                from .lowering import _constant_payload
+
+                if _constant_payload(node) is None:
+                    spelled = ", ".join(sorted(node.attrs)) or "<none>"
+                    findings.append(Finding(
+                        node.name, "Constant",
+                        f"no foldable value attribute (has: {spelled}; "
+                        "sparse_value / value_string(s) are unsupported)",
+                    ))
             continue
         if getattr(evaluator, f"op_{node.op_type}", None) is None:
             if node.op_type not in seen_missing:

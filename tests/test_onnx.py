@@ -595,3 +595,450 @@ class TestRound3Ops:
             tw = torch.triu if upper else torch.tril
             want = tw(torch.from_numpy(x), k).numpy()
             assert np.array_equal(got, want), (upper, k)
+
+
+class TestOpsetSemantics:
+    """Opset-version-dependent spellings real exports carry: coerce-2D
+    Softmax (opset < 13), Reduce* noop_with_empty_axes, Constant value_*
+    attribute forms, and the deprecated Upsample op. ORT dispatches all of
+    these by the model's opset_import (reference runs the shipped graph
+    whatever its opset, src/inference/runtime.rs:14)."""
+
+    def test_softmax_opset11_coerces_2d(self):
+        x = np.random.default_rng(0).normal(size=(2, 3, 4, 5)).astype(np.float32)
+        mb = fo.model(
+            [fo.node("Softmax", ["x"], ["y"], attrs=[fo.attr_int("axis", 1)])],
+            inputs=[fo.value_info("x", [2, 3, 4, 5])],
+            outputs=[fo.value_info("y", [2, 3, 4, 5])],
+            opset=11,
+        )
+        got = run_model(mb, x)
+        flat = torch.from_numpy(x).reshape(2, -1)
+        want = F.softmax(flat, dim=1).reshape(2, 3, 4, 5).numpy()
+        assert np.max(np.abs(got - want)) < 1e-6
+
+    def test_softmax_opset11_default_axis_is_1(self):
+        x = np.random.default_rng(1).normal(size=(3, 5)).astype(np.float32)
+        mb = fo.model(
+            [fo.node("Softmax", ["x"], ["y"])],
+            inputs=[fo.value_info("x", [3, 5])],
+            outputs=[fo.value_info("y", [3, 5])],
+            opset=11,
+        )
+        got = run_model(mb, x)
+        want = F.softmax(torch.from_numpy(x), dim=1).numpy()
+        assert np.max(np.abs(got - want)) < 1e-6
+
+    def test_logsoftmax_opset13_default_axis_is_last(self):
+        x = np.random.default_rng(2).normal(size=(3, 4, 5)).astype(np.float32)
+        mb = fo.model(
+            [fo.node("LogSoftmax", ["x"], ["y"])],
+            inputs=[fo.value_info("x", [3, 4, 5])],
+            outputs=[fo.value_info("y", [3, 4, 5])],
+            opset=13,
+        )
+        got = run_model(mb, x)
+        want = F.log_softmax(torch.from_numpy(x), dim=-1).numpy()
+        assert np.max(np.abs(got - want)) < 1e-5
+
+    def test_hardmax_opset11_flattened(self):
+        x = np.random.default_rng(3).normal(size=(2, 3, 4)).astype(np.float32)
+        mb = fo.model(
+            [fo.node("Hardmax", ["x"], ["y"], attrs=[fo.attr_int("axis", 1)])],
+            inputs=[fo.value_info("x", [2, 3, 4])],
+            outputs=[fo.value_info("y", [2, 3, 4])],
+            opset=11,
+        )
+        got = run_model(mb, x)
+        want = np.zeros((2, 12), np.float32)
+        want[np.arange(2), np.argmax(x.reshape(2, 12), axis=1)] = 1.0
+        assert np.array_equal(got, want.reshape(2, 3, 4))
+
+    def test_reduce_noop_with_empty_axes(self):
+        x = np.random.default_rng(4).normal(size=(2, 3)).astype(np.float32)
+        for op, want_reduced in (
+            ("ReduceSum", x.sum()),
+            ("ReduceL2", np.sqrt((x ** 2).sum())),
+            ("ReduceLogSumExp", np.log(np.exp(x).sum())),
+        ):
+            # noop_with_empty_axes=1, no axes: identity.
+            mb = fo.model(
+                [fo.node(op, ["x"], ["y"],
+                         attrs=[fo.attr_int("noop_with_empty_axes", 1),
+                                fo.attr_int("keepdims", 0)])],
+                inputs=[fo.value_info("x", [2, 3])],
+                outputs=[fo.value_info("y", [2, 3])],
+                opset=18,
+            )
+            assert np.array_equal(run_model(mb, x), x), op
+            # Default (0): reduce over every axis.
+            mb = fo.model(
+                [fo.node(op, ["x"], ["y"], attrs=[fo.attr_int("keepdims", 0)])],
+                inputs=[fo.value_info("x", [2, 3])],
+                outputs=[fo.value_info("y", [])],
+                opset=18,
+            )
+            got = run_model(mb, x)
+            assert np.allclose(got, want_reduced, atol=1e-5), op
+
+    def test_reduce_empty_axes_input_reduces_all(self):
+        # An empty axes *input* with noop unset must reduce all axes, not
+        # silently no-op (numpy axis=() would).
+        x = np.random.default_rng(5).normal(size=(2, 3)).astype(np.float32)
+        mb = fo.model(
+            [fo.node("ReduceSum", ["x", "ax"], ["y"],
+                     attrs=[fo.attr_int("keepdims", 0)])],
+            inputs=[fo.value_info("x", [2, 3])],
+            outputs=[fo.value_info("y", [])],
+            initializers=[fo.tensor("ax", np.zeros((0,), np.int64))],
+            opset=18,
+        )
+        got = run_model(mb, x)
+        assert np.allclose(got, x.sum(), atol=1e-5)
+
+    def test_constant_value_spellings(self):
+        mb = fo.model(
+            [fo.node("Constant", [], ["cf"],
+                     attrs=[fo.attr_float("value_float", 2.5)]),
+             fo.node("Constant", [], ["ci"],
+                     attrs=[fo.attr_ints("value_ints", [1, 0])]),
+             fo.node("Mul", ["x", "cf"], ["xs"]),
+             fo.node("Transpose", ["xs"], ["y"])],
+            inputs=[fo.value_info("x", [2, 3])],
+            outputs=[fo.value_info("y", [3, 2]),
+                     fo.value_info("ci", [2])],
+            opset=13,
+        )
+        fn = lower(mb)
+        x = np.arange(6, dtype=np.float32).reshape(2, 3)
+        y, ci = fn(x)
+        assert np.allclose(np.asarray(y), (x * 2.5).T)
+        assert np.array_equal(np.asarray(ci), [1, 0])
+
+    def test_constant_sparse_is_preflighted(self):
+        from birda_tpu.errors import OnnxGraphUnsupported
+
+        mb = fo.model(
+            [fo.node("Constant", [], ["c"],
+                     attrs=[fo.attr_str("value_strings", "abc")]),
+             fo.node("Identity", ["c"], ["y"])],
+            inputs=[],
+            outputs=[fo.value_info("y", [1])],
+            opset=13,
+        )
+        with pytest.raises(OnnxGraphUnsupported, match="foldable"):
+            lower(mb)
+
+    def test_upsample_nearest_and_linear(self):
+        x = np.random.default_rng(6).normal(size=(1, 2, 4, 4)).astype(np.float32)
+        for mode, torch_mode in (("nearest", "nearest"),
+                                 ("linear", "bilinear")):
+            mb = fo.model(
+                [fo.node("Upsample", ["x", "sc"], ["y"],
+                         attrs=[fo.attr_str("mode", mode)])],
+                inputs=[fo.value_info("x", [1, 2, 4, 4])],
+                outputs=[fo.value_info("y", [1, 2, 8, 8])],
+                initializers=[fo.tensor(
+                    "sc", np.array([1, 1, 2, 2], np.float32))],
+                opset=9,
+            )
+            got = run_model(mb, x)
+            assert got.shape == (1, 2, 8, 8), mode
+            if mode == "nearest":
+                want = torch.nn.functional.interpolate(
+                    torch.from_numpy(x), scale_factor=2, mode=torch_mode
+                ).numpy()
+                assert np.max(np.abs(got - want)) < 1e-6
+
+
+class TestResizePoolSemantics:
+    """Exact Resize coordinate/rounding semantics and pooling ceil_mode /
+    dilations — configurations that previously computed silently-different
+    values than ORT would."""
+
+    def test_resize_linear_align_corners(self):
+        x = np.random.default_rng(0).normal(size=(1, 1, 5, 7)).astype(np.float32)
+        mb = fo.model(
+            [fo.node("Resize", ["x", "", "", "sizes"], ["y"],
+                     attrs=[fo.attr_str("mode", "linear"),
+                            fo.attr_str("coordinate_transformation_mode",
+                                        "align_corners")])],
+            inputs=[fo.value_info("x", [1, 1, 5, 7])],
+            outputs=[fo.value_info("y", [1, 1, 10, 14])],
+            initializers=[fo.tensor("sizes", np.array([1, 1, 10, 14], np.int64))],
+        )
+        got = run_model(mb, x)
+        want = F.interpolate(torch.from_numpy(x), size=(10, 14),
+                             mode="bilinear", align_corners=True).numpy()
+        assert np.max(np.abs(got - want)) < 1e-5
+
+    def test_resize_linear_half_pixel(self):
+        x = np.random.default_rng(1).normal(size=(1, 2, 6, 6)).astype(np.float32)
+        mb = fo.model(
+            [fo.node("Resize", ["x", "", "", "sizes"], ["y"],
+                     attrs=[fo.attr_str("mode", "linear")])],
+            inputs=[fo.value_info("x", [1, 2, 6, 6])],
+            outputs=[fo.value_info("y", [1, 2, 9, 3])],
+            initializers=[fo.tensor("sizes", np.array([1, 2, 9, 3], np.int64))],
+        )
+        got = run_model(mb, x)
+        want = F.interpolate(torch.from_numpy(x), size=(9, 3),
+                             mode="bilinear", align_corners=False).numpy()
+        assert np.max(np.abs(got - want)) < 1e-5
+
+    def test_resize_nearest_asymmetric_floor(self):
+        # The tf/legacy spelling: asymmetric coords + floor rounding.
+        x = np.arange(12, dtype=np.float32).reshape(1, 1, 3, 4)
+        mb = fo.model(
+            [fo.node("Resize", ["x", "", "", "sizes"], ["y"],
+                     attrs=[fo.attr_str("mode", "nearest"),
+                            fo.attr_str("coordinate_transformation_mode",
+                                        "asymmetric"),
+                            fo.attr_str("nearest_mode", "floor")])],
+            inputs=[fo.value_info("x", [1, 1, 3, 4])],
+            outputs=[fo.value_info("y", [1, 1, 6, 8])],
+            initializers=[fo.tensor("sizes", np.array([1, 1, 6, 8], np.int64))],
+        )
+        got = run_model(mb, x)
+        want = F.interpolate(torch.from_numpy(x), size=(6, 8),
+                             mode="nearest").numpy()
+        assert np.array_equal(got, want)
+
+    def test_resize_unsupported_coord_mode_preflighted(self):
+        from birda_tpu.errors import OnnxGraphUnsupported
+
+        mb = fo.model(
+            [fo.node("Resize", ["x", "", "", "sizes"], ["y"],
+                     attrs=[fo.attr_str("mode", "nearest"),
+                            fo.attr_str("coordinate_transformation_mode",
+                                        "tf_crop_and_resize")])],
+            inputs=[fo.value_info("x", [1, 1, 4, 4])],
+            outputs=[fo.value_info("y", [1, 1, 8, 8])],
+            initializers=[fo.tensor("sizes", np.array([1, 1, 8, 8], np.int64))],
+        )
+        with pytest.raises(OnnxGraphUnsupported, match="tf_crop_and_resize"):
+            lower(mb)
+
+    def test_maxpool_ceil_mode_and_dilations(self):
+        x = np.random.default_rng(2).normal(size=(1, 2, 7, 7)).astype(np.float32)
+        mb = fo.model(
+            [fo.node("MaxPool", ["x"], ["y"],
+                     attrs=[fo.attr_ints("kernel_shape", [2, 2]),
+                            fo.attr_ints("strides", [2, 2]),
+                            fo.attr_int("ceil_mode", 1)])],
+            inputs=[fo.value_info("x", [1, 2, 7, 7])],
+            outputs=[fo.value_info("y", [1, 2, 4, 4])],
+        )
+        got = run_model(mb, x)
+        want = F.max_pool2d(torch.from_numpy(x), 2, 2, ceil_mode=True).numpy()
+        assert got.shape == want.shape
+        assert np.max(np.abs(got - want)) < 1e-6
+
+        mb = fo.model(
+            [fo.node("MaxPool", ["x"], ["y"],
+                     attrs=[fo.attr_ints("kernel_shape", [2, 2]),
+                            fo.attr_ints("dilations", [2, 2])])],
+            inputs=[fo.value_info("x", [1, 2, 7, 7])],
+            outputs=[fo.value_info("y", [1, 2, 5, 5])],
+        )
+        got = run_model(mb, x)
+        want = F.max_pool2d(torch.from_numpy(x), 2, 1, dilation=2).numpy()
+        assert got.shape == want.shape
+        assert np.max(np.abs(got - want)) < 1e-6
+
+    def test_avgpool_ceil_mode_counts(self):
+        x = np.random.default_rng(3).normal(size=(1, 1, 5, 5)).astype(np.float32)
+        for include_pad in (0, 1):
+            mb = fo.model(
+                [fo.node("AveragePool", ["x"], ["y"],
+                         attrs=[fo.attr_ints("kernel_shape", [2, 2]),
+                                fo.attr_ints("strides", [2, 2]),
+                                fo.attr_int("ceil_mode", 1),
+                                fo.attr_int("count_include_pad",
+                                            include_pad)])],
+                inputs=[fo.value_info("x", [1, 1, 5, 5])],
+                outputs=[fo.value_info("y", [1, 1, 3, 3])],
+            )
+            got = run_model(mb, x)
+            want = F.avg_pool2d(torch.from_numpy(x), 2, 2, ceil_mode=True,
+                                count_include_pad=bool(include_pad)).numpy()
+            assert got.shape == want.shape, include_pad
+            assert np.max(np.abs(got - want)) < 1e-6, include_pad
+
+    def test_avgpool_explicit_pads_include_pad(self):
+        x = np.random.default_rng(4).normal(size=(1, 1, 6, 6)).astype(np.float32)
+        for include_pad in (0, 1):
+            mb = fo.model(
+                [fo.node("AveragePool", ["x"], ["y"],
+                         attrs=[fo.attr_ints("kernel_shape", [3, 3]),
+                                fo.attr_ints("strides", [2, 2]),
+                                fo.attr_ints("pads", [1, 1, 1, 1]),
+                                fo.attr_int("count_include_pad",
+                                            include_pad)])],
+                inputs=[fo.value_info("x", [1, 1, 6, 6])],
+                outputs=[fo.value_info("y", [1, 1, 3, 3])],
+            )
+            got = run_model(mb, x)
+            want = F.avg_pool2d(torch.from_numpy(x), 3, 2, padding=1,
+                                count_include_pad=bool(include_pad)).numpy()
+            assert got.shape == want.shape, include_pad
+            assert np.max(np.abs(got - want)) < 1e-6, include_pad
+
+    def test_maxpool_indices_output_preflighted(self):
+        from birda_tpu.errors import OnnxGraphUnsupported
+
+        mb = fo.model(
+            [fo.node("MaxPool", ["x"], ["y", "idx"],
+                     attrs=[fo.attr_ints("kernel_shape", [2, 2])])],
+            inputs=[fo.value_info("x", [1, 1, 4, 4])],
+            outputs=[fo.value_info("y", [1, 1, 3, 3]),
+                     fo.value_info("idx", [1, 1, 3, 3], elem_type=7)],
+        )
+        with pytest.raises(OnnxGraphUnsupported, match="Indices"):
+            lower(mb)
+
+
+class TestScatterGatherSpectral:
+    """Breadth ops real exports may carry: STFT (opset 17), OneHot,
+    CastLike, EyeLike, GatherND, Scatter family, MVN, Lp pools/norms."""
+
+    def test_stft_matches_torch(self):
+        rng = np.random.default_rng(0)
+        sig = rng.normal(0, 1, (2, 512)).astype(np.float32)
+        win = np.hanning(128).astype(np.float32)
+        mb = fo.model(
+            [fo.node("STFT", ["sig", "step", "win"], ["y"])],
+            inputs=[fo.value_info("sig", [2, 512])],
+            outputs=[fo.value_info("y", [2, 13, 65, 2])],
+            initializers=[fo.tensor("step", np.array(32, np.int64)),
+                          fo.tensor("win", win)],
+            opset=17,
+        )
+        got = run_model(mb, sig)
+        want = torch.stft(torch.from_numpy(sig), n_fft=128,
+                          hop_length=32, win_length=128,
+                          window=torch.from_numpy(win), center=False,
+                          return_complex=True)
+        want = torch.view_as_real(want).transpose(1, 2).numpy()
+        assert got.shape == want.shape
+        assert np.max(np.abs(got - want)) < 1e-3
+
+    def test_onehot(self):
+        idx = np.array([[0, 2], [1, -1]], np.int64)
+        mb = fo.model(
+            [fo.node("OneHot", ["idx", "depth", "vals"], ["y"],
+                     attrs=[fo.attr_int("axis", -1)])],
+            inputs=[fo.value_info("idx", [2, 2], elem_type=7)],
+            outputs=[fo.value_info("y", [2, 2, 3])],
+            initializers=[fo.tensor("depth", np.array(3, np.int64)),
+                          fo.tensor("vals", np.array([0.0, 1.0], np.float32))],
+        )
+        got = run_model(mb, idx)
+        want = np.eye(3, dtype=np.float32)[idx % 3]
+        assert np.array_equal(got, want)
+
+    def test_castlike_eyelike(self):
+        x = np.array([[1.7, -2.2], [0.1, 3.9]], np.float32)
+        mb = fo.model(
+            [fo.node("CastLike", ["x", "ref"], ["xi"]),
+             fo.node("EyeLike", ["x"], ["e"], attrs=[fo.attr_int("k", 1)])],
+            inputs=[fo.value_info("x", [2, 2])],
+            outputs=[fo.value_info("xi", [2, 2], elem_type=7),
+                     fo.value_info("e", [2, 2])],
+            initializers=[fo.tensor("ref", np.array([0], np.int64))],
+        )
+        fn = lower(mb)
+        xi, e = fn(x)
+        assert np.asarray(xi).dtype == np.int64
+        assert np.array_equal(np.asarray(e), np.eye(2, k=1, dtype=np.float32))
+
+    def test_gathernd(self):
+        data = np.arange(24, dtype=np.float32).reshape(2, 3, 4)
+        idx = np.array([[0, 1], [1, 2]], np.int64)
+        mb = fo.model(
+            [fo.node("GatherND", ["d", "i"], ["y"])],
+            inputs=[fo.value_info("d", [2, 3, 4])],
+            outputs=[fo.value_info("y", [2, 4])],
+            initializers=[fo.tensor("i", idx)],
+        )
+        got = run_model(mb, data)
+        assert np.array_equal(got, data[[0, 1], [1, 2]])
+
+    def test_scatternd_and_elements(self):
+        data = np.zeros((4, 4), np.float32)
+        nd_idx = np.array([[0, 1], [2, 3]], np.int64)
+        upd = np.array([5.0, 7.0], np.float32)
+        mb = fo.model(
+            [fo.node("ScatterND", ["d", "i", "u"], ["y"])],
+            inputs=[fo.value_info("d", [4, 4])],
+            outputs=[fo.value_info("y", [4, 4])],
+            initializers=[fo.tensor("i", nd_idx), fo.tensor("u", upd)],
+        )
+        got = run_model(mb, data)
+        want = data.copy(); want[0, 1] = 5.0; want[2, 3] = 7.0
+        assert np.array_equal(got, want)
+
+        el_idx = np.array([[1, 0]], np.int64)
+        el_upd = np.array([[9.0, 8.0]], np.float32)
+        for red, want_val in (("none", [8.0, 9.0]), ("add", [8.0, 9.0])):
+            base = np.zeros((2, 2), np.float32)
+            attrs = [fo.attr_int("axis", 0)]
+            if red != "none":
+                attrs.append(fo.attr_str("reduction", red))
+            mb = fo.model(
+                [fo.node("ScatterElements", ["d", "i", "u"], ["y"],
+                         attrs=attrs)],
+                inputs=[fo.value_info("d", [2, 2])],
+                outputs=[fo.value_info("y", [2, 2])],
+                initializers=[fo.tensor("i", el_idx), fo.tensor("u", el_upd)],
+            )
+            got = run_model(mb, base)
+            want = np.zeros((2, 2), np.float32)
+            want[1, 0] = 9.0; want[0, 1] = 8.0
+            assert np.array_equal(got, want), red
+
+    def test_mvn_and_lp(self):
+        x = np.random.default_rng(1).normal(2, 3, (2, 3, 4, 4)).astype(np.float32)
+        mb = fo.model(
+            [fo.node("MeanVarianceNormalization", ["x"], ["y"])],
+            inputs=[fo.value_info("x", [2, 3, 4, 4])],
+            outputs=[fo.value_info("y", [2, 3, 4, 4])],
+        )
+        got = run_model(mb, x)
+        mu = x.mean((0, 2, 3), keepdims=True)
+        sd = x.std((0, 2, 3), keepdims=True)
+        assert np.max(np.abs(got - (x - mu) / (sd + 1e-6))) < 1e-3
+
+        xv = np.random.default_rng(2).normal(size=(3, 5)).astype(np.float32)
+        mb = fo.model(
+            [fo.node("LpNormalization", ["x"], ["y"],
+                     attrs=[fo.attr_int("p", 2), fo.attr_int("axis", 1)])],
+            inputs=[fo.value_info("x", [3, 5])],
+            outputs=[fo.value_info("y", [3, 5])],
+        )
+        got = run_model(mb, xv)
+        want = xv / np.linalg.norm(xv, axis=1, keepdims=True)
+        assert np.max(np.abs(got - want)) < 1e-6
+
+    def test_lppool_global_and_windowed(self):
+        x = np.random.default_rng(3).normal(size=(1, 2, 4, 4)).astype(np.float32)
+        mb = fo.model(
+            [fo.node("GlobalLpPool", ["x"], ["y"], attrs=[fo.attr_int("p", 2)])],
+            inputs=[fo.value_info("x", [1, 2, 4, 4])],
+            outputs=[fo.value_info("y", [1, 2, 1, 1])],
+        )
+        got = run_model(mb, x)
+        want = np.sqrt((x ** 2).sum((2, 3), keepdims=True))
+        assert np.max(np.abs(got - want)) < 1e-5
+
+        mb = fo.model(
+            [fo.node("LpPool", ["x"], ["y"],
+                     attrs=[fo.attr_int("p", 2),
+                            fo.attr_ints("kernel_shape", [2, 2]),
+                            fo.attr_ints("strides", [2, 2])])],
+            inputs=[fo.value_info("x", [1, 2, 4, 4])],
+            outputs=[fo.value_info("y", [1, 2, 2, 2])],
+        )
+        got = run_model(mb, x)
+        want = torch.nn.LPPool2d(2, 2, stride=2)(torch.from_numpy(x)).numpy()
+        assert np.max(np.abs(got - want)) < 1e-5
