@@ -216,6 +216,22 @@ private:
     void downmix(const uint8_t* raw, int64_t nframes, float* out) {
         const int ch = channels_;
         const double inv_ch = 1.0 / ch;
+        // Mono fast paths (the dominant field-recorder layout): float
+        // math vectorizes, and division by a power of two is exact, so
+        // the result is bit-identical to the double-accumulated general
+        // path below.
+        if (ch == 1 && sample_kind_ == S16) {
+            for (int64_t i = 0; i < nframes; i++) {
+                int16_t v;
+                memcpy(&v, raw + (size_t)i * 2, 2);
+                out[i] = (float)v * (1.0f / 32768.0f);
+            }
+            return;
+        }
+        if (ch == 1 && sample_kind_ == F32) {
+            memcpy(out, raw, (size_t)nframes * 4);
+            return;
+        }
         switch (sample_kind_) {
             case U8:
                 for (int64_t i = 0; i < nframes; i++) {
