@@ -116,6 +116,26 @@ def attr_tensor(name: str, arr: np.ndarray) -> bytes:
     return _str(1, name) + _msg(5, tensor("", arr)) + _int(20, 4)
 
 
+def graph(nodes, inputs, outputs, initializers=(), graph_name="sub") -> bytes:
+    """Bare GraphProto bytes (for subgraph attributes)."""
+    g = b""
+    for n in nodes:
+        g += _msg(1, n)
+    g += _str(2, graph_name)
+    for t in initializers:
+        g += _msg(5, t)
+    for vi in inputs:
+        g += _msg(11, vi)
+    for vi in outputs:
+        g += _msg(12, vi)
+    return g
+
+
+def attr_graph(name: str, graph_bytes: bytes) -> bytes:
+    """Subgraph attribute (If branches, Loop/Scan bodies)."""
+    return _str(1, name) + _msg(6, graph_bytes) + _int(20, 5)
+
+
 def node(op_type: str, inputs, outputs, name="", attrs=()) -> bytes:
     body = b""
     for i in inputs:

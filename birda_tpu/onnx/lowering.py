@@ -101,10 +101,14 @@ class _Evaluator:
     """Executes a graph node-by-node over a value environment."""
 
     def __init__(self, graph: Graph, compute_dtype=None, opset: int = 0):
+        import threading
+
         self.graph = graph
         #: Default-domain opset version; 0 = unknown (treated as modern).
         #: Gates version-dependent semantics (old coerce-2D Softmax).
         self.opset = opset
+        #: Per-thread stack of live environments (control-flow closure).
+        self._tls = threading.local()
         #: When set (e.g. bfloat16), conv/matmul *inputs* are cast to this
         #: dtype while accumulation stays fp32 via preferred_element_type —
         #: the mixed-precision inference recipe (TensorRT fp16-engine
@@ -127,24 +131,34 @@ class _Evaluator:
         env: dict[str, Any] = dict(self.const)
         env.update(feeds)
         env[""] = None  # optional (absent) inputs
-        for node in self.graph.nodes:
-            if node.op_type == "Constant":
-                continue
-            handler = getattr(self, f"op_{node.op_type}", None)
-            if handler is None:
-                raise UnsupportedOnnxOp(
-                    f"ONNX op '{node.op_type}' (node '{node.name}') is not supported"
-                )
-            args = [
-                self._fetch(node, pos, i, env[i]) if i else None
-                for pos, i in enumerate(node.inputs)
-            ]
-            result = handler(node, *args)
-            if not isinstance(result, tuple):
-                result = (result,)
-            for out_name, val in zip(node.outputs, result):
-                if out_name:
-                    env[out_name] = self._store(out_name, val)
+        # Control-flow handlers (If/Loop) need the live environment for
+        # outer-scope closure; a per-thread stack keeps concurrent traces
+        # of the same function (per-shape warmups under --jobs) isolated.
+        stack = getattr(self._tls, "envs", None)
+        if stack is None:
+            stack = self._tls.envs = []
+        stack.append(env)
+        try:
+            for node in self.graph.nodes:
+                if node.op_type == "Constant":
+                    continue
+                handler = getattr(self, f"op_{node.op_type}", None)
+                if handler is None:
+                    raise UnsupportedOnnxOp(
+                        f"ONNX op '{node.op_type}' (node '{node.name}') is not supported"
+                    )
+                args = [
+                    self._fetch(node, pos, i, env[i]) if i else None
+                    for pos, i in enumerate(node.inputs)
+                ]
+                result = handler(node, *args)
+                if not isinstance(result, tuple):
+                    result = (result,)
+                for out_name, val in zip(node.outputs, result):
+                    if out_name:
+                        env[out_name] = self._store(out_name, val)
+        finally:
+            stack.pop()
         return env
 
     def _store(self, name, val):
@@ -1847,6 +1861,157 @@ class _Evaluator:
     def op_Scatter(self, node, data, indices, updates):
         # Deprecated opset-9 alias of ScatterElements.
         return self.op_ScatterElements(node, data, indices, updates)
+
+    # -- control flow ----------------------------------------------------------
+    #
+    # ONNX If/Loop execute at trace time: branch selection and trip counts
+    # must be graph-static (host values), in which case If picks its branch
+    # and Loop unrolls into the XLA program — the compiler-friendly form of
+    # the exporter patterns these carry (static preprocessing loops,
+    # config-dependent branches). Data-dependent control flow raises a
+    # typed error naming the node (ORT executes it dynamically; a graph
+    # that truly needs it is out of scope for a batch classifier).
+
+    _LOOP_UNROLL_CAP = 4096
+
+    def _outer_env(self) -> dict:
+        stack = getattr(self._tls, "envs", None)
+        return stack[-1] if stack else {}
+
+    def _run_subgraph(self, graph, feeds: dict) -> list:
+        """Execute a subgraph attribute with outer-scope closure (ONNX
+        nested-scope semantics: subgraph nodes may reference any name
+        visible in the enclosing graph)."""
+        ev = _Evaluator(graph, compute_dtype=self.compute_dtype,
+                        opset=self.opset)
+        env = {k: v for k, v in self._outer_env().items() if k}
+        env.update(feeds)
+        out_env = ev.run(env)
+        return [out_env[vi.name] for vi in graph.outputs]
+
+    def op_If(self, node, cond):
+        if not _is_host(cond):
+            raise UnsupportedOnnxOp(
+                f"If with a data-dependent condition (node "
+                f"'{node.name or 'If'}'); conditions must be graph-static")
+        branch = node.attr("then_branch") if bool(
+            np.asarray(cond).reshape(())) else node.attr("else_branch")
+        if branch is None:
+            raise UnsupportedOnnxOp("If without branch subgraphs")
+        return tuple(self._run_subgraph(branch, {}))
+
+    def op_Loop(self, node, m=None, cond=None, *v_init):
+        body = node.attr("body")
+        if body is None:
+            raise UnsupportedOnnxOp("Loop without a body subgraph")
+        if m is None and cond is None:
+            raise UnsupportedOnnxOp(
+                "Loop with neither trip count nor condition")
+        if m is not None and not _is_host(m):
+            raise UnsupportedOnnxOp(
+                f"Loop with a data-dependent trip count (node "
+                f"'{node.name or 'Loop'}')")
+
+        def host_bool(v, what):
+            if v is None:
+                return True
+            if not _is_host(v):
+                raise UnsupportedOnnxOp(
+                    f"Loop with a data-dependent {what} (node "
+                    f"'{node.name or 'Loop'}')")
+            return bool(np.asarray(v).reshape(()))
+
+        trip = int(np.asarray(m).reshape(())) if m is not None else None
+        if trip is not None and trip > self._LOOP_UNROLL_CAP:
+            raise UnsupportedOnnxOp(
+                f"Loop trip count {trip} exceeds the unroll cap "
+                f"{self._LOOP_UNROLL_CAP}")
+        n_vars = len(v_init)
+        n_scan = len(body.outputs) - 1 - n_vars
+        keep = host_bool(cond, "condition")
+        vars_ = list(v_init)
+        scans: list[list] = [[] for _ in range(n_scan)]
+        i = 0
+        while keep and (trip is None or i < trip):
+            if trip is None and i >= self._LOOP_UNROLL_CAP:
+                raise UnsupportedOnnxOp(
+                    f"while-style Loop exceeded the unroll cap "
+                    f"{self._LOOP_UNROLL_CAP}")
+            feeds = {body.inputs[0].name: np.int64(i)}
+            if len(body.inputs) > 1:
+                feeds[body.inputs[1].name] = np.bool_(True)
+            for vi, v in zip(body.inputs[2:], vars_):
+                feeds[vi.name] = v
+            outs = self._run_subgraph(body, feeds)
+            keep = host_bool(outs[0], "loop-carried condition")
+            vars_ = list(outs[1:1 + n_vars])
+            for acc, v in zip(scans, outs[1 + n_vars:]):
+                acc.append(v)
+            i += 1
+        results = list(vars_)
+        for acc in scans:
+            if not acc:
+                raise UnsupportedOnnxOp(
+                    "Loop with zero iterations and scan outputs")
+            if all(_is_host(v) for v in acc):
+                results.append(np.stack([_np(v) for v in acc]))
+            else:
+                import jax.numpy as jnp
+
+                results.append(jnp.stack([jnp.asarray(v) for v in acc]))
+        return tuple(results) if len(results) != 1 else results[0]
+
+    def op_Scan(self, node, *args):
+        # Opset-9+ Scan: N state vars + M scan inputs, body consumes one
+        # slice of each scan input per step. The sequence length is a
+        # static shape, so it unrolls like Loop.
+        body = node.attr("body")
+        m_scan = node.attr("num_scan_inputs")
+        if body is None or m_scan is None:
+            raise UnsupportedOnnxOp("Scan needs body and num_scan_inputs")
+        n_state = len(args) - m_scan
+        if n_state < 0:
+            raise UnsupportedOnnxOp("Scan with fewer inputs than "
+                                    "num_scan_inputs")
+        states = list(args[:n_state])
+        scan_in = list(args[n_state:])
+        in_axes = list(node.attr("scan_input_axes") or [0] * m_scan)
+        in_dirs = list(node.attr("scan_input_directions") or [0] * m_scan)
+        out_axes = node.attr("scan_output_axes")
+        out_dirs = node.attr("scan_output_directions")
+        t_len = int(scan_in[0].shape[in_axes[0] % scan_in[0].ndim])
+        if t_len > self._LOOP_UNROLL_CAP:
+            raise UnsupportedOnnxOp(
+                f"Scan length {t_len} exceeds the unroll cap "
+                f"{self._LOOP_UNROLL_CAP}")
+        n_scan_out = len(body.outputs) - n_state
+        accs: list[list] = [[] for _ in range(n_scan_out)]
+        for t in range(t_len):
+            feeds = {}
+            for vi, v in zip(body.inputs[:n_state], states):
+                feeds[vi.name] = v
+            for j, (x, ax, d) in enumerate(zip(scan_in, in_axes, in_dirs)):
+                idx = t_len - 1 - t if d else t
+                m = self._lib(x)
+                feeds[body.inputs[n_state + j].name] = m.take(
+                    x, idx, axis=ax % x.ndim)
+            outs = self._run_subgraph(body, feeds)
+            states = list(outs[:n_state])
+            for acc, v in zip(accs, outs[n_state:]):
+                acc.append(v)
+        results = list(states)
+        for j, acc in enumerate(accs):
+            if out_dirs and j < len(out_dirs) and out_dirs[j]:
+                acc = acc[::-1]
+            ax = out_axes[j] if out_axes and j < len(out_axes) else 0
+            if all(_is_host(v) for v in acc):
+                results.append(np.stack([_np(v) for v in acc], axis=ax))
+            else:
+                import jax.numpy as jnp
+
+                results.append(
+                    jnp.stack([jnp.asarray(v) for v in acc], axis=ax))
+        return tuple(results) if len(results) != 1 else results[0]
 
     # -- normalization extras --------------------------------------------------
 

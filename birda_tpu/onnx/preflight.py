@@ -163,7 +163,15 @@ def preflight(model: Model | bytes | str, evaluator=None) -> list[Finding]:
             ))
 
     seen_missing: set[str] = set()
-    for node in graph.nodes:
+
+    def _walk(graph):
+        for node in graph.nodes:
+            _check_node(graph, node)
+            for a in node.attrs.values():
+                if a.g is not None:  # If branches, Loop/Scan bodies
+                    _walk(a.g)
+
+    def _check_node(graph, node):
         if node.op_type == "Constant":
             t = node.attr("value")
             if (t is not None and getattr(t, "array", None) is None
@@ -185,7 +193,7 @@ def preflight(model: Model | bytes | str, evaluator=None) -> list[Finding]:
                         f"no foldable value attribute (has: {spelled}; "
                         "sparse_value / value_string(s) are unsupported)",
                     ))
-            continue
+            return
         if getattr(evaluator, f"op_{node.op_type}", None) is None:
             if node.op_type not in seen_missing:
                 seen_missing.add(node.op_type)
@@ -195,9 +203,11 @@ def preflight(model: Model | bytes | str, evaluator=None) -> list[Finding]:
                     node.name, node.op_type,
                     f"op is not supported by the lowering{count}",
                 ))
-            continue
+            return
         for reason in _attr_findings(node):
             findings.append(Finding(node.name, node.op_type, reason))
+
+    _walk(graph)
     return findings
 
 

@@ -133,13 +133,16 @@ class Attribute:
     i: int | None = None
     s: bytes | None = None
     t: Tensor | None = None
+    #: Subgraph attribute (If branches, Loop/Scan bodies). Typed ``object``
+    #: because :class:`Graph` is declared later in this module.
+    g: object | None = None
     floats: list[float] = field(default_factory=list)
     ints: list[int] = field(default_factory=list)
     strings: list[bytes] = field(default_factory=list)
 
     @property
     def value(self):
-        for v in (self.i, self.f, self.s, self.t):
+        for v in (self.i, self.f, self.s, self.t, self.g):
             if v is not None:
                 return v
         for v in (self.ints, self.floats, self.strings):
@@ -280,15 +283,28 @@ def _decode_tensor(buf: memoryview) -> Tensor:
 
     if t.data_type in _NP_DTYPES and arr.dtype != np_dtype:
         arr = arr.astype(np_dtype)
-    t.array = arr.reshape(t.dims) if t.dims else arr.reshape(())
+    try:
+        t.array = arr.reshape(t.dims) if t.dims else arr.reshape(())
+    except ValueError:
+        raise WireError(
+            f"tensor '{t.name}' payload of {arr.size} elements does not "
+            f"match dims {t.dims}"
+        ) from None
     return t
+
+
+def _dec_str(val) -> str:
+    try:
+        return bytes(val).decode()
+    except UnicodeDecodeError as e:
+        raise WireError(f"invalid UTF-8 string field: {e}") from None
 
 
 def _decode_attribute(buf: memoryview) -> Attribute:
     a = Attribute()
     for fnum, wtype, val in _scan(buf):
         if fnum == 1 and wtype == 2:
-            a.name = bytes(val).decode()
+            a.name = _dec_str(val)
         elif fnum == 2 and wtype == 5:
             a.f = struct.unpack("<f", val)[0]
         elif fnum == 3 and wtype == 0:
@@ -297,6 +313,8 @@ def _decode_attribute(buf: memoryview) -> Attribute:
             a.s = bytes(val)
         elif fnum == 5 and wtype == 2:
             a.t = _decode_tensor(val)
+        elif fnum == 6 and wtype == 2:  # subgraph (If/Loop/Scan bodies)
+            a.g = _decode_graph(val)
         elif fnum == 7:
             if wtype == 2:
                 a.floats.extend(struct.unpack(f"<{len(val) // 4}f", bytes(val)))
@@ -319,13 +337,13 @@ def _decode_node(buf: memoryview) -> Node:
     n = Node()
     for fnum, wtype, val in _scan(buf):
         if fnum == 1 and wtype == 2:
-            n.inputs.append(bytes(val).decode())
+            n.inputs.append(_dec_str(val))
         elif fnum == 2 and wtype == 2:
-            n.outputs.append(bytes(val).decode())
+            n.outputs.append(_dec_str(val))
         elif fnum == 3 and wtype == 2:
-            n.name = bytes(val).decode()
+            n.name = _dec_str(val)
         elif fnum == 4 and wtype == 2:
-            n.op_type = bytes(val).decode()
+            n.op_type = _dec_str(val)
         elif fnum == 5 and wtype == 2:
             a = _decode_attribute(val)
             n.attrs[a.name] = a
@@ -336,7 +354,7 @@ def _decode_value_info(buf: memoryview) -> ValueInfo:
     vi = ValueInfo()
     for fnum, wtype, val in _scan(buf):
         if fnum == 1 and wtype == 2:
-            vi.name = bytes(val).decode()
+            vi.name = _dec_str(val)
         elif fnum == 2 and wtype == 2:  # TypeProto
             for f2, w2, v2 in _scan(val):
                 if f2 == 1 and w2 == 2:  # tensor_type
@@ -362,7 +380,7 @@ def _decode_graph(buf: memoryview) -> Graph:
         if fnum == 1 and wtype == 2:
             g.nodes.append(_decode_node(val))
         elif fnum == 2 and wtype == 2:
-            g.name = bytes(val).decode()
+            g.name = _dec_str(val)
         elif fnum == 5 and wtype == 2:
             t = _decode_tensor(val)
             g.initializers[t.name] = t
@@ -383,6 +401,8 @@ def _external_tensors(graph: Graph):
         for a in node.attrs.values():
             if a.t is not None and a.t.data_location == LOCATION_EXTERNAL:
                 yield a.t
+            if a.g is not None:
+                yield from _external_tensors(a.g)
 
 
 def _resolve_external_data(graph: Graph, base_dir: Path | None) -> None:
@@ -471,25 +491,35 @@ def load_model(path: Path | str | bytes,
         if base_dir is None:
             base_dir = Path(path).parent
     m = Model()
-    for fnum, wtype, val in _scan(memoryview(data)):
-        if fnum == 1 and wtype == 0:
-            m.ir_version = val
-        elif fnum == 7 and wtype == 2:
-            m.graph = _decode_graph(val)
-        elif fnum == 8 and wtype == 2:  # opset_import
-            # Only the DEFAULT domain's version is the model opset: a
-            # com.microsoft/custom-domain entry (field 1 = domain) carries
-            # its own versioning and must not inflate opset-gated
-            # decisions in the lowering.
-            domain = b""
-            version = 0
-            for f2, w2, v2 in _scan(val):
-                if f2 == 1 and w2 == 2:
-                    domain = bytes(v2)
-                elif f2 == 2 and w2 == 0:
-                    version = v2
-            if domain in (b"", b"ai.onnx"):
-                m.opset = max(m.opset, version)
+    try:
+        for fnum, wtype, val in _scan(memoryview(data)):
+            if fnum == 1 and wtype == 0:
+                m.ir_version = val
+            elif fnum == 7 and wtype == 2:
+                m.graph = _decode_graph(val)
+            elif fnum == 8 and wtype == 2:  # opset_import
+                # Only the DEFAULT domain's version is the model opset: a
+                # com.microsoft/custom-domain entry (field 1 = domain)
+                # carries its own versioning and must not inflate
+                # opset-gated decisions in the lowering.
+                domain = b""
+                version = 0
+                for f2, w2, v2 in _scan(val):
+                    if f2 == 1 and w2 == 2:
+                        domain = bytes(v2)
+                    elif f2 == 2 and w2 == 0:
+                        version = v2
+                if domain in (b"", b"ai.onnx"):
+                    m.opset = max(m.opset, version)
+    except WireError:
+        raise
+    except Exception as e:
+        # Corrupted bytes can trip decoders in arbitrary ways (misaligned
+        # packed fields, wrong wire types on known fields); every parse
+        # failure must be the one typed error (fuzz-pinned).
+        raise WireError(
+            f"malformed model protobuf: {type(e).__name__}: {e}"
+        ) from e
     _resolve_external_data(
         m.graph, None if base_dir is None else Path(base_dir)
     )

@@ -1042,3 +1042,193 @@ class TestScatterGatherSpectral:
         got = run_model(mb, x)
         want = torch.nn.LPPool2d(2, 2, stride=2)(torch.from_numpy(x)).numpy()
         assert np.max(np.abs(got - want)) < 1e-5
+
+
+class TestControlFlow:
+    """Static ONNX control flow: If picks its branch at trace time, Loop
+    unrolls into the program; data-dependent control flow is a typed
+    error. ORT executes these natively (src/inference/runtime.rs:14) —
+    exporters emit them for static preprocessing loops and
+    config-dependent branches."""
+
+    def _if_model(self, cond_val: bool):
+        then_g = fo.graph(
+            [fo.node("Mul", ["x", "two"], ["tout"])],
+            inputs=[], outputs=[fo.value_info("tout", [3])],
+        )
+        else_g = fo.graph(
+            [fo.node("Neg", ["x"], ["eout"])],
+            inputs=[], outputs=[fo.value_info("eout", [3])],
+        )
+        return fo.model(
+            [fo.node("If", ["c"], ["y"],
+                     attrs=[fo.attr_graph("then_branch", then_g),
+                            fo.attr_graph("else_branch", else_g)])],
+            inputs=[fo.value_info("x", [3])],
+            outputs=[fo.value_info("y", [3])],
+            initializers=[
+                fo.tensor("c", np.array(cond_val, np.bool_)),
+                fo.tensor("two", np.array([2.0, 2.0, 2.0], np.float32)),
+            ],
+        )
+
+    def test_if_static_branches(self):
+        x = np.array([1.0, -2.0, 3.0], np.float32)
+        assert np.array_equal(run_model(self._if_model(True), x), x * 2)
+        assert np.array_equal(run_model(self._if_model(False), x), -x)
+
+    def test_if_data_dependent_cond_is_typed(self):
+        then_g = fo.graph([fo.node("Identity", ["x"], ["t"])],
+                          inputs=[], outputs=[fo.value_info("t", [3])])
+        else_g = fo.graph([fo.node("Neg", ["x"], ["e"])],
+                          inputs=[], outputs=[fo.value_info("e", [3])])
+        mb = fo.model(
+            [fo.node("ReduceMax", ["x"], ["mx"],
+                     attrs=[fo.attr_int("keepdims", 0)]),
+             fo.node("Greater", ["mx", "zero"], ["c"]),
+             fo.node("If", ["c"], ["y"],
+                     attrs=[fo.attr_graph("then_branch", then_g),
+                            fo.attr_graph("else_branch", else_g)])],
+            inputs=[fo.value_info("x", [3])],
+            outputs=[fo.value_info("y", [3])],
+            initializers=[fo.tensor("zero", np.array(0.0, np.float32))],
+        )
+        fn = lower(mb)
+        # Host (eager) execution can resolve the condition — the typed
+        # error fires when the condition becomes a tracer under jit.
+        assert np.array_equal(
+            np.asarray(fn(np.ones(3, np.float32))), np.ones(3, np.float32))
+        import jax
+
+        with pytest.raises(UnsupportedOnnxOp, match="data-dependent"):
+            jax.jit(lambda v: fn(v))(np.ones(3, np.float32))
+
+    def test_loop_unrolls_with_scan_output(self):
+        # body: (iter, cond, v) -> (cond, v + x, v + x)  [scan copies v]
+        body = fo.graph(
+            [fo.node("Add", ["v", "x"], ["v_out"]),
+             fo.node("Identity", ["true_c"], ["cond_out"]),
+             fo.node("Identity", ["v_out"], ["scan_out"])],
+            inputs=[fo.value_info("it", [], elem_type=7),
+                    fo.value_info("cond_in", [], elem_type=9),
+                    fo.value_info("v", [2])],
+            outputs=[fo.value_info("cond_out", [], elem_type=9),
+                     fo.value_info("v_out", [2]),
+                     fo.value_info("scan_out", [2])],
+        )
+        mb = fo.model(
+            [fo.node("Loop", ["M", "", "v0"], ["v_final", "trace"],
+                     attrs=[fo.attr_graph("body", body)])],
+            inputs=[fo.value_info("x", [2])],
+            outputs=[fo.value_info("v_final", [2]),
+                     fo.value_info("trace", [3, 2])],
+            initializers=[
+                fo.tensor("M", np.array(3, np.int64)),
+                fo.tensor("v0", np.array([0.0, 10.0], np.float32)),
+                fo.tensor("true_c", np.array(True, np.bool_)),
+            ],
+        )
+        fn = lower(mb)
+        x = np.array([1.0, 2.0], np.float32)
+        v_final, trace = fn(x)
+        assert np.array_equal(np.asarray(v_final), [3.0, 16.0])
+        assert np.array_equal(
+            np.asarray(trace), [[1.0, 12.0], [2.0, 14.0], [3.0, 16.0]])
+
+    def test_preflight_recurses_into_subgraphs(self):
+        from birda_tpu.onnx.preflight import preflight
+
+        bad_body = fo.graph(
+            [fo.node("LSTM", ["v"], ["v_out"]),
+             fo.node("Identity", ["c_in"], ["c_out"])],
+            inputs=[fo.value_info("it", [], elem_type=7),
+                    fo.value_info("c_in", [], elem_type=9),
+                    fo.value_info("v", [2])],
+            outputs=[fo.value_info("c_out", [], elem_type=9),
+                     fo.value_info("v_out", [2])],
+        )
+        mb = fo.model(
+            [fo.node("Loop", ["M", "", "v0"], ["v_final"],
+                     attrs=[fo.attr_graph("body", bad_body)])],
+            inputs=[fo.value_info("x", [2])],
+            outputs=[fo.value_info("v_final", [2])],
+            initializers=[fo.tensor("M", np.array(2, np.int64)),
+                          fo.tensor("v0", np.zeros(2, np.float32))],
+        )
+        findings = preflight(mb)
+        assert any("LSTM" in f.render() for f in findings)
+
+
+    def test_scan_cumulative_sum(self):
+        # Scan with one state var and one scan input: running sum, with the
+        # per-step sums also emitted as a scan output.
+        body = fo.graph(
+            [fo.node("Add", ["s", "xt"], ["s_out"]),
+             fo.node("Identity", ["s_out"], ["y_t"])],
+            inputs=[fo.value_info("s", [2]), fo.value_info("xt", [2])],
+            outputs=[fo.value_info("s_out", [2]), fo.value_info("y_t", [2])],
+        )
+        mb = fo.model(
+            [fo.node("Scan", ["s0", "xs"], ["s_final", "ys"],
+                     attrs=[fo.attr_graph("body", body),
+                            fo.attr_int("num_scan_inputs", 1)])],
+            inputs=[fo.value_info("xs", [4, 2])],
+            outputs=[fo.value_info("s_final", [2]),
+                     fo.value_info("ys", [4, 2])],
+            initializers=[fo.tensor("s0", np.zeros(2, np.float32))],
+        )
+        fn = lower(mb)
+        xs = np.arange(8, dtype=np.float32).reshape(4, 2)
+        s_final, ys = fn(xs)
+        assert np.array_equal(np.asarray(s_final), xs.sum(0))
+        assert np.array_equal(np.asarray(ys), np.cumsum(xs, axis=0))
+
+    def test_scan_reverse_direction(self):
+        body = fo.graph(
+            [fo.node("Identity", ["s"], ["s_out"]),
+             fo.node("Identity", ["xt"], ["y_t"])],
+            inputs=[fo.value_info("s", [1]), fo.value_info("xt", [1])],
+            outputs=[fo.value_info("s_out", [1]), fo.value_info("y_t", [1])],
+        )
+        mb = fo.model(
+            [fo.node("Scan", ["s0", "xs"], ["s_final", "ys"],
+                     attrs=[fo.attr_graph("body", body),
+                            fo.attr_int("num_scan_inputs", 1),
+                            fo.attr_ints("scan_input_directions", [1])])],
+            inputs=[fo.value_info("xs", [3, 1])],
+            outputs=[fo.value_info("s_final", [1]),
+                     fo.value_info("ys", [3, 1])],
+            initializers=[fo.tensor("s0", np.zeros(1, np.float32))],
+        )
+        fn = lower(mb)
+        xs = np.array([[1.0], [2.0], [3.0]], np.float32)
+        _, ys = fn(xs)
+        assert np.array_equal(np.asarray(ys), xs[::-1])
+
+
+class TestParserFuzz:
+    def test_mutated_model_bytes_raise_only_wireerror(self):
+        """Truncations, bit flips, and injections into valid model bytes
+        must either parse (protobuf skips unknown fields) or raise the one
+        typed WireError — never leak struct/unicode/reshape internals
+        (`models check` runs this parser on arbitrary files)."""
+        from birda_tpu.onnx.proto import WireError, load_model
+
+        m = fo.make_fixture_geomodel()
+        rng = np.random.default_rng(1234)
+        for i in range(400):
+            b = bytearray(m)
+            mode = i % 3
+            if mode == 0:
+                b = b[: rng.integers(1, len(b))]
+            elif mode == 1:
+                for _ in range(3):
+                    b[rng.integers(len(b))] ^= 1 << rng.integers(8)
+            else:
+                pos = int(rng.integers(len(b)))
+                b = b[:pos] + bytes(
+                    rng.integers(0, 256, 5, dtype=np.uint8)) + b[pos:]
+            try:
+                load_model(bytes(b))
+            except WireError:
+                pass  # the typed parse failure
