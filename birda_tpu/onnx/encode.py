@@ -136,7 +136,13 @@ def attr_graph(name: str, graph_bytes: bytes) -> bytes:
     return _str(1, name) + _msg(6, graph_bytes) + _int(20, 5)
 
 
-def node(op_type: str, inputs, outputs, name="", attrs=()) -> bytes:
+def attr_ref(name: str, ref_name: str) -> bytes:
+    """An attribute that references a function-call attribute
+    (``ref_attr_name`` — only meaningful inside FunctionProto bodies)."""
+    return _str(1, name) + _str(21, ref_name)
+
+
+def node(op_type: str, inputs, outputs, name="", attrs=(), domain="") -> bytes:
     body = b""
     for i in inputs:
         body += _str(1, i)
@@ -146,6 +152,26 @@ def node(op_type: str, inputs, outputs, name="", attrs=()) -> bytes:
     body += _str(4, op_type)
     for a in attrs:
         body += _msg(5, a)
+    if domain:
+        body += _str(7, domain)
+    return body
+
+
+def function(name: str, inputs, outputs, nodes, domain="local",
+             attr_names=(), attr_defaults=()) -> bytes:
+    """FunctionProto bytes (model-local function definition)."""
+    body = _str(1, name)
+    for i in inputs:
+        body += _str(4, i)
+    for o in outputs:
+        body += _str(5, o)
+    for a in attr_names:
+        body += _str(6, a)
+    for n in nodes:
+        body += _msg(7, n)
+    body += _str(10, domain)
+    for a in attr_defaults:
+        body += _msg(11, a)
     return body
 
 
@@ -162,7 +188,8 @@ def value_info(name: str, shape, elem_type=1) -> bytes:
     return _str(1, name) + _msg(2, ttype)
 
 
-def model(nodes, inputs, outputs, initializers=(), opset=13, graph_name="g") -> bytes:
+def model(nodes, inputs, outputs, initializers=(), opset=13, graph_name="g",
+          functions=()) -> bytes:
     g = b""
     for n in nodes:
         g += _msg(1, n)
@@ -174,7 +201,10 @@ def model(nodes, inputs, outputs, initializers=(), opset=13, graph_name="g") -> 
     for vi in outputs:
         g += _msg(12, vi)
     opset_msg = _str(1, "") + _int(2, opset)
-    return _int(1, 8) + _msg(7, g) + _msg(8, opset_msg)
+    out = _int(1, 8) + _msg(7, g) + _msg(8, opset_msg)
+    for f in functions:
+        out += _msg(25, f)
+    return out
 
 
 def make_fixture_geomodel(num_species: int = 64, seed: int = 42) -> bytes:

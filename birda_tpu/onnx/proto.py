@@ -136,6 +136,9 @@ class Attribute:
     #: Subgraph attribute (If branches, Loop/Scan bodies). Typed ``object``
     #: because :class:`Graph` is declared later in this module.
     g: object | None = None
+    #: Set when this attribute is a reference to a function-call attribute
+    #: (FunctionProto bodies); resolved during function inlining.
+    ref_attr_name: str = ""
     floats: list[float] = field(default_factory=list)
     ints: list[int] = field(default_factory=list)
     strings: list[bytes] = field(default_factory=list)
@@ -155,6 +158,9 @@ class Attribute:
 class Node:
     op_type: str = ""
     name: str = ""
+    #: Operator domain ("" / "ai.onnx" = standard; model-local functions
+    #: live in custom domains).
+    domain: str = ""
     inputs: list[str] = field(default_factory=list)
     outputs: list[str] = field(default_factory=list)
     attrs: dict[str, Attribute] = field(default_factory=dict)
@@ -182,10 +188,29 @@ class Graph:
 
 
 @dataclass
+class Function:
+    """A model-local function (FunctionProto): a reusable subgraph keyed by
+    (domain, name), called by nodes whose op_type names it. Inlined at load
+    (``_inline_functions``) so the lowering only ever sees standard ops."""
+
+    name: str = ""
+    domain: str = ""
+    inputs: list[str] = field(default_factory=list)
+    outputs: list[str] = field(default_factory=list)
+    #: Declared attribute parameter names (callers may set them).
+    attr_names: list[str] = field(default_factory=list)
+    #: Default values for attribute parameters (attribute_proto entries).
+    attr_defaults: dict[str, Attribute] = field(default_factory=dict)
+    nodes: list[Node] = field(default_factory=list)
+
+
+@dataclass
 class Model:
     ir_version: int = 0
     opset: int = 0
     graph: Graph = field(default_factory=Graph)
+    #: Model-local functions by (domain, name); consumed (inlined) at load.
+    functions: dict = field(default_factory=dict)
 
 
 # ---------------------------------------------------------------------------
@@ -315,6 +340,8 @@ def _decode_attribute(buf: memoryview) -> Attribute:
             a.t = _decode_tensor(val)
         elif fnum == 6 and wtype == 2:  # subgraph (If/Loop/Scan bodies)
             a.g = _decode_graph(val)
+        elif fnum == 21 and wtype == 2:  # ref_attr_name (function bodies)
+            a.ref_attr_name = _dec_str(val)
         elif fnum == 7:
             if wtype == 2:
                 a.floats.extend(struct.unpack(f"<{len(val) // 4}f", bytes(val)))
@@ -347,6 +374,8 @@ def _decode_node(buf: memoryview) -> Node:
         elif fnum == 5 and wtype == 2:
             a = _decode_attribute(val)
             n.attrs[a.name] = a
+        elif fnum == 7 and wtype == 2:
+            n.domain = _dec_str(val)
     return n
 
 
@@ -389,6 +418,109 @@ def _decode_graph(buf: memoryview) -> Graph:
         elif fnum == 12 and wtype == 2:
             g.outputs.append(_decode_value_info(val))
     return g
+
+
+def _decode_function(buf: memoryview) -> Function:
+    f = Function()
+    for fnum, wtype, val in _scan(buf):
+        if fnum == 1 and wtype == 2:
+            f.name = _dec_str(val)
+        elif fnum == 4 and wtype == 2:
+            f.inputs.append(_dec_str(val))
+        elif fnum == 5 and wtype == 2:
+            f.outputs.append(_dec_str(val))
+        elif fnum == 6 and wtype == 2:
+            f.attr_names.append(_dec_str(val))
+        elif fnum == 7 and wtype == 2:
+            f.nodes.append(_decode_node(val))
+        elif fnum == 10 and wtype == 2:
+            f.domain = _dec_str(val)
+        elif fnum == 11 and wtype == 2:
+            a = _decode_attribute(val)
+            f.attr_defaults[a.name] = a
+    return f
+
+
+def _instantiate_function(f: Function, node: Node, uid: int) -> list[Node]:
+    """Clone a function body for one call site: formal inputs/outputs map
+    to the node's actual names, every internal name gets a per-call prefix
+    (alpha-renaming), and ref_attr_name attributes resolve to the call
+    site's attribute (or the function's declared default)."""
+    import dataclasses
+
+    prefix = f"{node.name or f.name}__f{uid}/"
+    mapping: dict[str, str] = {}
+    for formal, actual in zip(f.inputs, node.inputs):
+        mapping[formal] = actual
+    for formal in f.inputs[len(node.inputs):]:
+        mapping[formal] = ""  # optional input left absent at the call site
+    for formal, actual in zip(f.outputs, node.outputs):
+        mapping[formal] = actual
+
+    def ren(n: str) -> str:
+        if not n:
+            return ""
+        return mapping.get(n, prefix + n)
+
+    def clone_graph(g: Graph) -> Graph:
+        ng = Graph(name=g.name)
+        ng.initializers = {ren(k): t for k, t in g.initializers.items()}
+        ng.inputs = [dataclasses.replace(vi, name=ren(vi.name))
+                     for vi in g.inputs]
+        ng.outputs = [dataclasses.replace(vi, name=ren(vi.name))
+                      for vi in g.outputs]
+        ng.nodes = [clone_node(bn) for bn in g.nodes]
+        return ng
+
+    def clone_node(bn: Node) -> Node:
+        nn = Node(op_type=bn.op_type, name=prefix + (bn.name or bn.op_type),
+                  domain=bn.domain,
+                  inputs=[ren(i) for i in bn.inputs],
+                  outputs=[ren(o) for o in bn.outputs])
+        for aname, a in bn.attrs.items():
+            if a.ref_attr_name:
+                site = node.attrs.get(a.ref_attr_name)
+                if site is None:
+                    site = f.attr_defaults.get(a.ref_attr_name)
+                if site is not None:
+                    nn.attrs[aname] = dataclasses.replace(site, name=aname)
+                # Unset and no default: the attribute stays absent and the
+                # op handler's own default applies (spec behavior).
+            elif a.g is not None:
+                nn.attrs[aname] = dataclasses.replace(a, g=clone_graph(a.g))
+            else:
+                nn.attrs[aname] = a
+        return nn
+
+    return [clone_node(bn) for bn in f.nodes]
+
+
+def _inline_functions(graph: Graph, funcs: dict) -> None:
+    """Replace every call to a model-local function with its instantiated
+    body, repeating until none remain (functions may call functions)."""
+    if not funcs:
+        return
+    uid = 0
+    for _ in range(16):
+        changed = False
+        new_nodes: list[Node] = []
+        for node in graph.nodes:
+            f = funcs.get((node.domain, node.op_type))
+            if f is None:
+                for a in node.attrs.values():
+                    if a.g is not None:
+                        _inline_functions(a.g, funcs)
+                new_nodes.append(node)
+                continue
+            uid += 1
+            new_nodes.extend(_instantiate_function(f, node, uid))
+            changed = True
+        graph.nodes = new_nodes
+        if not changed:
+            return
+    raise WireError(
+        "function inlining did not converge after 16 passes "
+        "(mutually recursive model-local functions?)")
 
 
 def _external_tensors(graph: Graph):
@@ -511,6 +643,9 @@ def load_model(path: Path | str | bytes,
                         version = v2
                 if domain in (b"", b"ai.onnx"):
                     m.opset = max(m.opset, version)
+            elif fnum == 25 and wtype == 2:  # model-local functions
+                func = _decode_function(val)
+                m.functions[(func.domain, func.name)] = func
     except WireError:
         raise
     except Exception as e:
@@ -520,6 +655,7 @@ def load_model(path: Path | str | bytes,
         raise WireError(
             f"malformed model protobuf: {type(e).__name__}: {e}"
         ) from e
+    _inline_functions(m.graph, m.functions)
     _resolve_external_data(
         m.graph, None if base_dir is None else Path(base_dir)
     )

@@ -1232,3 +1232,95 @@ class TestParserFuzz:
                 load_model(bytes(b))
             except WireError:
                 pass  # the typed parse failure
+
+
+class TestLocalFunctions:
+    """Model-local functions (FunctionProto) inline at load: call nodes in
+    a custom domain expand into their bodies with per-call alpha-renaming
+    and ref_attr_name resolution, so the lowering only ever sees standard
+    ops. ORT inlines these natively (src/inference/runtime.rs:14);
+    torch exporters emit them with export_modules_as_functions."""
+
+    def test_function_inlines_and_runs(self):
+        # swish(x) = x * sigmoid(alpha * x), alpha a function attribute.
+        fn_nodes = [
+            fo.node("Mul", ["x", "x"], ["x2"], name="sq"),  # uses internal
+            fo.node("Constant", [], ["alpha_c"],
+                    attrs=[fo.attr_ref("value_float", "alpha")]),
+            fo.node("Mul", ["x", "alpha_c"], ["ax"]),
+            fo.node("Sigmoid", ["ax"], ["s"]),
+            fo.node("Mul", ["x", "s"], ["y"]),
+        ]
+        swish = fo.function("Swish", ["x"], ["y"], fn_nodes,
+                            domain="test.local", attr_names=["alpha"])
+        mb = fo.model(
+            [fo.node("Swish", ["inp"], ["h"], domain="test.local",
+                     attrs=[fo.attr_float("alpha", 2.0)]),
+             fo.node("Swish", ["h"], ["out"], domain="test.local",
+                     attrs=[fo.attr_float("alpha", 0.5)])],
+            inputs=[fo.value_info("inp", [4])],
+            outputs=[fo.value_info("out", [4])],
+            functions=[swish],
+        )
+        m = load_model(mb)
+        assert all(n.domain in ("", "ai.onnx") or "__f" in n.name
+                   for n in m.graph.nodes)
+        assert not any(n.op_type == "Swish" for n in m.graph.nodes)
+        fn = lower(m)
+        x = np.array([-1.0, 0.0, 1.0, 2.0], np.float32)
+
+        def swish_ref(v, a):
+            return v / (1 + np.exp(-a * v))
+
+        want = swish_ref(swish_ref(x, 2.0), 0.5)
+        assert np.max(np.abs(np.asarray(fn(x)) - want)) < 1e-6
+
+    def test_ref_attr_falls_back_to_default(self):
+        fn_nodes = [
+            fo.node("Constant", [], ["c"],
+                    attrs=[fo.attr_ref("value_float", "gain")]),
+            fo.node("Mul", ["x", "c"], ["y"]),
+        ]
+        scale = fo.function(
+            "ScaleBy", ["x"], ["y"], fn_nodes, domain="test.local",
+            attr_names=["gain"],
+            attr_defaults=[fo.attr_float("gain", 3.0)])
+        mb = fo.model(
+            [fo.node("ScaleBy", ["inp"], ["out"], domain="test.local")],
+            inputs=[fo.value_info("inp", [2])],
+            outputs=[fo.value_info("out", [2])],
+            functions=[scale],
+        )
+        fn = lower(load_model(mb))
+        x = np.array([1.0, -2.0], np.float32)
+        assert np.array_equal(np.asarray(fn(x)), x * 3.0)
+
+    def test_nested_function_calls(self):
+        inner = fo.function(
+            "Double", ["x"], ["y"],
+            [fo.node("Add", ["x", "x"], ["y"])], domain="test.local")
+        outer = fo.function(
+            "Quad", ["x"], ["y"],
+            [fo.node("Double", ["x"], ["t"], domain="test.local"),
+             fo.node("Double", ["t"], ["y"], domain="test.local")],
+            domain="test.local")
+        mb = fo.model(
+            [fo.node("Quad", ["inp"], ["out"], domain="test.local")],
+            inputs=[fo.value_info("inp", [3])],
+            outputs=[fo.value_info("out", [3])],
+            functions=[inner, outer],
+        )
+        fn = lower(load_model(mb))
+        x = np.array([1.0, 2.0, 3.0], np.float32)
+        assert np.array_equal(np.asarray(fn(x)), x * 4.0)
+
+    def test_unknown_custom_domain_op_preflighted(self):
+        from birda_tpu.onnx.preflight import preflight
+
+        mb = fo.model(
+            [fo.node("Mystery", ["inp"], ["out"], domain="vendor.x")],
+            inputs=[fo.value_info("inp", [2])],
+            outputs=[fo.value_info("out", [2])],
+        )
+        findings = preflight(mb)
+        assert any("Mystery" in f.render() for f in findings)
