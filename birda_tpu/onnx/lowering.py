@@ -109,6 +109,9 @@ class _Evaluator:
         self.opset = opset
         #: Per-thread stack of live environments (control-flow closure).
         self._tls = threading.local()
+        #: Names of subgraph initializers lifted into the params pytree by
+        #: OnnxFunction (fed through the outer env, not baked as consts).
+        self.lifted_params: set = set()
         #: When set (e.g. bfloat16), conv/matmul *inputs* are cast to this
         #: dtype while accumulation stays fp32 via preferred_element_type —
         #: the mixed-precision inference recipe (TensorRT fp16-engine
@@ -1207,14 +1210,18 @@ class _Evaluator:
         if node.attr("ceil_mode", 0):
             # Ceil output size = extra high-side padding; reduce_window
             # pads with `init`, which is the identity for max/sum, so the
-            # extension never changes window values. ONNX guarantees the
-            # last window starts inside input+pads, which this formula
-            # preserves.
+            # extension never changes window values. ONNX/ORT drop a last
+            # window that would start entirely in the right padding
+            # (start >= d + pad_l), so clamp n_out to that constraint —
+            # without it, stride > kernel geometries emit a garbage
+            # (-inf / 0-count) trailing position.
             pads = []
             for d, k, s, dl, (pl, ph) in zip(
                     x.shape[2:], kernel, strides, dilations, base_pads):
                 eff_k = (k - 1) * dl + 1
                 n_out = -(-(d + pl + ph - eff_k) // s) + 1
+                while n_out > 1 and (n_out - 1) * s >= d + pl:
+                    n_out -= 1
                 need = (n_out - 1) * s + eff_k - (d + pl)
                 pads.append((pl, max(ph, need)))
 
@@ -1449,11 +1456,32 @@ class _Evaluator:
         if kap != "stretch":
             raise UnsupportedOnnxOp(
                 f"Resize keep_aspect_ratio_policy '{kap}'")
+        # Opset-18 `axes`: scales/sizes list entries only for these axes;
+        # expand to full rank with identity elsewhere.
+        axes_attr = node.attr("axes")
+        if axes_attr is not None:
+            axes = [int(a) % x.ndim
+                    for a in np.asarray(axes_attr).reshape(-1)]
+        else:
+            axes = list(range(x.ndim))
         sc = None
         if sizes is not None and np.asarray(sizes).size:
-            out_shape = [int(s) for s in np.asarray(sizes).reshape(-1)]
+            sz = [int(s) for s in np.asarray(sizes).reshape(-1)]
+            if len(sz) != len(axes):
+                raise UnsupportedOnnxOp(
+                    f"Resize sizes has {len(sz)} entries for {len(axes)} axes")
+            out_shape = list(x.shape)
+            for a, s in zip(axes, sz):
+                out_shape[a] = s
         elif scales is not None and np.asarray(scales).size:
-            sc = np.asarray(scales, np.float64).reshape(-1)
+            s_list = np.asarray(scales, np.float64).reshape(-1)
+            if len(s_list) != len(axes):
+                raise UnsupportedOnnxOp(
+                    f"Resize scales has {len(s_list)} entries for "
+                    f"{len(axes)} axes")
+            sc = np.ones(x.ndim, np.float64)
+            for a, s in zip(axes, s_list):
+                sc[a] = s
             out_shape = [
                 int(np.floor(d * s)) for d, s in zip(x.shape, sc)
             ]
@@ -1780,15 +1808,16 @@ class _Evaluator:
         axis = node.attr("axis", -1)
         d = int(np.asarray(depth).reshape(()))
         m = self._lib(indices, values)
-        idx = indices % d if _is_host(indices) else indices % d
+        # Spec: indices in [-depth, -1] wrap once; anything outside
+        # [-depth, depth-1] yields an all-off_value row (no modulo wrap).
+        idx = m.where(indices < 0, indices + d, indices)
         nd = idx.ndim + 1
         ax = axis % nd
         shape = [1] * nd
         shape[ax] = d
         rng = np.arange(d).reshape(shape)
-        hot = m.expand_dims(idx, ax) == rng
-        off, on = (values[0], values[1]) if _is_host(values) else (
-            values[0], values[1])
+        hot = m.expand_dims(idx, ax) == rng  # out-of-range matches nothing
+        off, on = values[0], values[1]
         return m.where(hot, on, off)
 
     def op_GatherND(self, node, data, indices):
@@ -1878,13 +1907,37 @@ class _Evaluator:
         stack = getattr(self._tls, "envs", None)
         return stack[-1] if stack else {}
 
+    def _subgraph_evaluator(self, graph) -> "_Evaluator":
+        """One evaluator per subgraph body, cached (Loop/Scan call it per
+        unrolled iteration). Always the stock float evaluator: the int8 /
+        calibration subclasses deliberately target top-level nodes only,
+        so subgraph content executes float-correct rather than
+        half-quantized with missing scales."""
+        cache = getattr(self, "_sub_evs", None)
+        if cache is None:
+            cache = self._sub_evs = {}
+        ev = cache.get(id(graph))
+        if ev is None:
+            ev = _Evaluator(graph, compute_dtype=self.compute_dtype,
+                            opset=self.opset)
+            # Large subgraph weights lifted into the params pytree by
+            # OnnxFunction arrive through the outer env instead.
+            for n in self.lifted_params:
+                ev.const.pop(n, None)
+            ev.lifted_params = self.lifted_params
+            cache[id(graph)] = ev
+        return ev
+
     def _run_subgraph(self, graph, feeds: dict) -> list:
         """Execute a subgraph attribute with outer-scope closure (ONNX
         nested-scope semantics: subgraph nodes may reference any name
-        visible in the enclosing graph)."""
-        ev = _Evaluator(graph, compute_dtype=self.compute_dtype,
-                        opset=self.opset)
-        env = {k: v for k, v in self._outer_env().items() if k}
+        visible in the enclosing graph; the subgraph's own initializers
+        and Constants shadow same-named outer values)."""
+        ev = self._subgraph_evaluator(graph)
+        env = {
+            k: v for k, v in self._outer_env().items()
+            if k and k not in ev.const
+        }
         env.update(feeds)
         out_env = ev.run(env)
         return [out_env[vi.name] for vi in graph.outputs]
@@ -1965,6 +2018,9 @@ class _Evaluator:
         # Opset-9+ Scan: N state vars + M scan inputs, body consumes one
         # slice of each scan input per step. The sequence length is a
         # static shape, so it unrolls like Loop.
+        if self.opset == 8:
+            raise UnsupportedOnnxOp(
+                "opset-8 Scan (sequence_lens/batch form) is not supported")
         body = node.attr("body")
         m_scan = node.attr("num_scan_inputs")
         if body is None or m_scan is None:
@@ -2171,6 +2227,32 @@ class OnnxFunction:
                 and arr.nbytes >= LIFT_PARAM_BYTES
             ):
                 self.params[name] = self._eval.const.pop(name)
+
+        # Large weights inside If/Loop/Scan bodies also lift (they would
+        # otherwise bake into the HLO as literals on every trace — the
+        # remote compile service rejects big programs, CLAUDE.md). They
+        # reach the subgraph evaluator through the outer-env closure;
+        # name collisions with top-level values stay inline (shadowing).
+        def _subgraphs(graph):
+            for n in graph.nodes:
+                for a in n.attrs.values():
+                    if a.g is not None:
+                        yield a.g
+                        yield from _subgraphs(a.g)
+
+        for sub in _subgraphs(self.graph):
+            for name, t in sub.initializers.items():
+                arr = t.array
+                if (
+                    name
+                    and name not in self.params
+                    and name not in self._eval.const
+                    and isinstance(arr, np.ndarray)
+                    and arr.dtype.kind == "f"
+                    and arr.nbytes >= LIFT_PARAM_BYTES
+                ):
+                    self.params[name] = arr
+                    self._eval.lifted_params.add(name)
 
     def input_info(self):
         return [vi for vi in self.graph.inputs if vi.name in self.input_names]

@@ -455,7 +455,10 @@ def _instantiate_function(f: Function, node: Node, uid: int) -> list[Node]:
     for formal in f.inputs[len(node.inputs):]:
         mapping[formal] = ""  # optional input left absent at the call site
     for formal, actual in zip(f.outputs, node.outputs):
-        mapping[formal] = actual
+        # An omitted ("") call-site output stays an internal name: body
+        # nodes may still consume the formal as an intermediate.
+        if actual:
+            mapping[formal] = actual
 
     def ren(n: str) -> str:
         if not n:

@@ -1324,3 +1324,153 @@ class TestLocalFunctions:
         )
         findings = preflight(mb)
         assert any("Mystery" in f.render() for f in findings)
+
+
+class TestReviewFixes:
+    """Regression pins for review findings: Resize axes, pool ceil_mode
+    window clamping, OneHot out-of-range, subgraph scoping/lifting,
+    omitted function outputs, opset-8 Scan."""
+
+    def test_resize_axes_attribute(self):
+        x = np.arange(16, dtype=np.float32).reshape(1, 1, 4, 4)
+        mb = fo.model(
+            [fo.node("Resize", ["x", "", "", "sizes"], ["y"],
+                     attrs=[fo.attr_str("mode", "nearest"),
+                            fo.attr_ints("axes", [2, 3])])],
+            inputs=[fo.value_info("x", [1, 1, 4, 4])],
+            outputs=[fo.value_info("y", [1, 1, 8, 8])],
+            initializers=[fo.tensor("sizes", np.array([8, 8], np.int64))],
+            opset=18,
+        )
+        got = run_model(mb, x)
+        assert got.shape == (1, 1, 8, 8)
+        # scales spelling too
+        mb = fo.model(
+            [fo.node("Resize", ["x", "", "sc"], ["y"],
+                     attrs=[fo.attr_str("mode", "nearest"),
+                            fo.attr_ints("axes", [3, 2])])],
+            inputs=[fo.value_info("x", [1, 1, 4, 4])],
+            outputs=[fo.value_info("y", [1, 1, 8, 12])],
+            initializers=[fo.tensor("sc", np.array([3.0, 2.0], np.float32))],
+            opset=18,
+        )
+        got = run_model(mb, x)
+        assert got.shape == (1, 1, 8, 12)
+
+    def test_pool_ceil_mode_drops_padding_only_window(self):
+        # stride > kernel: the ceil formula's extra window would start in
+        # the right padding; ORT/torch drop it.
+        x = np.array([[[0.0, 1.0, 0.0]]], np.float32)
+        for op, want in (("MaxPool", [[[1.0]]]), ("AveragePool", [[[0.5]]])):
+            mb = fo.model(
+                [fo.node(op, ["x"], ["y"],
+                         attrs=[fo.attr_ints("kernel_shape", [2]),
+                                fo.attr_ints("strides", [3]),
+                                fo.attr_int("ceil_mode", 1)])],
+                inputs=[fo.value_info("x", [1, 1, 3])],
+                outputs=[fo.value_info("y", [1, 1, 1])],
+            )
+            got = run_model(mb, x)
+            assert np.array_equal(got, np.asarray(want, np.float32)), op
+
+    def test_onehot_out_of_range_is_all_off(self):
+        idx = np.array([0, 3, -1, -4, 7], np.int64)  # 3, -4, 7 out of range
+        mb = fo.model(
+            [fo.node("OneHot", ["idx", "depth", "vals"], ["y"])],
+            inputs=[fo.value_info("idx", [5], elem_type=7)],
+            outputs=[fo.value_info("y", [5, 3])],
+            initializers=[fo.tensor("depth", np.array(3, np.int64)),
+                          fo.tensor("vals", np.array([0.0, 1.0], np.float32))],
+        )
+        got = run_model(mb, idx)
+        want = np.zeros((5, 3), np.float32)
+        want[0, 0] = 1.0  # 0
+        want[2, 2] = 1.0  # -1 -> 2
+        assert np.array_equal(got, want)
+
+    def test_subgraph_constants_shadow_outer_names(self):
+        # The If branch defines an initializer named "k" that must shadow
+        # the outer graph's same-named tensor.
+        then_g = fo.graph(
+            [fo.node("Mul", ["x", "k"], ["t"])],
+            inputs=[], outputs=[fo.value_info("t", [2])],
+            initializers=[fo.tensor("k", np.array([10.0, 10.0], np.float32))],
+        )
+        else_g = fo.graph(
+            [fo.node("Identity", ["x"], ["e"])],
+            inputs=[], outputs=[fo.value_info("e", [2])],
+        )
+        mb = fo.model(
+            [fo.node("If", ["c"], ["y"],
+                     attrs=[fo.attr_graph("then_branch", then_g),
+                            fo.attr_graph("else_branch", else_g)])],
+            inputs=[fo.value_info("x", [2])],
+            outputs=[fo.value_info("y", [2])],
+            initializers=[
+                fo.tensor("c", np.array(True, np.bool_)),
+                fo.tensor("k", np.array([2.0, 2.0], np.float32)),  # outer k
+            ],
+        )
+        got = run_model(mb, np.array([1.0, 3.0], np.float32))
+        assert np.array_equal(got, [10.0, 30.0])  # inner k, not outer
+
+    def test_subgraph_large_initializer_lifts_to_params(self):
+        big = np.random.default_rng(0).normal(
+            size=(256, 256)).astype(np.float32)  # 256 KB > LIFT_PARAM_BYTES
+        then_g = fo.graph(
+            [fo.node("MatMul", ["x", "W_big"], ["t"])],
+            inputs=[], outputs=[fo.value_info("t", [1, 256])],
+            initializers=[fo.tensor("W_big", big)],
+        )
+        else_g = fo.graph(
+            [fo.node("Identity", ["x"], ["e"])],
+            inputs=[], outputs=[fo.value_info("e", [1, 256])],
+        )
+        mb = fo.model(
+            [fo.node("If", ["c"], ["y"],
+                     attrs=[fo.attr_graph("then_branch", then_g),
+                            fo.attr_graph("else_branch", else_g)])],
+            inputs=[fo.value_info("x", [1, 256])],
+            outputs=[fo.value_info("y", [1, 256])],
+            initializers=[fo.tensor("c", np.array(True, np.bool_))],
+        )
+        fn = lower(mb)
+        assert "W_big" in fn.params  # not baked into the trace as a literal
+        x = np.random.default_rng(1).normal(size=(1, 256)).astype(np.float32)
+        assert np.max(np.abs(np.asarray(fn(x)) - x @ big)) < 1e-3
+
+    def test_function_with_omitted_output(self):
+        # Function computes intermediate a then b from a; call site drops a.
+        fn_nodes = [
+            fo.node("Add", ["x", "x"], ["a"]),
+            fo.node("Mul", ["a", "a"], ["b"]),
+        ]
+        f = fo.function("TwoOut", ["x"], ["a", "b"], fn_nodes,
+                        domain="test.local")
+        mb = fo.model(
+            [fo.node("TwoOut", ["inp"], ["", "out"], domain="test.local")],
+            inputs=[fo.value_info("inp", [2])],
+            outputs=[fo.value_info("out", [2])],
+            functions=[f],
+        )
+        fn = lower(load_model(mb))
+        x = np.array([1.0, 2.0], np.float32)
+        assert np.array_equal(np.asarray(fn(x)), (2 * x) ** 2)
+
+    def test_scan_opset8_is_typed_error(self):
+        body = fo.graph(
+            [fo.node("Identity", ["s"], ["s_out"])],
+            inputs=[fo.value_info("s", [1])],
+            outputs=[fo.value_info("s_out", [1])],
+        )
+        mb = fo.model(
+            [fo.node("Scan", ["", "s0"], ["s_final"],
+                     attrs=[fo.attr_graph("body", body),
+                            fo.attr_int("num_scan_inputs", 1)])],
+            inputs=[fo.value_info("s0", [1, 1])],
+            outputs=[fo.value_info("s_final", [1, 1])],
+            opset=8,
+        )
+        fn = lower(mb)
+        with pytest.raises(UnsupportedOnnxOp, match="opset-8"):
+            fn(np.zeros((1, 1), np.float32))
