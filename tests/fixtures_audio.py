@@ -136,14 +136,99 @@ def _utf8_ordinal(n: int) -> bytes:
     return bytes(out)
 
 
+def _rice_residual(bw: "_BitWriter", residuals, order: int):
+    """Partitioned-Rice residual block: method 0 (4-bit params), partition
+    order 0, one adaptively-chosen Rice parameter."""
+    bw.write(0, 2)   # method 0: 4-bit rice params
+    bw.write(0, 4)   # partition order 0
+    us = [(int(r) << 1) if r >= 0 else ((-int(r)) << 1) - 1
+          for r in residuals]
+    mean = (sum(us) / len(us)) if us else 0.0
+    k = 0
+    while (1 << (k + 1)) < mean + 1 and k < 14:
+        k += 1
+    bw.write(k, 4)
+    for u in us:
+        q = u >> k
+        for _ in range(q):
+            bw.write(0, 1)
+        bw.write(1, 1)
+        if k:
+            bw.write(u & ((1 << k) - 1), k)
+    del order  # partition order 0: the warmup offset is implicit
+
+
+#: FLAC fixed-predictor coefficients (same table as the decoder).
+_FLAC_FIXED = [[], [1], [2, -1], [3, -3, 1], [4, -6, 4, -1]]
+
+
+def _write_subframe(bw: "_BitWriter", x, bits: int, mode: str,
+                    order: int = 2):
+    """One subframe in the requested coding: verbatim/constant/fixed/lpc.
+    fixed/lpc are exact integer transforms, so the decode roundtrip must be
+    bit-exact."""
+    bw.write(0, 1)  # padding
+    if mode == "constant":
+        bw.write(0, 6)
+        bw.write(0, 1)
+        bw.write(int(x[0]), bits)
+        return
+    if mode == "verbatim":
+        bw.write(1, 6)
+        bw.write(0, 1)
+        for v in x:
+            bw.write(int(v), bits)
+        return
+    if mode == "fixed":
+        assert 0 <= order <= 4
+        bw.write(0x08 | order, 6)
+        bw.write(0, 1)
+        for v in x[:order]:
+            bw.write(int(v), bits)
+        coef = _FLAC_FIXED[order]
+        res = [int(x[i]) - sum(c * int(x[i - 1 - j])
+                               for j, c in enumerate(coef))
+               for i in range(order, len(x))]
+        _rice_residual(bw, res, order)
+        return
+    if mode == "lpc":
+        # Order-2 predictor pred = (2*x[i-1] - x[i-2]) with shift 9:
+        # coefs [1024, -512], precision 12 — exercises the quantized-LPC
+        # reconstruction path real encoders emit.
+        order, shift, precision = 2, 9, 12
+        coefs = [2 << shift, -(1 << shift)]
+        bw.write(0x20 | (order - 1), 6)
+        bw.write(0, 1)
+        for v in x[:order]:
+            bw.write(int(v), bits)
+        bw.write(precision - 1, 4)
+        bw.write(shift, 5)
+        for c in coefs:
+            bw.write(c, precision)
+        res = [int(x[i]) - ((sum(c * int(x[i - 1 - j])
+                                 for j, c in enumerate(coefs))) >> shift)
+               for i in range(order, len(x))]
+        _rice_residual(bw, res, order)
+        return
+    raise ValueError(mode)
+
+
 def write_flac(path, samples: np.ndarray, rate: int, channels: int = 1,
-               block_size: int = 4096, constant: bool = False):
-    """Write a FLAC file (16-bit, verbatim subframes; constant if requested)."""
+               block_size: int = 4096, constant: bool = False,
+               subframe: str | None = None, stereo_mode: str | None = None,
+               fixed_order: int = 2):
+    """Write a FLAC file (16-bit). ``subframe`` picks the coding
+    (verbatim/constant/fixed/lpc; default verbatim, or constant when the
+    legacy flag is set); ``stereo_mode`` adds inter-channel decorrelation
+    (left-side/right-side/mid-side, stereo input only)."""
+    subframe = subframe or ("constant" if constant else "verbatim")
     samples = np.asarray(samples, np.float64)
     if samples.ndim == 1:
         samples = np.tile(samples[:, None], (1, channels))
     pcm = (np.clip(samples, -1, 1) * 32767).round().astype(np.int64)
     n, ch = pcm.shape
+    if stereo_mode is not None:
+        assert ch == 2, "stereo_mode needs 2 channels"
 
     out = bytearray(b"fLaC")
     si = _BitWriter()
@@ -162,13 +247,15 @@ def write_flac(path, samples: np.ndarray, rate: int, channels: int = 1,
     for start in range(0, n, block_size):
         blk = pcm[start : start + block_size]
         bs = len(blk)
+        ch_code = {None: ch - 1, "left-side": 8, "right-side": 9,
+                   "mid-side": 10}[stereo_mode]
         hdr = _BitWriter()
         hdr.write(0b11111111111110, 14)  # sync
         hdr.write(0, 1)                  # reserved
         hdr.write(0, 1)                  # fixed blocksize strategy
         hdr.write(7, 4)                  # blocksize: 16-bit value follows
         hdr.write(0, 4)                  # sample rate: from STREAMINFO
-        hdr.write(ch - 1, 4)             # independent channels
+        hdr.write(ch_code, 4)
         hdr.write(4, 3)                  # 16 bits/sample
         hdr.write(0, 1)                  # reserved
         hdr.align()
@@ -176,19 +263,24 @@ def write_flac(path, samples: np.ndarray, rate: int, channels: int = 1,
         header += struct.pack(">H", bs - 1)
         header += bytes([_crc8(header)])
 
+        # Channel streams: decorrelated pairs carry the side channel at
+        # bits+1 (the decoder's reconstruction is exact).
+        if stereo_mode is None:
+            streams = [(blk[:, c], 16) for c in range(ch)]
+        else:
+            left, right = blk[:, 0], blk[:, 1]
+            side = left - right
+            if stereo_mode == "left-side":
+                streams = [(left, 16), (side, 17)]
+            elif stereo_mode == "right-side":
+                streams = [(side, 17), (right, 16)]
+            else:  # mid-side
+                mid = (left + right) >> 1
+                streams = [(mid, 16), (side, 17)]
+
         bw = _BitWriter()
-        for c in range(ch):
-            if constant:
-                bw.write(0, 1)       # padding
-                bw.write(0, 6)       # CONSTANT
-                bw.write(0, 1)       # no wasted bits
-                bw.write(int(blk[0, c]), 16)
-            else:
-                bw.write(0, 1)
-                bw.write(1, 6)       # VERBATIM
-                bw.write(0, 1)
-                for v in blk[:, c]:
-                    bw.write(int(v), 16)
+        for x, bits in streams:
+            _write_subframe(bw, x, bits, subframe, order=fixed_order)
         bw.align()
         frame = header + bytes(bw.bytes)
         frame += struct.pack(">H", _crc16(frame))

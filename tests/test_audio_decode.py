@@ -146,6 +146,54 @@ class TestFlac:
         assert get_audio_duration(p) == pytest.approx(1.0, abs=1e-3)
 
 
+
+    def test_fixed_and_lpc_rice_roundtrip(self, tmp_path):
+        """FIXED(0-4) and quantized-LPC subframes with Rice residuals —
+        the codings every real FLAC encoder emits (the verbatim tests
+        above never touch the predictor/residual paths)."""
+        rng = np.random.default_rng(7)
+        x = (0.4 * np.sin(2 * np.pi * 800 * np.arange(20000) / 32000)
+             + 0.02 * rng.normal(size=20000)).astype(np.float32)
+        want = np.round(np.clip(x.astype(np.float64), -1, 1) * 32767) / 32768.0
+        for order in range(5):
+            p = tmp_path / f"f{order}.flac"
+            write_flac(p, x, 32000, subframe="fixed", fixed_order=order)
+            dec = decode_audio_file(p)
+            assert np.max(np.abs(dec.samples - want)) < 1e-6, order
+        p = tmp_path / "l.flac"
+        write_flac(p, x, 32000, subframe="lpc")
+        dec = decode_audio_file(p)
+        assert np.max(np.abs(dec.samples - want)) < 1e-6
+
+    def test_stereo_decorrelation_modes(self, tmp_path):
+        """left-side / right-side / mid-side reconstruction is exact."""
+        rng = np.random.default_rng(8)
+        n = 12000
+        left = 0.5 * np.sin(2 * np.pi * 600 * np.arange(n) / 48000)
+        right = left * 0.7 + 0.05 * rng.normal(size=n)
+        x = np.stack([left, right], 1).astype(np.float32)
+        pcm = np.round(np.clip(x, -1, 1) * 32767)
+        want = pcm.mean(axis=1) / 32768.0  # decoder downmixes to mono
+        for mode in ("left-side", "right-side", "mid-side"):
+            for coding in ("verbatim", "fixed", "lpc"):
+                p = tmp_path / f"{mode}-{coding}.flac"
+                write_flac(p, x, 48000, channels=2, subframe=coding,
+                           stereo_mode=mode)
+                dec = decode_audio_file(p)
+                assert np.max(np.abs(dec.samples - want)) < 1e-4, (
+                    mode, coding)
+
+    def test_fixed_seek_is_sample_accurate(self, tmp_path):
+        rate = 32000
+        x = (np.arange(rate, dtype=np.float32) / rate * 0.9)
+        p = tmp_path / "seekf.flac"
+        write_flac(p, x, rate, subframe="fixed", fixed_order=2)
+        with StreamingDecoder(p) as dec:
+            dec.seek(17000)
+            got = dec.read(100)
+            assert np.max(np.abs(got - x[17000:17100])) < 1e-4
+
+
 class TestWindowing:
     def make(self, tmp_path, secs=10.0, rate=48000):
         p = tmp_path / "w.wav"

@@ -107,6 +107,22 @@ def test_flac_mutations_with_seek(tmp_path):
             pass
 
 
+def test_flac_predictor_mutations_never_crash(tmp_path):
+    """FIXED/LPC + Rice frames have far more parse states (unary runs,
+    partition orders, precision/shift fields) than verbatim — mutate them
+    too."""
+    rate = 32_000
+    rng = np.random.default_rng(1234)
+    for coding, extra in (("fixed", {"fixed_order": 3}), ("lpc", {})):
+        p = tmp_path / f"ok-{coding}.flac"
+        write_flac(p, _tone(rate), rate, subframe=coding, **extra)
+        data = p.read_bytes()
+        for i, mutated in enumerate(_mutations(data, rng, 24)):
+            q = tmp_path / f"p{coding}{i}.flac"
+            q.write_bytes(mutated)
+            _exercise(q)
+
+
 def test_mp3_mutations_never_crash(tmp_path):
     """The FFmpeg-backed path: mutated MP3 bitstreams must also surface as
     typed errors or salvage decode, never crash the process."""
