@@ -232,6 +232,29 @@ private:
             memcpy(out, raw, (size_t)nframes * 4);
             return;
         }
+        if (ch == 1 && sample_kind_ == S32) {
+            for (int64_t i = 0; i < nframes; i++) {
+                int32_t v;
+                memcpy(&v, raw + (size_t)i * 4, 4);
+                out[i] = (float)v * (1.0f / 2147483648.0f);
+            }
+            return;
+        }
+        if (ch == 1 && sample_kind_ == S24) {
+            for (int64_t i = 0; i < nframes; i++) {
+                const uint8_t* b = raw + (size_t)i * 3;
+                int32_t v = (int32_t)((uint32_t)b[0] | ((uint32_t)b[1] << 8) |
+                                      ((uint32_t)b[2] << 16));
+                if (v & 0x800000) v |= ~0xFFFFFF;
+                out[i] = (float)v * (1.0f / 8388608.0f);
+            }
+            return;
+        }
+        if (ch == 1 && sample_kind_ == U8) {
+            for (int64_t i = 0; i < nframes; i++)
+                out[i] = ((float)raw[i] - 128.0f) * (1.0f / 128.0f);
+            return;
+        }
         switch (sample_kind_) {
             case U8:
                 for (int64_t i = 0; i < nframes; i++) {
