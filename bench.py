@@ -29,6 +29,7 @@ Prints ONE JSON line:
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -156,6 +157,29 @@ def _bench_native(batch, iters):
     return _measure(step, 0, (iters, batch, 144_000), 3.0, iters)
 
 
+def _accel_probe(timeout_s: float = 300.0):
+    """Bounded out-of-process accelerator probe.
+
+    In-process backend init retries for ~28 minutes when the tunnel is
+    down (CLAUDE.md); a throwaway subprocess with a hard timeout answers
+    "is the chip reachable" in bounded time, then exits and frees the
+    single-tenant chip for the real run. Returns (ok, note)."""
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; print(jax.default_backend())"],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        return False, f"accelerator probe timed out after {timeout_s:.0f}s"
+    if r.returncode != 0:
+        return False, (r.stderr.strip() or "probe failed")[-200:]
+    lines = r.stdout.strip().splitlines()
+    return bool(lines) and lines[-1] == "tpu", None
+
+
 def main() -> None:
     import jax
 
@@ -170,6 +194,11 @@ def main() -> None:
     from birda_tpu.onnx import fullscale as fs
 
     tunnel_error = None
+    if os.environ.get("BIRDA_BENCH_PROBE", "1") != "0":
+        ok, note = _accel_probe()
+        if not ok:
+            tunnel_error = note or "accelerator not reachable"
+            jax.config.update("jax_platforms", "cpu")
     try:
         platform = jax.default_backend()
     except RuntimeError as e:
