@@ -2069,6 +2069,179 @@ class _Evaluator:
                     jnp.stack([jnp.asarray(v) for v in acc], axis=ax))
         return tuple(results) if len(results) != 1 else results[0]
 
+    # -- recurrent ops ---------------------------------------------------------
+    #
+    # Static-length recurrences unroll at trace time like Loop/Scan: the
+    # sequence axis is a static shape, each step is dense math XLA fuses.
+    # Default activations only (the release graphs carry none of these;
+    # exotic configurations raise typed errors naming the limit).
+
+    def _rnn_common(self, node, x, n_gates):
+        """Shared RNN/GRU/LSTM setup. Returns (directions, seq, helpers)."""
+        if node.attr("layout", 0) != 0:
+            raise UnsupportedOnnxOp(f"{node.op_type} layout=1")
+        if node.attr("clip") is not None:
+            raise UnsupportedOnnxOp(f"{node.op_type} clip")
+        direction = node.attr("direction", b"forward")
+        direction = direction.decode() if isinstance(direction, bytes) \
+            else direction
+        if direction not in ("forward", "reverse", "bidirectional"):
+            raise UnsupportedOnnxOp(
+                f"{node.op_type} direction '{direction}'")
+        seq_len = int(x.shape[0])
+        if seq_len > self._LOOP_UNROLL_CAP:
+            raise UnsupportedOnnxOp(
+                f"{node.op_type} sequence length {seq_len} exceeds the "
+                f"unroll cap {self._LOOP_UNROLL_CAP}")
+        dirs = ["forward", "reverse"] if direction == "bidirectional" \
+            else [direction]
+        del n_gates
+        return dirs, seq_len
+
+    @staticmethod
+    def _rnn_acts(node, defaults):
+        acts = node.attr("activations")
+        if acts is not None:
+            names = [a.decode() if isinstance(a, bytes) else a for a in acts]
+            # A bidirectional node lists both directions' activations.
+            if names not in (defaults, defaults + defaults):
+                raise UnsupportedOnnxOp(
+                    f"{node.op_type} non-default activations {names}")
+
+    def _rnn_run(self, m, x, seq_len, reverse, cell):
+        """Drive one direction: cell(xt) per step, stack [seq, batch, H]."""
+        steps = range(seq_len - 1, -1, -1) if reverse else range(seq_len)
+        ys = [None] * seq_len
+        for t in steps:
+            ys[t] = cell(x[t])
+        return ys
+
+    def op_RNN(self, node, x, w, r, b=None, sequence_lens=None,
+               initial_h=None):
+        if sequence_lens is not None:
+            raise UnsupportedOnnxOp("RNN sequence_lens")
+        self._rnn_acts(node, ["Tanh"])
+        dirs, seq_len = self._rnn_common(node, x, 1)
+        m = self._lib(x, w, r)
+        hid = int(np.asarray(node.attr("hidden_size") or w.shape[1]))
+        batch = int(x.shape[1])
+        y_dirs, h_dirs = [], []
+        for d, dname in enumerate(dirs):
+            wd, rd = w[d], r[d]
+            wb = b[d][:hid] + b[d][hid:] if b is not None else 0.0
+            h = initial_h[d] if initial_h is not None \
+                else m.zeros((batch, hid), _np(x).dtype if _is_host(x)
+                             else x.dtype)
+            state = {"h": h}
+
+            def cell(xt, wd=wd, rd=rd, wb=wb, state=state):
+                state["h"] = m.tanh(xt @ wd.T + state["h"] @ rd.T + wb)
+                return state["h"]
+
+            ys = self._rnn_run(m, x, seq_len, dname == "reverse", cell)
+            y_dirs.append(m.stack(ys))
+            h_dirs.append(ys[0 if dname == "reverse" else -1])
+        y = m.stack(y_dirs, 1)  # [seq, dirs, batch, hid]
+        return y, m.stack(h_dirs)
+
+    def op_GRU(self, node, x, w, r, b=None, sequence_lens=None,
+               initial_h=None):
+        if sequence_lens is not None:
+            raise UnsupportedOnnxOp("GRU sequence_lens")
+        self._rnn_acts(node, ["Sigmoid", "Tanh"])
+        dirs, seq_len = self._rnn_common(node, x, 3)
+        lbr = node.attr("linear_before_reset", 0)
+        m = self._lib(x, w, r)
+        hid = int(np.asarray(node.attr("hidden_size") or w.shape[1] // 3))
+        batch = int(x.shape[1])
+
+        def sig(v):
+            return 1.0 / (1.0 + m.exp(-v))
+
+        y_dirs, h_dirs = [], []
+        for d, dname in enumerate(dirs):
+            wz, wr_, wh = (w[d][i * hid:(i + 1) * hid] for i in range(3))
+            rz, rr, rh = (r[d][i * hid:(i + 1) * hid] for i in range(3))
+            if b is not None:
+                (wbz, wbr, wbh, rbz, rbr, rbh) = (
+                    b[d][i * hid:(i + 1) * hid] for i in range(6))
+            else:
+                wbz = wbr = wbh = rbz = rbr = rbh = 0.0
+            h = initial_h[d] if initial_h is not None \
+                else m.zeros((batch, hid), _np(x).dtype if _is_host(x)
+                             else x.dtype)
+            state = {"h": h}
+
+            def cell(xt, wz=wz, wr_=wr_, wh=wh, rz=rz, rr=rr, rh=rh,
+                     wbz=wbz, wbr=wbr, wbh=wbh, rbz=rbz, rbr=rbr, rbh=rbh,
+                     state=state):
+                hp = state["h"]
+                z = sig(xt @ wz.T + hp @ rz.T + wbz + rbz)
+                rg = sig(xt @ wr_.T + hp @ rr.T + wbr + rbr)
+                if lbr:
+                    n = m.tanh(xt @ wh.T + wbh + rg * (hp @ rh.T + rbh))
+                else:
+                    n = m.tanh(xt @ wh.T + wbh + (rg * hp) @ rh.T + rbh)
+                state["h"] = (1.0 - z) * n + z * hp
+                return state["h"]
+
+            ys = self._rnn_run(m, x, seq_len, dname == "reverse", cell)
+            y_dirs.append(m.stack(ys))
+            h_dirs.append(ys[0 if dname == "reverse" else -1])
+        return m.stack(y_dirs, 1), m.stack(h_dirs)
+
+    def op_LSTM(self, node, x, w, r, b=None, sequence_lens=None,
+                initial_h=None, initial_c=None, p=None):
+        if sequence_lens is not None:
+            raise UnsupportedOnnxOp("LSTM sequence_lens")
+        if p is not None:
+            raise UnsupportedOnnxOp("LSTM peepholes")
+        if node.attr("input_forget", 0):
+            raise UnsupportedOnnxOp("LSTM input_forget=1")
+        self._rnn_acts(node, ["Sigmoid", "Tanh", "Tanh"])
+        dirs, seq_len = self._rnn_common(node, x, 4)
+        m = self._lib(x, w, r)
+        hid = int(np.asarray(node.attr("hidden_size") or w.shape[1] // 4))
+        batch = int(x.shape[1])
+
+        def sig(v):
+            return 1.0 / (1.0 + m.exp(-v))
+
+        y_dirs, h_dirs, c_dirs = [], [], []
+        for d, dname in enumerate(dirs):
+            # ONNX gate order: i, o, f, c.
+            wi, wo, wf, wc = (w[d][i * hid:(i + 1) * hid] for i in range(4))
+            ri, ro, rf, rc = (r[d][i * hid:(i + 1) * hid] for i in range(4))
+            if b is not None:
+                (wbi, wbo, wbf, wbc, rbi, rbo, rbf, rbc) = (
+                    b[d][i * hid:(i + 1) * hid] for i in range(8))
+            else:
+                wbi = wbo = wbf = wbc = rbi = rbo = rbf = rbc = 0.0
+            dt = _np(x).dtype if _is_host(x) else x.dtype
+            h = initial_h[d] if initial_h is not None \
+                else m.zeros((batch, hid), dt)
+            c = initial_c[d] if initial_c is not None \
+                else m.zeros((batch, hid), dt)
+            state = {"h": h, "c": c}
+
+            def cell(xt, wi=wi, wo=wo, wf=wf, wc=wc, ri=ri, ro=ro, rf=rf,
+                     rc=rc, wbi=wbi, wbo=wbo, wbf=wbf, wbc=wbc, rbi=rbi,
+                     rbo=rbo, rbf=rbf, rbc=rbc, state=state):
+                hp, cp = state["h"], state["c"]
+                i_g = sig(xt @ wi.T + hp @ ri.T + wbi + rbi)
+                f_g = sig(xt @ wf.T + hp @ rf.T + wbf + rbf)
+                g_g = m.tanh(xt @ wc.T + hp @ rc.T + wbc + rbc)
+                o_g = sig(xt @ wo.T + hp @ ro.T + wbo + rbo)
+                state["c"] = f_g * cp + i_g * g_g
+                state["h"] = o_g * m.tanh(state["c"])
+                return state["h"]
+
+            ys = self._rnn_run(m, x, seq_len, dname == "reverse", cell)
+            y_dirs.append(m.stack(ys))
+            h_dirs.append(ys[0 if dname == "reverse" else -1])
+            c_dirs.append(state["c"])
+        return m.stack(y_dirs, 1), m.stack(h_dirs), m.stack(c_dirs)
+
     # -- normalization extras --------------------------------------------------
 
     def op_MeanVarianceNormalization(self, node, x):

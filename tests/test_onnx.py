@@ -1474,3 +1474,189 @@ class TestReviewFixes:
         fn = lower(mb)
         with pytest.raises(UnsupportedOnnxOp, match="opset-8"):
             fn(np.zeros((1, 1), np.float32))
+
+
+class TestRecurrentOps:
+    """LSTM/GRU/RNN vs torch: ONNX gate orders (iofc / zrh) remapped from
+    torch's (ifgo / rzn); torch GRU semantics = linear_before_reset=1."""
+
+    @staticmethod
+    def _lstm_onnx_weights(cell):
+        H = cell.hidden_size
+        wi, wf, wg, wo = cell.weight_ih_l0.detach().numpy().reshape(4, H, -1)
+        ri, rf, rg, ro = cell.weight_hh_l0.detach().numpy().reshape(4, H, -1)
+        bi, bf, bg, bo = cell.bias_ih_l0.detach().numpy().reshape(4, H)
+        hbi, hbf, hbg, hbo = cell.bias_hh_l0.detach().numpy().reshape(4, H)
+        w = np.concatenate([wi, wo, wf, wg])[None]          # [1, 4H, I]
+        r = np.concatenate([ri, ro, rf, rg])[None]
+        b = np.concatenate([bi, bo, bf, bg, hbi, hbo, hbf, hbg])[None]
+        return w, r, b
+
+    def test_lstm_forward_vs_torch(self):
+        torch.manual_seed(0)
+        seq, batch, inp, H = 7, 3, 5, 4
+        cell = torch.nn.LSTM(inp, H)
+        w, r, b = self._lstm_onnx_weights(cell)
+        x = np.random.default_rng(0).normal(
+            size=(seq, batch, inp)).astype(np.float32)
+        mb = fo.model(
+            [fo.node("LSTM", ["x", "w", "r", "b"], ["y", "yh", "yc"],
+                     attrs=[fo.attr_int("hidden_size", H)])],
+            inputs=[fo.value_info("x", [seq, batch, inp])],
+            outputs=[fo.value_info("y", [seq, 1, batch, H]),
+                     fo.value_info("yh", [1, batch, H]),
+                     fo.value_info("yc", [1, batch, H])],
+            initializers=[fo.tensor("w", w.astype(np.float32)),
+                          fo.tensor("r", r.astype(np.float32)),
+                          fo.tensor("b", b.astype(np.float32))],
+        )
+        fn = lower(mb)
+        y, yh, yc = fn(x)
+        out, (hn, cn) = cell(torch.from_numpy(x))
+        assert np.max(np.abs(np.asarray(y)[:, 0] - out.detach().numpy())) < 1e-5
+        assert np.max(np.abs(np.asarray(yh) - hn.detach().numpy())) < 1e-5
+        assert np.max(np.abs(np.asarray(yc) - cn.detach().numpy())) < 1e-5
+
+    def test_lstm_bidirectional_vs_torch(self):
+        torch.manual_seed(1)
+        seq, batch, inp, H = 5, 2, 3, 4
+        cell = torch.nn.LSTM(inp, H, bidirectional=True)
+
+        def gates(w_ih, w_hh, b_ih, b_hh):
+            wi, wf, wg, wo = w_ih.detach().numpy().reshape(4, H, -1)
+            ri, rf, rg, ro = w_hh.detach().numpy().reshape(4, H, -1)
+            bi, bf, bg, bo = b_ih.detach().numpy().reshape(4, H)
+            hbi, hbf, hbg, hbo = b_hh.detach().numpy().reshape(4, H)
+            return (np.concatenate([wi, wo, wf, wg]),
+                    np.concatenate([ri, ro, rf, rg]),
+                    np.concatenate([bi, bo, bf, bg, hbi, hbo, hbf, hbg]))
+
+        wf_, rf_, bf_ = gates(cell.weight_ih_l0, cell.weight_hh_l0,
+                              cell.bias_ih_l0, cell.bias_hh_l0)
+        wr_, rr_, br_ = gates(cell.weight_ih_l0_reverse,
+                              cell.weight_hh_l0_reverse,
+                              cell.bias_ih_l0_reverse,
+                              cell.bias_hh_l0_reverse)
+        w = np.stack([wf_, wr_]).astype(np.float32)
+        r = np.stack([rf_, rr_]).astype(np.float32)
+        b = np.stack([bf_, br_]).astype(np.float32)
+        x = np.random.default_rng(1).normal(
+            size=(seq, batch, inp)).astype(np.float32)
+        mb = fo.model(
+            [fo.node("LSTM", ["x", "w", "r", "b"], ["y"],
+                     attrs=[fo.attr_int("hidden_size", H),
+                            fo.attr_str("direction", "bidirectional")])],
+            inputs=[fo.value_info("x", [seq, batch, inp])],
+            outputs=[fo.value_info("y", [seq, 2, batch, H])],
+            initializers=[fo.tensor("w", w), fo.tensor("r", r),
+                          fo.tensor("b", b)],
+        )
+        y = np.asarray(lower(mb)(x))
+        out, _ = cell(torch.from_numpy(x))
+        out = out.detach().numpy()
+        assert np.max(np.abs(y[:, 0] - out[..., :H])) < 1e-5
+        assert np.max(np.abs(y[:, 1] - out[..., H:])) < 1e-5
+
+    def test_gru_vs_torch(self):
+        torch.manual_seed(2)
+        seq, batch, inp, H = 6, 2, 4, 3
+        cell = torch.nn.GRU(inp, H)
+        # torch gate order r, z, n -> ONNX z, r, h.
+        tr, tz, tn = cell.weight_ih_l0.detach().numpy().reshape(3, H, -1)
+        hr, hz, hn = cell.weight_hh_l0.detach().numpy().reshape(3, H, -1)
+        br, bz, bn = cell.bias_ih_l0.detach().numpy().reshape(3, H)
+        hbr, hbz, hbn = cell.bias_hh_l0.detach().numpy().reshape(3, H)
+        w = np.concatenate([tz, tr, tn])[None].astype(np.float32)
+        r = np.concatenate([hz, hr, hn])[None].astype(np.float32)
+        b = np.concatenate(
+            [bz, br, bn, hbz, hbr, hbn])[None].astype(np.float32)
+        x = np.random.default_rng(2).normal(
+            size=(seq, batch, inp)).astype(np.float32)
+        mb = fo.model(
+            [fo.node("GRU", ["x", "w", "r", "b"], ["y", "yh"],
+                     attrs=[fo.attr_int("hidden_size", H),
+                            fo.attr_int("linear_before_reset", 1)])],
+            inputs=[fo.value_info("x", [seq, batch, inp])],
+            outputs=[fo.value_info("y", [seq, 1, batch, H]),
+                     fo.value_info("yh", [1, batch, H])],
+            initializers=[fo.tensor("w", w), fo.tensor("r", r),
+                          fo.tensor("b", b)],
+        )
+        y, yh = lower(mb)(x)
+        out, hn_t = cell(torch.from_numpy(x))
+        assert np.max(np.abs(np.asarray(y)[:, 0] - out.detach().numpy())) < 1e-5
+        assert np.max(np.abs(np.asarray(yh) - hn_t.detach().numpy())) < 1e-5
+
+    def test_gru_linear_before_reset_0(self):
+        # ONNX default semantics (no torch equivalent): n uses (r*h) @ Rn.
+        rng = np.random.default_rng(3)
+        seq, batch, inp, H = 4, 2, 3, 2
+        w = rng.normal(0, 0.5, (1, 3 * H, inp)).astype(np.float32)
+        r = rng.normal(0, 0.5, (1, 3 * H, H)).astype(np.float32)
+        x = rng.normal(size=(seq, batch, inp)).astype(np.float32)
+        mb = fo.model(
+            [fo.node("GRU", ["x", "w", "r"], ["y"],
+                     attrs=[fo.attr_int("hidden_size", H)])],
+            inputs=[fo.value_info("x", [seq, batch, inp])],
+            outputs=[fo.value_info("y", [seq, 1, batch, H])],
+            initializers=[fo.tensor("w", w), fo.tensor("r", r)],
+        )
+        y = np.asarray(lower(mb)(x))
+
+        def sig(v):
+            return 1 / (1 + np.exp(-v))
+
+        wz, wr_, wh = w[0][:H], w[0][H:2 * H], w[0][2 * H:]
+        rz, rr, rh = r[0][:H], r[0][H:2 * H], r[0][2 * H:]
+        h = np.zeros((batch, H), np.float32)
+        for t in range(seq):
+            z = sig(x[t] @ wz.T + h @ rz.T)
+            rg = sig(x[t] @ wr_.T + h @ rr.T)
+            n = np.tanh(x[t] @ wh.T + (rg * h) @ rh.T)
+            h = (1 - z) * n + z * h
+            assert np.max(np.abs(y[t, 0] - h)) < 1e-5, t
+
+    def test_rnn_vs_torch(self):
+        torch.manual_seed(4)
+        seq, batch, inp, H = 5, 2, 3, 4
+        cell = torch.nn.RNN(inp, H)  # tanh
+        w = cell.weight_ih_l0.detach().numpy()[None].astype(np.float32)
+        r = cell.weight_hh_l0.detach().numpy()[None].astype(np.float32)
+        b = np.concatenate([cell.bias_ih_l0.detach().numpy(),
+                            cell.bias_hh_l0.detach().numpy()])[None].astype(
+                                np.float32)
+        x = np.random.default_rng(4).normal(
+            size=(seq, batch, inp)).astype(np.float32)
+        mb = fo.model(
+            [fo.node("RNN", ["x", "w", "r", "b"], ["y", "yh"],
+                     attrs=[fo.attr_int("hidden_size", H)])],
+            inputs=[fo.value_info("x", [seq, batch, inp])],
+            outputs=[fo.value_info("y", [seq, 1, batch, H]),
+                     fo.value_info("yh", [1, batch, H])],
+            initializers=[fo.tensor("w", w), fo.tensor("r", r),
+                          fo.tensor("b", b)],
+        )
+        y, yh = lower(mb)(x)
+        out, hn = cell(torch.from_numpy(x))
+        assert np.max(np.abs(np.asarray(y)[:, 0] - out.detach().numpy())) < 1e-5
+        assert np.max(np.abs(np.asarray(yh) - hn.detach().numpy())) < 1e-5
+
+    def test_lstm_traced_under_jit(self):
+        import jax
+
+        rng = np.random.default_rng(5)
+        seq, batch, inp, H = 4, 2, 3, 2
+        w = rng.normal(0, 0.4, (1, 4 * H, inp)).astype(np.float32)
+        r = rng.normal(0, 0.4, (1, 4 * H, H)).astype(np.float32)
+        x = rng.normal(size=(seq, batch, inp)).astype(np.float32)
+        mb = fo.model(
+            [fo.node("LSTM", ["x", "w", "r"], ["y"],
+                     attrs=[fo.attr_int("hidden_size", H)])],
+            inputs=[fo.value_info("x", [seq, batch, inp])],
+            outputs=[fo.value_info("y", [seq, 1, batch, H])],
+            initializers=[fo.tensor("w", w), fo.tensor("r", r)],
+        )
+        fn = lower(mb)
+        eager = np.asarray(fn(x))
+        jitted = np.asarray(jax.jit(lambda v: fn(v))(x))
+        assert np.max(np.abs(eager - jitted)) < 1e-5
