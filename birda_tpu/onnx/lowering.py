@@ -1725,6 +1725,51 @@ class _Evaluator:
         xf = self._dequantize(x, x_s, x_zp, node)
         return self._quantize(self.op_LeakyRelu(node, xf), y_s, y_zp, node)
 
+    def op_QLinearSoftmax(self, node, x, x_s, x_zp, y_s, y_zp):
+        xf = self._dequantize(x, x_s, x_zp, node)
+        return self._quantize(self.op_Softmax(node, xf), y_s, y_zp, node)
+
+    def op_QLinearAveragePool(self, node, x, x_s, x_zp, y_s, y_zp):
+        if node.attr("channels_last", 0):
+            raise UnsupportedOnnxOp("QLinearAveragePool channels_last=1")
+        xf = self._dequantize(x, x_s, x_zp, node)
+        return self._quantize(self.op_AveragePool(node, xf), y_s, y_zp, node)
+
+    def op_QLinearConcat(self, node, y_s, y_zp, *parts):
+        # Variadic (tensor, scale, zero_point) triples after the output
+        # scale/zp (com.microsoft spelling).
+        if len(parts) % 3:
+            raise UnsupportedOnnxOp("QLinearConcat malformed inputs")
+        des = [
+            self._dequantize(parts[i], parts[i + 1], parts[i + 2], node)
+            for i in range(0, len(parts), 3)
+        ]
+        axis = node.attr("axis")
+        out = self._lib(*des).concatenate(des, axis=axis)
+        return self._quantize(out, y_s, y_zp, node)
+
+    def op_QGemm(self, node, a, a_s, a_zp, b, b_s, b_zp, c=None,
+                 y_s=None, y_zp=None):
+        # com.microsoft QGemm: int inputs, fp32 bias at scale a_s*b_s;
+        # float output when y_scale is absent.
+        af = self._dequantize(a, a_s, a_zp, node)
+        bf = self._dequantize(b, b_s, b_zp, node)
+        if node.attr("transA", 0):
+            af = af.T
+        if node.attr("transB", 0):
+            bf = bf.T
+        alpha = node.attr("alpha", 1.0)
+        out = alpha * (af @ bf)
+        if c is not None:
+            # C is int32 quantized at a_scale*b_scale, zero-point 0.
+            cf = (np.asarray(c, np.float32) if _is_host(c)
+                  else c.astype(np.float32))
+            out = out + cf * (np.asarray(a_s, np.float32)
+                              * np.asarray(b_s, np.float32)).reshape(-1)
+        if y_s is None:
+            return out
+        return self._quantize(out, y_s, y_zp, node)
+
     def op_QLinearGlobalAveragePool(self, node, x, x_s, x_zp, y_s, y_zp):
         xf = self._dequantize(x, x_s, x_zp, node)
         channels_last = node.attr("channels_last", 0)

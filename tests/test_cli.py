@@ -569,7 +569,7 @@ class TestModelsCheckPreflight:
         import fixtures_onnx as fo
 
         bad = fo.model(
-            [fo.node("LSTM", ["x"], ["a"]),
+            [fo.node("NonZero", ["x"], ["a"]),
              fo.node("NonMaxSuppression", ["a"], ["y"])],
             inputs=[fo.value_info("x", [1, 8])],
             outputs=[fo.value_info("y", [1, 8])],
@@ -578,7 +578,7 @@ class TestModelsCheckPreflight:
         r = runner.invoke(cli, ["models", "check"])
         assert r.exit_code == 1
         # BOTH unsupported ops in one report — no fix-one-retry loop.
-        assert "LSTM" in r.output and "NonMaxSuppression" in r.output
+        assert "NonZero" in r.output and "NonMaxSuppression" in r.output
 
     def test_check_passes_supported_graph(self, runner, home, tmp_path):
         import fixtures_onnx as fo

@@ -1139,7 +1139,7 @@ class TestControlFlow:
         from birda_tpu.onnx.preflight import preflight
 
         bad_body = fo.graph(
-            [fo.node("LSTM", ["v"], ["v_out"]),
+            [fo.node("NonZero", ["v"], ["v_out"]),
              fo.node("Identity", ["c_in"], ["c_out"])],
             inputs=[fo.value_info("it", [], elem_type=7),
                     fo.value_info("c_in", [], elem_type=9),
@@ -1156,7 +1156,7 @@ class TestControlFlow:
                           fo.tensor("v0", np.zeros(2, np.float32))],
         )
         findings = preflight(mb)
-        assert any("LSTM" in f.render() for f in findings)
+        assert any("NonZero" in f.render() for f in findings)
 
 
     def test_scan_cumulative_sum(self):

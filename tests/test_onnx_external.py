@@ -138,11 +138,11 @@ class TestPreflight:
         exotic = fo._int(2, 16) + fo._str(8, "w_bf16") + fo._msg(9, b"\x00\x00")
         return fo.model(
             [
-                fo.node("LSTM", ["x"], ["a"]),
+                fo.node("NonZero", ["x"], ["a"]),
                 fo.node("CumSum", ["a", "ax"], ["b"],
                         attrs=[fo.attr_int("exclusive", 1)]),
                 fo.node("NonMaxSuppression", ["b"], ["c"]),
-                fo.node("LSTM", ["c"], ["y"]),
+                fo.node("NonZero", ["c"], ["y"]),
             ],
             inputs=[fo.value_info("x", [1, 8])],
             outputs=[fo.value_info("y", [1, 8])],
@@ -155,7 +155,7 @@ class TestPreflight:
     def test_all_issues_reported_at_once(self):
         findings = preflight(self._bad_model())
         rendered = "\n".join(f.render() for f in findings)
-        assert "LSTM" in rendered and "2 occurrences" in rendered
+        assert "NonZero" in rendered and "2 occurrences" in rendered
         assert "NonMaxSuppression" in rendered
         assert "exclusive/reverse CumSum" in rendered
         assert "BFLOAT16" in rendered
@@ -166,7 +166,7 @@ class TestPreflight:
             lower(self._bad_model())
         msg = str(ei.value)
         # One error names every issue — the single fix list.
-        for frag in ("LSTM", "NonMaxSuppression", "CumSum", "BFLOAT16"):
+        for frag in ("NonZero", "NonMaxSuppression", "CumSum", "BFLOAT16"):
             assert frag in msg
 
     def test_clean_graph_passes(self):

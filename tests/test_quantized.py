@@ -307,3 +307,101 @@ class TestConvInteger:
         ).numpy().astype(np.int32)
         np.testing.assert_array_equal(got, want)
         assert got.dtype == np.int32
+
+
+class TestMoreQLinearOps:
+    """Remaining com.microsoft QLinear family the ORT quantizer can emit
+    (int8-arm release variants): Softmax, AveragePool, Concat, QGemm."""
+
+    def test_qlinear_softmax_and_avgpool(self):
+        rng = np.random.default_rng(0)
+        x = rng.normal(0, 2, (2, 8)).astype(np.float32)
+        xq = np.clip(np.round(x / 0.05), -128, 127).astype(np.int8)
+        mb = fo.model(
+            [fo.node("QLinearSoftmax", ["xq", "xs", "xz", "ys", "yz"], ["y"],
+                     attrs=[fo.attr_int("axis", -1)])],
+            inputs=[fo.value_info("xq", [2, 8], elem_type=3)],
+            outputs=[fo.value_info("y", [2, 8], elem_type=2)],
+            initializers=[
+                fo.tensor("xs", np.float32(0.05)),
+                fo.tensor("xz", np.int8(0)),
+                fo.tensor("ys", np.float32(1.0 / 255)),
+                fo.tensor("yz", np.uint8(0)),
+            ],
+        )
+        got = lower(mb)(xq)
+        xf = xq.astype(np.float32) * 0.05
+        e = np.exp(xf - xf.max(1, keepdims=True))
+        want = np.clip(np.round((e / e.sum(1, keepdims=True)) * 255), 0, 255)
+        assert np.max(np.abs(np.asarray(got).astype(np.int32)
+                             - want.astype(np.int32))) <= 1
+
+        xi = rng.normal(0, 1, (1, 2, 4, 4)).astype(np.float32)
+        xiq = np.clip(np.round(xi / 0.02), -128, 127).astype(np.int8)
+        mb = fo.model(
+            [fo.node("QLinearAveragePool",
+                     ["xq", "xs", "xz", "ys", "yz"], ["y"],
+                     attrs=[fo.attr_ints("kernel_shape", [2, 2]),
+                            fo.attr_ints("strides", [2, 2])])],
+            inputs=[fo.value_info("xq", [1, 2, 4, 4], elem_type=3)],
+            outputs=[fo.value_info("y", [1, 2, 2, 2], elem_type=3)],
+            initializers=[
+                fo.tensor("xs", np.float32(0.02)),
+                fo.tensor("xz", np.int8(0)),
+                fo.tensor("ys", np.float32(0.02)),
+                fo.tensor("yz", np.int8(0)),
+            ],
+        )
+        got = np.asarray(lower(mb)(xiq)).astype(np.float32) * 0.02
+        want = (xiq.astype(np.float32) * 0.02).reshape(1, 2, 2, 2, 2, 2) \
+            .mean((3, 5))
+        assert np.max(np.abs(got - want)) <= 0.02 + 1e-6
+
+    def test_qlinear_concat(self):
+        a = np.arange(-4, 4, dtype=np.int8).reshape(2, 4)
+        b = (np.arange(8, dtype=np.int8) - 2).reshape(2, 4)
+        mb = fo.model(
+            [fo.node("QLinearConcat",
+                     ["ys", "yz", "a", "as_", "az", "b", "bs", "bz"], ["y"],
+                     attrs=[fo.attr_int("axis", 1)])],
+            inputs=[fo.value_info("a", [2, 4], elem_type=3),
+                    fo.value_info("b", [2, 4], elem_type=3)],
+            outputs=[fo.value_info("y", [2, 8], elem_type=3)],
+            initializers=[
+                fo.tensor("ys", np.float32(0.1)),
+                fo.tensor("yz", np.int8(0)),
+                fo.tensor("as_", np.float32(0.1)),
+                fo.tensor("az", np.int8(0)),
+                fo.tensor("bs", np.float32(0.2)),
+                fo.tensor("bz", np.int8(0)),
+            ],
+        )
+        got = np.asarray(lower(mb)(a, b))
+        want = np.concatenate(
+            [a.astype(np.int32), 2 * b.astype(np.int32)], axis=1)
+        assert np.max(np.abs(got.astype(np.int32) - want)) <= 1
+
+    def test_qgemm_float_output(self):
+        rng = np.random.default_rng(1)
+        a = np.clip(rng.normal(0, 40, (3, 6)), -127, 127).astype(np.int8)
+        b = np.clip(rng.normal(0, 40, (6, 4)), -127, 127).astype(np.int8)
+        c = np.round(rng.normal(0, 100, 4)).astype(np.int32)
+        mb = fo.model(
+            [fo.node("QGemm",
+                     ["a", "as_", "az", "b", "bs", "bz", "c"], ["y"])],
+            inputs=[fo.value_info("a", [3, 6], elem_type=3)],
+            outputs=[fo.value_info("y", [3, 4])],
+            initializers=[
+                fo.tensor("as_", np.float32(0.02)),
+                fo.tensor("az", np.int8(0)),
+                fo.tensor("b", b),
+                fo.tensor("bs", np.float32(0.05)),
+                fo.tensor("bz", np.int8(0)),
+                fo.tensor("c", c),
+            ],
+        )
+        got = np.asarray(lower(mb)(a))
+        want = ((a.astype(np.float32) * 0.02)
+                @ (b.astype(np.float32) * 0.05)
+                + c.astype(np.float32) * (0.02 * 0.05))
+        assert np.max(np.abs(got - want)) < 1e-4
