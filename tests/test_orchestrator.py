@@ -250,6 +250,32 @@ class TestAnalyzeEndToEnd:
         with pytest.raises(RuntimeError, match="synthetic internal"):
             analyze_files(opts, synthetic_config())
 
+    def test_unexpected_exception_isolated_parallel(self, home, tmp_path,
+                                                    monkeypatch):
+        """The --jobs worker path isolates non-BirdaError exceptions the
+        same way the sequential loop does."""
+        import birda_tpu.orchestrator as orch
+
+        bad = make_audio(tmp_path, name="aa_bad.wav", secs=3.0)
+        good = make_audio(tmp_path, name="zz_good.wav", secs=3.0)
+        real_process_file = orch.process_file
+
+        def exploding(classifier, pcfg):
+            if pcfg.input_path.name == "aa_bad.wav":
+                raise RuntimeError("synthetic worker failure")
+            return real_process_file(classifier, pcfg)
+
+        monkeypatch.setattr(orch, "process_file", exploding)
+        out = tmp_path / "out"
+        opts = AnalyzeOptions(
+            inputs=[bad, good], output_dir=out, formats=[OutputFormat.CSV],
+            min_confidence=0.0, device_flags={"cpu": True}, jobs=2,
+        )
+        code = analyze_files(opts, synthetic_config())
+        assert code == 0
+        assert (out / "zz_good.BirdNET.results.csv").exists()
+        assert not (out / "aa_bad.BirdNET.results.csv").exists()
+
     def test_warmup_trace_failure_is_typed(self, home, tmp_path):
         """A graph the lowering accepts node-by-node but that cannot trace
         (invalid Gemm rank) surfaces as ClassifierBuild, not a raw
