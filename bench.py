@@ -194,6 +194,9 @@ def main() -> None:
     from birda_tpu.onnx import fullscale as fs
 
     tunnel_error = None
+    # Deliberate tradeoff: a healthy run pays one duplicate backend init
+    # (~10-60 s on a warm tunnel) so a dead tunnel costs 5 minutes instead
+    # of the ~28-minute in-process retry loop. BIRDA_BENCH_PROBE=0 skips.
     if os.environ.get("BIRDA_BENCH_PROBE", "1") != "0":
         ok, note = _accel_probe()
         if not ok:

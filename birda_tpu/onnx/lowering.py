@@ -1753,19 +1753,22 @@ class _Evaluator:
         # com.microsoft QGemm: int inputs, fp32 bias at scale a_s*b_s;
         # float output when y_scale is absent.
         af = self._dequantize(a, a_s, a_zp, node)
-        bf = self._dequantize(b, b_s, b_zp, node)
         if node.attr("transA", 0):
             af = af.T
         if node.attr("transB", 0):
-            bf = bf.T
+            # Transpose the quantized B first so a per-output-channel
+            # b_scale lands on axis 1 of the [K, N] operand _dequantize
+            # broadcasts over (the standard ORT quantized-Gemm layout
+            # stores B as [N, K] with per-N scales).
+            b = b.T if not _is_host(b) else np.transpose(b)
+        bf = self._dequantize(b, b_s, b_zp, node)
         alpha = node.attr("alpha", 1.0)
         out = alpha * (af @ bf)
         if c is not None:
             # C is int32 quantized at a_scale*b_scale, zero-point 0.
             cf = (np.asarray(c, np.float32) if _is_host(c)
                   else c.astype(np.float32))
-            out = out + cf * (np.asarray(a_s, np.float32)
-                              * np.asarray(b_s, np.float32)).reshape(-1)
+            out = out + cf * a_s * b_s  # np or traced scales both broadcast
         if y_s is None:
             return out
         return self._quantize(out, y_s, y_zp, node)
@@ -2121,8 +2124,8 @@ class _Evaluator:
     # Default activations only (the release graphs carry none of these;
     # exotic configurations raise typed errors naming the limit).
 
-    def _rnn_common(self, node, x, n_gates):
-        """Shared RNN/GRU/LSTM setup. Returns (directions, seq, helpers)."""
+    def _rnn_common(self, node, x):
+        """Shared RNN/GRU/LSTM setup. Returns (directions, seq_len)."""
         if node.attr("layout", 0) != 0:
             raise UnsupportedOnnxOp(f"{node.op_type} layout=1")
         if node.attr("clip") is not None:
@@ -2140,7 +2143,6 @@ class _Evaluator:
                 f"unroll cap {self._LOOP_UNROLL_CAP}")
         dirs = ["forward", "reverse"] if direction == "bidirectional" \
             else [direction]
-        del n_gates
         return dirs, seq_len
 
     @staticmethod
@@ -2153,8 +2155,8 @@ class _Evaluator:
                 raise UnsupportedOnnxOp(
                     f"{node.op_type} non-default activations {names}")
 
-    def _rnn_run(self, m, x, seq_len, reverse, cell):
-        """Drive one direction: cell(xt) per step, stack [seq, batch, H]."""
+    def _rnn_run(self, x, seq_len, reverse, cell):
+        """Drive one direction: cell(xt) per step; outputs in time order."""
         steps = range(seq_len - 1, -1, -1) if reverse else range(seq_len)
         ys = [None] * seq_len
         for t in steps:
@@ -2166,8 +2168,8 @@ class _Evaluator:
         if sequence_lens is not None:
             raise UnsupportedOnnxOp("RNN sequence_lens")
         self._rnn_acts(node, ["Tanh"])
-        dirs, seq_len = self._rnn_common(node, x, 1)
-        m = self._lib(x, w, r)
+        dirs, seq_len = self._rnn_common(node, x)
+        m = self._lib(x, w, r, b, initial_h)
         hid = int(np.asarray(node.attr("hidden_size") or w.shape[1]))
         batch = int(x.shape[1])
         y_dirs, h_dirs = [], []
@@ -2183,7 +2185,7 @@ class _Evaluator:
                 state["h"] = m.tanh(xt @ wd.T + state["h"] @ rd.T + wb)
                 return state["h"]
 
-            ys = self._rnn_run(m, x, seq_len, dname == "reverse", cell)
+            ys = self._rnn_run(x, seq_len, dname == "reverse", cell)
             y_dirs.append(m.stack(ys))
             h_dirs.append(ys[0 if dname == "reverse" else -1])
         y = m.stack(y_dirs, 1)  # [seq, dirs, batch, hid]
@@ -2194,9 +2196,9 @@ class _Evaluator:
         if sequence_lens is not None:
             raise UnsupportedOnnxOp("GRU sequence_lens")
         self._rnn_acts(node, ["Sigmoid", "Tanh"])
-        dirs, seq_len = self._rnn_common(node, x, 3)
+        dirs, seq_len = self._rnn_common(node, x)
         lbr = node.attr("linear_before_reset", 0)
-        m = self._lib(x, w, r)
+        m = self._lib(x, w, r, b, initial_h)
         hid = int(np.asarray(node.attr("hidden_size") or w.shape[1] // 3))
         batch = int(x.shape[1])
 
@@ -2230,7 +2232,7 @@ class _Evaluator:
                 state["h"] = (1.0 - z) * n + z * hp
                 return state["h"]
 
-            ys = self._rnn_run(m, x, seq_len, dname == "reverse", cell)
+            ys = self._rnn_run(x, seq_len, dname == "reverse", cell)
             y_dirs.append(m.stack(ys))
             h_dirs.append(ys[0 if dname == "reverse" else -1])
         return m.stack(y_dirs, 1), m.stack(h_dirs)
@@ -2244,8 +2246,8 @@ class _Evaluator:
         if node.attr("input_forget", 0):
             raise UnsupportedOnnxOp("LSTM input_forget=1")
         self._rnn_acts(node, ["Sigmoid", "Tanh", "Tanh"])
-        dirs, seq_len = self._rnn_common(node, x, 4)
-        m = self._lib(x, w, r)
+        dirs, seq_len = self._rnn_common(node, x)
+        m = self._lib(x, w, r, b, initial_h, initial_c)
         hid = int(np.asarray(node.attr("hidden_size") or w.shape[1] // 4))
         batch = int(x.shape[1])
 
@@ -2281,7 +2283,7 @@ class _Evaluator:
                 state["h"] = o_g * m.tanh(state["c"])
                 return state["h"]
 
-            ys = self._rnn_run(m, x, seq_len, dname == "reverse", cell)
+            ys = self._rnn_run(x, seq_len, dname == "reverse", cell)
             y_dirs.append(m.stack(ys))
             h_dirs.append(ys[0 if dname == "reverse" else -1])
             c_dirs.append(state["c"])

@@ -1660,3 +1660,27 @@ class TestRecurrentOps:
         eager = np.asarray(fn(x))
         jitted = np.asarray(jax.jit(lambda v: fn(v))(x))
         assert np.max(np.abs(eager - jitted)) < 1e-5
+
+    def test_lstm_traced_initial_state(self):
+        # x/w/r as initializers, initial_h as the traced graph input: the
+        # lib dispatch must consider every operand, not just x/w/r.
+        import jax
+
+        rng = np.random.default_rng(6)
+        seq, batch, inp, H = 3, 2, 3, 2
+        w = rng.normal(0, 0.4, (1, 4 * H, inp)).astype(np.float32)
+        r = rng.normal(0, 0.4, (1, 4 * H, H)).astype(np.float32)
+        xconst = rng.normal(size=(seq, batch, inp)).astype(np.float32)
+        mb = fo.model(
+            [fo.node("LSTM", ["x", "w", "r", "", "", "h0"], ["y"],
+                     attrs=[fo.attr_int("hidden_size", H)])],
+            inputs=[fo.value_info("h0", [1, batch, H])],
+            outputs=[fo.value_info("y", [seq, 1, batch, H])],
+            initializers=[fo.tensor("w", w), fo.tensor("r", r),
+                          fo.tensor("x", xconst)],
+        )
+        fn = lower(mb)
+        h0 = rng.normal(size=(1, batch, H)).astype(np.float32)
+        eager = np.asarray(fn(h0))
+        jitted = np.asarray(jax.jit(lambda v: fn(v))(h0))
+        assert np.max(np.abs(eager - jitted)) < 1e-5

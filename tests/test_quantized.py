@@ -405,3 +405,27 @@ class TestMoreQLinearOps:
                 @ (b.astype(np.float32) * 0.05)
                 + c.astype(np.float32) * (0.02 * 0.05))
         assert np.max(np.abs(got - want)) < 1e-4
+
+    def test_qgemm_transB_per_channel_scale(self):
+        # ORT quantized-Gemm layout: B stored [N, K] with per-N scales.
+        rng = np.random.default_rng(2)
+        a = np.clip(rng.normal(0, 40, (3, 6)), -127, 127).astype(np.int8)
+        bT = np.clip(rng.normal(0, 40, (4, 6)), -127, 127).astype(np.int8)
+        bs = np.array([0.01, 0.02, 0.03, 0.04], np.float32)
+        mb = fo.model(
+            [fo.node("QGemm", ["a", "as_", "az", "b", "bs", "bz"], ["y"],
+                     attrs=[fo.attr_int("transB", 1)])],
+            inputs=[fo.value_info("a", [3, 6], elem_type=3)],
+            outputs=[fo.value_info("y", [3, 4])],
+            initializers=[
+                fo.tensor("as_", np.float32(0.05)),
+                fo.tensor("az", np.int8(0)),
+                fo.tensor("b", bT),
+                fo.tensor("bs", bs),
+                fo.tensor("bz", np.zeros(4, np.int8)),
+            ],
+        )
+        got = np.asarray(lower(mb)(a))
+        want = (a.astype(np.float32) * 0.05) @ (
+            bT.astype(np.float32) * bs[:, None]).T
+        assert np.max(np.abs(got - want)) < 1e-4
