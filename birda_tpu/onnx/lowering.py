@@ -1837,6 +1837,71 @@ class _Evaluator:
         out = jnp.fft.rfft(frames, axis=-1)
         return jnp.stack([out.real, out.imag], axis=-1).astype(jnp.float32)
 
+    def _cosine_window(self, node, size, a0, a1, a2):
+        """Opset-17 generalized-cosine window generators. `size` is a host
+        scalar in any real graph (it feeds STFT frame geometry), so the
+        window is a host constant baked into the program."""
+        n = int(np.asarray(size).reshape(()))
+        dt = _NP_DTYPES.get(node.attr("output_datatype", 1))
+        if dt is None:
+            raise UnsupportedOnnxOp(
+                f"{node.op_type} output_datatype "
+                f"{node.attr('output_datatype')} is not supported")
+        denom = n if node.attr("periodic", 1) else n - 1
+        if denom <= 0:  # single-sample symmetric window
+            return np.ones(n, dt)
+        x = 2.0 * np.pi * np.arange(n, dtype=np.float64) / denom
+        return (a0 - a1 * np.cos(x) + a2 * np.cos(2.0 * x)).astype(dt)
+
+    def op_HannWindow(self, node, size):
+        return self._cosine_window(node, size, 0.5, 0.5, 0.0)
+
+    def op_HammingWindow(self, node, size):
+        # ONNX pins the exact rational coefficients (not torch's 0.54).
+        return self._cosine_window(node, size, 25.0 / 46.0, 21.0 / 46.0, 0.0)
+
+    def op_BlackmanWindow(self, node, size):
+        return self._cosine_window(node, size, 0.42, 0.5, 0.08)
+
+    def op_MelWeightMatrix(self, node, num_mel_bins, dft_length, sample_rate,
+                           lower_edge_hertz, upper_edge_hertz):
+        """Opset-17 mel filterbank constant (the in-graph front-end's mel
+        matrix when an exporter ships STFT+MelWeightMatrix instead of
+        pre-baked initializers). Follows the ONNX spec's algorithm exactly:
+        mel(f) = 2595*log10(1 + f/700), num_mel_bins+2 equally-mel-spaced
+        edges snapped to integer DFT bins, triangular weights between them.
+        All five inputs are host scalars, so the matrix is a baked constant.
+        """
+        bins = int(np.asarray(num_mel_bins).reshape(()))
+        n_dft = int(np.asarray(dft_length).reshape(()))
+        sr = int(np.asarray(sample_rate).reshape(()))
+        lo = float(np.asarray(lower_edge_hertz).reshape(()))
+        hi = float(np.asarray(upper_edge_hertz).reshape(()))
+        dt = _NP_DTYPES.get(node.attr("output_datatype", 1))
+        if dt is None:
+            raise UnsupportedOnnxOp(
+                "MelWeightMatrix output_datatype "
+                f"{node.attr('output_datatype')} is not supported")
+        n_spec = n_dft // 2 + 1
+        mel_lo = 2595.0 * np.log10(1.0 + lo / 700.0)
+        mel_hi = 2595.0 * np.log10(1.0 + hi / 700.0)
+        edges = np.arange(bins + 2, dtype=np.float64)
+        edges = edges * (mel_hi - mel_lo) / (bins + 2) + mel_lo
+        hz = 700.0 * (np.power(10.0, edges / 2595.0) - 1.0)
+        freq_bin = ((n_dft + 1) * hz // sr).astype(np.int64)
+        out = np.zeros((n_spec, bins), np.float64)
+        for i in range(bins):
+            left, center, right = freq_bin[i], freq_bin[i + 1], freq_bin[i + 2]
+            if center - left == 0:
+                out[center, i] = 1.0
+            else:
+                for j in range(left, center + 1):
+                    out[j, i] = (j - left) / float(center - left)
+            if right - center > 0:
+                for j in range(center, right):
+                    out[j, i] = (right - j) / float(right - center)
+        return out.astype(dt)
+
     # -- scatter / gather extras ---------------------------------------------
 
     def op_CastLike(self, node, x, target):
@@ -1938,6 +2003,205 @@ class _Evaluator:
     def op_Scatter(self, node, data, indices, updates):
         # Deprecated opset-9 alias of ScatterElements.
         return self.op_ScatterElements(node, data, indices, updates)
+
+    # -- opset-18+ breadth ops -------------------------------------------------
+
+    def op_GroupNormalization(self, node, x, scale, bias):
+        """Opset 18 (per-group scale/bias) and opset 21 (per-channel) —
+        distinguished by the parameter length, as ORT does."""
+        eps = node.attr("epsilon", 1e-5)
+        g = node.attr("num_groups")
+        m = self._lib(x)
+        n, c = x.shape[0], x.shape[1]
+        if g is None or c % g:
+            raise UnsupportedOnnxOp(
+                f"GroupNormalization num_groups={g} over C={c}")
+        xs = m.reshape(x, (n, g, -1))
+        mu = m.mean(xs, axis=-1, keepdims=True)
+        var = m.mean((xs - mu) ** 2, axis=-1, keepdims=True)
+        y = m.reshape((xs - mu) / m.sqrt(var + eps), x.shape)
+        if scale.shape[0] == g != c:  # opset-18 per-group params
+            scale = m.repeat(scale, c // g)
+            bias = m.repeat(bias, c // g)
+        shape = (1, c) + (1,) * (x.ndim - 2)
+        return y * m.reshape(scale, shape) + m.reshape(bias, shape)
+
+    def _rms_normalize(self, node, x, scale, axis_default=-1):
+        eps = node.attr("epsilon", 1e-5)
+        axis = node.attr("axis", axis_default)
+        m = self._lib(x, scale)
+        axes = tuple(range(axis % x.ndim, x.ndim))
+        ms = m.mean(m.square(x), axis=axes, keepdims=True)
+        return x / m.sqrt(ms + eps) * scale
+
+    def op_RMSNormalization(self, node, x, scale):
+        return self._rms_normalize(node, x, scale)
+
+    def op_SimplifiedLayerNormalization(self, node, x, scale):
+        # com.microsoft spelling of RMSNorm (transformer exports).
+        return self._rms_normalize(node, x, scale)
+
+    def op_ReverseSequence(self, node, x, seq_lens):
+        batch_axis = node.attr("batch_axis", 1)
+        time_axis = node.attr("time_axis", 0)
+        m = self._lib(x, seq_lens)
+        t_len = x.shape[time_axis]
+        lens = m.reshape(seq_lens, (-1, 1)).astype(np.int64)
+        t = np.arange(t_len, dtype=np.int64)[None, :]
+        idx = m.where(t < lens, lens - 1 - t, t)  # [B, T]
+        xm = m.moveaxis(x, (batch_axis, time_axis), (0, 1))
+        idx = m.reshape(idx, idx.shape + (1,) * (xm.ndim - 2))
+        out = m.take_along_axis(xm, idx, axis=1)
+        return m.moveaxis(out, (0, 1), (batch_axis, time_axis))
+
+    def op_CenterCropPad(self, node, x, shape):
+        target = [int(v) for v in np.asarray(shape).reshape(-1)]
+        axes = node.attr("axes")
+        axes = (list(range(x.ndim)) if axes is None
+                else [a % x.ndim for a in axes])
+        m = self._lib(x)
+        pads = []
+        slices = [slice(None)] * x.ndim
+        for ax, want in zip(axes, target):
+            have = x.shape[ax]
+            if want < have:  # centered crop, floor offset at the start
+                start = (have - want) // 2
+                slices[ax] = slice(start, start + want)
+            elif want > have:  # centered pad, extra element at the end
+                before = (want - have) // 2
+                pads.append((ax, before, want - have - before))
+        x = x[tuple(slices)]
+        if pads:
+            widths = [(0, 0)] * x.ndim
+            for ax, b, a in pads:
+                widths[ax] = (b, a)
+            x = m.pad(x, widths)
+        return x
+
+    def op_Col2Im(self, node, x, image_shape, block_shape):
+        """Inverse im2col (opset 18): scatter-add kernel taps back onto the
+        image canvas. Each of the kH*kW taps lands as one static strided
+        slice-add — XLA lowers these to in-place dynamic-update fusions."""
+        img = [int(v) for v in np.asarray(image_shape).reshape(-1)]
+        blk = [int(v) for v in np.asarray(block_shape).reshape(-1)]
+        nsp = len(img)
+        dil = list(node.attr("dilations") or [1] * nsp)
+        pads = list(node.attr("pads") or [0] * (2 * nsp))
+        strides = list(node.attr("strides") or [1] * nsp)
+        if nsp != 2:
+            raise UnsupportedOnnxOp(
+                f"Col2Im with {nsp} spatial dims (only 2-D supported)")
+        import jax.numpy as jnp
+
+        (ih, iw), (kh, kw) = img, blk
+        steps = [
+            (img[i] + pads[i] + pads[nsp + i] - dil[i] * (blk[i] - 1) - 1)
+            // strides[i] + 1
+            for i in range(nsp)
+        ]
+        sh, sw = steps
+        n = x.shape[0]
+        c = x.shape[1] // (kh * kw)
+        cols = jnp.reshape(jnp.asarray(x), (n, c, kh, kw, sh, sw))
+        canvas = jnp.zeros(
+            (n, c, ih + pads[0] + pads[2], iw + pads[1] + pads[3]),
+            dtype=cols.dtype)
+        for i in range(kh):
+            for j in range(kw):
+                canvas = canvas.at[
+                    :, :,
+                    i * dil[0]: i * dil[0] + sh * strides[0]: strides[0],
+                    j * dil[1]: j * dil[1] + sw * strides[1]: strides[1],
+                ].add(cols[:, :, i, j])
+        return canvas[:, :, pads[0]: pads[0] + ih, pads[1]: pads[1] + iw]
+
+    def op_GridSample(self, node, x, grid):
+        """2-D GridSample (opset 16/20): linear/nearest over zeros/border
+        padding. Gathers go through one flattened take_along_axis per
+        corner — the XLA-friendly layout (no dynamic shapes)."""
+        mode = node.attr("mode", b"linear")
+        mode = mode.decode() if isinstance(mode, bytes) else mode
+        pad = node.attr("padding_mode", b"zeros")
+        pad = pad.decode() if isinstance(pad, bytes) else pad
+        align = node.attr("align_corners", 0)
+        if x.ndim != 4:
+            raise UnsupportedOnnxOp("GridSample supports 2-D inputs only")
+        if mode not in ("linear", "bilinear", "nearest"):
+            raise UnsupportedOnnxOp(f"GridSample mode '{mode}'")
+        if pad not in ("zeros", "border"):
+            raise UnsupportedOnnxOp(f"GridSample padding_mode '{pad}'")
+        import jax.numpy as jnp
+
+        xj = jnp.asarray(x)
+        n, c, h, w = xj.shape
+        gx, gy = jnp.asarray(grid[..., 0]), jnp.asarray(grid[..., 1])
+
+        def unnorm(g, size):
+            if align:
+                return (g + 1.0) * 0.5 * (size - 1)
+            return ((g + 1.0) * size - 1.0) * 0.5
+
+        fx, fy = unnorm(gx, w), unnorm(gy, h)
+        flat = jnp.reshape(xj, (n, c, h * w))
+
+        def tap(ix, iy):
+            """Gather x[n,:,iy,ix] with border clamp; returns the values
+            and an in-bounds mask (for zeros padding)."""
+            ok = (ix >= 0) & (ix <= w - 1) & (iy >= 0) & (iy <= h - 1)
+            ixc = jnp.clip(ix, 0, w - 1)
+            iyc = jnp.clip(iy, 0, h - 1)
+            idx = (iyc * w + ixc).astype(jnp.int32)
+            idx = jnp.reshape(idx, (n, 1, -1))
+            vals = jnp.take_along_axis(flat, idx, axis=2)
+            vals = jnp.reshape(vals, (n, c) + gx.shape[1:])
+            if pad == "zeros":
+                vals = vals * jnp.expand_dims(ok, 1).astype(vals.dtype)
+            return vals
+
+        if mode == "nearest":
+            return tap(jnp.round(fx).astype(jnp.int32),
+                       jnp.round(fy).astype(jnp.int32))
+        x0 = jnp.floor(fx)
+        y0 = jnp.floor(fy)
+        wx = (fx - x0).astype(xj.dtype)[:, None]
+        wy = (fy - y0).astype(xj.dtype)[:, None]
+        x0i, y0i = x0.astype(jnp.int32), y0.astype(jnp.int32)
+        v00 = tap(x0i, y0i)
+        v01 = tap(x0i + 1, y0i)
+        v10 = tap(x0i, y0i + 1)
+        v11 = tap(x0i + 1, y0i + 1)
+        top = v00 * (1 - wx) + v01 * wx
+        bot = v10 * (1 - wx) + v11 * wx
+        return top * (1 - wy) + bot * wy
+
+    def op_Det(self, node, x):
+        if _is_host(x):
+            return np.linalg.det(_np(x)).astype(_np(x).dtype)
+        import jax.numpy as jnp
+
+        return jnp.linalg.det(x)
+
+    def op_BitShift(self, node, x, y):
+        d = node.attr("direction")
+        d = d.decode() if isinstance(d, bytes) else d
+        m = self._lib(x, y)
+        if d == "LEFT":
+            return m.left_shift(x, y)
+        if d == "RIGHT":
+            return m.right_shift(x, y)
+        raise UnsupportedOnnxOp(f"BitShift direction '{d}'")
+
+    def op_BitwiseAnd(self, node, a, b):
+        return self._lib(a, b).bitwise_and(a, b)
+
+    def op_BitwiseOr(self, node, a, b):
+        return self._lib(a, b).bitwise_or(a, b)
+
+    def op_BitwiseXor(self, node, a, b):
+        return self._lib(a, b).bitwise_xor(a, b)
+
+    def op_BitwiseNot(self, node, x):
+        return self._lib(x).invert(x)
 
     # -- control flow ----------------------------------------------------------
     #

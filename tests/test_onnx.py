@@ -1684,3 +1684,254 @@ class TestRecurrentOps:
         eager = np.asarray(fn(h0))
         jitted = np.asarray(jax.jit(lambda v: fn(v))(h0))
         assert np.max(np.abs(eager - jitted)) < 1e-5
+
+
+class TestOpset18Breadth:
+    """Signal-generator + opset-18/21 breadth ops, torch as the oracle
+    where it has the exact semantics."""
+
+    def test_cosine_windows_match_torch(self):
+        for periodic in (0, 1):
+            mb = fo.model(
+                [fo.node("HannWindow", ["n"], ["hann"],
+                         attrs=[fo.attr_int("periodic", periodic)]),
+                 fo.node("HammingWindow", ["n"], ["hamm"],
+                         attrs=[fo.attr_int("periodic", periodic)]),
+                 fo.node("BlackmanWindow", ["n"], ["black"],
+                         attrs=[fo.attr_int("periodic", periodic)])],
+                inputs=[],
+                outputs=[fo.value_info("hann", [16]),
+                         fo.value_info("hamm", [16]),
+                         fo.value_info("black", [16])],
+                initializers=[fo.tensor("n", np.array(16, np.int64))],
+                opset=17,
+            )
+            hann, hamm, black = (np.asarray(v) for v in lower(mb)())
+            p = bool(periodic)
+            assert np.allclose(
+                hann, torch.hann_window(16, periodic=p).numpy(), atol=1e-6)
+            assert np.allclose(
+                hamm,
+                torch.hamming_window(
+                    16, periodic=p, alpha=25 / 46, beta=21 / 46).numpy(),
+                atol=1e-6)
+            assert np.allclose(
+                black, torch.blackman_window(16, periodic=p).numpy(),
+                atol=1e-6)
+
+    def test_mel_weight_matrix_spec_properties(self):
+        mb = fo.model(
+            [fo.node("MelWeightMatrix",
+                     ["bins", "dft", "sr", "lo", "hi"], ["m"])],
+            inputs=[],
+            outputs=[fo.value_info("m", [129, 32])],
+            initializers=[fo.tensor("bins", np.array(32, np.int64)),
+                          fo.tensor("dft", np.array(256, np.int64)),
+                          fo.tensor("sr", np.array(16000, np.int64)),
+                          fo.tensor("lo", np.array(20.0, np.float32)),
+                          fo.tensor("hi", np.array(8000.0, np.float32))],
+            opset=17,
+        )
+        m = np.asarray(lower(mb)())
+        assert m.shape == (129, 32) and m.dtype == np.float32
+        assert np.all(m >= 0.0) and np.all(m <= 1.0)
+        # Every triangle peaks at exactly 1 and each column is non-empty.
+        assert np.allclose(m.max(axis=0), 1.0)
+        # A mel-scale filterbank's peaks move monotonically up-spectrum.
+        peaks = m.argmax(axis=0)
+        assert np.all(np.diff(peaks) >= 0)
+
+    def test_group_norm_per_channel_matches_torch(self):
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(2, 6, 4, 4)).astype(np.float32)
+        scale = rng.normal(size=6).astype(np.float32)
+        bias = rng.normal(size=6).astype(np.float32)
+        mb = fo.model(
+            [fo.node("GroupNormalization", ["x", "s", "b"], ["y"],
+                     attrs=[fo.attr_int("num_groups", 3)])],
+            inputs=[fo.value_info("x", [2, 6, 4, 4])],
+            outputs=[fo.value_info("y", [2, 6, 4, 4])],
+            initializers=[fo.tensor("s", scale), fo.tensor("b", bias)],
+            opset=21,
+        )
+        got = run_model(mb, x)
+        want = F.group_norm(torch.from_numpy(x), 3,
+                            torch.from_numpy(scale),
+                            torch.from_numpy(bias)).numpy()
+        assert np.max(np.abs(got - want)) < 1e-5
+
+    def test_group_norm_opset18_per_group_params(self):
+        rng = np.random.default_rng(1)
+        x = rng.normal(size=(1, 6, 3, 3)).astype(np.float32)
+        scale = rng.normal(size=3).astype(np.float32)   # per GROUP
+        bias = rng.normal(size=3).astype(np.float32)
+        mb = fo.model(
+            [fo.node("GroupNormalization", ["x", "s", "b"], ["y"],
+                     attrs=[fo.attr_int("num_groups", 3)])],
+            inputs=[fo.value_info("x", [1, 6, 3, 3])],
+            outputs=[fo.value_info("y", [1, 6, 3, 3])],
+            initializers=[fo.tensor("s", scale), fo.tensor("b", bias)],
+            opset=18,
+        )
+        got = run_model(mb, x)
+        want = F.group_norm(torch.from_numpy(x), 3,
+                            torch.from_numpy(np.repeat(scale, 2)),
+                            torch.from_numpy(np.repeat(bias, 2))).numpy()
+        assert np.max(np.abs(got - want)) < 1e-5
+
+    def test_rms_normalization_both_spellings(self):
+        rng = np.random.default_rng(2)
+        x = rng.normal(size=(2, 3, 8)).astype(np.float32)
+        scale = rng.normal(size=8).astype(np.float32)
+        want = (x / np.sqrt((x ** 2).mean(-1, keepdims=True) + 1e-5)) * scale
+        for op, domain in (("RMSNormalization", ""),
+                           ("SimplifiedLayerNormalization", "com.microsoft")):
+            mb = fo.model(
+                [fo.node(op, ["x", "s"], ["y"], domain=domain)],
+                inputs=[fo.value_info("x", [2, 3, 8])],
+                outputs=[fo.value_info("y", [2, 3, 8])],
+                initializers=[fo.tensor("s", scale)],
+                opset=23,
+            )
+            got = run_model(mb, x)
+            assert np.max(np.abs(got - want)) < 1e-5, op
+
+    def test_reverse_sequence(self):
+        x = np.arange(24, dtype=np.float32).reshape(4, 3, 2)  # [B, T, F]
+        lens = np.array([3, 2, 1, 3], np.int64)
+        mb = fo.model(
+            [fo.node("ReverseSequence", ["x", "l"], ["y"],
+                     attrs=[fo.attr_int("batch_axis", 0),
+                            fo.attr_int("time_axis", 1)])],
+            inputs=[fo.value_info("x", [4, 3, 2])],
+            outputs=[fo.value_info("y", [4, 3, 2])],
+            initializers=[fo.tensor("l", lens)],
+        )
+        got = run_model(mb, x)
+        want = x.copy()
+        for b, n in enumerate(lens):
+            want[b, :n] = x[b, :n][::-1]
+        assert np.array_equal(got, want)
+
+    def test_reverse_sequence_time_major(self):
+        x = np.arange(12, dtype=np.float32).reshape(3, 4)  # [T, B]
+        lens = np.array([2, 3, 1, 3], np.int64)
+        mb = fo.model(
+            [fo.node("ReverseSequence", ["x", "l"], ["y"],
+                     attrs=[fo.attr_int("batch_axis", 1),
+                            fo.attr_int("time_axis", 0)])],
+            inputs=[fo.value_info("x", [3, 4])],
+            outputs=[fo.value_info("y", [3, 4])],
+            initializers=[fo.tensor("l", lens)],
+        )
+        got = run_model(mb, x)
+        want = x.copy()
+        for b, n in enumerate(lens):
+            want[:n, b] = x[:n, b][::-1]
+        assert np.array_equal(got, want)
+
+    def test_center_crop_pad(self):
+        x = np.arange(20, dtype=np.float32).reshape(4, 5)
+        mb = fo.model(
+            [fo.node("CenterCropPad", ["x", "t"], ["y"])],
+            inputs=[fo.value_info("x", [4, 5])],
+            outputs=[fo.value_info("y", [2, 7])],
+            initializers=[fo.tensor("t", np.array([2, 7], np.int64))],
+            opset=18,
+        )
+        got = run_model(mb, x)
+        want = np.pad(x[1:3], [(0, 0), (1, 1)])  # crop rows, pad cols
+        assert np.array_equal(got, want)
+
+    def test_center_crop_pad_axes_subset(self):
+        x = np.arange(24, dtype=np.float32).reshape(2, 3, 4)
+        mb = fo.model(
+            [fo.node("CenterCropPad", ["x", "t"], ["y"],
+                     attrs=[fo.attr_ints("axes", [-1])])],
+            inputs=[fo.value_info("x", [2, 3, 4])],
+            outputs=[fo.value_info("y", [2, 3, 2])],
+            initializers=[fo.tensor("t", np.array([2], np.int64))],
+            opset=18,
+        )
+        got = run_model(mb, x)
+        assert np.array_equal(got, x[:, :, 1:3])
+
+    def test_col2im_matches_fold(self):
+        rng = np.random.default_rng(3)
+        # fold(output=(4,5), kernel=(2,2), stride=(2,1), pad=(0,1), dil=1)
+        x = rng.normal(size=(2, 3 * 4, 2 * 6)).astype(np.float32)
+        mb = fo.model(
+            [fo.node("Col2Im", ["x", "img", "blk"], ["y"],
+                     attrs=[fo.attr_ints("strides", [2, 1]),
+                            fo.attr_ints("pads", [0, 1, 0, 1])])],
+            inputs=[fo.value_info("x", [2, 12, 12])],
+            outputs=[fo.value_info("y", [2, 3, 4, 5])],
+            initializers=[fo.tensor("img", np.array([4, 5], np.int64)),
+                          fo.tensor("blk", np.array([2, 2], np.int64))],
+            opset=18,
+        )
+        got = run_model(mb, x)
+        want = F.fold(torch.from_numpy(x), output_size=(4, 5),
+                      kernel_size=(2, 2), stride=(2, 1),
+                      padding=(0, 1)).numpy()
+        assert got.shape == want.shape
+        assert np.max(np.abs(got - want)) < 1e-6
+
+    def test_grid_sample_matches_torch(self):
+        rng = np.random.default_rng(4)
+        x = rng.normal(size=(2, 3, 5, 7)).astype(np.float32)
+        # includes out-of-range points; avoid exact .5 rounding boundaries
+        grid = (rng.uniform(-1.2, 1.2, (2, 4, 6, 2)) + 1e-4).astype(np.float32)
+        cases = [("bilinear", "zeros", 0), ("linear", "border", 1),
+                 ("nearest", "zeros", 1), ("nearest", "border", 0)]
+        for mode, pad, align in cases:
+            mb = fo.model(
+                [fo.node("GridSample", ["x", "g"], ["y"],
+                         attrs=[fo.attr_str("mode", mode),
+                                fo.attr_str("padding_mode", pad),
+                                fo.attr_int("align_corners", align)])],
+                inputs=[fo.value_info("x", [2, 3, 5, 7]),
+                        fo.value_info("g", [2, 4, 6, 2])],
+                outputs=[fo.value_info("y", [2, 3, 4, 6])],
+                opset=16,
+            )
+            fn = lower(mb)
+            got = np.asarray(fn(x, grid))
+            tmode = "bilinear" if mode in ("linear", "bilinear") else mode
+            want = F.grid_sample(
+                torch.from_numpy(x), torch.from_numpy(grid), mode=tmode,
+                padding_mode=pad, align_corners=bool(align)).numpy()
+            assert np.max(np.abs(got - want)) < 1e-5, (mode, pad, align)
+
+    def test_det_bitshift_bitwise(self):
+        rng = np.random.default_rng(5)
+        a = rng.integers(0, 255, (4,), dtype=np.uint8)
+        b = rng.integers(0, 255, (4,), dtype=np.uint8)
+        sq = rng.normal(size=(3, 2, 2)).astype(np.float32)
+        mb = fo.model(
+            [fo.node("Det", ["m"], ["d"]),
+             fo.node("BitShift", ["a", "two"], ["shl"],
+                     attrs=[fo.attr_str("direction", "LEFT")]),
+             fo.node("BitwiseAnd", ["a", "b"], ["band"]),
+             fo.node("BitwiseOr", ["a", "b"], ["bor"]),
+             fo.node("BitwiseXor", ["a", "b"], ["bxor"]),
+             fo.node("BitwiseNot", ["a"], ["bnot"])],
+            inputs=[],
+            outputs=[fo.value_info("d", [3]),
+                     fo.value_info("shl", [4], elem_type=2),
+                     fo.value_info("band", [4], elem_type=2),
+                     fo.value_info("bor", [4], elem_type=2),
+                     fo.value_info("bxor", [4], elem_type=2),
+                     fo.value_info("bnot", [4], elem_type=2)],
+            initializers=[fo.tensor("m", sq), fo.tensor("a", a),
+                          fo.tensor("b", b),
+                          fo.tensor("two", np.array([2] * 4, np.uint8))],
+            opset=18,
+        )
+        d, shl, band, bor, bxor, bnot = (np.asarray(v) for v in lower(mb)())
+        assert np.allclose(d, np.linalg.det(sq), atol=1e-4)
+        assert np.array_equal(shl, a << 2)
+        assert np.array_equal(band, a & b)
+        assert np.array_equal(bor, a | b)
+        assert np.array_equal(bxor, a ^ b)
+        assert np.array_equal(bnot, ~a)
