@@ -2203,6 +2203,219 @@ class _Evaluator:
     def op_BitwiseNot(self, node, x):
         return self._lib(x).invert(x)
 
+    # -- attention (opset 23 + com.microsoft fused transformer ops) -----------
+    #
+    # Transformer exports arrive in two shapes: the raw decomposition
+    # (MatMul/Softmax chains — already covered) and ORT-optimizer output
+    # carrying fused com.microsoft ops. Both lower to one jnp.einsum-based
+    # core so XLA sees plain batched matmuls (MXU) with the softmax fused
+    # between them. KV-cache inputs (past/present) are decode-time state
+    # with data-dependent lengths — out of scope for an offline audio
+    # classifier, preflighted as unsupported.
+
+    def _sdpa(self, q, k, v, mask=None, is_causal=False, scale=None,
+              softcap=0.0):
+        """q/k/v: [B, H, S, D] (kv heads may divide q heads — GQA).
+        mask: bool (True = attend) or additive float, broadcastable to
+        [B, H, Sq, Skv]."""
+        import jax.numpy as jnp
+
+        q, k, v = (jnp.asarray(t) for t in (q, k, v))
+        hq, hkv = q.shape[1], k.shape[1]
+        if hq != hkv:  # grouped-query attention: repeat kv heads
+            if hq % hkv:
+                raise UnsupportedOnnxOp(
+                    f"Attention q_heads={hq} not a multiple of kv_heads={hkv}")
+            k = jnp.repeat(k, hq // hkv, axis=1)
+            v = jnp.repeat(v, hq // hkv, axis=1)
+        if scale is None:
+            scale = 1.0 / float(np.sqrt(q.shape[-1]))
+        qk = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+        if softcap:
+            qk = softcap * jnp.tanh(qk / softcap)
+        if is_causal:
+            sq, skv = qk.shape[-2], qk.shape[-1]
+            from jax import lax
+
+            row = lax.broadcasted_iota(jnp.int32, (sq, skv), 0)
+            col = lax.broadcasted_iota(jnp.int32, (sq, skv), 1)
+            qk = jnp.where(col <= row + (skv - sq), qk, -jnp.inf)
+        elif mask is not None:
+            mask = jnp.asarray(mask)
+            while mask.ndim < 4:
+                mask = mask[None]
+            if mask.dtype == jnp.bool_:
+                qk = jnp.where(mask, qk, -jnp.inf)
+            else:
+                qk = qk + mask
+        import jax
+
+        w = jax.nn.softmax(qk, axis=-1)
+        out = jnp.einsum("bhqk,bhkd->bhqd", w, v.astype(jnp.float32))
+        return out.astype(v.dtype), qk
+
+    @staticmethod
+    def _split_heads(x, n_heads):
+        """[B, S, H*D] -> [B, H, S, D]"""
+        import jax.numpy as jnp
+
+        b, s, hid = x.shape
+        return jnp.transpose(
+            jnp.reshape(jnp.asarray(x), (b, s, n_heads, hid // n_heads)),
+            (0, 2, 1, 3))
+
+    @staticmethod
+    def _merge_heads(x):
+        """[B, H, S, D] -> [B, S, H*D]"""
+        import jax.numpy as jnp
+
+        b, h, s, d = x.shape
+        return jnp.reshape(jnp.transpose(x, (0, 2, 1, 3)), (b, s, h * d))
+
+    def op_Attention(self, node, q, k, v, attn_mask=None,
+                     past_key=None, past_value=None):
+        """Opset-23 Attention: 3-D ([B,S,hidden]) or 4-D ([B,H,S,D])
+        Q/K/V, bool or additive mask, is_causal, GQA, scale, softcap."""
+        if past_key is not None or past_value is not None:
+            raise UnsupportedOnnxOp("Attention past_key/past_value (KV cache)")
+        if len(node.outputs) > 3 and node.outputs[3]:
+            mode = node.attr("qk_matmul_output_mode", 0)
+            if mode != 0:
+                raise UnsupportedOnnxOp(
+                    f"Attention qk_matmul_output_mode={mode}")
+        three_d = q.ndim == 3
+        if three_d:
+            hq = node.attr("q_num_heads")
+            hkv = node.attr("kv_num_heads")
+            if not hq or not hkv:
+                raise UnsupportedOnnxOp(
+                    "3-D Attention requires q_num_heads/kv_num_heads")
+            q = self._split_heads(q, hq)
+            k = self._split_heads(k, hkv)
+            v = self._split_heads(v, hkv)
+        out, qk = self._sdpa(
+            q, k, v, mask=attn_mask,
+            is_causal=bool(node.attr("is_causal", 0)),
+            scale=node.attr("scale"),
+            softcap=node.attr("softcap", 0.0))
+        if three_d:
+            out = self._merge_heads(out)
+        results = [out]
+        if len(node.outputs) > 1:
+            results += [None, None]  # present_key/value never produced
+            if len(node.outputs) > 3:
+                results.append(qk)
+        return tuple(results) if len(results) > 1 else out
+
+    def op_MultiHeadAttention(self, node, query, key=None, value=None,
+                              bias=None, key_padding_mask=None,
+                              attention_bias=None, past_key=None,
+                              past_value=None):
+        """com.microsoft MultiHeadAttention: separate Q/K/V ([B,S,hidden])
+        or packed QKV in `query` ([B,S,3*hidden]); optional fused bias and
+        additive attention bias."""
+        import jax.numpy as jnp
+
+        if past_key is not None or past_value is not None:
+            raise UnsupportedOnnxOp("MultiHeadAttention past KV cache")
+        if key_padding_mask is not None:
+            raise UnsupportedOnnxOp("MultiHeadAttention key_padding_mask")
+        n = node.attr("num_heads")
+        if not n:
+            raise UnsupportedOnnxOp("MultiHeadAttention requires num_heads")
+        if key is None and value is None:  # packed QKV
+            query = jnp.asarray(query)
+            if bias is not None:
+                query = query + jnp.asarray(bias, query.dtype)
+            hid = query.shape[-1] // 3
+            q, k, v = (query[..., i * hid:(i + 1) * hid] for i in range(3))
+        else:
+            q, k, v = (jnp.asarray(t) for t in (query, key, value))
+            if bias is not None:
+                b = jnp.asarray(bias, q.dtype)
+                hid = q.shape[-1]
+                q = q + b[:hid]
+                k = k + b[hid:hid + k.shape[-1]]
+                v = v + b[hid + k.shape[-1]:]
+        out, _ = self._sdpa(
+            self._split_heads(q, n), self._split_heads(k, n),
+            self._split_heads(v, n), mask=attention_bias,
+            scale=node.attr("scale"))
+        return self._merge_heads(out)
+
+    def op_FusedMatMul(self, node, a, b):
+        # com.microsoft: MatMul with transpose/alpha folded in.
+        if node.attr("transBatchA", 0) or node.attr("transBatchB", 0):
+            raise UnsupportedOnnxOp("FusedMatMul transBatchA/B")
+        import jax.numpy as jnp
+
+        a, b = self._mm_cast(a, b)
+        a, b = jnp.asarray(a), jnp.asarray(b)
+        if node.attr("transA", 0):
+            a = jnp.swapaxes(a, -1, -2)
+        if node.attr("transB", 0):
+            b = jnp.swapaxes(b, -1, -2)
+        out = jnp.matmul(a, b, preferred_element_type=jnp.float32)
+        return out.astype(a.dtype) * node.attr("alpha", 1.0)
+
+    def op_FastGelu(self, node, x, bias=None):
+        # com.microsoft: tanh-approximated gelu with optional fused bias.
+        m = self._lib(x, bias)
+        if bias is not None:
+            x = x + bias
+        c = np.sqrt(2.0 / np.pi).astype(np.float32)
+        return 0.5 * x * (1.0 + m.tanh(c * (x + 0.044715 * x ** 3)))
+
+    def op_BiasGelu(self, node, x, bias):
+        # Exact-erf gelu; jax evaluates host constants too (losing only
+        # constant folding, which never matters for an activation).
+        import jax
+
+        return jax.nn.gelu(x + bias, approximate=False)
+
+    def op_QuickGelu(self, node, x):
+        alpha = node.attr("alpha", 1.702)
+        m = self._lib(x)
+        if m is np:
+            return x / (1.0 + np.exp(-alpha * x))
+        import jax
+
+        return x * jax.nn.sigmoid(alpha * x)
+
+    def _skip_layer_norm(self, node, x, skip, gamma, beta, bias, rms):
+        eps = node.attr("epsilon", 1e-12)
+        m = self._lib(x, skip, gamma, beta, bias)
+        total = x + skip if bias is None else x + skip + bias
+        if rms:
+            denom = m.sqrt(m.mean(m.square(total), axis=-1, keepdims=True)
+                           + eps)
+            out = total / denom * gamma
+        else:
+            mu = m.mean(total, axis=-1, keepdims=True)
+            var = m.mean((total - mu) ** 2, axis=-1, keepdims=True)
+            out = (total - mu) / m.sqrt(var + eps) * gamma
+            if beta is not None:
+                out = out + beta
+        # Outputs 2/3 (mean, inv_std_var) are training-only; output 4 is
+        # the pre-norm sum some graphs feed the residual stream from.
+        results = [out]
+        if len(node.outputs) > 1:
+            results += [None, None]
+            if len(node.outputs) > 3:
+                results.append(total)
+        return tuple(results) if len(results) > 1 else out
+
+    def op_SkipLayerNormalization(self, node, x, skip, gamma, beta=None,
+                                  bias=None):
+        return self._skip_layer_norm(node, x, skip, gamma, beta, bias,
+                                     rms=False)
+
+    def op_SkipSimplifiedLayerNormalization(self, node, x, skip, gamma,
+                                            bias=None):
+        return self._skip_layer_norm(node, x, skip, gamma, None, bias,
+                                     rms=True)
+
     # -- control flow ----------------------------------------------------------
     #
     # ONNX If/Loop execute at trace time: branch selection and trip counts

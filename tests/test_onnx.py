@@ -1935,3 +1935,216 @@ class TestOpset18Breadth:
         assert np.array_equal(bor, a | b)
         assert np.array_equal(bxor, a ^ b)
         assert np.array_equal(bnot, ~a)
+
+
+class TestAttentionOps:
+    """Opset-23 Attention + the com.microsoft fused transformer ops, vs
+    torch scaled_dot_product_attention / functional oracles."""
+
+    @staticmethod
+    def _sdpa_ref(q3, k3, v3, n_heads, mask=None, is_causal=False):
+        def split(x):
+            b, s, hid = x.shape
+            return torch.from_numpy(x).reshape(
+                b, s, n_heads, hid // n_heads).transpose(1, 2)
+
+        out = F.scaled_dot_product_attention(
+            split(q3), split(k3), split(v3),
+            attn_mask=None if mask is None else torch.from_numpy(mask),
+            is_causal=is_causal)
+        b, h, s, d = out.shape
+        return out.transpose(1, 2).reshape(b, s, h * d).numpy()
+
+    def test_attention_3d_matches_torch(self):
+        rng = np.random.default_rng(0)
+        b, s, h, d = 2, 5, 4, 8
+        q = rng.normal(size=(b, s, h * d)).astype(np.float32)
+        k = rng.normal(size=(b, s, h * d)).astype(np.float32)
+        v = rng.normal(size=(b, s, h * d)).astype(np.float32)
+        mb = fo.model(
+            [fo.node("Attention", ["q", "k", "v"], ["y"],
+                     attrs=[fo.attr_int("q_num_heads", h),
+                            fo.attr_int("kv_num_heads", h)])],
+            inputs=[fo.value_info("q", [b, s, h * d]),
+                    fo.value_info("k", [b, s, h * d]),
+                    fo.value_info("v", [b, s, h * d])],
+            outputs=[fo.value_info("y", [b, s, h * d])],
+            opset=23,
+        )
+        got = np.asarray(lower(mb)(q, k, v))
+        want = self._sdpa_ref(q, k, v, h)
+        assert np.max(np.abs(got - want)) < 1e-5
+
+    def test_attention_causal_and_bool_mask(self):
+        rng = np.random.default_rng(1)
+        b, s, h, d = 1, 6, 2, 4
+        q = rng.normal(size=(b, h, s, d)).astype(np.float32)
+        k = rng.normal(size=(b, h, s, d)).astype(np.float32)
+        v = rng.normal(size=(b, h, s, d)).astype(np.float32)
+        # causal via attribute
+        mb = fo.model(
+            [fo.node("Attention", ["q", "k", "v"], ["y"],
+                     attrs=[fo.attr_int("is_causal", 1)])],
+            inputs=[fo.value_info("q", [b, h, s, d]),
+                    fo.value_info("k", [b, h, s, d]),
+                    fo.value_info("v", [b, h, s, d])],
+            outputs=[fo.value_info("y", [b, h, s, d])],
+            opset=23,
+        )
+        got = np.asarray(lower(mb)(q, k, v))
+        want = F.scaled_dot_product_attention(
+            *(torch.from_numpy(t) for t in (q, k, v)), is_causal=True).numpy()
+        assert np.max(np.abs(got - want)) < 1e-5
+        # bool mask (True = attend)
+        mask = rng.uniform(size=(b, 1, s, s)) > 0.3
+        mb = fo.model(
+            [fo.node("Attention", ["q", "k", "v", "m"], ["y"])],
+            inputs=[fo.value_info("q", [b, h, s, d]),
+                    fo.value_info("k", [b, h, s, d]),
+                    fo.value_info("v", [b, h, s, d]),
+                    fo.value_info("m", [b, 1, s, s], elem_type=9)],
+            outputs=[fo.value_info("y", [b, h, s, d])],
+            opset=23,
+        )
+        got = np.asarray(lower(mb)(q, k, v, mask))
+        want = F.scaled_dot_product_attention(
+            *(torch.from_numpy(t) for t in (q, k, v)),
+            attn_mask=torch.from_numpy(mask)).numpy()
+        assert np.max(np.abs(got - want)) < 1e-5
+
+    def test_attention_gqa(self):
+        rng = np.random.default_rng(2)
+        b, s, d = 1, 4, 8
+        q = rng.normal(size=(b, 4, s, d)).astype(np.float32)
+        k = rng.normal(size=(b, 2, s, d)).astype(np.float32)
+        v = rng.normal(size=(b, 2, s, d)).astype(np.float32)
+        mb = fo.model(
+            [fo.node("Attention", ["q", "k", "v"], ["y"])],
+            inputs=[fo.value_info("q", [b, 4, s, d]),
+                    fo.value_info("k", [b, 2, s, d]),
+                    fo.value_info("v", [b, 2, s, d])],
+            outputs=[fo.value_info("y", [b, 4, s, d])],
+            opset=23,
+        )
+        got = np.asarray(lower(mb)(q, k, v))
+        kr = np.repeat(k, 2, axis=1)
+        vr = np.repeat(v, 2, axis=1)
+        want = F.scaled_dot_product_attention(
+            *(torch.from_numpy(t) for t in (q, kr, vr))).numpy()
+        assert np.max(np.abs(got - want)) < 1e-5
+
+    def test_multihead_attention_separate_and_packed(self):
+        rng = np.random.default_rng(3)
+        b, s, h, d = 2, 3, 2, 4
+        hid = h * d
+        q = rng.normal(size=(b, s, hid)).astype(np.float32)
+        k = rng.normal(size=(b, s, hid)).astype(np.float32)
+        v = rng.normal(size=(b, s, hid)).astype(np.float32)
+        bias = rng.normal(size=(3 * hid,)).astype(np.float32)
+        mb = fo.model(
+            [fo.node("MultiHeadAttention", ["q", "k", "v", "bias"], ["y"],
+                     domain="com.microsoft",
+                     attrs=[fo.attr_int("num_heads", h)])],
+            inputs=[fo.value_info("q", [b, s, hid]),
+                    fo.value_info("k", [b, s, hid]),
+                    fo.value_info("v", [b, s, hid])],
+            outputs=[fo.value_info("y", [b, s, hid])],
+            initializers=[fo.tensor("bias", bias)],
+        )
+        got = np.asarray(lower(mb)(q, k, v))
+        want = self._sdpa_ref(q + bias[:hid], k + bias[hid:2 * hid],
+                              v + bias[2 * hid:], h)
+        assert np.max(np.abs(got - want)) < 1e-5
+        # packed QKV in one input
+        packed = np.concatenate([q, k, v], axis=-1)
+        mb = fo.model(
+            [fo.node("MultiHeadAttention", ["qkv"], ["y"],
+                     domain="com.microsoft",
+                     attrs=[fo.attr_int("num_heads", h)])],
+            inputs=[fo.value_info("qkv", [b, s, 3 * hid])],
+            outputs=[fo.value_info("y", [b, s, hid])],
+        )
+        got = np.asarray(lower(mb)(packed))
+        want = self._sdpa_ref(q, k, v, h)
+        assert np.max(np.abs(got - want)) < 1e-5
+
+    def test_gelu_variants_and_fused_matmul(self):
+        rng = np.random.default_rng(4)
+        x = rng.normal(size=(3, 8)).astype(np.float32)
+        bias = rng.normal(size=(8,)).astype(np.float32)
+        a = rng.normal(size=(4, 3)).astype(np.float32)
+        w = rng.normal(size=(5, 4)).astype(np.float32)
+        mb = fo.model(
+            [fo.node("FastGelu", ["x", "bias"], ["fg"],
+                     domain="com.microsoft"),
+             fo.node("BiasGelu", ["x", "bias"], ["bg"],
+                     domain="com.microsoft"),
+             fo.node("QuickGelu", ["x"], ["qg"], domain="com.microsoft"),
+             fo.node("FusedMatMul", ["a", "w"], ["mm"],
+                     domain="com.microsoft",
+                     attrs=[fo.attr_int("transA", 1),
+                            fo.attr_int("transB", 1),
+                            fo.attr_float("alpha", 0.5)])],
+            inputs=[fo.value_info("x", [3, 8]),
+                    fo.value_info("a", [4, 3]),
+                    fo.value_info("w", [5, 4])],
+            outputs=[fo.value_info("fg", [3, 8]),
+                     fo.value_info("bg", [3, 8]),
+                     fo.value_info("qg", [3, 8]),
+                     fo.value_info("mm", [3, 5])],
+            initializers=[fo.tensor("bias", bias)],
+        )
+        fg, bg, qg, mm = (np.asarray(t) for t in lower(mb)(x, a, w))
+        xt = torch.from_numpy(x + bias)
+        assert np.max(np.abs(fg - F.gelu(xt, approximate="tanh").numpy())) < 1e-5
+        assert np.max(np.abs(bg - F.gelu(xt).numpy())) < 1e-5
+        want_qg = x * (1 / (1 + np.exp(-1.702 * x)))
+        assert np.max(np.abs(qg - want_qg)) < 1e-5
+        assert np.max(np.abs(mm - 0.5 * (a.T @ w.T))) < 1e-5
+
+    def test_skip_layer_norm_both_kinds(self):
+        rng = np.random.default_rng(5)
+        x = rng.normal(size=(2, 3, 8)).astype(np.float32)
+        skip = rng.normal(size=(2, 3, 8)).astype(np.float32)
+        gamma = rng.normal(size=(8,)).astype(np.float32)
+        beta = rng.normal(size=(8,)).astype(np.float32)
+        bias = rng.normal(size=(8,)).astype(np.float32)
+        mb = fo.model(
+            [fo.node("SkipLayerNormalization",
+                     ["x", "skip", "g", "b", "bias"],
+                     ["y", "", "", "sum"], domain="com.microsoft"),
+             fo.node("SkipSimplifiedLayerNormalization",
+                     ["x", "skip", "g"], ["ys"], domain="com.microsoft")],
+            inputs=[fo.value_info("x", [2, 3, 8]),
+                    fo.value_info("skip", [2, 3, 8])],
+            outputs=[fo.value_info("y", [2, 3, 8]),
+                     fo.value_info("sum", [2, 3, 8]),
+                     fo.value_info("ys", [2, 3, 8])],
+            initializers=[fo.tensor("g", gamma), fo.tensor("b", beta),
+                          fo.tensor("bias", bias)],
+        )
+        y, total, ys = (np.asarray(t) for t in lower(mb)(x, skip))
+        t = torch.from_numpy(x + skip + bias)
+        want = F.layer_norm(t, (8,), torch.from_numpy(gamma),
+                            torch.from_numpy(beta), eps=1e-12).numpy()
+        assert np.max(np.abs(y - want)) < 1e-4
+        assert np.max(np.abs(total - (x + skip + bias))) < 1e-6
+        t2 = x + skip
+        want_rms = (t2 / np.sqrt((t2 ** 2).mean(-1, keepdims=True) + 1e-12)
+                    ) * gamma
+        assert np.max(np.abs(ys - want_rms)) < 1e-4
+
+    def test_attention_kv_cache_preflighted(self):
+        mb = fo.model(
+            [fo.node("Attention", ["q", "k", "v", "", "pk"], ["y"])],
+            inputs=[fo.value_info("q", [1, 2, 3, 4]),
+                    fo.value_info("k", [1, 2, 3, 4]),
+                    fo.value_info("v", [1, 2, 3, 4]),
+                    fo.value_info("pk", [1, 2, 0, 4])],
+            outputs=[fo.value_info("y", [1, 2, 3, 4])],
+            opset=23,
+        )
+        fn = lower(mb)
+        q = np.zeros((1, 2, 3, 4), np.float32)
+        with pytest.raises(UnsupportedOnnxOp, match="KV cache"):
+            fn(q, q, q, np.zeros((1, 2, 0, 4), np.float32))
