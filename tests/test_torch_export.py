@@ -168,3 +168,35 @@ class TestTorchExporterBytes:
 
         x = np.random.default_rng(5).normal(size=(2, 1, 1024)).astype(np.float32)
         check_parity(FrontEnd(), x, atol=1e-4)
+
+    def test_bf16_and_int8_paths_on_exporter_bytes(self):
+        # The mixed-precision and PTQ pipelines pattern-match the graph;
+        # they have only ever seen our own encoder's bytes before this.
+        import jax.numpy as jnp
+
+        from birda_tpu.onnx.quantize import calibrate, lower_int8
+
+        torch.manual_seed(6)
+        m = nn.Sequential(
+            nn.Conv2d(4, 16, 3, padding=1), nn.BatchNorm2d(16), nn.ReLU(),
+            nn.Conv2d(16, 16, 3, padding=1), nn.ReLU(),
+            nn.AdaptiveAvgPool2d(1), nn.Flatten(), nn.Linear(16, 5),
+        )
+        m.eval()
+        rng = np.random.default_rng(6)
+        x = rng.normal(size=(2, 4, 12, 12)).astype(np.float32)
+        mb = torch_export(m, (torch.from_numpy(x),), 17)
+        with torch.no_grad():
+            want = m(torch.from_numpy(x)).numpy()
+
+        bf = lower(mb, compute_dtype=jnp.bfloat16)
+        got = np.asarray(bf(x)).astype(np.float32)
+        assert np.max(np.abs(got - want)) < 0.05  # bf16 mantissa drift
+
+        calib = calibrate(mb, [x], min_weight_bytes=1)
+        qfn = lower_int8(mb, calib, compute_dtype=jnp.float32,
+                         min_weight_bytes=1, protect_outputs=False)
+        assert qfn.quantized_nodes
+        got = np.asarray(qfn(x, params=qfn.params))
+        assert np.max(np.abs(got - want)) < 0.05 * max(
+            1.0, np.max(np.abs(want)))
