@@ -174,3 +174,18 @@ class TestInstallerLanguageStrict:
         with pytest.raises(LanguageNotFound):
             install_model(model, language="xx-not-a-language",
                           dest_dir=tmp_path)
+
+
+class TestOnnxCoverageDoc:
+    def test_committed_coverage_doc_matches_regeneration(self):
+        """docs/onnx-coverage.md is generated from the evaluator's handler
+        table; a new op_* handler without a doc regen fails here (same
+        discipline as the registry pin)."""
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(0, "scripts")
+        import gen_onnx_coverage
+
+        committed = Path("docs/onnx-coverage.md").read_text()
+        assert committed == gen_onnx_coverage.build()
