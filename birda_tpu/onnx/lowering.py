@@ -2011,7 +2011,7 @@ class _Evaluator:
         distinguished by the parameter length, as ORT does."""
         eps = node.attr("epsilon", 1e-5)
         g = node.attr("num_groups")
-        m = self._lib(x)
+        m = self._lib(x, scale, bias)
         n, c = x.shape[0], x.shape[1]
         if g is None or c % g:
             raise UnsupportedOnnxOp(
@@ -2232,6 +2232,19 @@ class _Evaluator:
             scale = 1.0 / float(np.sqrt(q.shape[-1]))
         qk = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                         preferred_element_type=jnp.float32) * scale
+        # Spec ordering (Attention-23 pattern graph): additive mask joins
+        # the logits BEFORE softcap; boolean/causal masking is a -inf
+        # select right before the softmax (so softcap cannot turn a
+        # masked-out position into a finite -softcap logit).
+        bool_mask = None
+        if not is_causal and mask is not None:
+            mask = jnp.asarray(mask)
+            while mask.ndim < 4:
+                mask = mask[None]
+            if mask.dtype == jnp.bool_:
+                bool_mask = mask
+            else:
+                qk = qk + mask
         if softcap:
             qk = softcap * jnp.tanh(qk / softcap)
         if is_causal:
@@ -2241,14 +2254,8 @@ class _Evaluator:
             row = lax.broadcasted_iota(jnp.int32, (sq, skv), 0)
             col = lax.broadcasted_iota(jnp.int32, (sq, skv), 1)
             qk = jnp.where(col <= row + (skv - sq), qk, -jnp.inf)
-        elif mask is not None:
-            mask = jnp.asarray(mask)
-            while mask.ndim < 4:
-                mask = mask[None]
-            if mask.dtype == jnp.bool_:
-                qk = jnp.where(mask, qk, -jnp.inf)
-            else:
-                qk = qk + mask
+        elif bool_mask is not None:
+            qk = jnp.where(bool_mask, qk, -jnp.inf)
         import jax
 
         w = jax.nn.softmax(qk, axis=-1)

@@ -2148,3 +2148,32 @@ class TestAttentionOps:
         q = np.zeros((1, 2, 3, 4), np.float32)
         with pytest.raises(UnsupportedOnnxOp, match="KV cache"):
             fn(q, q, q, np.zeros((1, 2, 0, 4), np.float32))
+
+    def test_attention_softcap_after_additive_mask(self):
+        # Spec pattern graph: additive mask joins the logits BEFORE the
+        # softcap tanh. Oracle: direct numpy transcription.
+        rng = np.random.default_rng(6)
+        b, h, s, d = 1, 2, 4, 4
+        q = rng.normal(size=(b, h, s, d)).astype(np.float32)
+        k = rng.normal(size=(b, h, s, d)).astype(np.float32)
+        v = rng.normal(size=(b, h, s, d)).astype(np.float32)
+        mask = rng.normal(size=(b, 1, s, s)).astype(np.float32)
+        cap, scale = 5.0, 0.3
+        mb = fo.model(
+            [fo.node("Attention", ["q", "k", "v", "m"], ["y"],
+                     attrs=[fo.attr_float("softcap", cap),
+                            fo.attr_float("scale", scale)])],
+            inputs=[fo.value_info("q", [b, h, s, d]),
+                    fo.value_info("k", [b, h, s, d]),
+                    fo.value_info("v", [b, h, s, d]),
+                    fo.value_info("m", [b, 1, s, s])],
+            outputs=[fo.value_info("y", [b, h, s, d])],
+            opset=23,
+        )
+        got = np.asarray(lower(mb)(q, k, v, mask))
+        qk = np.einsum("bhqd,bhkd->bhqk", q, k) * scale + mask
+        qk = cap * np.tanh(qk / cap)
+        w = np.exp(qk - qk.max(-1, keepdims=True))
+        w /= w.sum(-1, keepdims=True)
+        want = np.einsum("bhqk,bhkd->bhqd", w, v)
+        assert np.max(np.abs(got - want)) < 1e-5
