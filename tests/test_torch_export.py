@@ -200,3 +200,31 @@ class TestTorchExporterBytes:
         got = np.asarray(qfn(x, params=qfn.params))
         assert np.max(np.abs(got - want)) < 0.05 * max(
             1.0, np.max(np.abs(want)))
+
+    def test_mutated_exporter_bytes_raise_only_wireerror(self):
+        # Same contract as TestParserFuzz, but over real exporter bytes
+        # (longer varint runs, doc_strings, different field layout).
+        from birda_tpu.onnx.proto import WireError, load_model
+
+        torch.manual_seed(7)
+        m = nn.Sequential(nn.Conv2d(1, 4, 3), nn.ReLU(), nn.Flatten())
+        m.eval()
+        x = torch.randn(1, 1, 8, 8)
+        mb = torch_export(m, (x,), 17)
+        rng = np.random.default_rng(99)
+        for i in range(300):
+            b = bytearray(mb)
+            mode = i % 3
+            if mode == 0:
+                b = b[: rng.integers(1, len(b))]
+            elif mode == 1:
+                for _ in range(3):
+                    b[rng.integers(len(b))] ^= 1 << rng.integers(8)
+            else:
+                pos = int(rng.integers(len(b)))
+                b = b[:pos] + bytes(
+                    rng.integers(0, 256, 5, dtype=np.uint8)) + b[pos:]
+            try:
+                load_model(bytes(b))
+            except WireError:
+                pass
