@@ -177,6 +177,26 @@ class _Evaluator:
         as-is and dequantizes them for everyone else)."""
         return val
 
+    def _graph_consumes(self, name: str) -> bool:
+        """Whether a tensor name feeds any node (incl. subgraphs) or is a
+        graph output — used by ops with declared-but-unsupported optional
+        outputs to fail typed at build instead of leaking None downstream."""
+        names = getattr(self, "_consumed_names", None)
+        if names is None:
+            names = set()
+
+            def walk(g):
+                for nd in g.nodes:
+                    names.update(i for i in nd.inputs if i)
+                    for a in nd.attrs.values():
+                        if a.g is not None:
+                            walk(a.g)
+
+            walk(self.graph)
+            names.update(o.name for o in self.graph.outputs)
+            self._consumed_names = names
+        return name in names
+
     # -- numeric dispatch: numpy for host constants, jnp for traced ---------
 
     @staticmethod
@@ -2217,7 +2237,8 @@ class _Evaluator:
               softcap=0.0):
         """q/k/v: [B, H, S, D] (kv heads may divide q heads — GQA).
         mask: bool (True = attend) or additive float, broadcastable to
-        [B, H, Sq, Skv]."""
+        [B, H, Sq, Skv]. Returns (out, qk_raw) where qk_raw is the scaled
+        Q·Kᵀ before mask/softcap (qk_matmul_output_mode=0)."""
         import jax.numpy as jnp
 
         q, k, v = (jnp.asarray(t) for t in (q, k, v))
@@ -2230,14 +2251,15 @@ class _Evaluator:
             v = jnp.repeat(v, hq // hkv, axis=1)
         if scale is None:
             scale = 1.0 / float(np.sqrt(q.shape[-1]))
-        qk = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                        preferred_element_type=jnp.float32) * scale
+        qk_raw = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                            preferred_element_type=jnp.float32) * scale
+        qk = qk_raw
         # Spec ordering (Attention-23 pattern graph): additive mask joins
         # the logits BEFORE softcap; boolean/causal masking is a -inf
         # select right before the softmax (so softcap cannot turn a
         # masked-out position into a finite -softcap logit).
         bool_mask = None
-        if not is_causal and mask is not None:
+        if mask is not None:
             mask = jnp.asarray(mask)
             while mask.ndim < 4:
                 mask = mask[None]
@@ -2248,19 +2270,23 @@ class _Evaluator:
         if softcap:
             qk = softcap * jnp.tanh(qk / softcap)
         if is_causal:
+            # Upper-left alignment (tril of ones(Sq, Skv)), matching the
+            # spec's torch-SDPA semantics for non-square masks; combines
+            # with any provided mask rather than replacing it.
             sq, skv = qk.shape[-2], qk.shape[-1]
             from jax import lax
 
             row = lax.broadcasted_iota(jnp.int32, (sq, skv), 0)
             col = lax.broadcasted_iota(jnp.int32, (sq, skv), 1)
-            qk = jnp.where(col <= row + (skv - sq), qk, -jnp.inf)
-        elif bool_mask is not None:
+            causal = col <= row
+            bool_mask = causal if bool_mask is None else bool_mask & causal
+        if bool_mask is not None:
             qk = jnp.where(bool_mask, qk, -jnp.inf)
         import jax
 
         w = jax.nn.softmax(qk, axis=-1)
         out = jnp.einsum("bhqk,bhkd->bhqd", w, v.astype(jnp.float32))
-        return out.astype(v.dtype), qk
+        return out.astype(v.dtype), qk_raw
 
     @staticmethod
     def _split_heads(x, n_heads):
@@ -2310,7 +2336,8 @@ class _Evaluator:
             out = self._merge_heads(out)
         results = [out]
         if len(node.outputs) > 1:
-            results += [None, None]  # present_key/value never produced
+            # With no past KV, present_key/value are K/V in head layout.
+            results += [k, v]
             if len(node.outputs) > 3:
                 results.append(qk)
         return tuple(results) if len(results) > 1 else out
@@ -2319,8 +2346,9 @@ class _Evaluator:
                               bias=None, key_padding_mask=None,
                               attention_bias=None, past_key=None,
                               past_value=None):
-        """com.microsoft MultiHeadAttention: separate Q/K/V ([B,S,hidden])
-        or packed QKV in `query` ([B,S,3*hidden]); optional fused bias and
+        """com.microsoft MultiHeadAttention: separate Q/K/V ([B,S,hidden]),
+        packed QKV in `query` ([B,S,num_heads,3,head_size]), or packed KV
+        in `key` ([B,kv_S,num_heads,2,head_size]); optional fused bias and
         additive attention bias."""
         import jax.numpy as jnp
 
@@ -2331,12 +2359,33 @@ class _Evaluator:
         n = node.attr("num_heads")
         if not n:
             raise UnsupportedOnnxOp("MultiHeadAttention requires num_heads")
-        if key is None and value is None:  # packed QKV
-            query = jnp.asarray(query)
+
+        def heads(x):  # [B, S, N, D] -> [B, N, S, D]
+            return jnp.transpose(jnp.asarray(x), (0, 2, 1, 3))
+
+        if key is None and value is None:
+            # Packed QKV: [B, S, num_heads, 3, head_size] (the only packed
+            # query layout the com.microsoft contract defines).
+            if query.ndim != 5 or query.shape[3] != 3:
+                raise UnsupportedOnnxOp(
+                    "MultiHeadAttention without key/value requires packed "
+                    f"QKV [B,S,heads,3,head] (got rank {query.ndim})")
             if bias is not None:
-                query = query + jnp.asarray(bias, query.dtype)
-            hid = query.shape[-1] // 3
-            q, k, v = (query[..., i * hid:(i + 1) * hid] for i in range(3))
+                raise UnsupportedOnnxOp(
+                    "MultiHeadAttention bias with packed QKV")
+            query = jnp.asarray(query)
+            q, k, v = (heads(query[..., i, :]) for i in range(3))
+        elif value is None and key is not None and key.ndim == 5:
+            # Packed KV: [B, kv_S, num_heads, 2, head_size].
+            if key.shape[3] != 2:
+                raise UnsupportedOnnxOp(
+                    "MultiHeadAttention packed KV must be [B,S,heads,2,head]")
+            if bias is not None:
+                raise UnsupportedOnnxOp(
+                    "MultiHeadAttention bias with packed KV")
+            key = jnp.asarray(key)
+            q = self._split_heads(jnp.asarray(query), n)
+            k, v = (heads(key[..., i, :]) for i in range(2))
         else:
             q, k, v = (jnp.asarray(t) for t in (query, key, value))
             if bias is not None:
@@ -2345,10 +2394,9 @@ class _Evaluator:
                 q = q + b[:hid]
                 k = k + b[hid:hid + k.shape[-1]]
                 v = v + b[hid + k.shape[-1]:]
-        out, _ = self._sdpa(
-            self._split_heads(q, n), self._split_heads(k, n),
-            self._split_heads(v, n), mask=attention_bias,
-            scale=node.attr("scale"))
+            q, k, v = (self._split_heads(t, n) for t in (q, k, v))
+        out, _ = self._sdpa(q, k, v, mask=attention_bias,
+                            scale=node.attr("scale"))
         return self._merge_heads(out)
 
     def op_FusedMatMul(self, node, a, b):
@@ -2406,6 +2454,13 @@ class _Evaluator:
                 out = out + beta
         # Outputs 2/3 (mean, inv_std_var) are training-only; output 4 is
         # the pre-norm sum some graphs feed the residual stream from.
+        for pos in (1, 2):
+            if len(node.outputs) > pos and node.outputs[pos] \
+                    and self._graph_consumes(node.outputs[pos]):
+                raise UnsupportedOnnxOp(
+                    f"{node.op_type} training-only output "
+                    f"'{node.outputs[pos]}' (mean/inv_std_var) is consumed "
+                    "by the graph")
         results = [out]
         if len(node.outputs) > 1:
             results += [None, None]

@@ -117,6 +117,55 @@ def _attr_findings(node) -> list[str]:
             reasons.append(
                 f"Cast to {_DT_NAMES.get(to, to)} is not supported"
             )
+    elif op == "Attention":
+        if any(node.inputs[i] for i in (4, 5) if len(node.inputs) > i):
+            reasons.append(
+                "Attention past_key/past_value (KV cache) inputs are "
+                "not supported")
+        if (len(node.outputs) > 3 and node.outputs[3]
+                and node.attr("qk_matmul_output_mode", 0) != 0):
+            reasons.append(
+                f"Attention qk_matmul_output_mode="
+                f"{node.attr('qk_matmul_output_mode')} is not supported "
+                "(only mode 0, the raw scaled QK matmul)")
+    elif op == "MultiHeadAttention":
+        if len(node.inputs) > 4 and node.inputs[4]:
+            reasons.append(
+                "MultiHeadAttention key_padding_mask is not supported")
+        if any(node.inputs[i] for i in (6, 7) if len(node.inputs) > i):
+            reasons.append(
+                "MultiHeadAttention past_key/past_value (KV cache) inputs "
+                "are not supported")
+    elif op == "GridSample":
+        mode = node.attr("mode", b"linear")
+        if isinstance(mode, bytes):
+            mode = mode.decode()
+        if mode not in ("linear", "bilinear", "nearest"):
+            reasons.append(f"GridSample mode '{mode}' is not supported")
+        pad = node.attr("padding_mode", b"zeros")
+        if isinstance(pad, bytes):
+            pad = pad.decode()
+        if pad not in ("zeros", "border"):
+            reasons.append(
+                f"GridSample padding_mode '{pad}' is not supported")
+    elif op == "FusedMatMul":
+        if node.attr("transBatchA", 0) or node.attr("transBatchB", 0):
+            reasons.append(
+                "FusedMatMul transBatchA/transBatchB are not supported")
+    elif op == "BitShift":
+        d = node.attr("direction")
+        d = d.decode() if isinstance(d, bytes) else d
+        if d not in ("LEFT", "RIGHT"):
+            reasons.append(f"BitShift direction '{d}' is not supported")
+    elif op == "STFT":
+        if not node.attr("onesided", 1):
+            reasons.append("STFT onesided=0 is not supported")
+    elif op == "GatherND":
+        if node.attr("batch_dims", 0):
+            reasons.append("GatherND batch_dims>0 is not supported")
+    elif op == "GroupNormalization":
+        if node.attr("num_groups") is None:
+            reasons.append("GroupNormalization requires num_groups")
     return reasons
 
 

@@ -2055,17 +2055,33 @@ class TestAttentionOps:
         want = self._sdpa_ref(q + bias[:hid], k + bias[hid:2 * hid],
                               v + bias[2 * hid:], h)
         assert np.max(np.abs(got - want)) < 1e-5
-        # packed QKV in one input
-        packed = np.concatenate([q, k, v], axis=-1)
+        # packed QKV: [B, S, num_heads, 3, head_size] (the com.microsoft
+        # packed layout; heads interleave, they do not concatenate)
+        def to_heads(x):
+            return x.reshape(b, s, h, d)
+
+        packed = np.stack([to_heads(q), to_heads(k), to_heads(v)], axis=3)
         mb = fo.model(
             [fo.node("MultiHeadAttention", ["qkv"], ["y"],
                      domain="com.microsoft",
                      attrs=[fo.attr_int("num_heads", h)])],
-            inputs=[fo.value_info("qkv", [b, s, 3 * hid])],
+            inputs=[fo.value_info("qkv", [b, s, h, 3, d])],
             outputs=[fo.value_info("y", [b, s, hid])],
         )
         got = np.asarray(lower(mb)(packed))
         want = self._sdpa_ref(q, k, v, h)
+        assert np.max(np.abs(got - want)) < 1e-5
+        # packed KV: [B, S, num_heads, 2, head_size]
+        packed_kv = np.stack([to_heads(k), to_heads(v)], axis=3)
+        mb = fo.model(
+            [fo.node("MultiHeadAttention", ["q", "kv"], ["y"],
+                     domain="com.microsoft",
+                     attrs=[fo.attr_int("num_heads", h)])],
+            inputs=[fo.value_info("q", [b, s, hid]),
+                    fo.value_info("kv", [b, s, h, 2, d])],
+            outputs=[fo.value_info("y", [b, s, hid])],
+        )
+        got = np.asarray(lower(mb)(q, packed_kv))
         assert np.max(np.abs(got - want)) < 1e-5
 
     def test_gelu_variants_and_fused_matmul(self):
@@ -2135,6 +2151,10 @@ class TestAttentionOps:
         assert np.max(np.abs(ys - want_rms)) < 1e-4
 
     def test_attention_kv_cache_preflighted(self):
+        # The preflight (not the first executed node) must name the gap.
+        from birda_tpu.errors import OnnxGraphUnsupported
+        from birda_tpu.onnx.preflight import preflight
+
         mb = fo.model(
             [fo.node("Attention", ["q", "k", "v", "", "pk"], ["y"])],
             inputs=[fo.value_info("q", [1, 2, 3, 4]),
@@ -2144,10 +2164,79 @@ class TestAttentionOps:
             outputs=[fo.value_info("y", [1, 2, 3, 4])],
             opset=23,
         )
+        findings = preflight(mb)
+        assert any("KV cache" in f.reason for f in findings)
+        with pytest.raises(OnnxGraphUnsupported, match="KV cache"):
+            lower(mb)
+
+    def test_attention_noncausal_alignment_and_present_outputs(self):
+        # Non-square causal: upper-left (tril) alignment per the spec /
+        # torch SDPA; present_key/value equal K/V when there is no past.
+        rng = np.random.default_rng(7)
+        b, h, d = 1, 2, 4
+        sq, skv = 2, 5
+        q = rng.normal(size=(b, h, sq, d)).astype(np.float32)
+        k = rng.normal(size=(b, h, skv, d)).astype(np.float32)
+        v = rng.normal(size=(b, h, skv, d)).astype(np.float32)
+        mb = fo.model(
+            [fo.node("Attention", ["q", "k", "v"], ["y", "pk", "pv"],
+                     attrs=[fo.attr_int("is_causal", 1)])],
+            inputs=[fo.value_info("q", [b, h, sq, d]),
+                    fo.value_info("k", [b, h, skv, d]),
+                    fo.value_info("v", [b, h, skv, d])],
+            outputs=[fo.value_info("y", [b, h, sq, d]),
+                     fo.value_info("pk", [b, h, skv, d]),
+                     fo.value_info("pv", [b, h, skv, d])],
+            opset=23,
+        )
+        y, pk, pv = (np.asarray(t) for t in lower(mb)(q, k, v))
+        want = F.scaled_dot_product_attention(
+            *(torch.from_numpy(t) for t in (q, k, v)),
+            is_causal=True).numpy()
+        assert np.max(np.abs(y - want)) < 1e-5
+        assert np.array_equal(pk, k) and np.array_equal(pv, v)
+
+    def test_attention_causal_combines_with_additive_mask(self):
+        rng = np.random.default_rng(8)
+        b, h, s, d = 1, 2, 4, 4
+        q = rng.normal(size=(b, h, s, d)).astype(np.float32)
+        k = rng.normal(size=(b, h, s, d)).astype(np.float32)
+        v = rng.normal(size=(b, h, s, d)).astype(np.float32)
+        mask = rng.normal(size=(b, 1, s, s)).astype(np.float32)
+        mb = fo.model(
+            [fo.node("Attention", ["q", "k", "v", "m"], ["y"],
+                     attrs=[fo.attr_int("is_causal", 1)])],
+            inputs=[fo.value_info("q", [b, h, s, d]),
+                    fo.value_info("k", [b, h, s, d]),
+                    fo.value_info("v", [b, h, s, d]),
+                    fo.value_info("m", [b, 1, s, s])],
+            outputs=[fo.value_info("y", [b, h, s, d])],
+            opset=23,
+        )
+        got = np.asarray(lower(mb)(q, k, v, mask))
+        causal = np.tril(np.ones((s, s), bool))
+        add = np.where(causal, mask, -np.inf).astype(np.float32)
+        want = F.scaled_dot_product_attention(
+            *(torch.from_numpy(t) for t in (q, k, v)),
+            attn_mask=torch.from_numpy(add)).numpy()
+        assert np.max(np.abs(got - want)) < 1e-5
+
+    def test_skip_layer_norm_consumed_training_output_is_typed(self):
+        rng = np.random.default_rng(9)
+        x = rng.normal(size=(1, 2, 8)).astype(np.float32)
+        g = np.ones(8, np.float32)
+        mb = fo.model(
+            [fo.node("SkipLayerNormalization", ["x", "x", "g"],
+                     ["y", "mean"], domain="com.microsoft"),
+             fo.node("Relu", ["mean"], ["z"])],
+            inputs=[fo.value_info("x", [1, 2, 8])],
+            outputs=[fo.value_info("y", [1, 2, 8]),
+                     fo.value_info("z", [1, 2])],
+            initializers=[fo.tensor("g", g)],
+        )
         fn = lower(mb)
-        q = np.zeros((1, 2, 3, 4), np.float32)
-        with pytest.raises(UnsupportedOnnxOp, match="KV cache"):
-            fn(q, q, q, np.zeros((1, 2, 0, 4), np.float32))
+        with pytest.raises(UnsupportedOnnxOp, match="training-only"):
+            fn(x)
 
     def test_attention_softcap_after_additive_mask(self):
         # Spec pattern graph: additive mask joins the logits BEFORE the
