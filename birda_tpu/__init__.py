@@ -8,3 +8,20 @@ two-stage classification, and six detection output formats.
 """
 
 __version__ = "0.1.0"
+
+#: Lazy re-exports of the library API (birda_tpu.analyze and friends)
+#: keep `import birda_tpu` light — the CLI and tests import subpackages
+#: directly, and the API pulls in jax only when first called.
+_API_NAMES = ("analyze", "AnalyzeResult", "FileResult", "Detection")
+
+
+def __getattr__(name):
+    if name in _API_NAMES:
+        from . import api
+
+        return getattr(api, name)
+    raise AttributeError(f"module 'birda_tpu' has no attribute '{name}'")
+
+
+def __dir__():
+    return sorted(list(globals()) + list(_API_NAMES))

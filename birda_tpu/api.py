@@ -1,0 +1,191 @@
+"""Programmatic analysis API — the library face of the framework.
+
+The reference crate is usable both as a CLI and as a Rust library
+(``src/lib.rs`` exposes the orchestrator to embedders); this module is the
+Python equivalent: one call that runs the full production pipeline —
+decode → resample → chunk runner → classifier → range filter/BSG — and
+returns detections **in memory** instead of writing output files.
+
+    import birda_tpu
+
+    results = birda_tpu.analyze(
+        ["meadow.wav"], model="birdnet-v24",
+        min_confidence=0.3, lat=60.2, lon=24.9, week=23,
+    )
+    for r in results:
+        for d in r.detections:
+            print(d.start_time, d.scientific_name, d.confidence)
+
+This is the same code path as ``birda analyze`` (orchestrator → pipeline
+→ chunk runner), not a parallel implementation: options resolve through
+the same :class:`~birda_tpu.orchestrator.AnalyzeOptions`, so model
+resolution, device selection, smart batch defaults, per-file isolation,
+and lock semantics are identical. Detections are captured through the
+reporter interface (the NDJSON streaming plane) rather than the file
+writers — the supported no-file-output mode.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Optional, Sequence
+
+from .output.reporter import ProgressReporter
+from .output.types import Detection
+
+__all__ = ["analyze", "AnalyzeResult", "FileResult", "Detection"]
+
+
+@dataclass
+class FileResult:
+    """Per-file outcome: detections on success, an error string on failure,
+    a skip reason when the file was skipped (lock/resume semantics)."""
+
+    path: Path
+    detections: list[Detection] = field(default_factory=list)
+    error: Optional[str] = None
+    skipped: Optional[str] = None
+
+    @property
+    def ok(self) -> bool:
+        return self.error is None
+
+
+@dataclass
+class AnalyzeResult:
+    """Whole-run outcome."""
+
+    files: list[FileResult]
+    exit_code: int
+
+    @property
+    def detections(self) -> list[Detection]:
+        """All detections across files, in processing order."""
+        return [d for f in self.files for d in f.detections]
+
+    def __iter__(self):
+        return iter(self.files)
+
+
+class _Collector(ProgressReporter):
+    """Reporter that captures the detection stream in memory."""
+
+    def __init__(self):
+        self.by_file: dict[str, FileResult] = {}
+
+    def _entry(self, file) -> FileResult:
+        key = str(file)
+        if key not in self.by_file:
+            self.by_file[key] = FileResult(path=Path(key))
+        return self.by_file[key]
+
+    def detections(self, file, detections, bsg_metadata=None):
+        self._entry(file).detections.extend(detections)
+
+    def file_completed_failure(self, file, error_code, error_message):
+        self._entry(file).error = f"{error_code}: {error_message}"
+
+    def file_skipped(self, file, reason):
+        entry = self._entry(file)
+        entry.skipped = getattr(reason, "value", str(reason))
+
+
+_DEVICES = ("auto", "cpu", "tpu", "gpu")
+
+
+def analyze(
+    inputs: Sequence[Path | str],
+    *,
+    model: Optional[str] = None,
+    model_path: Optional[Path | str] = None,
+    labels_path: Optional[Path | str] = None,
+    model_type: Optional[str] = None,
+    bat: Optional[str] = None,
+    min_confidence: Optional[float] = None,
+    overlap: Optional[float] = None,
+    batch_size: Optional[int] = None,
+    top_k: Optional[int] = None,
+    device: str = "auto",
+    precision: str = "fp32",
+    lat: Optional[float] = None,
+    lon: Optional[float] = None,
+    week: Optional[int] = None,
+    day_of_year: Optional[int] = None,
+    range_threshold: Optional[float] = None,
+    rerank: bool = False,
+    range_unmatched: Optional[str] = None,
+    slist: Optional[Path | str] = None,
+    region_labels: Optional[Path | str] = None,
+    jobs: int = 1,
+    decode_workers: int = 0,
+    fail_fast: bool = False,
+    force: bool = True,
+    config=None,
+) -> AnalyzeResult:
+    """Analyze audio files and return detections in memory.
+
+    Model selection follows the CLI rules: a configured ``model`` name, or
+    an ad-hoc ``model_path`` + ``labels_path`` + ``model_type`` triple, or
+    the config default. ``device`` is ``auto``/``cpu``/``tpu``/``gpu``
+    (same ladder semantics as the CLI flags). ``force=True`` (the library
+    default, unlike the CLI) disables output-existence resume skipping —
+    a programmatic caller asking for detections wants them computed.
+
+    Raises the same typed :class:`~birda_tpu.errors.BirdaError` tree as
+    the CLI for configuration/model problems; per-file decode/inference
+    failures are isolated into :attr:`FileResult.error` unless
+    ``fail_fast`` (matching ``birda analyze`` semantics).
+    """
+    from . import constants
+    from .config import file as config_file
+    from .config.types import Config, ModelType
+    from .errors import BirdaError, ConfigValidation
+    from .orchestrator import AnalyzeOptions, analyze_files
+
+    if device not in _DEVICES:
+        raise ConfigValidation(
+            f"device must be one of {', '.join(_DEVICES)} (got '{device}')")
+
+    if config is None:
+        try:
+            config = config_file.load_default_config()
+        except BirdaError:
+            config = Config()
+
+    options = AnalyzeOptions(
+        inputs=[Path(p) for p in inputs],
+        model=model,
+        model_path=Path(model_path) if model_path else None,
+        labels_path=Path(labels_path) if labels_path else None,
+        model_type=ModelType(model_type) if model_type else None,
+        bat=bat,
+        formats=[],
+        output_dir=None,
+        min_confidence=min_confidence,
+        overlap=overlap,
+        batch_size=batch_size,
+        force=force,
+        fail_fast=fail_fast,
+        device_flags={} if device == "auto" else {device: True},
+        lat=lat,
+        lon=lon,
+        week=week,
+        day_of_year=day_of_year,
+        range_threshold=range_threshold,
+        rerank=rerank,
+        range_unmatched=range_unmatched,
+        slist=Path(slist) if slist else None,
+        region_labels=Path(region_labels) if region_labels else None,
+        jobs=jobs,
+        decode_workers=decode_workers,
+        top_k=top_k if top_k is not None else constants.DEFAULT_TOP_K,
+        precision=precision,
+        stream_detections=True,
+    )
+
+    collector = _Collector()
+    exit_code = analyze_files(options, config, reporter=collector)
+
+    return AnalyzeResult(files=list(collector.by_file.values()),
+                         exit_code=exit_code)

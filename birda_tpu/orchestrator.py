@@ -119,6 +119,12 @@ class AnalyzeOptions:
     #: activation scales on; None = the built-in synthetic calibration set
     #: (pink noise + chirps), whose scales are cached per graph digest.
     calibration_audio: Optional[Path] = None
+    #: Route the detection stream to the reporter (no output files) for
+    #: ANY number of inputs — the library API's collection mode. Unlike
+    #: ``stdout_mode`` there is no single-input preflight: the reporter
+    #: receives per-file ``detections`` events keyed by path, so
+    #: interleaving under ``--jobs`` is well-defined.
+    stream_detections: bool = False
 
 
 @dataclass
@@ -760,7 +766,7 @@ def process_all_files(
             csv_bom_enabled=not options.no_csv_bom,
             model_name=model_name,
             range_filter_params=range_filter_params,
-            reporter=reporter if (options.stdout_mode or options.dual_output_mode) else None,
+            reporter=reporter if (options.stdout_mode or options.dual_output_mode or options.stream_detections) else None,
             progress_reporter=reporter,
             dual_output_mode=options.dual_output_mode,
             custom_classifier=custom_classifier,
@@ -879,7 +885,7 @@ def _process_files_parallel(
             csv_bom_enabled=not options.no_csv_bom,
             model_name=model_name,
             range_filter_params=range_filter_params,
-            reporter=reporter if (options.stdout_mode or options.dual_output_mode) else None,
+            reporter=reporter if (options.stdout_mode or options.dual_output_mode or options.stream_detections) else None,
             progress_reporter=None,  # interleaved bars are worse than none
             dual_output_mode=options.dual_output_mode,
             custom_classifier=custom_classifier,

@@ -1,0 +1,124 @@
+"""Library API tests: birda_tpu.analyze returns detections in memory
+through the same orchestrator/pipeline path as the CLI."""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from birda_tpu.config.types import Config, ModelConfig, ModelType
+from fixtures_audio import write_wav
+
+
+@pytest.fixture()
+def home(tmp_path, monkeypatch):
+    monkeypatch.setenv("XDG_CONFIG_HOME", str(tmp_path / "config"))
+    monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path / "cache"))
+    monkeypatch.setenv("XDG_DATA_HOME", str(tmp_path / "data"))
+    monkeypatch.setenv("BIRDA_NO_COMPILE_CACHE", "1")
+    return tmp_path
+
+
+def synthetic_config():
+    cfg = Config()
+    cfg.models["tiny"] = ModelConfig(
+        path=Path("synthetic:tiny"), labels=Path("synthetic:tiny"),
+        model_type=ModelType.BIRDNET_V24,
+    )
+    cfg.defaults.model = "tiny"
+    return cfg
+
+
+def make_audio(tmp_path, name="rec.wav", secs=4.0, rate=48000):
+    p = tmp_path / name
+    t = np.arange(int(rate * secs)) / rate
+    write_wav(p, (0.4 * np.sin(2 * np.pi * 2000 * t)).astype(np.float32), rate)
+    return p
+
+
+class TestLibraryApi:
+    def test_lazy_toplevel_exports(self):
+        import birda_tpu
+
+        assert callable(birda_tpu.analyze)
+        assert birda_tpu.Detection.__name__ == "Detection"
+        assert "analyze" in dir(birda_tpu)
+        with pytest.raises(AttributeError):
+            birda_tpu.not_a_thing
+
+    def test_analyze_returns_in_memory_detections(self, home, tmp_path):
+        import birda_tpu
+
+        audio = make_audio(tmp_path)
+        before = sorted(tmp_path.iterdir())
+        res = birda_tpu.analyze(
+            [audio], device="cpu", min_confidence=0.0,
+            config=synthetic_config(),
+        )
+        assert res.exit_code == 0
+        assert len(res.files) == 1
+        f = res.files[0]
+        assert f.ok and f.path == audio
+        assert f.detections, "min_confidence=0 must yield detections"
+        d = f.detections[0]
+        assert d.end_time > d.start_time >= 0.0
+        assert 0.0 <= d.confidence <= 1.0
+        assert d.scientific_name
+        # Library mode writes NO output files (lock files are transient).
+        assert sorted(tmp_path.iterdir()) == before
+        # Run-level flattening helper.
+        assert len(res.detections) == sum(
+            len(x.detections) for x in res.files)
+
+    def test_per_file_isolation_and_error_capture(self, home, tmp_path):
+        import birda_tpu
+
+        good = make_audio(tmp_path, "good.wav")
+        bad = tmp_path / "bad.wav"
+        bad.write_bytes(b"RIFFxxxxWAVEjunk" + b"\x00" * 64)
+        res = birda_tpu.analyze(
+            [bad, good], device="cpu", min_confidence=0.0,
+            config=synthetic_config(),
+        )
+        by_name = {f.path.name: f for f in res.files}
+        assert by_name["good.wav"].ok and by_name["good.wav"].detections
+        assert not by_name["bad.wav"].ok
+        assert by_name["bad.wav"].error
+        # Reference semantics: nonzero exit only when NO file processed.
+        assert res.exit_code == 0
+        res_all_bad = birda_tpu.analyze(
+            [bad], device="cpu", config=synthetic_config())
+        assert res_all_bad.exit_code == 1
+
+    def test_bad_device_is_typed(self, home, tmp_path):
+        import birda_tpu
+        from birda_tpu.errors import ConfigValidation
+
+        with pytest.raises(ConfigValidation, match="device"):
+            birda_tpu.analyze([tmp_path / "x.wav"], device="quantum",
+                              config=synthetic_config())
+
+    def test_matches_cli_csv_scores(self, home, tmp_path):
+        # The library path must produce the same detections as a
+        # file-writing run (same orchestrator, same chunk runner).
+        import birda_tpu
+        from birda_tpu.orchestrator import AnalyzeOptions, analyze_files
+        from birda_tpu.pipeline.coordinator import OutputFormat
+
+        audio = make_audio(tmp_path)
+        res = birda_tpu.analyze([audio], device="cpu", min_confidence=0.1,
+                                config=synthetic_config())
+        out = tmp_path / "out"
+        analyze_files(
+            AnalyzeOptions(inputs=[audio], output_dir=out,
+                           formats=[OutputFormat.CSV], min_confidence=0.1,
+                           device_flags={"cpu": True}),
+            synthetic_config(),
+        )
+        csv = (out / "rec.BirdNET.results.csv").read_text(
+            encoding="utf-8-sig").strip().splitlines()
+        rows = [line.split(",") for line in csv[1:]]
+        got = [(d.start_time, d.scientific_name, round(d.confidence, 4))
+               for d in res.detections]
+        want = [(float(r[0]), r[2], float(r[4])) for r in rows]
+        assert sorted(got) == sorted(want)
