@@ -34,7 +34,8 @@ from typing import Optional, Sequence
 from .output.reporter import ProgressReporter
 from .output.types import Detection
 
-__all__ = ["analyze", "AnalyzeResult", "FileResult", "Detection"]
+__all__ = ["analyze", "species", "AnalyzeResult", "FileResult",
+           "Detection", "SpeciesEntry"]
 
 
 @dataclass
@@ -189,3 +190,57 @@ def analyze(
 
     return AnalyzeResult(files=list(collector.by_file.values()),
                          exit_code=exit_code)
+
+
+@dataclass
+class SpeciesEntry:
+    """One geomodel range-list entry."""
+
+    scientific_name: str
+    common_name: str
+    score: float
+
+    @property
+    def label(self) -> str:
+        if not self.common_name:
+            return self.scientific_name
+        return f"{self.scientific_name}_{self.common_name}"
+
+
+def species(
+    lat: float,
+    lon: float,
+    *,
+    week: Optional[int] = None,
+    month: Optional[int] = None,
+    day: Optional[int] = None,
+    threshold: Optional[float] = None,
+    sort: str = "freq",
+    model: Optional[str] = None,
+    geomodel_path: Optional[Path | str] = None,
+    geomodel_labels_path: Optional[Path | str] = None,
+) -> list[SpeciesEntry]:
+    """Species expected at a location/time per the geomodel — the
+    programmatic face of ``birda species`` (entries in memory, no file
+    written; reference ``species.rs:150-188``). Provide ``week`` (48-week
+    BirdNET calendar) or ``month`` + ``day``."""
+    from .cli.species import compute_species_list, split_species_label
+    from .errors import ConfigValidation
+
+    if week is None and (month is None or day is None):
+        raise ConfigValidation("provide week, or month with day")
+    if (geomodel_path is None) != (geomodel_labels_path is None):
+        raise ConfigValidation(
+            "geomodel_path and geomodel_labels_path must be given together")
+    result = compute_species_list(
+        lat=lat, lon=lon, week=week, month=month, day=day,
+        threshold=threshold, sort=sort, model_name=model,
+        geomodel_path=Path(geomodel_path) if geomodel_path else None,
+        geomodel_labels_path=(
+            Path(geomodel_labels_path) if geomodel_labels_path else None),
+    )
+    out = []
+    for label, score in result.entries:
+        sci, common = split_species_label(label)
+        out.append(SpeciesEntry(sci, common, float(score)))
+    return out

@@ -122,3 +122,35 @@ class TestLibraryApi:
                for d in res.detections]
         want = [(float(r[0]), r[2], float(r[4])) for r in rows]
         assert sorted(got) == sorted(want)
+
+    def test_species_list_in_memory(self, home, tmp_path, monkeypatch):
+        import fixtures_onnx as fo
+
+        import birda_tpu
+        from birda_tpu.config import file as config_file
+        from birda_tpu.config.types import Config
+
+        geo = tmp_path / "geo.onnx"
+        geo.write_bytes(fo.make_fixture_geomodel(num_species=50))
+        labels = tmp_path / "geo-labels.txt"
+        labels.write_text("".join(f"Genus{i} sp{i}_Common {i}\n"
+                                  for i in range(50)))
+        entries = birda_tpu.species(
+            60.0, 24.0, week=24, threshold=0.0,
+            geomodel_path=geo, geomodel_labels_path=labels)
+        assert entries and all(e.score >= 0.0 for e in entries)
+        e = entries[0]
+        assert e.scientific_name.startswith("Genus")
+        assert e.label.count("_") == 1
+        # freq sort is descending
+        scores = [x.score for x in entries]
+        assert scores == sorted(scores, reverse=True)
+
+    def test_species_validation_typed(self, home):
+        import birda_tpu
+        from birda_tpu.errors import ConfigValidation
+
+        with pytest.raises(ConfigValidation, match="week"):
+            birda_tpu.species(60.0, 24.0)
+        with pytest.raises(ConfigValidation, match="together"):
+            birda_tpu.species(60.0, 24.0, week=1, geomodel_path="g.onnx")
