@@ -12,8 +12,8 @@ __version__ = "0.1.0"
 #: Lazy re-exports of the library API (birda_tpu.analyze and friends)
 #: keep `import birda_tpu` light — the CLI and tests import subpackages
 #: directly, and the API pulls in jax only when first called.
-_API_NAMES = ("analyze", "species", "AnalyzeResult", "FileResult",
-              "Detection", "SpeciesEntry")
+_API_NAMES = ("analyze", "species", "clip", "AnalyzeResult",
+              "FileResult", "Detection", "SpeciesEntry")
 
 
 def __getattr__(name):

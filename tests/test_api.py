@@ -154,3 +154,18 @@ class TestLibraryApi:
             birda_tpu.species(60.0, 24.0)
         with pytest.raises(ConfigValidation, match="together"):
             birda_tpu.species(60.0, 24.0, week=1, geomodel_path="g.onnx")
+
+    def test_clip_from_results_csv(self, home, tmp_path):
+        import birda_tpu
+
+        audio = make_audio(tmp_path, "rec.wav", secs=6.0)
+        csv = tmp_path / "rec.BirdNET.results.csv"
+        csv.write_text(
+            "Start (s),End (s),Scientific name,Common name,Confidence,File\n"
+            f"0.0,3.0,Parus major,Great Tit,0.9,{audio}\n"
+            f"3.0,6.0,Parus major,Great Tit,0.2,{audio}\n")
+        out = tmp_path / "clips"
+        summary = birda_tpu.clip([csv], out, min_confidence=0.5)
+        assert summary.total_clips == 1
+        wavs = list(out.glob("**/*.wav"))
+        assert len(wavs) == 1
