@@ -290,3 +290,64 @@ class TestNewInferenceOps:
             )
             got = np.asarray(lower(mb)(*xs))
             assert np.max(np.abs(got - ref)) < 1e-6
+
+
+class TestPreflightAttentionGates:
+    def test_new_op_gates_all_reported(self):
+        """The session's op-surface gates: every statically-checkable
+        unsupported configuration lands in the one-pass fix list."""
+        mb = fo.model(
+            [
+                fo.node("Attention", ["q", "k", "v", "", "pk"], ["y0"]),
+                fo.node("Attention", ["y0", "k", "v"],
+                        ["y1", "", "", "qk"],
+                        attrs=[fo.attr_int("qk_matmul_output_mode", 2)]),
+                fo.node("MultiHeadAttention", ["y1", "k", "v", "", "kpm"],
+                        ["y2"], domain="com.microsoft",
+                        attrs=[fo.attr_int("num_heads", 2)]),
+                fo.node("GridSample", ["y2", "g"], ["y3"],
+                        attrs=[fo.attr_str("mode", "cubic"),
+                               fo.attr_str("padding_mode", "reflection")]),
+                fo.node("FusedMatMul", ["y3", "w"], ["y4"],
+                        domain="com.microsoft",
+                        attrs=[fo.attr_int("transBatchA", 1)]),
+                fo.node("BitShift", ["i", "i"], ["y5"],
+                        attrs=[fo.attr_str("direction", "SIDEWAYS")]),
+                fo.node("STFT", ["s", "st"], ["y6"],
+                        attrs=[fo.attr_int("onesided", 0)]),
+                fo.node("GatherND", ["y4", "idx"], ["y7"],
+                        attrs=[fo.attr_int("batch_dims", 1)]),
+                fo.node("GroupNormalization", ["y7", "sc", "bi"], ["y"]),
+            ],
+            inputs=[fo.value_info("q", [1, 2, 3, 4])],
+            outputs=[fo.value_info("y", [1, 2, 3, 4])],
+            initializers=[
+                fo.tensor("k", np.zeros((1, 2, 3, 4), np.float32)),
+                fo.tensor("v", np.zeros((1, 2, 3, 4), np.float32)),
+                fo.tensor("pk", np.zeros((1, 2, 0, 4), np.float32)),
+                fo.tensor("kpm", np.zeros((1, 3), np.int32)),
+                fo.tensor("g", np.zeros((1, 2, 2, 2), np.float32)),
+                fo.tensor("w", np.zeros((4, 4), np.float32)),
+                fo.tensor("i", np.zeros(3, np.uint8)),
+                fo.tensor("s", np.zeros((1, 64), np.float32)),
+                fo.tensor("st", np.asarray(16, np.int64)),
+                fo.tensor("idx", np.zeros((1, 1), np.int64)),
+                fo.tensor("sc", np.ones(2, np.float32)),
+                fo.tensor("bi", np.zeros(2, np.float32)),
+            ],
+            opset=23,
+        )
+        rendered = "\n".join(f.render() for f in preflight(mb))
+        for frag in (
+            "past_key/past_value",
+            "qk_matmul_output_mode=2",
+            "key_padding_mask",
+            "GridSample mode 'cubic'",
+            "padding_mode 'reflection'",
+            "transBatchA/transBatchB",
+            "BitShift direction 'SIDEWAYS'",
+            "STFT onesided=0",
+            "GatherND batch_dims>0",
+            "GroupNormalization requires num_groups",
+        ):
+            assert frag in rendered, frag
