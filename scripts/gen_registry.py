@@ -23,9 +23,34 @@ from pathlib import Path
 
 OUT = Path(__file__).resolve().parents[1] / "birda_tpu" / "registry" / "registry.json"
 
-#: Bump when regenerating with changed content.
+#: Version of a freshly-generated registry with no committed predecessor.
 REGISTRY_VERSION = 1
 SCHEMA_VERSION = "tpu-1.0"
+
+#: The loader refreshes a user's cached registry only when the embedded
+#: registry_version is higher, so the version must saturate within what
+#: every consumer can represent (reference uses u32 saturating_add).
+MAX_REGISTRY_VERSION = 2**32 - 1
+
+
+def next_registry_version(generated: dict, existing: dict) -> int:
+    """Auto-bump on ANY content change vs the committed registry.
+
+    Hand-bumped versions ship stale: the reference's #329/#332 regression
+    was a model-level fix (a corrected class count) released without a
+    bump, so no cached user ever received it — its generator has computed
+    the version from a content diff since (``gen_registry.rs:
+    next_registry_version``). Equal content keeps the committed version;
+    any difference outside ``registry_version`` itself bumps it by one
+    (saturating)."""
+
+    def content(doc: dict) -> dict:
+        return {k: v for k, v in doc.items() if k != "registry_version"}
+
+    cur = int(existing.get("registry_version", 0))
+    if content(generated) == content(existing):
+        return cur
+    return min(cur + 1, MAX_REGISTRY_VERSION)
 
 
 def transform(upstream: dict) -> dict:
@@ -129,6 +154,8 @@ def main() -> int:
         problems = check(committed)
         if src.exists():
             regenerated = transform(json.loads(src.read_text()))
+            regenerated["registry_version"] = next_registry_version(
+                regenerated, committed)
             if committed != regenerated:
                 problems.append("committed registry != regeneration from source")
         for p in problems:
@@ -146,6 +173,9 @@ def main() -> int:
         return 1
     upstream = json.loads(src.read_text())
     doc = transform(upstream)
+    if OUT.exists():
+        doc["registry_version"] = next_registry_version(
+            doc, json.loads(OUT.read_text()))
     OUT.write_text(json.dumps(doc, indent=1, sort_keys=False) + "\n")
     n_variants = sum(len(m.get("variants", [])) for m in doc["models"])
     print(f"wrote {OUT} ({len(doc['models'])} models, {n_variants} variants)")

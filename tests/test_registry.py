@@ -262,4 +262,46 @@ class TestGenRegistryConsistency:
         committed = json.loads(
             Path("birda_tpu/registry/registry.json").read_text()
         )
+        regenerated["registry_version"] = gen_registry.next_registry_version(
+            regenerated, committed)
         assert committed == regenerated
+
+    def test_next_registry_version_rules(self):
+        """Auto-bump on any content change (reference #329/#332: a
+        model-level fix shipped without a bump and reached no cached
+        user); same content keeps the version; saturates at u32::MAX."""
+        import sys
+
+        sys.path.insert(0, "scripts")
+        import gen_registry
+
+        base = {"registry_version": 3, "schema_version": "tpu-1.0",
+                "models": [{"id": "m", "version": "2.4"}]}
+        same = dict(base, registry_version=1)  # version field ignored
+        assert gen_registry.next_registry_version(same, base) == 3
+        changed = {"registry_version": 3, "schema_version": "tpu-1.0",
+                   "models": [{"id": "m", "version": "2.4-changed"}]}
+        assert gen_registry.next_registry_version(changed, base) == 4
+        at_max = dict(base, registry_version=gen_registry.MAX_REGISTRY_VERSION)
+        assert (gen_registry.next_registry_version(changed, at_max)
+                == gen_registry.MAX_REGISTRY_VERSION)
+
+
+class TestVerifyReadErrorSafety:
+    def test_read_error_never_deletes_installed_files(self, tmp_path):
+        """Reference #348: a read error (EISDIR here, the portable stand-in
+        for EACCES/EIO on a failing disk) during the existing-file checksum
+        pre-check must surface as an error without deleting the
+        possibly-correct installed copy — removal-to-force-redownload loops
+        forever on failing hardware."""
+        from birda_tpu.registry.installer import download_verified
+        from birda_tpu.registry.schema import FileRef
+
+        ref = FileRef(url="https://example.invalid/m.onnx",
+                      filename="m.onnx", sha256="0" * 64)
+        # The "installed file" is a directory: sha256_file raises EISDIR.
+        (tmp_path / "m.onnx").mkdir()
+        (tmp_path / "m.onnx" / "inner").write_text("keep me")
+        with pytest.raises(OSError):
+            download_verified(ref, tmp_path)
+        assert (tmp_path / "m.onnx" / "inner").read_text() == "keep me"
