@@ -52,6 +52,40 @@ def needs_prompt(license_info: LicenseInfo) -> bool:
     return not license_info.commercial_use or license_info.share_alike
 
 
+def license_summary(model_name: str, license_info: LicenseInfo,
+                    vendor: str = "") -> str:
+    """Render the license terms the user is accepting, as a pure string.
+
+    Split from the prompt so tests assert on the CONTENT (reference #291:
+    the printing version was tested without assertions, so a summary that
+    silently dropped the share-alike obligation still passed a green
+    suite). Every obligation the gate prompts for must appear here."""
+    lines = [
+        f"{model_name} is distributed under {license_info.type}"
+        + (f" ({license_info.url})" if license_info.url else ""),
+        f"  Commercial use: "
+        f"{'Allowed' if license_info.commercial_use else 'Not allowed'}",
+        f"  Attribution required: "
+        f"{'Yes' if license_info.attribution_required else 'No'}",
+        f"  Share-alike required: "
+        f"{'Yes' if license_info.share_alike else 'No'}",
+    ]
+    obligations = []
+    if not license_info.commercial_use:
+        obligations.append("  - Use for non-commercial purposes only")
+    if license_info.attribution_required:
+        who = vendor or "the model vendor"
+        obligations.append(f"  - Provide attribution to {who}")
+    if license_info.share_alike:
+        obligations.append(
+            "  - Share derivatives under the same license "
+            f"({license_info.type})")
+    if obligations:
+        lines.append("By using this model, you agree to:")
+        lines.extend(obligations)
+    return "\n".join(lines) + "\n"
+
+
 def prompt_license_acceptance(
     model_id: str,
     model_name: str,
@@ -73,13 +107,7 @@ def prompt_license_acceptance(
             f"--accept-license to accept non-interactively.\n"
         )
         return False
-    sys.stderr.write(
-        f"\n{model_name} is distributed under {license_info.type}"
-        + (f" ({license_info.url})" if license_info.url else "")
-        + "\n"
-    )
-    if not license_info.commercial_use:
-        sys.stderr.write("This license does NOT permit commercial use.\n")
+    sys.stderr.write("\n" + license_summary(model_name, license_info))
     try:
         answer = input_fn("Accept the license terms? [y/N] ")
     except EOFError:

@@ -305,3 +305,50 @@ class TestVerifyReadErrorSafety:
         with pytest.raises(OSError):
             download_verified(ref, tmp_path)
         assert (tmp_path / "m.onnx" / "inner").read_text() == "keep me"
+
+
+class TestLicenseSummaryContent:
+    def test_every_obligation_is_rendered(self):
+        """Reference #291: the summary is a pure function asserted on —
+        a summary that silently drops the share-alike obligation must not
+        pass a green suite."""
+        from birda_tpu.registry.license import license_summary
+        from birda_tpu.registry.schema import LicenseInfo
+
+        lic = LicenseInfo(type="CC-BY-NC-SA-4.0", url="https://cc.example",
+                          commercial_use=False, attribution_required=True,
+                          share_alike=True)
+        s = license_summary("BirdNET v2.4", lic, vendor="Cornell")
+        assert "CC-BY-NC-SA-4.0" in s and "https://cc.example" in s
+        assert "Commercial use: Not allowed" in s
+        assert "Attribution required: Yes" in s
+        assert "Share-alike required: Yes" in s
+        assert "non-commercial purposes only" in s
+        assert "attribution to Cornell" in s
+        assert "Share derivatives under the same license" in s
+
+    def test_permissive_license_has_no_obligations_block(self):
+        from birda_tpu.registry.license import license_summary
+        from birda_tpu.registry.schema import LicenseInfo
+
+        s = license_summary("Perch", LicenseInfo(
+            type="Apache-2.0", commercial_use=True))
+        assert "you agree to" not in s
+        assert "Commercial use: Allowed" in s
+
+    def test_prompt_renders_share_alike(self, monkeypatch, tmp_path, capsys):
+        import sys as _sys
+
+        from birda_tpu.registry import license as license_mod
+        from birda_tpu.registry.schema import LicenseInfo
+
+        monkeypatch.setattr(
+            license_mod, "_acceptances_path", lambda: tmp_path / "acc.json")
+        monkeypatch.setattr(_sys.stdin, "isatty", lambda: True)
+        lic = LicenseInfo(type="CC-BY-NC-SA-4.0", commercial_use=False,
+                          share_alike=True)
+        ok = license_mod.prompt_license_acceptance(
+            "m", "Model M", lic, input_fn=lambda _: "y")
+        assert ok
+        err = capsys.readouterr().err
+        assert "Share-alike required: Yes" in err
