@@ -114,11 +114,13 @@ def cli(ctx):
 @click.option("-o", "--output-dir", type=click.Path(path_type=Path),
               envvar="BIRDA_OUTPUT_DIR")
 @click.option("-c", "--min-confidence", callback=_validator(v.parse_confidence),
-              envvar="BIRDA_MIN_CONFIDENCE")
+              envvar="BIRDA_MIN_CONFIDENCE",
+              help=f"Minimum confidence {v.HELP_RANGES['confidence']}.")
 @click.option("--overlap", callback=_validator(v.parse_overlap),
               envvar="BIRDA_OVERLAP")
 @click.option("-b", "--batch-size", callback=_validator(v.parse_batch_size),
-              envvar="BIRDA_BATCH_SIZE")
+              envvar="BIRDA_BATCH_SIZE",
+              help=f"Inference batch size {v.HELP_RANGES['batch_size']}.")
 @click.option("--combine", is_flag=True, envvar="BIRDA_COMBINE")
 @click.option("--force", is_flag=True)
 @click.option("--fail-fast", is_flag=True)
@@ -129,16 +131,23 @@ def cli(ctx):
 @click.option("--tpu", is_flag=True, help="Require TPU (fail if unavailable).")
 @click.option("--cpu", is_flag=True, help="Force CPU inference.")
 @click.option("--lat", callback=_validator(v.parse_latitude),
-              envvar="BIRDA_LATITUDE")
+              envvar="BIRDA_LATITUDE",
+              help=f"Latitude {v.HELP_RANGES['latitude']}.")
 @click.option("--lon", callback=_validator(v.parse_longitude),
-              envvar="BIRDA_LONGITUDE")
-@click.option("--week", callback=_validator(v.parse_week), envvar="BIRDA_WEEK")
-@click.option("--month", callback=_validator(v.parse_month), envvar="BIRDA_MONTH")
-@click.option("--day", callback=_validator(v.parse_day), envvar="BIRDA_DAY")
+              envvar="BIRDA_LONGITUDE",
+              help=f"Longitude {v.HELP_RANGES['longitude']}.")
+@click.option("--week", callback=_validator(v.parse_week), envvar="BIRDA_WEEK",
+              help=f"BirdNET calendar week {v.HELP_RANGES['week']}.")
+@click.option("--month", callback=_validator(v.parse_month), envvar="BIRDA_MONTH",
+              help=f"Month {v.HELP_RANGES['month']}.")
+@click.option("--day", callback=_validator(v.parse_day), envvar="BIRDA_DAY",
+              help=f"Day of month {v.HELP_RANGES['day']}.")
 @click.option("--day-of-year", callback=_validator(v.parse_day_of_year),
-              envvar="BIRDA_DAY_OF_YEAR")
+              envvar="BIRDA_DAY_OF_YEAR",
+              help=f"Day of year {v.HELP_RANGES['day_of_year']}.")
 @click.option("--range-threshold", callback=_validator(v.parse_confidence),
-              envvar="BIRDA_RANGE_THRESHOLD")
+              envvar="BIRDA_RANGE_THRESHOLD",
+              help=f"Range-filter score threshold {v.HELP_RANGES['confidence']}.")
 @click.option("--rerank", is_flag=True, envvar="BIRDA_RERANK")
 @click.option("--range-unmatched", type=click.Choice(["keep", "drop"]),
               envvar="BIRDA_RANGE_UNMATCHED")
@@ -1084,12 +1093,18 @@ def providers(output_mode):
 
 @cli.command()
 @click.option("-o", "--output", type=click.Path(path_type=Path))
-@click.option("--lat", callback=_validator(v.parse_latitude), required=True)
-@click.option("--lon", callback=_validator(v.parse_longitude), required=True)
-@click.option("--week", callback=_validator(v.parse_week))
-@click.option("--month", callback=_validator(v.parse_month))
-@click.option("--day", callback=_validator(v.parse_day))
-@click.option("--threshold", callback=_validator(v.parse_confidence))
+@click.option("--lat", callback=_validator(v.parse_latitude), required=True,
+              help=f"Latitude {v.HELP_RANGES['latitude']}.")
+@click.option("--lon", callback=_validator(v.parse_longitude), required=True,
+              help=f"Longitude {v.HELP_RANGES['longitude']}.")
+@click.option("--week", callback=_validator(v.parse_week),
+              help=f"BirdNET calendar week {v.HELP_RANGES['week']}.")
+@click.option("--month", callback=_validator(v.parse_month),
+              help=f"Month {v.HELP_RANGES['month']}.")
+@click.option("--day", callback=_validator(v.parse_day),
+              help=f"Day of month {v.HELP_RANGES['day']}.")
+@click.option("--threshold", callback=_validator(v.parse_confidence),
+              help=f"Occurrence-score threshold {v.HELP_RANGES['confidence']}.")
 @click.option("--sort", type=click.Choice(["freq", "alpha"]), default="freq")
 @click.option("-m", "--model")
 @click.option("--geomodel-path", type=click.Path(path_type=Path),

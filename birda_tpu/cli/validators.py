@@ -145,3 +145,21 @@ def parse_stale_lock_timeout(s) -> float:
     if value <= 0:
         raise ValidationFailure("stale lock timeout must be positive")
     return value * multiplier
+
+
+#: Constant-derived range strings for CLI help text. The range a flag's
+#: help states and the range its validator enforces must come from the
+#: same constant (reference #312/#341: help said one bound, the parser
+#: enforced another); tests pin each flag's own help block to these.
+HELP_RANGES = {
+    "confidence": f"({confidence.MIN:.1f}-{confidence.MAX:.1f})",
+    "latitude": f"({coordinates.LATITUDE_MIN:.1f} to "
+                f"{coordinates.LATITUDE_MAX:.1f})",
+    "longitude": f"({coordinates.LONGITUDE_MIN:.1f} to "
+                 f"{coordinates.LONGITUDE_MAX:.1f})",
+    "batch_size": f"({MIN_BATCH_SIZE}-{MAX_BATCH_SIZE})",
+    "week": f"({range_filter.WEEK_MIN}-{range_filter.WEEKS_PER_YEAR})",
+    "month": f"({calendar.MONTH_MIN}-{calendar.MONTH_MAX})",
+    "day": f"({calendar.DAY_MIN}-{calendar.DAY_MAX})",
+    "day_of_year": f"({day_of_year.MIN}-{day_of_year.MAX})",
+}

@@ -623,3 +623,72 @@ class TestStdoutPreflight:
         r = runner.invoke(cli, ["analyze", str(a), str(b), "--cpu", "--stdout"])
         assert r.exit_code == 1
         assert "exactly one input file" in r.output
+
+
+class TestHelpBoundsPinned:
+    """Reference #341/#312: every bound a constant owns that is also stated
+    in help text is pinned against that constant, per flag — a page-wide
+    search would let --range-threshold cover for --min-confidence."""
+
+    @staticmethod
+    def _flag_help(runner, command, flag):
+        r = runner.invoke(cli, [command, "--help"])
+        assert r.exit_code == 0
+        block, collecting = [], False
+        for line in r.output.splitlines():
+            stripped = line.strip()
+            starts_option = stripped.startswith("-")
+            if collecting and starts_option:
+                break
+            if f"{flag} " in line and starts_option:
+                collecting = True
+            if collecting:
+                block.append(line)
+        assert block, f"{flag} not found in {command} --help"
+        return " ".join(block)
+
+    def test_analyze_flag_bounds(self, runner):
+        from birda_tpu.cli.validators import HELP_RANGES
+
+        cases = [
+            ("--min-confidence", HELP_RANGES["confidence"]),
+            ("--batch-size", HELP_RANGES["batch_size"]),
+            ("--lat", HELP_RANGES["latitude"]),
+            ("--lon", HELP_RANGES["longitude"]),
+            ("--week", HELP_RANGES["week"]),
+            ("--month", HELP_RANGES["month"]),
+            ("--day", HELP_RANGES["day"]),
+            ("--day-of-year", HELP_RANGES["day_of_year"]),
+            ("--range-threshold", HELP_RANGES["confidence"]),
+        ]
+        for flag, bound in cases:
+            assert bound in self._flag_help(runner, "analyze", flag), flag
+
+    def test_species_flag_bounds(self, runner):
+        from birda_tpu.cli.validators import HELP_RANGES
+
+        cases = [
+            ("--lat", HELP_RANGES["latitude"]),
+            ("--lon", HELP_RANGES["longitude"]),
+            ("--week", HELP_RANGES["week"]),
+            ("--month", HELP_RANGES["month"]),
+            ("--day", HELP_RANGES["day"]),
+            ("--threshold", HELP_RANGES["confidence"]),
+        ]
+        for flag, bound in cases:
+            assert bound in self._flag_help(runner, "species", flag), flag
+
+    def test_help_range_matches_validator(self):
+        # The stated range and the enforced range come from one constant:
+        # the boundary value passes, one past it fails, for each axis.
+        import birda_tpu.cli.validators as v
+
+        assert v.parse_week("48") == 48
+        with pytest.raises(v.ValidationFailure):
+            v.parse_week("49")
+        assert v.parse_batch_size("512") == 512
+        with pytest.raises(v.ValidationFailure):
+            v.parse_batch_size("513")
+        assert v.parse_confidence("1.0") == 1.0
+        with pytest.raises(v.ValidationFailure):
+            v.parse_confidence("1.01")
