@@ -50,7 +50,10 @@ class FileResult:
 
     @property
     def ok(self) -> bool:
-        return self.error is None
+        """Analyzed successfully: no error AND not skipped — a locked or
+        resume-skipped file was never analyzed, which must not read as a
+        successful zero-detection result."""
+        return self.error is None and self.skipped is None
 
 
 @dataclass
@@ -95,6 +98,34 @@ class _Collector(ProgressReporter):
 _DEVICES = ("auto", "cpu", "tpu", "gpu")
 
 
+def _validate_bounds(**values) -> None:
+    """Apply the CLI validators to whichever bounded values are set,
+    raising the typed ConfigValidation the library contract documents."""
+    from .cli import validators as v
+    from .errors import ConfigValidation
+
+    parsers = {
+        "min_confidence": v.parse_confidence,
+        "overlap": v.parse_overlap,
+        "batch_size": v.parse_batch_size,
+        "lat": v.parse_latitude,
+        "lon": v.parse_longitude,
+        "week": v.parse_week,
+        "month": v.parse_month,
+        "day": v.parse_day,
+        "day_of_year": v.parse_day_of_year,
+        "range_threshold": v.parse_confidence,
+        "threshold": v.parse_confidence,
+    }
+    for name, value in values.items():
+        if value is None:
+            continue
+        try:
+            parsers[name](value)
+        except v.ValidationFailure as e:
+            raise ConfigValidation(f"{name}: {e}") from e
+
+
 def analyze(
     inputs: Sequence[Path | str],
     *,
@@ -112,6 +143,8 @@ def analyze(
     lat: Optional[float] = None,
     lon: Optional[float] = None,
     week: Optional[int] = None,
+    month: Optional[int] = None,
+    day: Optional[int] = None,
     day_of_year: Optional[int] = None,
     range_threshold: Optional[float] = None,
     rerank: bool = False,
@@ -144,9 +177,24 @@ def analyze(
     from .errors import BirdaError, ConfigValidation
     from .orchestrator import AnalyzeOptions, analyze_files
 
+    if isinstance(inputs, (str, Path)):
+        inputs = [inputs]  # a bare string is NOT a list of its characters
     if device not in _DEVICES:
         raise ConfigValidation(
             f"device must be one of {', '.join(_DEVICES)} (got '{device}')")
+    if precision not in ("fp32", "bf16", "int8"):
+        raise ConfigValidation(
+            f"precision must be fp32, bf16 or int8 (got '{precision}')")
+    if range_unmatched not in (None, "keep", "drop"):
+        raise ConfigValidation(
+            f"range_unmatched must be keep or drop (got '{range_unmatched}')")
+    # The same bounds the CLI flags and config.toml enforce (the three-route
+    # rule, reference #306/#312/#340): the library is the fourth route and
+    # must not be the one that lets week 53 reach the geomodel.
+    _validate_bounds(
+        min_confidence=min_confidence, overlap=overlap,
+        batch_size=batch_size, lat=lat, lon=lon, week=week, month=month,
+        day=day, day_of_year=day_of_year, range_threshold=range_threshold)
 
     if config is None:
         try:
@@ -172,6 +220,8 @@ def analyze(
         lat=lat,
         lon=lon,
         week=week,
+        month=month,
+        day=day,
         day_of_year=day_of_year,
         range_threshold=range_threshold,
         rerank=rerank,
@@ -188,8 +238,19 @@ def analyze(
     collector = _Collector()
     exit_code = analyze_files(options, config, reporter=collector)
 
-    return AnalyzeResult(files=list(collector.by_file.values()),
-                         exit_code=exit_code)
+    # Inputs the collector never heard about were dropped before the
+    # pipeline (missing path, unsupported extension) — a programmatic
+    # caller must see that, not a silently shorter result list.
+    files = list(collector.by_file.values())
+    for p in options.inputs:
+        if str(p) in collector.by_file or p.is_dir():
+            continue
+        if not p.exists():
+            files.append(FileResult(path=p, error="input path does not exist"))
+        elif p.is_file():
+            files.append(FileResult(
+                path=p, error="not a supported audio file"))
+    return AnalyzeResult(files=files, exit_code=exit_code)
 
 
 @dataclass
@@ -232,6 +293,8 @@ def species(
     if (geomodel_path is None) != (geomodel_labels_path is None):
         raise ConfigValidation(
             "geomodel_path and geomodel_labels_path must be given together")
+    _validate_bounds(lat=lat, lon=lon, week=week, month=month, day=day,
+                     threshold=threshold)
     result = compute_species_list(
         lat=lat, lon=lon, week=week, month=month, day=day,
         threshold=threshold, sort=sort, model_name=model,

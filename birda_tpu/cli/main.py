@@ -934,6 +934,7 @@ def models_install(model_id, language, region, variant, set_default,
             if not license_mod.prompt_license_acceptance(
                 entry.id, entry.name or entry.id, entry.license,
                 assume_yes=accept_license,
+                vendor=getattr(entry, "vendor", "") or "",
             ):
                 click.echo("License not accepted; aborting.")
                 sys.exit(1)
@@ -969,7 +970,8 @@ def models_install(model_id, language, region, variant, set_default,
     try:
         rm = reg.find_model(model_id)
         if not license_mod.prompt_license_acceptance(
-            rm.id, rm.name, rm.license, assume_yes=accept_license
+            rm.id, rm.name, rm.license, assume_yes=accept_license,
+            vendor=rm.vendor,
         ):
             click.echo("License not accepted; aborting.")
             sys.exit(1)

@@ -740,9 +740,12 @@ def process_all_files(
             except BirdaError as e:
                 logger.warning("could not reclaim stale lock: %s", e)
 
+        # Streamed-detection runs (stdout or the library API) write no
+        # output files, so output-existence resume is meaningless there.
         check = should_process(
             input_path, output_dir, formats,
-            force=options.force, stdout_mode=options.stdout_mode,
+            force=options.force,
+            stdout_mode=options.stdout_mode or options.stream_detections,
         )
         if check == ProcessCheck.SKIP_EXISTS:
             stats.files_skipped += 1
@@ -859,9 +862,12 @@ def _process_files_parallel(
             except BirdaError:
                 pass
 
+        # Streamed-detection runs (stdout or the library API) write no
+        # output files, so output-existence resume is meaningless there.
         check = should_process(
             input_path, output_dir, formats,
-            force=options.force, stdout_mode=options.stdout_mode,
+            force=options.force,
+            stdout_mode=options.stdout_mode or options.stream_detections,
         )
         if check != ProcessCheck.PROCESS:
             with lock:

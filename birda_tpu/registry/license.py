@@ -92,6 +92,7 @@ def prompt_license_acceptance(
     license_info: LicenseInfo,
     assume_yes: bool = False,
     input_fn=input,
+    vendor: str = "",
 ) -> bool:
     """Returns True when the user may proceed. Records acceptance."""
     if not needs_prompt(license_info):
@@ -107,7 +108,8 @@ def prompt_license_acceptance(
             f"--accept-license to accept non-interactively.\n"
         )
         return False
-    sys.stderr.write("\n" + license_summary(model_name, license_info))
+    sys.stderr.write(
+        "\n" + license_summary(model_name, license_info, vendor=vendor))
     try:
         answer = input_fn("Accept the license terms? [y/N] ")
     except EOFError:

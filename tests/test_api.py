@@ -169,3 +169,115 @@ class TestLibraryApi:
         assert summary.total_clips == 1
         wavs = list(out.glob("**/*.wav"))
         assert len(wavs) == 1
+
+
+class TestLibraryApiHardening:
+    """Review-pass fixes: the library is the fourth validation route and
+    must enforce the same bounds as CLI flags, env vars, and config.toml."""
+
+    def test_bounds_validated_like_the_cli(self, home, tmp_path):
+        import birda_tpu
+        from birda_tpu.errors import ConfigValidation
+
+        audio = make_audio(tmp_path)
+        cases = [
+            dict(week=53), dict(lat=500.0), dict(lon=-500.0),
+            dict(min_confidence=1.5), dict(batch_size=100000),
+            dict(month=13), dict(day=32), dict(day_of_year=367),
+            dict(range_threshold=2.0), dict(precision="fp16"),
+            dict(range_unmatched="discard"),
+        ]
+        for kw in cases:
+            with pytest.raises(ConfigValidation):
+                birda_tpu.analyze([audio], config=synthetic_config(),
+                                  device="cpu", **kw)
+        with pytest.raises(ConfigValidation):
+            birda_tpu.species(60.0, 24.0, week=53)
+
+    def test_bare_string_input_is_one_path(self, home, tmp_path):
+        import birda_tpu
+
+        audio = make_audio(tmp_path)
+        res = birda_tpu.analyze(str(audio), device="cpu",
+                                min_confidence=0.0,
+                                config=synthetic_config())
+        assert len(res.files) == 1 and res.files[0].ok
+
+    def test_dropped_inputs_surface_as_errors(self, home, tmp_path):
+        import birda_tpu
+
+        good = make_audio(tmp_path)
+        missing = tmp_path / "typo.wav"
+        not_audio = tmp_path / "notes.txt"
+        not_audio.write_text("field notes")
+        res = birda_tpu.analyze([good, missing, not_audio], device="cpu",
+                                min_confidence=0.0,
+                                config=synthetic_config())
+        by_name = {f.path.name: f for f in res.files}
+        assert by_name["rec.wav"].ok
+        assert by_name["typo.wav"].error == "input path does not exist"
+        assert by_name["notes.txt"].error == "not a supported audio file"
+
+    def test_skipped_file_is_not_ok(self, home, tmp_path):
+        import birda_tpu
+        from birda_tpu.locking.file_lock import FileLock
+
+        audio = make_audio(tmp_path)
+        lock = FileLock.acquire(audio, tmp_path)  # foreign live lock
+        try:
+            res = birda_tpu.analyze([audio], device="cpu",
+                                    config=synthetic_config())
+        finally:
+            lock.release()
+        f = res.files[0]
+        assert f.skipped and not f.ok and f.error is None
+
+    def test_month_day_route_activates_range_filter(self, home, tmp_path):
+        # The CLI's --month/--day route exists on the library too.
+        import fixtures_onnx as fo
+
+        import birda_tpu
+        from birda_tpu.models.zoo import tiny_model
+
+        labels = tiny_model().labels
+        geo = tmp_path / "geo.onnx"
+        geo.write_bytes(fo.make_fixture_geomodel(num_species=50))
+        geo_labels = tmp_path / "geo-labels.txt"
+        geo_labels.write_text("".join(f"{l}\n" for l in labels[:50]))
+        cfg = synthetic_config()
+        cfg.defaults.geomodel = geo
+        cfg.defaults.geomodel_labels = geo_labels
+        audio = make_audio(tmp_path)
+        res = birda_tpu.analyze(
+            [audio], device="cpu", min_confidence=0.0, config=cfg,
+            lat=60.0, lon=24.0, month=6, day=15,
+            range_threshold=0.0, range_unmatched="drop")
+        assert res.files[0].ok
+
+    def test_force_false_never_resume_skips_library_runs(self, home,
+                                                         tmp_path):
+        # A prior CLI run left a CSV next to the audio; the library writes
+        # no files, so output existence must not skip the request.
+        import birda_tpu
+
+        audio = make_audio(tmp_path)
+        (tmp_path / "rec.BirdNET.results.csv").write_text("stale")
+        res = birda_tpu.analyze([audio], device="cpu", min_confidence=0.0,
+                                force=False, config=synthetic_config())
+        assert res.files[0].ok and res.files[0].detections
+
+    def test_vendor_named_in_license_prompt(self, monkeypatch, tmp_path,
+                                            capsys):
+        import sys as _sys
+
+        from birda_tpu.registry import license as license_mod
+        from birda_tpu.registry.schema import LicenseInfo
+
+        monkeypatch.setattr(
+            license_mod, "_acceptances_path", lambda: tmp_path / "acc.json")
+        monkeypatch.setattr(_sys.stdin, "isatty", lambda: True)
+        lic = LicenseInfo(type="CC-BY-NC-SA-4.0", commercial_use=False,
+                          attribution_required=True, share_alike=True)
+        license_mod.prompt_license_acceptance(
+            "m", "Model M", lic, input_fn=lambda _: "y", vendor="Cornell")
+        assert "attribution to Cornell" in capsys.readouterr().err
