@@ -2194,6 +2194,34 @@ class _Evaluator:
         bot = v10 * (1 - wx) + v11 * wx
         return top * (1 - wy) + bot * wy
 
+    def op_AffineGrid(self, node, theta, size):
+        """Opset-20 AffineGrid (2-D): the sampling-grid generator paired
+        with GridSample. theta [N,2,3], size [N,C,H,W] (host constant) →
+        grid [N,H,W,2] of (x,y) in the normalized [-1,1] space."""
+        dims = [int(v) for v in np.asarray(size).reshape(-1)]
+        if len(dims) != 4:
+            raise UnsupportedOnnxOp(
+                f"AffineGrid with {len(dims) - 2} spatial dims "
+                "(only 2-D supported)")
+        n, _, h, w = dims
+        align = node.attr("align_corners", 0)
+        import jax.numpy as jnp
+
+        def base(count):
+            # Normalized sample centers along one axis.
+            r = jnp.arange(count, dtype=jnp.float32)
+            if align:
+                return -1.0 + 2.0 * r / max(count - 1, 1)
+            return (2.0 * r + 1.0) / count - 1.0
+
+        xs = jnp.broadcast_to(base(w)[None, :], (h, w))
+        ys = jnp.broadcast_to(base(h)[:, None], (h, w))
+        ones = jnp.ones((h, w), jnp.float32)
+        pts = jnp.stack([xs, ys, ones], axis=-1).reshape(h * w, 3)
+        th = jnp.asarray(theta, jnp.float32)  # [N, 2, 3]
+        grid = jnp.einsum("pk,nok->npo", pts, th)
+        return grid.reshape(n, h, w, 2)
+
     def op_Det(self, node, x):
         if _is_host(x):
             return np.linalg.det(_np(x)).astype(_np(x).dtype)

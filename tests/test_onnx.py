@@ -2266,3 +2266,21 @@ class TestAttentionOps:
         w /= w.sum(-1, keepdims=True)
         want = np.einsum("bhqk,bhkd->bhqd", w, v)
         assert np.max(np.abs(got - want)) < 1e-5
+
+    def test_affine_grid_matches_torch(self):
+        rng = np.random.default_rng(10)
+        theta = rng.normal(size=(2, 2, 3)).astype(np.float32)
+        for align in (0, 1):
+            mb = fo.model(
+                [fo.node("AffineGrid", ["t", "sz"], ["g"],
+                         attrs=[fo.attr_int("align_corners", align)])],
+                inputs=[fo.value_info("t", [2, 2, 3])],
+                outputs=[fo.value_info("g", [2, 5, 7, 2])],
+                initializers=[fo.tensor(
+                    "sz", np.array([2, 3, 5, 7], np.int64))],
+                opset=20,
+            )
+            got = np.asarray(lower(mb)(theta))
+            want = F.affine_grid(torch.from_numpy(theta), [2, 3, 5, 7],
+                                 align_corners=bool(align)).numpy()
+            assert np.max(np.abs(got - want)) < 1e-5, align
