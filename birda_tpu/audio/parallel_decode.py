@@ -142,7 +142,7 @@ def spawn_parallel_decode(
         threads.append(t)
 
     def mux():
-        error = None
+        error_sent = False
         try:
             for q in worker_queues:
                 while not abort.is_set():
@@ -153,14 +153,22 @@ def spawn_parallel_decode(
                     if item is _WORKER_DONE:
                         break
                     if isinstance(item, BaseException):
-                        if error is None:
-                            error = item
-                        continue  # drain to DONE so the worker can exit
-                    if error is None:
+                        # Ship the FIRST error immediately: the consumer
+                        # raises on receipt and its teardown sets `abort`,
+                        # which stops the other workers mid-span — waiting
+                        # until every worker drained to DONE kept all the
+                        # decoders running for minutes on output that was
+                        # already doomed. Keep draining (non-forwarding) so
+                        # workers blocked on a full queue can reach their
+                        # abort checks.
+                        if not error_sent:
+                            error_sent = True
+                            if not _put_abortable(tx, item, abort):
+                                return
+                        continue
+                    if not error_sent:
                         if not _put_abortable(tx, item, abort):
                             return
-            if error is not None and not abort.is_set():
-                _put_abortable(tx, error, abort)
         finally:
             abort_set = abort.is_set()
             if not abort_set:

@@ -114,6 +114,9 @@ class BirdClassifier:
         self.species_list = species_list
         self.want_embeddings = want_embeddings
         self._warmed = _WarmupRegistry()
+        # Compound check-then-warm must be atomic: two --jobs threads both
+        # seeing not-warm would dispatch duplicate warmups.
+        self._warm_lock = threading.Lock()
         self._warmup_reports: list[WarmupReport] = []
         self._chunk_runners: dict[tuple, "ChunkRunner"] = {}
         self._chunk_runner_lock = threading.Lock()
@@ -191,14 +194,16 @@ class BirdClassifier:
         keys engines, so every distinct batch size pays its own first-call
         cost; repeat calls for a warmed shape return immediately.
         """
-        if self._warmed.is_warm(batch_size):
-            return None
-        report = self._warmup(batch_size)
-        # Recorded only after success, so a failed warmup is retried rather
-        # than skipped straight to real audio on a never-warmed shape.
-        self._warmed.mark_warm(batch_size)
-        self._warmup_reports.append(report)
-        return report
+        with self._warm_lock:
+            if self._warmed.is_warm(batch_size):
+                return None
+            report = self._warmup(batch_size)
+            # Recorded only after success, so a failed warmup is retried
+            # rather than skipped straight to real audio on a never-warmed
+            # shape.
+            self._warmed.mark_warm(batch_size)
+            self._warmup_reports.append(report)
+            return report
 
     def _warmup(self, batch_size: int) -> WarmupReport:
         dummy = np.zeros((batch_size, self.sample_count), np.float32)
@@ -254,6 +259,7 @@ class BirdClassifier:
         except Exception as e:  # noqa: BLE001
             raise InferenceErr(str(e)) from e
 
+        k = _effective_top_k(options, vals.shape[1])
         results = []
         for row in range(vals.shape[0]):
             preds = [
@@ -262,7 +268,7 @@ class BirdClassifier:
                     confidence=float(v),
                     index=int(i),
                 )
-                for v, i in zip(vals[row], idx[row])
+                for v, i in zip(vals[row][:k], idx[row][:k])
                 if v >= options.min_confidence
             ]
             results.append(
@@ -468,8 +474,13 @@ class ChunkRunner:
         else:
             self._step = jax.jit(step)
         self._warm = False
+        self._warm_lock = threading.Lock()
 
     def ensure_warm(self) -> Optional[WarmupReport]:
+        with self._warm_lock:
+            return self._ensure_warm_locked()
+
+    def _ensure_warm_locked(self) -> Optional[WarmupReport]:
         if self._warm:
             return None
         start = time.monotonic()
@@ -555,6 +566,20 @@ class ChunkRunner:
         return self.predict_chunk_async(chunk, n_real, options).collect()
 
 
+def _effective_top_k(options: "InferenceOptions", built_k: int) -> int:
+    """Honor a caller-supplied top_k: the device computes the top-``built_k``
+    scores per row (baked into the jit), so a smaller request truncates and
+    a larger one is a hard error rather than a silent no-op."""
+    k = getattr(options, "top_k", None)
+    if k is None or k == built_k:
+        return built_k
+    if k > built_k:
+        raise InferenceErr(
+            f"top_k={k} exceeds the compiled top-k of {built_k}; rebuild "
+            "the classifier with a larger top_k")
+    return max(1, int(k))
+
+
 class PendingChunk:
     """In-flight device work for one chunk (see ``predict_chunk_async``)."""
 
@@ -575,13 +600,14 @@ class PendingChunk:
             raise InferenceErr(str(e)) from e
 
         labels = self._runner.classifier.labels
+        k = _effective_top_k(self._options, vals.shape[1])
         results = []
         for row in range(min(self._n_real, self._runner.batch_size)):
             preds = [
                 Prediction(
                     species=labels[int(i)], confidence=float(v), index=int(i)
                 )
-                for v, i in zip(vals[row], idx[row])
+                for v, i in zip(vals[row][:k], idx[row][:k])
                 if v >= self._options.min_confidence
             ]
             results.append(

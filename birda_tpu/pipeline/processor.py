@@ -103,6 +103,21 @@ def _decode_and_stream(
         put_abortable(tx, _SENTINEL, abort)
 
 
+def _use_parallel_decode(n_workers: int, bat_mode: bool, total_frames,
+                         exact_seek: bool, est_segments: int) -> bool:
+    """Parallel span decode only when the file is long enough to split,
+    its length is known (seek targets need the window grid), the codec
+    seeks exactly, and we are NOT in bat mode (the bat window contract
+    keeps the reference single-thread decode path)."""
+    return (
+        n_workers > 1
+        and not bat_mode
+        and total_frames is not None
+        and exact_seek
+        and est_segments >= 2 * n_workers
+    )
+
+
 def process_file(classifier: BirdClassifier, config: ProcessingConfig) -> ProcessResult:
     """Process one audio file end to end. Caller handles ``FileLocked``."""
     start_time = time.monotonic()
@@ -211,11 +226,9 @@ def process_file(classifier: BirdClassifier, config: ProcessingConfig) -> Proces
         # length is known (seek targets need the window grid). Bat mode and
         # short files keep the single-thread path.
         n_workers = max(1, config.decode_workers)
-        use_parallel = (
-            n_workers > 1
-            and decoder.total_frames is not None
-            and decoder.exact_seek
-            and est_segments >= 2 * n_workers
+        use_parallel = _use_parallel_decode(
+            n_workers, config.bat_mode, decoder.total_frames,
+            decoder.exact_seek, est_segments,
         )
         if use_parallel:
             from ..audio.parallel_decode import spawn_parallel_decode
@@ -251,8 +264,15 @@ def process_file(classifier: BirdClassifier, config: ProcessingConfig) -> Proces
             except BirdaError as e:
                 logger.warning("%s, SDM will not be applied", e)
 
+        # BSG calibration can RAISE confidences, and the reference applies
+        # it before thresholding (processor.rs:284-318) — so with a BSG
+        # processor active the device-side cut keeps every top-k prediction
+        # and finalize() thresholds the calibrated values instead.
+        device_min_conf = (
+            0.0 if config.bsg_processor is not None else config.min_confidence
+        )
         options = InferenceOptions(
-            min_confidence=config.min_confidence, top_k=classifier.top_k
+            min_confidence=device_min_conf, top_k=classifier.top_k
         )
         detections: list[Detection] = []
         segments_done = 0
@@ -320,12 +340,11 @@ def process_file(classifier: BirdClassifier, config: ProcessingConfig) -> Proces
             if runner is not None:
                 # Reassemble the contiguous stream by PLACING each window
                 # at its true offset — each sample crosses the link exactly
-                # once. A fixed-stride concat assumed uniform spacing, but
-                # the decoder's final windows advance by less than a full
-                # step (tail semantics), which shifted the reconstructed
-                # tail samples. The device still windows on the uniform
-                # grid, so only the trailing window's start can quantize to
-                # the grid; its samples are now the true stream either way.
+                # once. Every window here is on the uniform source grid
+                # (off-grid tail windows were flushed into their own
+                # single-window chunks by the loop below), so the device's
+                # uniform windowing reads each row's true samples to within
+                # the rational resample-rounding drift.
                 if n_real == 1:
                     chunk = batch_samples[0]
                 else:
@@ -367,6 +386,20 @@ def process_file(classifier: BirdClassifier, config: ProcessingConfig) -> Proces
 
                 raise AudioDecode(str(config.input_path), str(item)) from item
             samples, start_sample = item
+            # The device windows each chunk on ITS uniform grid anchored at
+            # the chunk's first sample. Mid-file windows sit on the host's
+            # uniform source grid (start0 + k*step_src), which tracks the
+            # device grid to within the rational rounding drift (<~1 source
+            # sample per window, below the mel hop quantization). The
+            # decoder's TAIL windows advance by less than a full step and
+            # fall off that grid — batched, the device row would read
+            # past-EOF padding instead of the tail samples — so an off-grid
+            # window is flushed into its own single-window chunk, where it
+            # anchors the grid itself (row 0 reads exactly its samples).
+            if (runner is not None and batch_starts
+                    and start_sample != batch_starts[0]
+                    + len(batch_samples) * step_src):
+                flush_batch()
             batch_samples.append(samples)
             batch_starts.append(start_sample)
             if len(batch_samples) >= effective_batch:

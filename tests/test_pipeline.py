@@ -353,3 +353,134 @@ class TestBatchQuantization:
             assert res.segments == int(secs // 3)
         # 3 segs -> batch 4; 5 segs -> 8; 7 segs -> 8: two programs, not three.
         assert len(clf._chunk_runners) - runners_before == 2
+
+
+class TestHotPathReviewFixes:
+    """Round-3 hot-path review findings, each pinned."""
+
+    def test_bsg_calibration_precedes_thresholding(self, clf, tmp_path):
+        # A boosting calibration must be able to PROMOTE a raw score past
+        # min_confidence (reference order: BSG -> threshold,
+        # processor.rs:284-318). Pre-fix, the device dropped sub-threshold
+        # raw scores before calibration ever saw them.
+        from birda_tpu.inference.bsg import BsgPostProcessor, load_calibration
+
+        audio = make_audio(tmp_path, secs=3.0)
+        base = ProcessingConfig(
+            input_path=audio, output_dir=tmp_path / "o1",
+            formats=[OutputFormat.CSV], min_confidence=0.0, overlap=0.0,
+            batch_size=8,
+        )
+        r0 = process_file(clf, base)
+        csv = (tmp_path / "o1" / "rec.BirdNET.results.csv").read_text(
+            encoding="utf-8-sig").splitlines()
+        rows = [line.split(",") for line in csv[1:]]
+        assert rows
+        raw_by_species = {r[2]: float(r[4]) for r in rows}
+        cmax = max(raw_by_species.values())
+        import math
+
+        def calibrated(c, intercept=4.0):
+            return 1 / (1 + math.exp(-(math.log(c / (1 - c)) + intercept)))
+
+        # Threshold strictly between the best raw score and its boost.
+        thr = (cmax + calibrated(cmax)) / 2
+        assert thr > cmax
+        cal = tmp_path / "cal.csv"
+        cal.write_text(
+            "species,coef,intercept\n"
+            + "".join(f"{label},1.0,4.0\n" for label in clf.labels))
+        proc = BsgPostProcessor(load_calibration(cal))
+        cfg = ProcessingConfig(
+            input_path=audio, output_dir=tmp_path / "o2",
+            formats=[OutputFormat.CSV], min_confidence=thr, overlap=0.0,
+            batch_size=8, bsg_processor=proc,
+        )
+        r1 = process_file(clf, cfg)
+        assert r1.detections > 0, (
+            "calibration-promoted detections were dropped pre-calibration")
+        assert r0.segments == r1.segments
+
+    def test_options_top_k_is_honored(self, clf):
+        from birda_tpu.errors import Inference as InferenceErr
+        from birda_tpu.inference.classifier import InferenceOptions
+
+        x = np.random.default_rng(0).normal(
+            size=(2, clf.sample_count)).astype(np.float32)
+        out = clf.predict_batch(x, InferenceOptions(0.0, top_k=1))
+        assert all(len(r.predictions) == 1 for r in out)
+        with pytest.raises(InferenceErr, match="top_k"):
+            clf.predict_batch(x, InferenceOptions(0.0, top_k=99))
+
+    def test_chunk_runner_tail_matches_legacy_path(self, clf, tmp_path):
+        # Overlap makes the decoder's final window advance by less than a
+        # full step (off the uniform grid): batched naively, the device row
+        # read past-EOF padding. The chunked path must agree with the
+        # legacy per-window path on such files.
+        audio = make_audio(tmp_path, name="tail.wav", secs=7.5)
+
+        def run(use_runner, out):
+            cfg = ProcessingConfig(
+                input_path=audio, output_dir=tmp_path / out,
+                formats=[OutputFormat.CSV], min_confidence=0.0, overlap=1.0,
+                batch_size=8, use_chunk_runner=use_runner,
+            )
+            process_file(clf, cfg)
+            csv = (tmp_path / out / "tail.BirdNET.results.csv").read_text(
+                encoding="utf-8-sig").splitlines()
+            return sorted(
+                (r[0], r[2], round(float(r[4]), 4))
+                for r in (line.split(",") for line in csv[1:]))
+
+        legacy = run(False, "legacy")
+        chunked = run(True, "chunked")
+        assert chunked == legacy
+
+    def test_parallel_decode_gate(self):
+        from birda_tpu.pipeline.processor import _use_parallel_decode
+
+        assert _use_parallel_decode(4, False, 10_000_000, True, 100)
+        assert not _use_parallel_decode(4, True, 10_000_000, True, 100)
+        assert not _use_parallel_decode(1, False, 10_000_000, True, 100)
+        assert not _use_parallel_decode(4, False, None, True, 100)
+        assert not _use_parallel_decode(4, False, 10_000_000, False, 100)
+        assert not _use_parallel_decode(4, False, 10_000_000, True, 7)
+
+    def test_parallel_decode_error_ships_before_full_drain(self, tmp_path):
+        # The first worker error must reach the consumer without waiting
+        # for every other worker to decode its entire span.
+        import queue as _q
+        import threading as _t
+
+        from birda_tpu.audio import parallel_decode as pd
+
+        tx: _q.Queue = _q.Queue()
+        abort = _t.Event()
+        sent = _t.Event()
+
+        def fake_worker(path, q, abort_ev, first, end, *a):
+            if first == 0:
+                q.put(RuntimeError("corrupt frame"))
+                q.put(pd._WORKER_DONE)
+                return
+            # Second worker: slow, endless until abort (simulates a long
+            # span); must NOT need to finish for the error to surface.
+            while not abort_ev.is_set():
+                try:
+                    q.put((np.zeros(4, np.float32), 0), timeout=0.05)
+                except _q.Full:
+                    continue
+            q.put(pd._WORKER_DONE)
+
+        orig = pd._worker
+        pd._worker = fake_worker
+        try:
+            pd.spawn_parallel_decode(
+                Path("x.wav"), tx, sent, 10_000_000, 144000, 0,
+                48000, 144000, False, 2, abort=abort)
+            item = tx.get(timeout=5)
+            assert isinstance(item, RuntimeError)
+            abort.set()  # consumer teardown
+        finally:
+            pd._worker = orig
+            abort.set()
