@@ -39,6 +39,73 @@ FUSED_SE_PROJECT_OP = "BirdaFusedSEProject"
 FUSED_MBCONV_OP = "BirdaFusedMBConvS1"
 
 
+def _build_consumers(graph: Graph):
+    """``(consumers, out_names, sole_consumer)`` over the current node
+    list. Maps go stale after any splice — rebuild before re-matching."""
+    consumers: dict[str, list[Node]] = {}
+    for n in graph.nodes:
+        for inp in n.inputs:
+            # Dedupe: Mul(x, x) is ONE consumer of x, not two.
+            if inp and (inp not in consumers
+                        or consumers[inp][-1] is not n):
+                consumers.setdefault(inp, []).append(n)
+    out_names = {vi.name for vi in graph.outputs}
+
+    def sole_consumer(tensor: str, op_type: str | None = None):
+        """The unique consumer of ``tensor`` (None if shared or an
+        output); optionally requiring its op type."""
+        if tensor in out_names:
+            return None
+        cons = consumers.get(tensor, [])
+        if len(cons) != 1:
+            return None
+        if op_type is not None and cons[0].op_type != op_type:
+            return None
+        return cons[0]
+
+    return consumers, out_names, sole_consumer
+
+
+def _fresh_init_name(graph: Graph, base: str) -> str:
+    """``base``, uniquified against the existing initializers. Exporter
+    dedup passes can make two fused chains share a parameter initializer
+    (e.g. identical BN gammas merged to one tensor); deriving the folded
+    names from that shared input alone would cross-wire the chains'
+    folds."""
+    name, n = base, 1
+    while name in graph.initializers:
+        n += 1
+        name = f"{base}_{n}"
+    return name
+
+
+def _iter_nodes_recursive(graph: Graph):
+    """Every node in ``graph`` including If/Loop/Scan body subgraphs
+    (whose nodes close over outer-scope tensors by name)."""
+    stack = list(graph.nodes)
+    while stack:
+        n = stack.pop()
+        yield n
+        for a in n.attrs.values():
+            if a.g is not None:
+                stack.extend(a.g.nodes)
+
+
+def _drop_dead_inits(graph: Graph, chain) -> None:
+    """Delete initializers the spliced-out ``chain`` alone consumed.
+    "Still used" must count subgraph-body references and the graph's
+    declared inputs: IR-3 exports list initializers in ``graph.inputs``,
+    and deleting one would turn it into a required runtime input."""
+    chain_inits = {
+        i for n in chain for i in n.inputs if i in graph.initializers
+    }
+    still_used = {i for n in _iter_nodes_recursive(graph) for i in n.inputs}
+    still_used.update(vi.name for vi in graph.outputs)
+    still_used.update(vi.name for vi in graph.inputs)
+    for name in chain_inits - still_used:
+        del graph.initializers[name]
+
+
 def _attr_i(name: str, v: int) -> Attribute:
     return Attribute(name=name, i=int(v))
 
@@ -92,27 +159,7 @@ def _scalar_init(graph: Graph, name: str):
 def fuse_mel_frontend(graph: Graph) -> int:
     """Splice matching Conv1d-STFT→…→Log chains in place; returns the
     number of chains fused (0 = graph untouched)."""
-    consumers: dict[str, list[Node]] = {}
-    for n in graph.nodes:
-        for inp in n.inputs:
-            # Dedupe: Mul(x, x) is ONE consumer of x, not two.
-            if inp and (inp not in consumers
-                        or consumers[inp][-1] is not n):
-                consumers.setdefault(inp, []).append(n)
-    out_names = {vi.name for vi in graph.outputs}
-
-    def sole_consumer(tensor: str, op_type: str | None = None):
-        """The unique consumer of ``tensor`` (None if shared or an
-        output); optionally requiring its op type."""
-        if tensor in out_names:
-            return None
-        cons = consumers.get(tensor, [])
-        if len(cons) != 1:
-            return None
-        if op_type is not None and cons[0].op_type != op_type:
-            return None
-        return cons[0]
-
+    consumers, out_names, sole_consumer = _build_consumers(graph)
     fused = 0
     for conv in list(graph.nodes):
         match = _match_chain(graph, conv, consumers, out_names,
@@ -239,6 +286,11 @@ def _match_chain(graph, conv, consumers, out_names, sole_consumer):
         concat = sole_consumer(mm_nodes[0].outputs[0], "Concat")
         if concat is None or concat.attr("axis") != 2:
             return None
+        # Every matmul off the spectrum must feed this Concat, exactly
+        # once — a stray bank (e.g. an auxiliary head's matmul) would
+        # otherwise be deleted with the chain, orphaning its consumers.
+        if sorted(concat.inputs) != sorted(m.outputs[0] for m in mm_nodes):
+            return None
         # Concat input order defines the bank order in the fused matrix.
         order = []
         for inp in concat.inputs:
@@ -325,22 +377,7 @@ def _se_conv_1x1(graph, node):
 
 
 def _match_one_se(graph, absorb_project=True, skip=frozenset()):
-    consumers: dict[str, list[Node]] = {}
-    for n in graph.nodes:
-        for inp in n.inputs:
-            if inp and (inp not in consumers or consumers[inp][-1] is not n):
-                consumers.setdefault(inp, []).append(n)
-    out_names = {vi.name for vi in graph.outputs}
-
-    def sole_consumer(tensor, op_type=None):
-        if tensor in out_names:
-            return None
-        cons = consumers.get(tensor, [])
-        if len(cons) != 1:
-            return None
-        if op_type is not None and cons[0].op_type != op_type:
-            return None
-        return cons[0]
+    consumers, out_names, sole_consumer = _build_consumers(graph)
 
     for pool in graph.nodes:
         if id(pool) in skip:
@@ -486,6 +523,8 @@ def fuse_mbconv_s1(graph: Graph) -> int:
 def _swish_producer(graph, t, producers, consumers, out_names):
     """When ``t`` is the output of ``Mul(a, Sigmoid(a))`` whose pieces are
     consumed only by that swish, return ``(a, [sigmoid, mul])``."""
+    if t in out_names:
+        return None  # the swish Mul itself feeds a graph output: keep it
     mu = producers.get(t)
     if mu is None or mu.op_type != "Mul" or len(mu.inputs) != 2:
         return None
@@ -537,25 +576,11 @@ def _match_mbconv_upstream(graph, m):
     preceded by an expand-1x1 + [BN] + swish. Returns the upstream pieces
     or None (the SE match then stays a plain SE/SEP fusion)."""
     producers: dict[str, Node] = {}
-    consumers: dict[str, list[Node]] = {}
     for n in graph.nodes:
         for o in n.outputs:
             if o:
                 producers[o] = n
-        for inp in n.inputs:
-            if inp and (inp not in consumers or consumers[inp][-1] is not n):
-                consumers.setdefault(inp, []).append(n)
-    out_names = {vi.name for vi in graph.outputs}
-
-    def sole_consumer(tensor, op_type=None):
-        if tensor in out_names:
-            return None
-        cons = consumers.get(tensor, [])
-        if len(cons) != 1:
-            return None
-        if op_type is not None and cons[0].op_type != op_type:
-            return None
-        return cons[0]
+    consumers, out_names, sole_consumer = _build_consumers(graph)
 
     # m["x"] is consumed by the SE pool and the gate Mul — exactly.
     if len(consumers.get(m["x"], [])) != 2:
@@ -682,7 +707,7 @@ def _apply_mbconv(graph: Graph, m: dict, mm: dict) -> None:
         aff_p = (np.ones(o_ch, np.float32), bias.astype(np.float32))
 
     def init(tag, arr):
-        name = (proj.inputs[1] + "__fused_" + tag)
+        name = _fresh_init_name(graph, proj.inputs[1] + "__fused_" + tag)
         graph.initializers[name] = Tensor(
             name=name, dims=tuple(arr.shape),
             array=np.ascontiguousarray(arr))
@@ -715,13 +740,7 @@ def _apply_mbconv(graph: Graph, m: dict, mm: dict) -> None:
     first_idx = min(graph.nodes.index(n) for n in chain)
     graph.nodes = [n for n in graph.nodes if id(n) not in chain_set]
     graph.nodes.insert(first_idx, fused)
-    still_used = {i for n in graph.nodes for i in n.inputs}
-    still_used.update(vi.name for vi in graph.outputs)
-    chain_inits = {
-        i for n in chain for i in n.inputs if i in graph.initializers
-    }
-    for name in chain_inits - still_used:
-        del graph.initializers[name]
+    _drop_dead_inits(graph, chain)
 
 
 def _bn_fold(graph: Graph, bn: Node):
@@ -745,8 +764,10 @@ def _apply_se(graph: Graph, m: dict) -> None:
         bn_s_name = bn_t_name = ""
         if m["bn"] is not None:
             scale, shift = _bn_fold(graph, m["bn"])
-            bn_s_name = m["bn"].inputs[1] + "__fused_se_scale"
-            bn_t_name = m["bn"].inputs[1] + "__fused_se_shift"
+            bn_s_name = _fresh_init_name(
+                graph, m["bn"].inputs[1] + "__fused_se_scale")
+            bn_t_name = _fresh_init_name(
+                graph, m["bn"].inputs[1] + "__fused_se_shift")
             graph.initializers[bn_s_name] = Tensor(
                 name=bn_s_name, dims=tuple(scale.shape), array=scale)
             graph.initializers[bn_t_name] = Tensor(
@@ -771,22 +792,16 @@ def _apply_se(graph: Graph, m: dict) -> None:
             attrs={},
         )
     chain_set = set(map(id, m["chain"]))
-    chain_inits = {
-        i for n in m["chain"] for i in n.inputs if i in graph.initializers
-    }
     idx = graph.nodes.index(m["pool"])
     graph.nodes = [n for n in graph.nodes if id(n) not in chain_set]
     graph.nodes.insert(idx, fused)
     # Drop initializers the chain alone consumed (raw BN stats after the
     # fold, the ReduceMean axes tensor) — same discipline as the mel pass.
-    still_used = {i for n in graph.nodes for i in n.inputs}
-    still_used.update(vi.name for vi in graph.outputs)
-    for name in chain_inits - still_used:
-        del graph.initializers[name]
+    _drop_dead_inits(graph, m["chain"])
 
 
 def _apply(graph: Graph, m: dict) -> None:
-    fb_name = m["conv"].inputs[1] + "__fused_melfb"
+    fb_name = _fresh_init_name(graph, m["conv"].inputs[1] + "__fused_melfb")
     fb = np.ascontiguousarray(m["fb_cat"].astype(np.float32))
     graph.initializers[fb_name] = Tensor(
         name=fb_name, dims=tuple(fb.shape), array=fb,
@@ -802,16 +817,10 @@ def _apply(graph: Graph, m: dict) -> None:
         },
     )
     chain_set = set(map(id, m["chain"]))
-    chain_inits = {
-        i for n in m["chain"] for i in n.inputs if i in graph.initializers
-    }
     idx = graph.nodes.index(m["conv"])
     graph.nodes = [n for n in graph.nodes if id(n) not in chain_set]
     graph.nodes.insert(idx, fused)
     # Drop initializers the chain alone consumed (the per-bank mel
     # matrices are large enough to be param-lifted and shipped to the
     # device — dead weight once the concatenated copy replaces them).
-    still_used = {i for n in graph.nodes for i in n.inputs}
-    still_used.update(vi.name for vi in graph.outputs)
-    for name in chain_inits - still_used:
-        del graph.initializers[name]
+    _drop_dead_inits(graph, m["chain"])

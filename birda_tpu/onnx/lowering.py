@@ -28,6 +28,7 @@ exports have a fighting chance. Unknown ops raise ``UnsupportedOnnxOp``.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
 from typing import Any
 
 import numpy as np
@@ -127,6 +128,31 @@ class _Evaluator:
                 v = _constant_payload(node)
                 if v is not None:
                     self.const[node.outputs[0]] = v
+
+    @property
+    def compute_dtype(self):
+        if getattr(self._tls, "cd_suppressed", False):
+            return None
+        return self._compute_dtype
+
+    @compute_dtype.setter
+    def compute_dtype(self, value):
+        self._compute_dtype = value
+
+    @contextmanager
+    def _no_compute_cast(self):
+        """Suppress mixed-precision input casts for the enclosed handlers
+        (integer conv/matmul paths accumulate in int32 and must never see
+        a bf16 cast). Per-thread, like the env stack: one function's
+        evaluator serves concurrent per-shape warmup traces under
+        ``--jobs``, and a plain save/restore of the shared attribute would
+        leak the suppression into (or past) a sibling thread's trace."""
+        prev = getattr(self._tls, "cd_suppressed", False)
+        self._tls.cd_suppressed = True
+        try:
+            yield
+        finally:
+            self._tls.cd_suppressed = prev
 
     # -- execution ----------------------------------------------------------
 
@@ -1648,12 +1674,8 @@ class _Evaluator:
         # axis (0), not numpy's default trailing axis.
         wndim = getattr(w, "ndim", _np(w).ndim)
         wi = self._as_i32(w, self._per_axis(w_zp, wndim, 0))
-        saved = self.compute_dtype
-        self.compute_dtype = None  # never bf16-cast integer convs
-        try:
+        with self._no_compute_cast():  # never bf16-cast integer convs
             acc = self.op_Conv(node, xi, wi, None)  # int32 accum
-        finally:
-            self.compute_dtype = saved
         if b is not None:
             bi = (np.asarray(b, np.int32) if _is_host(b)
                   else b.astype(np.int32))
@@ -1713,12 +1735,8 @@ class _Evaluator:
         xi = self._as_i32(x, x_zp)
         wndim = getattr(w, "ndim", _np(w).ndim)
         wi = self._as_i32(w, self._per_axis(w_zp, wndim, 0))
-        saved = self.compute_dtype
-        self.compute_dtype = None
-        try:
+        with self._no_compute_cast():
             return self.op_Conv(node, xi, wi, None)  # int32 accumulation
-        finally:
-            self.compute_dtype = saved
 
     # com.microsoft QLinear* elementwise ops (QOperator-format graphs).
 

@@ -562,14 +562,9 @@ class _Int8Evaluator(_Evaluator):
                                    b)
         sx = self._ascale[node.inputs[0]]
         xq = self._qact(x, node.inputs[0])
-        saved = self.compute_dtype
-        self.compute_dtype = None  # int path: no bf16 casts inside
-        try:
+        with self._no_compute_cast():  # int path: no bf16 casts inside
             acc = super().op_Conv(node, xq, w, None)  # int32 accumulation
-        finally:
-            self.compute_dtype = saved
-        k_red = (np.prod(w.shape[1:])  # C_in/group × prod(kernel)
-                 if not _is_host(w) or isinstance(w, np.ndarray) else 0)
+        k_red = np.prod(w.shape[1:])  # C_in/group × prod(kernel)
         self._acct("macs", acc.size * int(k_red))
         self._acct("dequant_elems", acc.size)
         scale = (np.float32(sx) * sw).reshape((1, -1) + (1,) * spatial)
@@ -885,13 +880,26 @@ def lower_int8(
         # are excluded — XLA cannot fuse a quantize into a custom call, so
         # storing would add a standalone pass instead of riding an epilogue.
         producers = {o: n for n in graph.nodes for o in n.outputs if o}
-        # DSP guard: tensors that reach a DFT through elementwise/shape ops
-        # are time-domain audio about to be transformed — 8-bit storage
-        # puts a quantization noise floor under the whole spectrum (the
-        # same reasoning that keeps the Conv1d-STFT front-end float). Walk
-        # backward from every DFT input, stopping at matmul/conv producers.
+        # DSP guard: tensors that reach a spectral transform through
+        # elementwise/shape ops are time-domain audio about to be
+        # transformed — 8-bit storage puts a quantization noise floor
+        # under the whole spectrum (the same reasoning that keeps the
+        # Conv1d-STFT front-end float). Seed from every transform
+        # spelling — DFT, opset-17 STFT, the fused Pallas front-end, and
+        # the Conv1d-STFT conv shape `_structurally_eligible` excludes —
+        # and walk backward, stopping at matmul/conv producers.
+        def _is_stft_conv(nd) -> bool:
+            if nd.op_type != "Conv" or len(nd.inputs) < 2:
+                return False
+            t = graph.initializers.get(nd.inputs[1])
+            arr = None if t is None else t.array
+            return (arr is not None and arr.ndim == 3
+                    and arr.shape[1] == 1 and arr.shape[2] >= 256)
+
         dsp_block: set = set()
-        work = [i for nd in graph.nodes if nd.op_type == "DFT"
+        work = [i for nd in graph.nodes
+                if nd.op_type in ("DFT", "STFT", "BirdaFusedMelFrontend")
+                or _is_stft_conv(nd)
                 for i in nd.inputs if i]
         while work:
             t = work.pop()
@@ -903,7 +911,11 @@ def lower_int8(
                     "Conv", "MatMul", "Gemm"):
                 work.extend(i for i in prod.inputs if i)
         for name, st in calibration.stats.items():
-            if (name in ascale or name in out_names
+            # out_marked: tensors on elementwise-only paths to graph
+            # outputs (the protect_outputs walk) — int8-rounding them would
+            # land the quantization noise on the reported scores, exactly
+            # what the output-head guard exists to prevent.
+            if (name in ascale or name in out_names or name in out_marked
                     or name in graph.initializers or name in dsp_block
                     or st.get("aelems", 0) < DEFAULT_MIN_ACT_ELEMS):
                 continue
@@ -922,7 +934,10 @@ def lower_int8(
                 act_consumers.setdefault(inp, []).append((node, pos))
     store_int8: set = set()
     for name in ascale:
-        if name in out_names:
+        # Same out_marked discipline as the "all" loop above: a tensor on
+        # an elementwise path to a graph output stays float even when a
+        # quantized node also reads it.
+        if name in out_names or name in out_marked:
             continue
         cons = act_consumers.get(name, [])
         if not cons:

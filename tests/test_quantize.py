@@ -675,6 +675,90 @@ class TestBoundaryStorePolicies:
         out = np.asarray(q32(batches[0], params=q32.params)[0], np.float32)
         assert np.isfinite(out).all()
 
+    def test_all_policy_never_stores_pre_stft_conv_audio(self):
+        """The DSP guard must also seed from the Conv1d-STFT spelling
+        (no DFT node in the graph): the waveform tensor ahead of the
+        framer conv is time-domain audio and 8-bit storage floors the
+        whole spectrum."""
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(41)
+        k, hop, s = 512, 160, 20000
+        bins = 40
+        t = (s - k) // hop + 1
+        wst = rng.normal(0, 0.05, (2 * bins, 1, k)).astype(np.float32)
+        gw = rng.normal(0, 0.05, (2 * bins * t, 16)).astype(np.float32)
+        mb = fo.model(
+            [
+                fo.node("Mul", ["x", "gain"], ["a"]),  # pre-STFT gain
+                fo.node("Conv", ["a", "wst"], ["c"], attrs=[
+                    fo.attr_ints("strides", [hop]),
+                    fo.attr_ints("kernel_shape", [k]),
+                ]),
+                fo.node("Flatten", ["c"], ["f"],
+                        attrs=[fo.attr_int("axis", 1)]),
+                fo.node("Gemm", ["f", "gw"], ["h"]),
+                fo.node("Relu", ["h"], ["y"]),
+            ],
+            inputs=[fo.value_info("x", ["batch", 1, s])],
+            outputs=[fo.value_info("y", ["batch", 16])],
+            initializers=[fo.tensor("wst", wst), fo.tensor("gw", gw),
+                          fo.tensor("gain", np.float32(0.9))],
+        )
+        x = rng.normal(0, 0.3, (2, 1, s)).astype(np.float32)
+        calib = calibrate(mb, [x])
+        assert "a" in calib.stats  # captured as a large intermediate
+        qfn = lower_int8(mb, calib, compute_dtype=jnp.float32,
+                         protect_outputs=False, boundary_store="all")
+        assert qfn.quantized_nodes  # the Gemm quantized (guard not vacuous)
+        assert "a" not in qfn.int8_boundary_tensors
+        assert "x" not in qfn.int8_boundary_tensors
+
+    def test_protected_output_paths_never_boundary_stored(self):
+        """A tensor on an elementwise-only path to a graph output must
+        not be int8-materialized when protect_outputs is on — the
+        rounding noise would land on the reported scores, the exact
+        thing the output-head guard exists to prevent."""
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(42)
+        w1 = rng.normal(0, 0.15, (16, 16, 3, 3)).astype(np.float32)
+        w2 = rng.normal(0, 0.15, (16, 16, 3, 3)).astype(np.float32)
+        gw = rng.normal(0, 0.05, (16 * 16 * 16, 8)).astype(np.float32)
+        mb = fo.model(
+            [
+                fo.node("Conv", ["x", "w1"], ["t"], attrs=[
+                    fo.attr_ints("pads", [1, 1, 1, 1]),
+                ]),
+                fo.node("Sigmoid", ["t"], ["y1"]),      # score plane
+                fo.node("Conv", ["t", "w2"], ["u"], attrs=[
+                    fo.attr_ints("pads", [1, 1, 1, 1]),
+                ]),
+                fo.node("Relu", ["u"], ["r"]),
+                fo.node("Flatten", ["r"], ["f"],
+                        attrs=[fo.attr_int("axis", 1)]),
+                fo.node("Gemm", ["f", "gw"], ["y2"]),
+            ],
+            inputs=[fo.value_info("x", ["batch", 16, 16, 16])],
+            outputs=[fo.value_info("y1", ["batch", 16, 16, 16]),
+                     fo.value_info("y2", ["batch", 8])],
+            initializers=[fo.tensor("w1", w1), fo.tensor("w2", w2),
+                          fo.tensor("gw", gw)],
+        )
+        x = rng.normal(0, 0.5, (2, 16, 16, 16)).astype(np.float32)
+        calib = calibrate(mb, [x])
+        q_prot = lower_int8(mb, calib, compute_dtype=jnp.float32,
+                            protect_outputs=True, boundary_store="all")
+        # t feeds both the quantized second conv AND the Sigmoid that IS
+        # the y1 output — protected, so it must stay float.
+        assert "t" in {n.inputs[0] for n in q_prot.graph.nodes
+                       if n.outputs[0] in set(q_prot.quantized_nodes)}
+        assert "t" not in q_prot.int8_boundary_tensors
+        # Control: without output protection the same tensor stores int8.
+        q_open = lower_int8(mb, calib, compute_dtype=jnp.float32,
+                            protect_outputs=False, boundary_store="all")
+        assert "t" in q_open.int8_boundary_tensors
+
     def test_unknown_policy_rejected(self):
         mb, x = self._mixed_consumer_graph()
         calib = calibrate(mb, [x])
@@ -695,6 +779,51 @@ class TestBoundaryStorePolicies:
         # The Add's read of boundary-stored u dequantizes on fetch.
         assert rep["fetch_dequant_elems"] >= x.size
         assert rep["epilogue_elems"] >= rep["fetch_dequant_elems"]
+
+
+class TestComputeDtypeSuppression:
+    def test_no_compute_cast_is_thread_local(self):
+        """The integer-conv paths suppress bf16 input casts while they
+        trace; under --jobs several threads trace through ONE shared
+        evaluator, so the suppression must be per-thread — a plain
+        save/restore would strip (or permanently lose) the compute dtype
+        for a sibling thread's program."""
+        import threading
+
+        import jax.numpy as jnp
+
+        from birda_tpu.onnx.lowering import _Evaluator
+        from birda_tpu.onnx.proto import load_model
+
+        mb, _ = conv_gemm_graph()
+        ev = _Evaluator(load_model(mb).graph, compute_dtype=jnp.bfloat16)
+        inside = threading.Event()
+        release = threading.Event()
+        seen = {}
+
+        def holder():
+            with ev._no_compute_cast():
+                seen["holder"] = ev.compute_dtype
+                inside.set()
+                release.wait(5)
+            seen["after"] = ev.compute_dtype
+
+        th = threading.Thread(target=holder)
+        th.start()
+        assert inside.wait(5)
+        # Main thread is unaffected while the holder suppresses.
+        assert ev.compute_dtype == jnp.bfloat16
+        release.set()
+        th.join()
+        assert seen["holder"] is None
+        assert seen["after"] == jnp.bfloat16
+        # Re-entrant on one thread; restores on exit.
+        with ev._no_compute_cast():
+            assert ev.compute_dtype is None
+            with ev._no_compute_cast():
+                assert ev.compute_dtype is None
+            assert ev.compute_dtype is None
+        assert ev.compute_dtype == jnp.bfloat16
 
 
 class TestEndToEndParity:

@@ -203,6 +203,109 @@ class TestSeFusionPass:
         assert sum(n.op_type == FUSED_SE_OP
                    for n in m2.graph.nodes) == 7
 
+    def test_shared_bn_gamma_fold_stays_per_chain(self):
+        """Exporter dedup can merge identical BN gamma tensors across
+        blocks into ONE initializer. The folded scale/shift names derive
+        from that shared input — they must be uniquified per chain, or
+        the second fold silently overwrites the first's."""
+        import fixtures_onnx as fo
+        from birda_tpu.onnx.fuse import FUSED_SE_PROJECT_OP, fuse_se
+        from birda_tpu.onnx.lowering import OnnxFunction, lower
+        from birda_tpu.onnx.proto import load_model
+
+        rng = np.random.default_rng(31)
+        c, c_se, h, w = 8, 4, 4, 8
+        nodes, inits = [], []
+        gamma = np.full(c, 1.5, np.float32)  # deduplicated: shared by name
+        inits.append(fo.tensor("gamma", gamma))
+        t = "x"
+        for i in (1, 2):
+            w1 = rng.normal(0, 0.3, (c_se, c, 1, 1)).astype(np.float32)
+            w2 = rng.normal(0, 0.3, (c, c_se, 1, 1)).astype(np.float32)
+            wp = rng.normal(0, 0.3, (c, c, 1, 1)).astype(np.float32)
+            beta = rng.normal(0, 0.1, c).astype(np.float32)
+            mean = rng.normal(0, 0.5, c).astype(np.float32)
+            var = rng.uniform(0.5, 2.0, c).astype(np.float32)
+            inits += [fo.tensor(f"w1_{i}", w1), fo.tensor(f"w2_{i}", w2),
+                      fo.tensor(f"wp_{i}", wp), fo.tensor(f"beta_{i}", beta),
+                      fo.tensor(f"mean_{i}", mean), fo.tensor(f"var_{i}", var)]
+            nodes += [
+                fo.node("GlobalAveragePool", [t], [f"s{i}"]),
+                fo.node("Conv", [f"s{i}", f"w1_{i}"], [f"r{i}"]),
+                fo.node("Sigmoid", [f"r{i}"], [f"rs{i}"]),
+                fo.node("Mul", [f"r{i}", f"rs{i}"], [f"r2{i}"]),
+                fo.node("Conv", [f"r2{i}", f"w2_{i}"], [f"g0{i}"]),
+                fo.node("Sigmoid", [f"g0{i}"], [f"g{i}"]),
+                fo.node("Mul", [t, f"g{i}"], [f"gm{i}"]),
+                fo.node("Conv", [f"gm{i}", f"wp_{i}"], [f"p{i}"]),
+                fo.node("BatchNormalization",
+                        [f"p{i}", "gamma", f"beta_{i}", f"mean_{i}",
+                         f"var_{i}"], [f"o{i}"]),
+            ]
+            t = f"o{i}"
+        mb = fo.model(
+            nodes,
+            inputs=[fo.value_info("x", ["batch", c, h, w])],
+            outputs=[fo.value_info(t, ["batch", c, h, w])],
+            initializers=inits,
+        )
+        x = rng.normal(0, 0.5, (2, c, h, w)).astype(np.float32)
+        plain = lower(mb)
+        want = np.asarray(plain(x, params=plain.params), np.float32)
+
+        model = load_model(mb)
+        assert fuse_se(model.graph) == 2
+        fused = [n for n in model.graph.nodes
+                 if n.op_type == FUSED_SE_PROJECT_OP]
+        assert len(fused) == 2
+        # Distinct folded scale/shift initializers per chain.
+        assert fused[0].inputs[7] != fused[1].inputs[7]
+        assert fused[0].inputs[8] != fused[1].inputs[8]
+        fn = OnnxFunction(model)
+        got = np.asarray(fn(x, params=fn.params), np.float32)
+        assert np.max(np.abs(got - want)) < 0.02  # bf16 slab drift only
+
+    def test_initializer_listed_in_graph_inputs_survives(self):
+        """IR-3-style exports list initializers in graph.inputs; deleting
+        one during chain cleanup turns it into a required runtime input
+        and every call fails with 'missing graph inputs'."""
+        from birda_tpu.onnx.fuse import fuse_se
+        from birda_tpu.onnx.lowering import OnnxFunction
+        from birda_tpu.onnx.proto import load_model
+
+        import fixtures_onnx as fo
+
+        # The ReduceMean pool spelling with its axes as an initializer
+        # that ALSO appears in graph.inputs (chain-only consumer).
+        rng = np.random.default_rng(32)
+        c, c_se, h, w = 8, 4, 4, 8
+        w1 = rng.normal(0, 0.3, (c_se, c, 1, 1)).astype(np.float32)
+        w2 = rng.normal(0, 0.3, (c, c_se, 1, 1)).astype(np.float32)
+        mb = fo.model(
+            [
+                fo.node("ReduceMean", ["x", "axes"], ["s"],
+                        attrs=[fo.attr_int("keepdims", 1)]),
+                fo.node("Conv", ["s", "w1"], ["r"]),
+                fo.node("Sigmoid", ["r"], ["rs"]),
+                fo.node("Mul", ["r", "rs"], ["r2"]),
+                fo.node("Conv", ["r2", "w2"], ["g0"]),
+                fo.node("Sigmoid", ["g0"], ["g"]),
+                fo.node("Mul", ["x", "g"], ["y"]),
+            ],
+            inputs=[fo.value_info("x", ["batch", c, h, w]),
+                    fo.value_info("axes", [2], elem_type=7)],
+            outputs=[fo.value_info("y", ["batch", c, h, w])],
+            initializers=[fo.tensor("w1", w1), fo.tensor("w2", w2),
+                          fo.tensor("axes", np.array([2, 3], np.int64))],
+        )
+        model = load_model(mb)
+        assert fuse_se(model.graph) == 1
+        assert "axes" in model.graph.initializers  # survived the cleanup
+        fn = OnnxFunction(model)
+        x = rng.normal(0, 0.5, (2, c, h, w)).astype(np.float32)
+        out = np.asarray(fn(x, params=fn.params), np.float32)
+        assert out.shape == (2, c, h, w)
+
     def test_fused_scores_match_unfused(self, monkeypatch):
         """End to end on the tiny full-scale graph: scores through the
         fused SE (Pallas where geometry allows, composed fallback
@@ -441,7 +544,89 @@ class TestMBConvKernel:
         assert not mbconv.kernel_enabled(jnp.bfloat16)
 
 
+def _mbconv_ratio1_graph(expose_swish=False):
+    """Expand-ratio-1 MBConv block: depthwise 3x3 SAME -> swish -> SE ->
+    1x1 project. With ``expose_swish`` the depthwise-swish activation is
+    also a graph output (exporters expose intermediate taps this way)."""
+    import fixtures_onnx as fo
+
+    rng = np.random.default_rng(21)
+    c, c_se, h, w = 16, 4, 8, 16
+    wd = rng.normal(0, 0.3, (c, 1, 3, 3)).astype(np.float32)
+    w1 = rng.normal(0, 0.3, (c_se, c, 1, 1)).astype(np.float32)
+    b1 = rng.normal(0, 0.1, c_se).astype(np.float32)
+    w2 = rng.normal(0, 0.3, (c, c_se, 1, 1)).astype(np.float32)
+    b2 = rng.normal(0, 0.1, c).astype(np.float32)
+    wp = rng.normal(0, 0.3, (c, c, 1, 1)).astype(np.float32)
+    nodes = [
+        fo.node("Conv", ["x0", "wd"], ["d"], attrs=[
+            fo.attr_int("group", c),
+            fo.attr_ints("pads", [1, 1, 1, 1]),
+            fo.attr_ints("kernel_shape", [3, 3]),
+        ]),
+        fo.node("Sigmoid", ["d"], ["ds"]),
+        fo.node("Mul", ["d", "ds"], ["xm"]),
+        fo.node("GlobalAveragePool", ["xm"], ["s"]),
+        fo.node("Conv", ["s", "w1", "b1"], ["r"]),
+        fo.node("Sigmoid", ["r"], ["rs"]),
+        fo.node("Mul", ["r", "rs"], ["r2"]),
+        fo.node("Conv", ["r2", "w2", "b2"], ["g0"]),
+        fo.node("Sigmoid", ["g0"], ["g"]),
+        fo.node("Mul", ["xm", "g"], ["gm"]),
+        fo.node("Conv", ["gm", "wp"], ["y"]),
+    ]
+    outputs = [fo.value_info("y", ["batch", c, h, w])]
+    if expose_swish:
+        outputs.append(fo.value_info("xm", ["batch", c, h, w]))
+    return fo.model(
+        nodes,
+        inputs=[fo.value_info("x0", ["batch", c, h, w])],
+        outputs=outputs,
+        initializers=[fo.tensor("wd", wd), fo.tensor("w1", w1),
+                      fo.tensor("b1", b1), fo.tensor("w2", w2),
+                      fo.tensor("b2", b2), fo.tensor("wp", wp)],
+    )
+
+
 class TestMBConvFusionPass:
+    def test_exposed_swish_output_blocks_block_fusion(self):
+        """When the depthwise-swish tap is itself a graph output, the
+        whole-block fusion must not match — splicing would delete the
+        Mul that produces it, orphaning the output. The SE+project
+        fusion (which keeps the tap live as its input) still applies."""
+        from birda_tpu.onnx.fuse import (FUSED_MBCONV_OP,
+                                         FUSED_SE_PROJECT_OP,
+                                         fuse_mbconv_s1, fuse_se)
+        from birda_tpu.onnx.lowering import OnnxFunction, lower
+        from birda_tpu.onnx.proto import load_model
+
+        mb = _mbconv_ratio1_graph(expose_swish=True)
+        rng = np.random.default_rng(22)
+        x = rng.normal(0, 0.5, (2, 16, 8, 16)).astype(np.float32)
+        plain = lower(mb)
+        want_y, want_xm = (np.asarray(v, np.float32)
+                           for v in plain(x, params=plain.params))
+
+        model = load_model(mb)
+        assert fuse_mbconv_s1(model.graph) == 0
+        assert not any(n.op_type == FUSED_MBCONV_OP
+                       for n in model.graph.nodes)
+        # The SE chain itself is still safely fusable (xm stays an input).
+        assert fuse_se(model.graph) == 1
+        assert any(n.op_type == FUSED_SE_PROJECT_OP
+                   for n in model.graph.nodes)
+        fn = OnnxFunction(model)
+        got_y, got_xm = (np.asarray(v, np.float32)
+                         for v in fn(x, params=fn.params))
+        np.testing.assert_allclose(got_xm, want_xm, atol=1e-6)
+        # The composed SE-project path runs its slabs at the kernel's
+        # production dtype (bf16), so the budget is bf16 drift.
+        assert np.max(np.abs(got_y - want_y)) < 0.01
+
+        # Control: the same block without the exposed tap fuses whole.
+        m2 = load_model(_mbconv_ratio1_graph(expose_swish=False))
+        assert fuse_mbconv_s1(m2.graph) == 1
+
     def test_tiny_v24_block_split(self):
         """Tiny v2.4: stages 1/5/7 are stride-1 (whole-block fusable,
         stage 1 with residual and no expand), stages 2/3/4/6 are

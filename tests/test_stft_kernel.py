@@ -308,6 +308,69 @@ class TestMelFrontendFusion:
         # the documented bf16 drift, not exactness.
         assert np.abs(got - want).max() / np.abs(want).max() < 2e-2
 
+    def test_stray_matmul_off_spectrum_left_alone(self):
+        """A third MatMul off the transposed spectrum that does NOT feed
+        the matched Concat (an auxiliary head) must block the fusion:
+        splicing would delete it and orphan its consumers."""
+        import fixtures_onnx as fo
+        from birda_tpu.onnx.fuse import fuse_mel_frontend
+        from birda_tpu.onnx.lowering import lower
+        from birda_tpu.onnx.proto import load_model
+
+        rng = np.random.default_rng(9)
+        k, hop, s = 512, 160, 8000
+        bins = 40
+        t = (s - k) // hop + 1
+        w = rng.normal(0, 0.05, (2 * bins, 1, k)).astype(np.float32)
+        fb1 = rng.uniform(0, 0.1, (bins, 16)).astype(np.float32)
+        fb2 = rng.uniform(0, 0.1, (bins, 12)).astype(np.float32)
+        fb3 = rng.uniform(0, 0.1, (bins, 8)).astype(np.float32)
+        mb = fo.model(
+            [
+                fo.node("Conv", ["x", "w"], ["c"], attrs=[
+                    fo.attr_ints("strides", [hop]),
+                    fo.attr_ints("kernel_shape", [k]),
+                ]),
+                fo.node("Slice", ["c"], ["re"], attrs=[
+                    fo.attr_ints("starts", [0]), fo.attr_ints("ends", [bins]),
+                    fo.attr_ints("axes", [1])]),
+                fo.node("Slice", ["c"], ["im"], attrs=[
+                    fo.attr_ints("starts", [bins]),
+                    fo.attr_ints("ends", [2 * bins]),
+                    fo.attr_ints("axes", [1])]),
+                fo.node("Mul", ["re", "re"], ["re2"]),
+                fo.node("Mul", ["im", "im"], ["im2"]),
+                fo.node("Add", ["re2", "im2"], ["p"]),
+                fo.node("Transpose", ["p"], ["pt"],
+                        attrs=[fo.attr_ints("perm", [0, 2, 1])]),
+                fo.node("MatMul", ["pt", "fb1"], ["mel1"]),
+                fo.node("MatMul", ["pt", "fb2"], ["mel2"]),
+                fo.node("MatMul", ["pt", "fb3"], ["z"]),  # stray bank
+                fo.node("Concat", ["mel1", "mel2"], ["mel"],
+                        attrs=[fo.attr_int("axis", 2)]),
+                fo.node("Add", ["mel", "eps"], ["mele"]),
+                fo.node("Log", ["mele"], ["y"]),
+            ],
+            inputs=[fo.value_info("x", ["batch", 1, s])],
+            outputs=[fo.value_info("y", ["batch", t, 28]),
+                     fo.value_info("z", ["batch", t, 8])],
+            initializers=[
+                fo.tensor("w", w), fo.tensor("fb1", fb1),
+                fo.tensor("fb2", fb2), fo.tensor("fb3", fb3),
+                fo.tensor("eps", np.float32(1e-6)),
+            ],
+        )
+        model = load_model(mb)
+        n_before = len(model.graph.nodes)
+        assert fuse_mel_frontend(model.graph) == 0
+        assert len(model.graph.nodes) == n_before
+        # Both heads still execute.
+        fn = lower(mb)
+        x = rng.normal(0, 0.3, (2, 1, s)).astype(np.float32)
+        y, z = fn(x, params=fn.params)
+        assert np.asarray(y).shape == (2, t, 28)
+        assert np.asarray(z).shape == (2, t, 8)
+
     def test_split_uneven_or_wrong_axis_left_alone(self):
         """A Split that is not the equal cos/sin halving must not match."""
         import fixtures_onnx as fo
