@@ -18,6 +18,13 @@ from ..native import audio as native_audio
 
 _INVALID = set('/\\:*?"<>|')
 
+# RIFF sizes are 32-bit: 16-bit mono PCM caps out just under 4 GiB of
+# payload. Past it the Python writer's struct.pack raises (crashing the
+# batch instead of warning per-clip) and the native writer's uint32 cast
+# silently writes a corrupt header — so reject at the shared chokepoint,
+# like the reference's hound writer errors (``src/clipper/writer.rs:44``).
+MAX_WAV16_SAMPLES = (0xFFFFFFFF - 36) // 2
+
 
 def sanitize_filename(name: str) -> str:
     sanitized = "".join("_" if c in _INVALID else c for c in name)
@@ -55,6 +62,12 @@ class WavWriter:
         start_time: float,
         end_time: float,
     ) -> Path:
+        if samples.size > MAX_WAV16_SAMPLES:
+            raise WavWriteFailed(
+                str(self.output_dir),
+                f"clip of {samples.size} samples exceeds the 4 GiB WAV "
+                f"limit ({MAX_WAV16_SAMPLES} samples at 16-bit mono)",
+            )
         safe_species = sanitize_filename(species)
         species_dir = self.output_dir / safe_species
         try:

@@ -154,7 +154,15 @@ class DistributionMaps:
                 end = data.index(b"\x00", off)
                 name = data[off:end].decode("utf-8")
                 off = end + 1
-                grids[species_key(name)] = data[off : off + cell_count]
+                grid = data[off : off + cell_count]
+                # Slicing never raises: a truncated final grid arrives
+                # short here and would IndexError much later in present().
+                if len(grid) < cell_count:
+                    raise ValueError(
+                        f"grid for {name!r}: {len(grid)} of "
+                        f"{cell_count} cells"
+                    )
+                grids[species_key(name)] = grid
                 off += cell_count
         except (struct.error, ValueError) as e:
             raise BsgDistributionMaps(f"{path}: truncated ({e})") from e

@@ -120,22 +120,47 @@ class ParquetWriter(OutputWriter):
 
 def combine_parquet_files(input_files: list[Path], output_path: Path | str) -> None:
     """Concatenate per-file Parquet results into one table (reference
-    ``parquet.rs:318``). Schema comes from the first file."""
+    ``parquet.rs:318``). Schema comes from the first file.
+
+    Atomic: the combined table is assembled at a temp sibling and renamed
+    onto the final name only after a clean close. A mid-combine failure
+    (unreadable input, schema mismatch) must not leave a footer-complete —
+    i.e. silently truncated but *readable* — table at the final path.
+    """
     if not input_files:
         raise NoInputFilesToCombine()
+    output_path = Path(output_path)
     try:
         first = pq.ParquetFile(str(input_files[0]))
     except (OSError, pa.ArrowInvalid) as e:
         raise ParquetFileOpen(str(input_files[0]), str(e)) from e
     schema = first.schema_arrow
-    writer = pq.ParquetWriter(str(output_path), schema, compression="snappy")
+    import os
+
+    tmp = output_path.parent / f".{output_path.name}.{os.getpid()}.part"
+    writer = pq.ParquetWriter(str(tmp), schema, compression="snappy")
     try:
         for path in input_files:
             try:
                 pf = pq.ParquetFile(str(path))
             except (OSError, pa.ArrowInvalid) as e:
                 raise ParquetFileOpen(str(path), str(e)) from e
-            for batch in pf.iter_batches():
-                writer.write_batch(batch.cast(schema) if batch.schema != schema else batch)
-    finally:
+            try:
+                for batch in pf.iter_batches():
+                    writer.write_batch(
+                        batch.cast(schema) if batch.schema != schema else batch)
+            except (pa.ArrowInvalid, pa.ArrowTypeError, pa.ArrowNotImplementedError) as e:
+                raise ParquetWrite(
+                    f"combining {path}: {e}") from e
         writer.close()
+    except BaseException:
+        try:
+            writer.close()
+        except Exception:  # noqa: BLE001 — best-effort on the error path
+            pass
+        try:
+            tmp.unlink()
+        except OSError:
+            pass
+        raise
+    os.replace(tmp, output_path)

@@ -96,6 +96,18 @@ class TestDistributionMaps:
         with pytest.raises(BsgDistributionMaps):
             DistributionMaps.load(p)
 
+    def test_truncated_grid_is_load_error(self, tmp_path):
+        # A file cut mid-grid must fail at load (slicing never raises on a
+        # short tail; unchecked it IndexErrors much later in present()).
+        p = tmp_path / "maps.bin"
+        DistributionMaps.write(
+            p, 2, 2, 59.0, 70.0, 19.0, 32.0,
+            {"Parus major": bytes([1, 1, 0, 0])},
+        )
+        p.write_bytes(p.read_bytes()[:-2])
+        with pytest.raises(BsgDistributionMaps, match="truncated"):
+            DistributionMaps.load(p)
+
     def test_full_process(self, tmp_path):
         cal = tmp_path / "cal.csv"
         write_calibration(cal, [("Parus major_Talitiainen", 1.0, 0.0)])

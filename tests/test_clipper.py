@@ -170,6 +170,19 @@ class TestWriter:
         assert generate_filename("Parus major", 0.854, 10.5, 13.5) == \
             "Parus major_85p_10.5-13.5.wav"
 
+    def test_oversized_clip_is_typed_error_not_corrupt_wav(self, tmp_path):
+        # Past the RIFF 32-bit size field, the native writer's uint32 cast
+        # would silently emit a corrupt header; the guard must raise the
+        # typed per-clip error instead. broadcast_to keeps this virtual.
+        from birda_tpu.clipper.writer import MAX_WAV16_SAMPLES
+        from birda_tpu.errors import WavWriteFailed
+
+        w = WavWriter(tmp_path / "clips")
+        huge = np.broadcast_to(np.float32(0.0), (MAX_WAV16_SAMPLES + 1,))
+        with pytest.raises(WavWriteFailed, match="4 GiB"):
+            w.write_clip(huge, 48000, "Parus major", 0.9, 0.0, 1.0)
+        assert not (tmp_path / "clips").exists()  # nothing written
+
     def test_write_clip_roundtrip(self, tmp_path):
         w = WavWriter(tmp_path / "clips")
         x = (0.5 * np.sin(np.arange(4800) * 0.1)).astype(np.float32)

@@ -210,6 +210,22 @@ class TestParquet:
         with pytest.raises(NoInputFilesToCombine):
             combine_parquet_files([], tmp_path / "x.parquet")
 
+    def test_combine_failure_leaves_no_output(self, tmp_path):
+        # A mid-combine failure must not leave a footer-complete (readable
+        # but silently truncated) table at the final path — nor a .part.
+        from birda_tpu.errors import ParquetFileOpen
+
+        good = tmp_path / "good.parquet"
+        with ParquetWriter(good) as w:
+            w.write_detection(make_detection(start=1.0))
+        corrupt = tmp_path / "corrupt.parquet"
+        corrupt.write_bytes(b"not parquet at all")
+        out = tmp_path / "combined.parquet"
+        with pytest.raises(ParquetFileOpen):
+            combine_parquet_files([good, corrupt], out)
+        assert not out.exists()
+        assert not list(tmp_path.glob(".combined.parquet.*")), "leftover .part"
+
 
 class TestEnvelope:
     def test_envelope_shape(self):
