@@ -67,6 +67,167 @@ class TestStftVsTf:
         assert np.max(np.abs(got - want)) < 1e-6
 
 
+class TestSamePaddingVsTf:
+    """auto_pad=SAME_UPPER with stride 2 on odd spatial dims forces
+    asymmetric pads — the signature padding of every TF export, and the
+    one case torch cannot oracle directly (its padding is symmetric)."""
+
+    def _nchw(self, x_nhwc):
+        return np.transpose(x_nhwc, (0, 3, 1, 2))
+
+    def test_conv_same_upper(self):
+        rng = np.random.default_rng(3)
+        x = rng.normal(0, 1, (2, 57, 57, 5)).astype(np.float32)  # NHWC
+        w = rng.normal(0, 0.2, (3, 3, 5, 8)).astype(np.float32)  # HWIO
+        want = tf.nn.conv2d(x, w, strides=2, padding="SAME").numpy()
+
+        w_onnx = np.transpose(w, (3, 2, 0, 1))  # OIHW
+        mb = fo.model(
+            [fo.node("Conv", ["x", "w"], ["y"],
+                     attrs=[fo.attr_str("auto_pad", "SAME_UPPER"),
+                            fo.attr_ints("strides", [2, 2]),
+                            fo.attr_ints("kernel_shape", [3, 3])])],
+            inputs=[fo.value_info("x", [2, 5, 57, 57])],
+            outputs=[fo.value_info("y", [2, 8, 29, 29])],
+            initializers=[fo.tensor("w", w_onnx)],
+        )
+        got = run_model(mb, self._nchw(x))
+        assert got.shape == self._nchw(want).shape
+        assert np.max(np.abs(got - self._nchw(want))) < 1e-4
+
+    def test_depthwise_conv_same_upper(self):
+        rng = np.random.default_rng(4)
+        c = 6
+        x = rng.normal(0, 1, (1, 33, 33, c)).astype(np.float32)
+        w = rng.normal(0, 0.2, (5, 5, c, 1)).astype(np.float32)  # HWC1
+        want = tf.nn.depthwise_conv2d(
+            x, w, strides=[1, 2, 2, 1], padding="SAME").numpy()
+
+        w_onnx = np.transpose(w, (2, 3, 0, 1))  # [C,1,5,5] group=C
+        mb = fo.model(
+            [fo.node("Conv", ["x", "w"], ["y"],
+                     attrs=[fo.attr_str("auto_pad", "SAME_UPPER"),
+                            fo.attr_ints("strides", [2, 2]),
+                            fo.attr_int("group", c),
+                            fo.attr_ints("kernel_shape", [5, 5])])],
+            inputs=[fo.value_info("x", [1, c, 33, 33])],
+            outputs=[fo.value_info("y", [1, c, 17, 17])],
+            initializers=[fo.tensor("w", w_onnx)],
+        )
+        got = run_model(mb, self._nchw(x))
+        assert got.shape == self._nchw(want).shape
+        assert np.max(np.abs(got - self._nchw(want))) < 1e-4
+
+    def test_maxpool_same_upper(self):
+        rng = np.random.default_rng(5)
+        x = rng.normal(0, 1, (2, 21, 21, 3)).astype(np.float32)
+        want = tf.nn.max_pool2d(x, 3, 2, padding="SAME").numpy()
+        mb = fo.model(
+            [fo.node("MaxPool", ["x"], ["y"],
+                     attrs=[fo.attr_str("auto_pad", "SAME_UPPER"),
+                            fo.attr_ints("strides", [2, 2]),
+                            fo.attr_ints("kernel_shape", [3, 3])])],
+            inputs=[fo.value_info("x", [2, 3, 21, 21])],
+            outputs=[fo.value_info("y", [2, 3, 11, 11])],
+        )
+        got = run_model(mb, self._nchw(x))
+        assert np.max(np.abs(got - self._nchw(want))) < 1e-6
+
+    def test_avgpool_same_upper_excludes_padding(self):
+        # TF's SAME avg pool divides by the number of REAL cells in each
+        # window; ONNX count_include_pad=0 (the default) must agree.
+        rng = np.random.default_rng(6)
+        x = rng.normal(0, 1, (1, 11, 11, 2)).astype(np.float32)
+        want = tf.nn.avg_pool2d(x, 2, 2, padding="SAME").numpy()
+        mb = fo.model(
+            [fo.node("AveragePool", ["x"], ["y"],
+                     attrs=[fo.attr_str("auto_pad", "SAME_UPPER"),
+                            fo.attr_ints("strides", [2, 2]),
+                            fo.attr_ints("kernel_shape", [2, 2])])],
+            inputs=[fo.value_info("x", [1, 2, 11, 11])],
+            outputs=[fo.value_info("y", [1, 2, 6, 6])],
+        )
+        got = run_model(mb, self._nchw(x))
+        assert got.shape == self._nchw(want).shape
+        assert np.max(np.abs(got - self._nchw(want))) < 1e-6
+
+
+class TestResizeVsTf:
+    """tf2onnx maps each TF resize op/flag combination to a specific
+    Resize coordinate_transformation_mode; verify our implementation of
+    each mapping against the TF op itself (upsampling 7x5 -> 13x11, a
+    non-integer ratio that exposes every coordinate convention)."""
+
+    SRC, DST = (7, 5), (13, 11)
+
+    def _resize_graph(self, ct_mode, interp, nearest_mode=None):
+        attrs = [fo.attr_str("mode", interp),
+                 fo.attr_str("coordinate_transformation_mode", ct_mode)]
+        if nearest_mode:
+            attrs.append(fo.attr_str("nearest_mode", nearest_mode))
+        h, w = self.SRC
+        oh, ow = self.DST
+        return fo.model(
+            [fo.node("Resize", ["x", "", "", "sizes"], ["y"], attrs=attrs)],
+            inputs=[fo.value_info("x", [1, 2, h, w])],
+            outputs=[fo.value_info("y", [1, 2, oh, ow])],
+            initializers=[
+                fo.tensor("sizes", np.array([1, 2, oh, ow], np.int64))],
+            opset=18,
+        )
+
+    def _x(self):
+        rng = np.random.default_rng(8)
+        return rng.normal(0, 1, (1, 7, 5, 2)).astype(np.float32)
+
+    def test_bilinear_half_pixel(self):
+        # TF2 tf.image.resize(method='bilinear') == half_pixel
+        x = self._x()
+        want = tf.image.resize(x, self.DST, method="bilinear").numpy()
+        got = run_model(self._resize_graph("half_pixel", "linear"),
+                        np.transpose(x, (0, 3, 1, 2)))
+        assert np.max(np.abs(got - np.transpose(want, (0, 3, 1, 2)))) < 1e-5
+
+    def test_bilinear_asymmetric(self):
+        # TF1 resize_bilinear(align_corners=False) == asymmetric
+        x = self._x()
+        want = tf.compat.v1.image.resize_bilinear(
+            x, self.DST, align_corners=False).numpy()
+        got = run_model(self._resize_graph("asymmetric", "linear"),
+                        np.transpose(x, (0, 3, 1, 2)))
+        assert np.max(np.abs(got - np.transpose(want, (0, 3, 1, 2)))) < 1e-5
+
+    def test_bilinear_align_corners(self):
+        x = self._x()
+        want = tf.compat.v1.image.resize_bilinear(
+            x, self.DST, align_corners=True).numpy()
+        got = run_model(self._resize_graph("align_corners", "linear"),
+                        np.transpose(x, (0, 3, 1, 2)))
+        assert np.max(np.abs(got - np.transpose(want, (0, 3, 1, 2)))) < 1e-5
+
+    def test_nearest_tf_half_pixel(self):
+        # TF2 tf.image.resize(method='nearest') == tf_half_pixel_for_nn
+        # with nearest_mode=floor (the tf2onnx mapping).
+        x = self._x()
+        want = tf.image.resize(x, self.DST, method="nearest").numpy()
+        got = run_model(
+            self._resize_graph("tf_half_pixel_for_nn", "nearest",
+                               nearest_mode="floor"),
+            np.transpose(x, (0, 3, 1, 2)))
+        assert np.array_equal(got, np.transpose(want, (0, 3, 1, 2)))
+
+    def test_nearest_asymmetric(self):
+        # TF1 resize_nearest_neighbor (no flags) == asymmetric + floor.
+        x = self._x()
+        want = tf.compat.v1.image.resize_nearest_neighbor(
+            x, self.DST, align_corners=False).numpy()
+        got = run_model(
+            self._resize_graph("asymmetric", "nearest",
+                               nearest_mode="floor"),
+            np.transpose(x, (0, 3, 1, 2)))
+        assert np.array_equal(got, np.transpose(want, (0, 3, 1, 2)))
+
+
 class TestTfExportStyleMelFrontEnd:
     def test_full_chain_at_birdnet_scale(self):
         """stft -> |.|^2 -> mel matmul -> log, TF vs our lowering of the
