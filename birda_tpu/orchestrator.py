@@ -156,6 +156,24 @@ class RunStats:
 # Resolution helpers
 # ---------------------------------------------------------------------------
 
+def _apply_model_overrides(mc: ModelConfig,
+                           options: AnalyzeOptions) -> ModelConfig:
+    """CLI path overrides patch a named/default model (reference
+    ``lib.rs:227``): ``-m birdnet-v24 --model-path /tmp/patched.onnx``
+    keeps the entry's type/BSG wiring but swaps the graph (and/or labels).
+    Returns a copy — the caller's Config object is never mutated."""
+    if options.model_path is None and options.labels_path is None:
+        return mc
+    import dataclasses
+
+    return dataclasses.replace(
+        mc,
+        path=options.model_path if options.model_path is not None else mc.path,
+        labels=(options.labels_path if options.labels_path is not None
+                else mc.labels),
+    )
+
+
 def resolve_model_config(options: AnalyzeOptions, config: Config
                          ) -> tuple[ModelConfig, str]:
     """Priority: -m name > ad-hoc (--model-path + --model-type) > config
@@ -167,7 +185,7 @@ def resolve_model_config(options: AnalyzeOptions, config: Config
                 "--model-type is ignored when -m is provided "
                 "(using model type from config)"
             )
-        return mc, options.model
+        return _apply_model_overrides(mc, options), options.model
 
     if options.model_type is not None and options.model_path is not None:
         if options.labels_path is None:
@@ -187,10 +205,12 @@ def resolve_model_config(options: AnalyzeOptions, config: Config
         mc = get_model(config, config.defaults.model)
         if options.model_type is not None:
             logger.warning(
-                "--model-type is ignored when using default model '%s'",
+                "--model-type is ignored when using default model '%s' "
+                "(provide both --model-path and --model-type to use "
+                "ad-hoc mode)",
                 config.defaults.model,
             )
-        return mc, config.defaults.model
+        return _apply_model_overrides(mc, options), config.defaults.model
 
     if options.model_path is not None:
         raise ConfigValidation(

@@ -64,6 +64,29 @@ class TestResolution:
                                model_type=ModelType.BIRDNET_V24), cfg
             )
 
+    def test_path_overrides_patch_named_and_default_model(self, tmp_path):
+        # Reference apply_model_overrides (lib.rs:227): --model-path /
+        # --labels-path patch the resolved named/default entry, keeping
+        # its model_type — and the config object is never mutated.
+        cfg = synthetic_config()
+        original_path = cfg.models["tiny"].path
+
+        mc, name = resolve_model_config(
+            AnalyzeOptions(model="tiny", model_path=Path("/tmp/patched.onnx")),
+            cfg)
+        assert name == "tiny"
+        assert mc.path == Path("/tmp/patched.onnx")
+        assert mc.model_type == ModelType.BIRDNET_V24
+        assert cfg.models["tiny"].path == original_path  # no mutation
+
+        # Default-model branch: --model-path alone (no --model-type) is an
+        # override of the default, not the priority-4 error.
+        mc, name = resolve_model_config(
+            AnalyzeOptions(labels_path=Path("/tmp/labels.txt")), cfg)
+        assert name == "tiny"
+        assert mc.labels == Path("/tmp/labels.txt")
+        assert mc.path == original_path
+
     def test_device_flags(self):
         cfg = Config()
         assert resolve_device(AnalyzeOptions(device_flags={"cpu": True}), cfg) == "cpu"
