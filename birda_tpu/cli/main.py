@@ -1077,9 +1077,17 @@ def version(output_mode):
 @click.option("--output-mode", type=click.Choice(["human", "json", "ndjson"]))
 def providers(output_mode):
     """Show available inference backends."""
-    from ..inference.backend import available_backends, provider_metadata
+    # Bounded: a listing command must answer in seconds even when the
+    # device attachment is unreachable — in-process jax init would retry
+    # for ~28 minutes on a dead tunnel, and even a CPU device query
+    # initializes every platform. The probe runs in a throwaway
+    # subprocess with a hard timeout (BIRDA_PROVIDER_PROBE_TIMEOUT secs).
+    import os
 
-    avail = available_backends()
+    from ..inference.backend import available_backends_bounded, provider_metadata
+
+    timeout = float(os.environ.get("BIRDA_PROVIDER_PROBE_TIMEOUT", "60"))
+    avail, note = available_backends_bounded(timeout)
     if output_mode in ("json", "ndjson"):
         reporter = create_reporter(output_mode)
         reporter.result(env.providers_payload([
@@ -1088,8 +1096,10 @@ def providers(output_mode):
         reporter.finish()
         return
     for name in ("tpu", "cpu"):
-        mark = (provider_metadata(name)["description"] if name in avail
-                else "not available")
+        if name in avail:
+            mark = provider_metadata(name)["description"]
+        else:
+            mark = "not available" + (f" ({note})" if note else "")
         click.echo(f"{name}: {mark}")
 
 

@@ -54,6 +54,48 @@ def available_backends() -> list[str]:
     return found
 
 
+def probe_accelerator_bounded(timeout_s: float = 60.0
+                              ) -> tuple[bool, Optional[str]]:
+    """Bounded out-of-process accelerator probe for listing commands.
+
+    In-process backend init retries for a very long time when the device
+    attachment is unreachable (a dead tunnel stalls ``jax.devices`` for
+    ~28 minutes — and ``jax.devices("cpu")`` initializes ALL platforms,
+    so even a CPU query dials the accelerator plugin). A throwaway
+    subprocess with a hard timeout answers "is the accelerator reachable"
+    in bounded time and then exits, freeing a single-tenant device for
+    the real run. Returns ``(ok, note)``; ``note`` explains a False.
+    """
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.devices('tpu'); print('TPU_OK')"],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        return False, f"probe timed out after {timeout_s:.0f}s"
+    except OSError as e:
+        return False, str(e)[:200]
+    if r.returncode != 0 or "TPU_OK" not in r.stdout:
+        tail = (r.stderr.strip().splitlines() or ["no TPU devices"])[-1]
+        return False, tail[:200]
+    return True, None
+
+
+def available_backends_bounded(timeout_s: float = 60.0
+                               ) -> tuple[list[str], Optional[str]]:
+    """Like :func:`available_backends` but safe for listing commands:
+    never initializes jax in this process. CPU is always available (the
+    reference lists its CPU provider unconditionally,
+    ``src/inference/provider.rs:17``); the accelerator is answered by the
+    bounded subprocess probe. Returns ``(backends, note)``."""
+    ok, note = probe_accelerator_bounded(timeout_s)
+    return (["tpu", "cpu"] if ok else ["cpu"]), note
+
+
 #: Display metadata per backend, the analogue of the reference's
 #: ``provider_metadata`` table (``src/inference/provider.rs:17-70``):
 #: ``id`` is the CLI flag identifier, ``description`` the human line.

@@ -8,6 +8,10 @@ with BIRDA_TEST_TPU=1.
 """
 import os
 
+# The providers command probes the accelerator in a bounded subprocess;
+# tests must not sit out the full default timeout dialing the tunnel.
+os.environ.setdefault("BIRDA_PROVIDER_PROBE_TIMEOUT", "0.5")
+
 if not os.environ.get("BIRDA_TEST_TPU"):
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:

@@ -161,6 +161,23 @@ class TestProviders:
         assert r.exit_code == 0
         assert "cpu: CPU (always available)" in r.output
 
+    def test_bounded_when_accelerator_unreachable(self, runner, home,
+                                                  monkeypatch):
+        # A dead device attachment must not hang the listing command
+        # (in-process jax init retries for ~28 minutes on a dead tunnel):
+        # the subprocess probe is hard-bounded and the TPU line explains.
+        import time
+
+        monkeypatch.setenv("BIRDA_PROVIDER_PROBE_TIMEOUT", "0.2")
+        t0 = time.monotonic()
+        r = runner.invoke(cli, ["providers"])
+        assert time.monotonic() - t0 < 30
+        assert r.exit_code == 0
+        assert "cpu: CPU (always available)" in r.output
+        # 0.2 s is shorter than any jax import: the probe always times
+        # out here, so the TPU line must carry the bounded-probe note.
+        assert "tpu: not available (probe timed out" in r.output
+
     def test_json(self, runner, home):
         r = runner.invoke(cli, ["providers", "--output-mode", "ndjson"])
         assert r.exit_code == 0
