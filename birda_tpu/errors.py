@@ -142,8 +142,8 @@ RangeFilterAssetMissing = _mk(
 )
 GeomodelNotInstalled = _mk(
     "GeomodelNotInstalled", InferenceError,
-    "the BirdNET Geomodel is not installed; run 'birda models install' or "
-    "disable the range filter",
+    "the BirdNET Geomodel is not installed; run 'birda models install "
+    "geomodel' to enable range filtering",
 )
 GeomodelLabelCount = _mk(
     "GeomodelLabelCount", InferenceError,
