@@ -42,7 +42,11 @@ import functools
 import jax
 import jax.numpy as jnp
 
-_VMEM_BUDGET = 13 * 2**20
+# Mosaic's default scoped-vmem check is 16 MB; v5e has 128 MB of VMEM per
+# core. The kernel requests a higher ceiling (it's a compile-time check,
+# not an allocation) and the geometry gate below keeps requests honest.
+_VMEM_LIMIT = 100 * 2**20
+_VMEM_BUDGET = 72 * 2**20
 
 
 def kernel_enabled(compute_dtype) -> bool:
@@ -80,14 +84,16 @@ def geometry_ok(x_shape, cm: int, o_ch: int, k: int,
         return False
     pad = (k // 2) * w + (k // 2)
     x_b = cin * hw * 2
-    e_b = cm * hw * 2 if has_expand else 0
+    e_b = cm * hw * (2 + 4) if has_expand else 0  # bf16 slab + f32 dot temp
     scratch_b = cm * (hw + 2 * pad) * 2
     dw_acc_b = cm * hw * 4
-    h_b = cm * hw * 2
+    tap_b = cm * hw * 12  # one tap's slice/mask/convert/product temps
+    h_b = cm * hw * (4 + 2 + 2)  # h f32, h16, gated
     out_b = o_ch * hw * 2 + o_ch * hw * 4
     res_b = o_ch * hw * 2 if has_res else 0
     gate_b = cm * 128 * 4 * 2
-    total = x_b + e_b + scratch_b + dw_acc_b + h_b + out_b + res_b + gate_b
+    total = (x_b + e_b + scratch_b + dw_acc_b + tap_b + h_b + out_b
+             + res_b + gate_b)
     return total < _VMEM_BUDGET
 
 
@@ -95,7 +101,7 @@ def _kernel(k, w_img, hw, interpret, has_expand, has_res, *refs):
     from jax import lax
 
     # refs: x0, [we], ae_s, ae_t, wd, ad_s, ad_t, w1, b1, w2, b2,
-    #       wp, ap_s, ap_t, [x_res], o, dw_scratch
+    #       wp, ap_s, ap_t, [x_res], o, dw_scratch, acc_scratch
     it = iter(refs)
     x_ref = next(it)
     we_ref = ae_s = ae_t = None
@@ -108,6 +114,7 @@ def _kernel(k, w_img, hw, interpret, has_expand, has_res, *refs):
     res_ref = next(it) if has_res else None
     o_ref = next(it)
     pad_ref = next(it)  # [Cm, HW + 2*PAD] bf16 scratch
+    acc_ref = next(it)  # [Cm, HW] f32 scratch (dw accumulator)
 
     x0 = x_ref[0]  # [Cin, HW] bf16
     if has_expand:
@@ -128,7 +135,11 @@ def _kernel(k, w_img, hw, interpret, has_expand, has_res, *refs):
     pad_ref[:] = jnp.zeros(pad_ref.shape, pad_ref.dtype)
     pad_ref[:, pad_n:pad_n + hw] = e16
     col = lax.broadcasted_iota(jnp.int32, (1, hw), 1) % w_img
-    acc = jnp.zeros((e16.shape[0], hw), jnp.float32)
+    # Accumulate into a VMEM scratch ref, one store per tap: the SSA-chain
+    # form kept every tap's slice/convert temporaries live on the Mosaic
+    # scoped-vmem stack (k=5 at HW=384 wanted 30 MB against the 16 MB
+    # default); ref stores bound the live set to one tap's temporaries.
+    acc_ref[:] = jnp.zeros(acc_ref.shape, jnp.float32)
     for dy in range(k):
         for dx in range(k):
             off = (dy - p) * w_img + (dx - p)
@@ -138,9 +149,9 @@ def _kernel(k, w_img, hw, interpret, has_expand, has_res, *refs):
                 sl = jnp.where(col + dxr >= 0, sl, 0)
             elif dxr > 0:
                 sl = jnp.where(col + dxr < w_img, sl, 0)
-            acc = acc + wd_ref[:, dy * k + dx:dy * k + dx + 1] \
+            acc_ref[:] = acc_ref[:] + wd_ref[:, dy * k + dx:dy * k + dx + 1] \
                 * sl.astype(jnp.float32)
-    h = acc * ad_s[:] + ad_t[:]
+    h = acc_ref[:] * ad_s[:] + ad_t[:]
     h = h * jax.nn.sigmoid(h)
     h16 = h.astype(jnp.bfloat16)
 
@@ -242,7 +253,10 @@ def _fused_mbconv_s1(x, we, ae_scale, ae_shift, wd, ad_scale, ad_shift,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, o_ch, hw), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((cm, hw + 2 * pad_n), jnp.bfloat16)],
+        scratch_shapes=[pltpu.VMEM((cm, hw + 2 * pad_n), jnp.bfloat16),
+                        pltpu.VMEM((cm, hw), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * hw * (cin * cm * has_expand + cm * k * k
                                 + o_ch * cm)
