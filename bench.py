@@ -10,17 +10,28 @@ graph on our compiler, not to a self-designed backbone. ``vs_baseline``
 divides by the reference's best published number (TensorRT batch 32 on an
 RTX 5080 = 10,767x realtime, BASELINE.md).
 
-The ``extra`` object carries the rest of the suite: the Perch v2-scale
-graph (reference best 2,550x), the BirdNET v3.0-scale graph (no published
-reference benchmark), and the native flax architecture (synthetic weights —
-the framework ceiling, not a parity claim).
+The ``extra`` object carries the rest of the suite: v2.4 int8, the Perch
+v2-scale graph (reference best 2,550x), the BirdNET v3.0-scale graph (no
+published reference benchmark), and the native flax architecture
+(synthetic weights — the framework ceiling, not a parity claim).
+
+**Wall-clock contract**: the ONE JSON line prints no matter what.
+``BIRDA_BENCH_BUDGET`` (seconds, default 1380) is a hard deadline enforced
+by a watchdog thread: measurements run headline-first, each extra is
+skipped when the remaining budget can't cover it (estimated from measured
+costs this run), and if anything — including backend init on a dead
+tunnel — overruns, the watchdog prints the best line so far and exits 0.
+A partial ``extra`` beats a driver-side timeout (round 3's rc=124).
 
 **Measurement methodology** (the tunnel lies to naive timers — CLAUDE.md):
 distinct fresh-random inputs per step, all uploaded before the clock
 starts, executed as a ``lax.scan`` inside ONE jit program, finished by
 fetching the results (``np.asarray``) — `block_until_ready` alone is not a
 reliable barrier over the remote tunnel and repeated identical executions
-are served from a cache.
+are served from a cache. Inputs travel as int16 by default (the
+production chunk transport, half the upload over the compressing tunnel;
+``BIRDA_BENCH_TRANSPORT=float32`` restores the old default) with the
+in-graph dequant inside the timed step.
 
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extra": {...}}
@@ -31,6 +42,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import threading
 import time
 
 import numpy as np
@@ -38,24 +50,87 @@ import numpy as np
 BASELINE_BIRDNET_V24 = 10_767.0  # reference best: TensorRT b32, RTX 5080
 BASELINE_PERCH_V2 = 2_550.0      # reference best: CUDA b32, RTX 5080
 
+_T0 = time.monotonic()
+_BUDGET = float(os.environ.get("BIRDA_BENCH_BUDGET", "1380"))
+# Backend init on a dead tunnel retries for ~28 minutes in-process
+# (CLAUDE.md); the init deadline bounds that case without a throwaway
+# probe subprocess (round 3 paid a duplicate init on every healthy run).
+_INIT_BUDGET = min(float(os.environ.get("BIRDA_BENCH_INIT_BUDGET", "420")),
+                   _BUDGET)
+
+_lock = threading.Lock()
+_printed = False
+_best: dict | None = None
+_init_done = False
+
+
+def _emit(obj: dict) -> None:
+    """Print the one JSON line exactly once (main thread or watchdog)."""
+    global _printed
+    with _lock:
+        if _printed:
+            return
+        _printed = True
+        print(json.dumps(obj), flush=True)
+
+
+def _set_best(obj: dict) -> None:
+    global _best
+    with _lock:
+        _best = obj
+
+
+def _fallback_line(note: str) -> dict:
+    return {
+        "metric": "birdnet-v2.4 ONNX-lowered inference realtime",
+        "value": 0.0,
+        "unit": "x realtime",
+        "vs_baseline": 0.0,
+        "extra": {"error": note},
+    }
+
+
+def _watchdog() -> None:
+    while True:
+        now = time.monotonic() - _T0
+        if not _init_done and now >= _INIT_BUDGET:
+            _emit(_fallback_line(
+                f"backend init exceeded {_INIT_BUDGET:.0f}s "
+                "(accelerator tunnel unreachable?)"))
+            os._exit(0)
+        if now >= _BUDGET:
+            with _lock:
+                line = _best
+            if line is not None:
+                line.setdefault("extra", {})["budget_exhausted_at_s"] = (
+                    round(now, 1))
+                _emit(line)
+            else:
+                _emit(_fallback_line(
+                    f"budget {_BUDGET:.0f}s exhausted before the first "
+                    "measurement completed"))
+            os._exit(0)
+        time.sleep(2.0)
+
+
+def _remaining() -> float:
+    return _BUDGET - (time.monotonic() - _T0)
+
 
 def _measure(step_fn, args, xs_shape, seconds_per_segment, iters):
     """Upload fresh-random inputs, scan once inside jit, fetch results.
 
-    ``BIRDA_BENCH_TRANSPORT=int16`` uploads the inputs as int16 and
-    dequantizes in-graph — the production chunk transport
-    (``inference/classifier.py``), half the tunnel upload, and the knob
-    that makes >1k batches practical over the compressing link. The
-    dequant multiply is inside the timed step (honest: production pays
-    it too). Default stays float32 for comparability with prior rounds.
+    int16 transport (default) uploads the inputs as int16 and dequantizes
+    in-graph — the production chunk transport
+    (``inference/classifier.py``) and half the tunnel upload. The dequant
+    multiply is inside the timed step (honest: production pays it too).
     """
-    import os
-
     import jax
     import jax.numpy as jnp
     from jax import lax
 
-    int16_transport = os.environ.get("BIRDA_BENCH_TRANSPORT") == "int16"
+    int16_transport = (
+        os.environ.get("BIRDA_BENCH_TRANSPORT", "int16") != "float32")
     rng = np.random.default_rng(int(time.time() * 1000) % 2**31)
     host = rng.normal(0, 0.1, xs_shape).astype(np.float32)
     if int16_transport:
@@ -157,30 +232,11 @@ def _bench_native(batch, iters):
     return _measure(step, 0, (iters, batch, 144_000), 3.0, iters)
 
 
-def _accel_probe(timeout_s: float = 300.0):
-    """Bounded out-of-process accelerator probe.
-
-    In-process backend init retries for ~28 minutes when the tunnel is
-    down (CLAUDE.md); a throwaway subprocess with a hard timeout answers
-    "is the chip reachable" in bounded time, then exits and frees the
-    single-tenant chip for the real run. Returns (ok, note)."""
-    import subprocess
-    import sys
-
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c", "import jax; print(jax.default_backend())"],
-            capture_output=True, text=True, timeout=timeout_s,
-        )
-    except subprocess.TimeoutExpired:
-        return False, f"accelerator probe timed out after {timeout_s:.0f}s"
-    if r.returncode != 0:
-        return False, (r.stderr.strip() or "probe failed")[-200:]
-    lines = r.stdout.strip().splitlines()
-    return bool(lines) and lines[-1] == "tpu", None
-
-
 def main() -> None:
+    global _init_done
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+
     import jax
 
     try:
@@ -194,14 +250,6 @@ def main() -> None:
     from birda_tpu.onnx import fullscale as fs
 
     tunnel_error = None
-    # Deliberate tradeoff: a healthy run pays one duplicate backend init
-    # (~10-60 s on a warm tunnel) so a dead tunnel costs 5 minutes instead
-    # of the ~28-minute in-process retry loop. BIRDA_BENCH_PROBE=0 skips.
-    if os.environ.get("BIRDA_BENCH_PROBE", "1") != "0":
-        ok, note = _accel_probe()
-        if not ok:
-            tunnel_error = note or "accelerator not reachable"
-            jax.config.update("jax_platforms", "cpu")
     try:
         platform = jax.default_backend()
     except RuntimeError as e:
@@ -211,6 +259,7 @@ def main() -> None:
         tunnel_error = str(e)[:200]
         jax.config.update("jax_platforms", "cpu")
         platform = jax.default_backend()
+    _init_done = True
     on_accel = platform == "tpu"
 
     if not on_accel:
@@ -225,10 +274,21 @@ def main() -> None:
         }
         if tunnel_error:
             out["extra"] = {"accelerator_unavailable": tunnel_error}
-        print(json.dumps(out))
+        _emit(out)
         return
 
     extra = {}
+
+    def line(rt_v24):
+        return {
+            "metric": ("birdnet-v2.4 ONNX-lowered full-scale inference "
+                       f"realtime ({platform}, batch 768, bf16, fused mel "
+                       "front-end)"),
+            "value": round(rt_v24, 1),
+            "unit": "x realtime",
+            "vs_baseline": round(rt_v24 / BASELINE_BIRDNET_V24, 3),
+            "extra": extra,
+        }
 
     # Batch choices are measured optima per (graph, precision) on this
     # chip with the fused front-end (docs/performance.md batch scaling):
@@ -236,57 +296,74 @@ def main() -> None:
     # boundary_store="all" traffic cut kept climbing (19,383 at b512 →
     # 20,819 at b1536); b1024 (20,447×) is the bench point — b1536 buys
     # +1.8% but needs a ~7 GB incompressible upload through the tunnel.
+    t_head = time.monotonic()
     rt_v24, _ = _bench_onnx(fs.BIRDNET_V24_SPEC, batch=768, iters=4)
-    try:
-        rt_i8 = _bench_onnx_int8(fs.BIRDNET_V24_SPEC, batch=1024, iters=6)
-        extra["birdnet_v24_int8_x_realtime"] = round(rt_i8, 0)
+    cost_head = time.monotonic() - t_head
+    _set_best(line(rt_v24))
+
+    durations: dict[str, float] = {"bf16": cost_head}
+
+    def run_extra(key, kind, est_scale, fn):
+        """Run one extra measurement if the remaining budget covers its
+        estimated cost (scaled from the measured cost of the most recent
+        run of the same kind, falling back to the headline's)."""
+        est = durations.get(kind, cost_head) * est_scale
+        if _remaining() < est * 1.2 + 20:
+            extra[key + "_skipped"] = (
+                f"budget: {_remaining():.0f}s left < ~{est:.0f}s estimated")
+            _set_best(line(rt_v24))
+            return None
+        t0 = time.monotonic()
+        try:
+            val = fn()
+        except Exception as e:  # noqa: BLE001
+            extra[key + "_error"] = str(e)[:200]
+            _set_best(line(rt_v24))
+            return None
+        durations[kind] = time.monotonic() - t0
+        extra[key + "_x_realtime"] = round(val, 0)
+        _set_best(line(rt_v24))
+        return val
+
+    # int8 headline extra first (the 1.90x number); cold calibration pays
+    # an extra pass, covered by the 1.6x scale + watchdog.
+    v = run_extra("birdnet_v24_int8", "int8", 1.6,
+                  lambda: _bench_onnx_int8(fs.BIRDNET_V24_SPEC,
+                                           batch=1024, iters=6))
+    if v is not None:
         extra["birdnet_v24_int8_vs_baseline"] = round(
-            rt_i8 / BASELINE_BIRDNET_V24, 3)
-    except Exception as e:  # noqa: BLE001
-        extra["birdnet_v24_int8_error"] = str(e)[:200]
-    try:
-        rt_perch, _ = _bench_onnx(fs.PERCH_V2_SPEC, batch=256, iters=6)
-        extra["perch_v2_onnx_x_realtime"] = round(rt_perch, 0)
-        extra["perch_v2_vs_its_baseline"] = round(
-            rt_perch / BASELINE_PERCH_V2, 2)
-    except Exception as e:  # noqa: BLE001
-        extra["perch_v2_error"] = str(e)[:200]
-    try:
-        rt_perch_i8 = _bench_onnx_int8(fs.PERCH_V2_SPEC, batch=256, iters=6)
-        extra["perch_v2_int8_x_realtime"] = round(rt_perch_i8, 0)
+            v / BASELINE_BIRDNET_V24, 3)
+
+    v = run_extra("perch_v2", "bf16", 0.8,
+                  lambda: _bench_onnx(fs.PERCH_V2_SPEC,
+                                      batch=256, iters=6)[0])
+    if v is not None:
+        extra["perch_v2_vs_its_baseline"] = round(v / BASELINE_PERCH_V2, 2)
+
+    v = run_extra("perch_v2_int8", "int8", 0.8,
+                  lambda: _bench_onnx_int8(fs.PERCH_V2_SPEC,
+                                           batch=256, iters=6))
+    if v is not None:
         extra["perch_v2_int8_vs_its_baseline"] = round(
-            rt_perch_i8 / BASELINE_PERCH_V2, 2)
-    except Exception as e:  # noqa: BLE001
-        extra["perch_v2_int8_error"] = str(e)[:200]
-    try:
-        rt_v30, _ = _bench_onnx(fs.BIRDNET_V30_SPEC, batch=256, iters=6)
-        extra["birdnet_v30_onnx_x_realtime"] = round(rt_v30, 0)
-    except Exception as e:  # noqa: BLE001
-        extra["birdnet_v30_error"] = str(e)[:200]
-    try:
-        extra["birdnet_v30_int8_x_realtime"] = round(
-            _bench_onnx_int8(fs.BIRDNET_V30_SPEC, batch=256, iters=6), 0)
-    except Exception as e:  # noqa: BLE001
-        extra["birdnet_v30_int8_error"] = str(e)[:200]
-    try:
-        extra["native_flax_v24_x_realtime"] = round(
-            _bench_native(batch=256, iters=8), 0)
-    except Exception as e:  # noqa: BLE001
-        extra["native_flax_error"] = str(e)[:200]
+            v / BASELINE_PERCH_V2, 2)
+
+    run_extra("birdnet_v30", "bf16", 1.0,
+              lambda: _bench_onnx(fs.BIRDNET_V30_SPEC,
+                                  batch=256, iters=6)[0])
+    run_extra("birdnet_v30_int8", "int8", 1.0,
+              lambda: _bench_onnx_int8(fs.BIRDNET_V30_SPEC,
+                                       batch=256, iters=6))
+    run_extra("native_flax_v24", "bf16", 0.6,
+              lambda: _bench_native(batch=256, iters=8))
+
     extra["note"] = (
         "ONNX-lowered full-scale graphs (real op mix/dims, bf16 matmuls, "
-        "fp32 accum); scan+fetch methodology — round-1 numbers used an "
-        "unreliable async barrier and over-reported, see docs/performance.md"
+        "fp32 accum); scan+fetch methodology, int16 input transport "
+        "(in-graph dequant timed) — see docs/performance.md"
     )
+    extra["elapsed_s"] = round(time.monotonic() - _T0, 1)
 
-    print(json.dumps({
-        "metric": ("birdnet-v2.4 ONNX-lowered full-scale inference realtime "
-                   f"({platform}, batch 768, bf16, fused mel front-end)"),
-        "value": round(rt_v24, 1),
-        "unit": "x realtime",
-        "vs_baseline": round(rt_v24 / BASELINE_BIRDNET_V24, 3),
-        "extra": extra,
-    }))
+    _emit(line(rt_v24))
 
 
 if __name__ == "__main__":
