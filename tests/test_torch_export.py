@@ -228,3 +228,63 @@ class TestTorchExporterBytes:
                 load_model(bytes(b))
             except WireError:
                 pass
+
+
+class TestTorchExportFrontEndFusion:
+    """A torch-exported Conv1d-STFT front-end chain (slices, squares,
+    transpose, mel matmul, eps, log — the full fusable spelling) must
+    engage the mel-front-end fusion on the REAL exporter's bytes: the
+    exporter emits python scalars as Constant nodes and its own
+    Slice/Pow spellings, which is exactly where a matcher tuned only to
+    our encoder would silently fall back (VERDICT r3 gap)."""
+
+    def _export(self):
+        torch.manual_seed(7)
+        bins, frame, hop, mels = 96, 256, 80, 32
+
+        class FrontEnd(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.frame = nn.Conv1d(1, 2 * bins, frame, stride=hop,
+                                       bias=False)
+                self.register_buffer(
+                    "mel", torch.rand(bins, mels) * 0.1)
+
+            def forward(self, x):
+                c = self.frame(x)
+                re, im = c[:, :bins], c[:, bins:]
+                p = (re * re + im * im).transpose(1, 2)
+                return torch.log(p @ self.mel + 1e-6)
+
+        x = np.random.default_rng(7).normal(
+            size=(2, 1, 4096)).astype(np.float32)
+        m = FrontEnd()
+        m.eval()
+        mb = torch_export(m, (torch.from_numpy(x),), 17)
+        return m, mb, x
+
+    def test_fusion_engages_on_exporter_bytes(self):
+        from birda_tpu.onnx.fuse import FUSED_OP, fuse_mel_frontend
+
+        _, mb, _ = self._export()
+        model = load_model(mb)
+        assert fuse_mel_frontend(model.graph) == 1, (
+            "producer-shaped conv1d front-end export fell back to "
+            "node-by-node execution: "
+            + ", ".join(n.op_type for n in model.graph.nodes))
+        assert any(n.op_type == FUSED_OP for n in model.graph.nodes)
+
+    def test_fused_matches_torch(self, monkeypatch):
+        from birda_tpu.onnx.fuse import fuse_mel_frontend
+        from birda_tpu.onnx.lowering import OnnxFunction
+
+        m, mb, x = self._export()
+        model = load_model(mb)
+        assert fuse_mel_frontend(model.graph) == 1
+        monkeypatch.setenv("BIRDA_STFT_KERNEL", "pallas")
+        fn = OnnxFunction(model)
+        got = np.asarray(fn(x, params=fn.params), np.float32)
+        with torch.no_grad():
+            want = m(torch.from_numpy(x)).numpy()
+        assert got.shape == want.shape
+        assert np.max(np.abs(got - want)) < 0.08  # bf16 DFT slabs, log out
