@@ -75,9 +75,13 @@ def _emit(obj: dict) -> None:
 
 
 def _set_best(obj: dict) -> None:
+    """Snapshot the best-so-far line as serialized JSON: the watchdog may
+    print it from its own thread while the main thread keeps mutating
+    ``extra`` — a frozen copy can never hit a mid-iteration dict change."""
     global _best
+    snap = json.loads(json.dumps(obj))
     with _lock:
-        _best = obj
+        _best = snap
 
 
 def _fallback_line(note: str) -> dict:

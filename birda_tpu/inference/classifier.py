@@ -472,6 +472,14 @@ class ChunkRunner:
                 out_shardings=out_shard,
             )
         else:
+            # Chunk-buffer donation (the analogue of the reference's
+            # pre-allocated device I/O contexts, classifier.rs:547-582)
+            # was tried and is a measured no-op here: XLA donation is an
+            # input→output ALIASING mechanism, and the step's outputs
+            # (top-k floats) can never alias the int16 chunk — every run
+            # just warned "donated buffers were not usable". Freeing the
+            # input early needs no donation: the buffer dies with its
+            # last read inside the single fused program.
             self._step = jax.jit(step)
         self._warm = False
         self._warm_lock = threading.Lock()

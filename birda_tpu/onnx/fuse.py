@@ -34,9 +34,6 @@ import numpy as np
 from .proto import Attribute, Graph, Node, Tensor, constant_payload
 
 FUSED_OP = "BirdaFusedMelFrontend"
-FUSED_SE_OP = "BirdaFusedSE"
-FUSED_SE_PROJECT_OP = "BirdaFusedSEProject"
-FUSED_MBCONV_OP = "BirdaFusedMBConvS1"
 
 
 def fold_constant_nodes(graph: Graph) -> int:
@@ -515,485 +512,6 @@ def _match_chain_stft(graph, stft, consumers, out_names, sole_consumer):
         "fb_cat": fb_cat, "hop": hop, "eps": eps, "bins": bins,
         "frame": k, "kind": "stft",
     }
-
-
-def fuse_se(graph: Graph, absorb_project: bool = True) -> int:
-    """Splice every squeeze-and-excitation gate chain
-
-        GlobalAveragePool -> Conv(1x1) -> Mul(.,Sigmoid(.)) [swish]
-        -> Conv(1x1) -> Sigmoid -> Mul(x, .)
-
-    into one ``BirdaFusedSE`` node (lowered to the VMEM-resident Pallas
-    kernel in ``ops/se.py`` when geometry allows; composed ops otherwise).
-    With ``absorb_project`` (the default) a chain whose gated output is
-    sole-consumed by the MBConv block's 1x1 project conv is spliced as
-    ``BirdaFusedSEProject`` instead — the gated slab then never crosses
-    HBM (``ops/se.py::fused_se_project``). Matching is conservative —
-    initializer-backed 1x1 group-1 convs, chain-internal tensors
-    single-consumed and not graph outputs — and ``x`` itself may have
-    other consumers (it stays live as the fused node's input). Returns
-    the number of chains fused."""
-    fold_constant_nodes(graph)
-    fused = 0
-    while True:
-        m = _match_one_se(graph, absorb_project)
-        if m is None:
-            return fused
-        _apply_se(graph, m)
-        fused += 1
-
-
-def _se_conv_1x1(graph, node):
-    """(w, b_name) for an initializer-backed 1x1 group-1 Conv; None if the
-    node is anything else. ``w`` keeps its ONNX [C_out, C_in, 1, 1] shape."""
-    if node.op_type != "Conv" or len(node.inputs) < 2:
-        return None
-    w = graph.initializers.get(node.inputs[1])
-    if w is None or w.array is None or w.array.ndim != 4 or \
-            w.array.shape[2:] != (1, 1):
-        return None
-    if node.attr("group", 1) != 1:
-        return None
-    strides = node.attr("strides")
-    if strides is not None and any(int(s) != 1 for s in strides):
-        return None
-    dil = node.attr("dilations")
-    if dil is not None and any(int(d) != 1 for d in dil):
-        return None
-    pads = node.attr("pads")
-    if pads is not None and any(int(p) for p in pads):
-        return None
-    if node.attr("auto_pad", b"NOTSET") not in (b"NOTSET", b"VALID"):
-        return None
-    b_name = node.inputs[2] if len(node.inputs) > 2 and node.inputs[2] else ""
-    if b_name and b_name not in graph.initializers:
-        return None
-    return w.array, b_name
-
-
-def _match_one_se(graph, absorb_project=True, skip=frozenset()):
-    consumers, out_names, sole_consumer = _build_consumers(graph)
-
-    for pool in graph.nodes:
-        if id(pool) in skip:
-            continue
-        if pool.op_type == "GlobalAveragePool":
-            pass
-        elif pool.op_type == "ReduceMean":
-            # tf2onnx spells the squeeze pool as ReduceMean over the
-            # spatial axes with keepdims — identical semantics for the
-            # NCHW 4-D slabs this pass targets.
-            if not pool.attr("keepdims", 1):
-                continue
-            axes = pool.attr("axes")
-            if axes is None and len(pool.inputs) > 1 and pool.inputs[1]:
-                t = graph.initializers.get(pool.inputs[1])
-                if t is None or t.array is None:
-                    continue
-                axes = [int(v) for v in np.asarray(t.array).reshape(-1)]
-            if axes is None or sorted(
-                    int(a) % 4 for a in axes) != [2, 3]:
-                continue  # matched slabs are 4-D, so -2/-1 ≡ 2/3
-        else:
-            continue
-        x = pool.inputs[0]
-        conv1 = sole_consumer(pool.outputs[0], "Conv")
-        if conv1 is None:
-            continue
-        p1 = _se_conv_1x1(graph, conv1)
-        if p1 is None:
-            continue
-        w1, b1_name = p1
-        # swish: r consumed by exactly {Sigmoid sg, Mul mu(r, sg.out)}
-        r = conv1.outputs[0]
-        if r in out_names:
-            continue
-        cons_r = consumers.get(r, [])
-        if len(cons_r) != 2:
-            continue
-        sg = next((n for n in cons_r if n.op_type == "Sigmoid"), None)
-        mu = next((n for n in cons_r if n.op_type == "Mul"), None)
-        if sg is None or mu is None or \
-                sole_consumer(sg.outputs[0], "Mul") is not mu or \
-                set(mu.inputs) != {r, sg.outputs[0]}:
-            continue
-        conv2 = sole_consumer(mu.outputs[0], "Conv")
-        if conv2 is None:
-            continue
-        p2 = _se_conv_1x1(graph, conv2)
-        if p2 is None:
-            continue
-        w2, b2_name = p2
-        # shape consistency: w1 [C_se, C, 1, 1], w2 [C, C_se, 1, 1]
-        c_se, c = w1.shape[0], w1.shape[1]
-        if w2.shape[0] != c or w2.shape[1] != c_se:
-            continue
-        sg2 = sole_consumer(conv2.outputs[0], "Sigmoid")
-        if sg2 is None:
-            continue
-        gate_mul = sole_consumer(sg2.outputs[0], "Mul")
-        if gate_mul is None or set(gate_mul.inputs) != {x, sg2.outputs[0]}:
-            continue
-        m = {
-            "x": x, "pool": pool, "conv1": conv1, "sg": sg, "mu": mu,
-            "conv2": conv2, "sg2": sg2, "gate_mul": gate_mul,
-            "w1_name": conv1.inputs[1], "b1_name": b1_name,
-            "w2_name": conv2.inputs[1], "b2_name": b2_name,
-            "chain": [pool, conv1, sg, mu, conv2, sg2, gate_mul],
-            "proj": None,
-        }
-        if absorb_project:
-            proj = sole_consumer(gate_mul.outputs[0], "Conv")
-            pp = _se_conv_1x1(graph, proj) if proj is not None else None
-            # wp [O, C, 1, 1] contracting the gated slab's C channels.
-            if pp is not None and pp[0].shape[1] == c:
-                m["proj"] = proj
-                m["wp_name"], m["bp_name"] = proj.inputs[1], pp[1]
-                m["chain"] = m["chain"] + [proj]
-                m["bn"] = m["res"] = None
-                m["out_node"] = proj
-                # Optional absorptions past the project conv: the BN
-                # affine (folded to scale/shift at graph time) and the
-                # block's residual Add — each saves the project output's
-                # own HBM round trip through the elementwise fusion.
-                tail = sole_consumer(proj.outputs[0],
-                                     "BatchNormalization")
-                if tail is not None and _bn_fold(graph, tail) is not None:
-                    m["bn"] = tail
-                    m["chain"] = m["chain"] + [tail]
-                    m["out_node"] = tail
-                add = sole_consumer(m["out_node"].outputs[0], "Add")
-                if add is not None:
-                    others = [i for i in add.inputs
-                              if i != m["out_node"].outputs[0]]
-                    # A residual reads a tensor produced BEFORE this block
-                    # (never an initializer, never a chain tensor) — the
-                    # fused node is inserted at the pool's position, so
-                    # the operand must already be live there.
-                    pool_idx = graph.nodes.index(pool)
-                    produced_before = {
-                        o for n in graph.nodes[:pool_idx] for o in n.outputs
-                    } | {vi.name for vi in graph.inputs}
-                    if (len(others) == 1
-                            and others[0] not in graph.initializers
-                            and others[0] in produced_before):
-                        m["res"] = add
-                        m["res_name"] = others[0]
-                        m["chain"] = m["chain"] + [add]
-                        m["out_node"] = add
-        return m
-    return None
-
-
-def fuse_mbconv_s1(graph: Graph) -> int:
-    """Splice whole stride-1 MBConv blocks
-
-        [Conv 1x1 expand -> [BN] -> swish] -> Conv kxk depthwise(s=1,
-        SAME) -> [BN] -> swish -> SE chain -> Conv 1x1 project -> [BN]
-        -> [residual Add]
-
-    into one ``BirdaFusedMBConvS1`` node (the whole-block Pallas kernel
-    in ``ops/mbconv.py`` — the 6x-expanded mid slab never leaves VMEM).
-    Builds on the SE matcher: every SE match whose upstream spells the
-    block is absorbed; SE chains that do not (stride-2 blocks, foreign
-    graphs) are left for :func:`fuse_se`. BN affines are folded to
-    per-channel scale/shift initializers with conv biases folded in, so
-    exports that pre-fold BN match with identity affines. Returns the
-    number of blocks fused."""
-    fold_constant_nodes(graph)
-    fused = 0
-    skip: set[int] = set()
-    while True:
-        m = _match_one_se(graph, absorb_project=True, skip=skip)
-        if m is None:
-            return fused
-        mm = _match_mbconv_upstream(graph, m) if m["proj"] is not None \
-            else None
-        if mm is None:
-            skip.add(id(m["pool"]))
-            continue
-        _apply_mbconv(graph, m, mm)
-        fused += 1
-
-
-def _swish_producer(graph, t, producers, consumers, out_names):
-    """When ``t`` is the output of ``Mul(a, Sigmoid(a))`` whose pieces are
-    consumed only by that swish, return ``(a, [sigmoid, mul])``."""
-    if t in out_names:
-        return None  # the swish Mul itself feeds a graph output: keep it
-    mu = producers.get(t)
-    if mu is None or mu.op_type != "Mul" or len(mu.inputs) != 2:
-        return None
-    for a in set(mu.inputs):
-        sg = producers.get(next((i for i in mu.inputs if i != a), a))
-        if sg is None or sg.op_type != "Sigmoid" or sg.inputs[0] != a:
-            continue
-        if set(mu.inputs) != {a, sg.outputs[0]}:
-            continue
-        if a in out_names or sg.outputs[0] in out_names:
-            return None
-        cons_a = consumers.get(a, [])
-        if len(cons_a) != 2 or sg not in cons_a or mu not in cons_a:
-            return None
-        if consumers.get(sg.outputs[0], []) != [mu]:
-            return None
-        return a, [sg, mu]
-    return None
-
-
-def _affine_after(graph, conv, sole_consumer):
-    """Follow ``conv`` through an optional initializer-backed BN; return
-    (tail_output_name, chain_nodes, scale, shift) with the conv bias
-    folded into the shift. None when the BN stats are dynamic."""
-    w = graph.initializers[conv.inputs[1]].array
-    c_out = w.shape[0]
-    bias = np.zeros(c_out, np.float64)
-    if len(conv.inputs) > 2 and conv.inputs[2]:
-        t = graph.initializers.get(conv.inputs[2])
-        if t is None or t.array is None:
-            return None
-        bias = np.asarray(t.array, np.float64)
-    bn = sole_consumer(conv.outputs[0], "BatchNormalization")
-    if bn is not None:
-        folded = _bn_fold(graph, bn)
-        if folded is None:
-            return None
-        scale, shift = (np.asarray(v, np.float64) for v in folded)
-        return (bn.outputs[0], [bn],
-                scale.astype(np.float32),
-                (shift + bias * scale).astype(np.float32))
-    return (conv.outputs[0], [], np.ones(c_out, np.float32),
-            bias.astype(np.float32))
-
-
-def _match_mbconv_upstream(graph, m):
-    """Given an SE match ``m`` (with absorbed project), check that its
-    gate input is the swish of a stride-1 SAME depthwise conv, optionally
-    preceded by an expand-1x1 + [BN] + swish. Returns the upstream pieces
-    or None (the SE match then stays a plain SE/SEP fusion)."""
-    producers: dict[str, Node] = {}
-    for n in graph.nodes:
-        for o in n.outputs:
-            if o:
-                producers[o] = n
-    consumers, out_names, sole_consumer = _build_consumers(graph)
-
-    # m["x"] is consumed by the SE pool and the gate Mul — exactly.
-    if len(consumers.get(m["x"], [])) != 2:
-        return None
-    sw_d = _swish_producer(graph, m["x"], producers, consumers, out_names)
-    if sw_d is None:
-        return None
-    t_d, sw_d_nodes = sw_d
-    dw = producers.get(t_d)
-    chain_d = []
-    if dw is not None and dw.op_type == "BatchNormalization":
-        dw = producers.get(dw.inputs[0])
-    if dw is None or dw.op_type != "Conv" or len(dw.inputs) < 2:
-        return None
-    wd_t = graph.initializers.get(dw.inputs[1])
-    if wd_t is None or wd_t.array is None or wd_t.array.ndim != 4:
-        return None
-    cm, cin_g, kh, kw = wd_t.array.shape
-    if cin_g != 1 or kh != kw or kh % 2 == 0 or kh > 7 or kh < 3:
-        return None
-    if dw.attr("group", 1) != cm:
-        return None
-    strides = dw.attr("strides")
-    if strides is not None and any(int(s) != 1 for s in strides):
-        return None
-    dil = dw.attr("dilations")
-    if dil is not None and any(int(d) != 1 for d in dil):
-        return None
-    p = kh // 2
-    pads = dw.attr("pads")
-    autopad = dw.attr("auto_pad", b"NOTSET")
-    same = (pads is not None and [int(v) for v in pads] == [p] * 4) or \
-        (pads is None and autopad == b"SAME_UPPER")
-    if not same:
-        return None
-    aff_d = _affine_after(graph, dw, sole_consumer)
-    if aff_d is None or aff_d[0] != t_d:
-        return None
-    _, bn_d_nodes, ad_scale, ad_shift = aff_d
-    chain_d = [dw] + bn_d_nodes + sw_d_nodes
-
-    # SE gate width must match the depthwise channel count.
-    w1 = graph.initializers[m["w1_name"]].array
-    if w1.shape[1] != cm:
-        return None
-
-    # Optional expand: dw input is the swish of an expand 1x1 (+BN).
-    t_e = dw.inputs[0]
-    expand = None
-    chain_e = []
-    sw_e = _swish_producer(graph, t_e, producers, consumers, out_names)
-    if sw_e is not None and consumers.get(t_e, []) == [dw]:
-        t_e2, sw_e_nodes = sw_e
-        conv_e = producers.get(t_e2)
-        if conv_e is not None and conv_e.op_type == "BatchNormalization":
-            conv_e = producers.get(conv_e.inputs[0])
-        if (conv_e is not None and conv_e.op_type == "Conv"
-                and _se_conv_1x1(graph, conv_e) is not None):
-            we = graph.initializers[conv_e.inputs[1]].array
-            if we.shape[0] == cm:
-                # Consumption: with BN, conv_e.out is sole-consumed by it
-                # (_affine_after checks); without, conv_e.out IS t_e2 and
-                # _swish_producer validated its two swish consumers.
-                aff_e = _affine_after(graph, conv_e, sole_consumer)
-                if aff_e is not None and aff_e[0] == t_e2:
-                    _, bn_e_nodes, ae_scale, ae_shift = aff_e
-                    expand = {
-                        "conv": conv_e, "we_name": conv_e.inputs[1],
-                        "ae_scale": ae_scale, "ae_shift": ae_shift,
-                        "x0": conv_e.inputs[0],
-                        "chain": [conv_e] + bn_e_nodes + sw_e_nodes,
-                    }
-    if expand is None:
-        # expand ratio 1: the depthwise conv reads the block input.
-        x0 = t_e
-        ae_scale = ae_shift = None
-        chain_e = []
-    else:
-        x0 = expand["x0"]
-        ae_scale, ae_shift = expand["ae_scale"], expand["ae_shift"]
-        chain_e = expand["chain"]
-
-    # The fused node lands at the first chain node's position (earlier
-    # than the SE pool the residual check used) — the residual operand
-    # must already be live there.
-    if m["res"] is not None:
-        first = (chain_e + chain_d)[0]
-        first_idx = graph.nodes.index(first)
-        produced_before = {
-            o for n in graph.nodes[:first_idx] for o in n.outputs
-        } | {vi.name for vi in graph.inputs}
-        if m["res_name"] not in produced_before:
-            return None
-
-    # The project affine: refold with the project conv's bias (the SE
-    # matcher recorded bn/bias separately; _apply_mbconv rebuilds both).
-    return {
-        "x0": x0, "expand": expand, "dw": dw,
-        "wd": wd_t.array.reshape(cm, kh * kw).astype(np.float32),
-        "wd_name": dw.inputs[1], "k": kh,
-        "ad_scale": ad_scale, "ad_shift": ad_shift,
-        "ae_scale": ae_scale, "ae_shift": ae_shift,
-        "chain_up": chain_e + chain_d,
-    }
-
-
-def _apply_mbconv(graph: Graph, m: dict, mm: dict) -> None:
-    proj = m["proj"]
-    aff_p = None
-    # Refold the project affine (bias + optional BN already matched by
-    # the SE pass as m["bn"]).
-    wp_t = graph.initializers[proj.inputs[1]].array
-    o_ch = wp_t.shape[0]
-    bias = np.zeros(o_ch, np.float64)
-    if m["bp_name"]:
-        bias = np.asarray(graph.initializers[m["bp_name"]].array,
-                          np.float64)
-    if m["bn"] is not None:
-        scale, shift = (np.asarray(v, np.float64)
-                        for v in _bn_fold(graph, m["bn"]))
-        aff_p = (scale.astype(np.float32),
-                 (shift + bias * scale).astype(np.float32))
-    else:
-        aff_p = (np.ones(o_ch, np.float32), bias.astype(np.float32))
-
-    def init(tag, arr):
-        name = _fresh_init_name(graph, proj.inputs[1] + "__fused_" + tag)
-        graph.initializers[name] = Tensor(
-            name=name, dims=tuple(arr.shape),
-            array=np.ascontiguousarray(arr))
-        return name
-
-    cm = mm["wd"].shape[0]
-    ae_s = mm["ae_scale"] if mm["ae_scale"] is not None \
-        else np.ones(1, np.float32)
-    ae_t = mm["ae_shift"] if mm["ae_shift"] is not None \
-        else np.zeros(1, np.float32)
-    inputs = [
-        mm["x0"],
-        mm["expand"]["we_name"] if mm["expand"] is not None else "",
-        init("ae_s", ae_s), init("ae_t", ae_t),
-        init("wd_taps", mm["wd"]),
-        init("ad_s", mm["ad_scale"]), init("ad_t", mm["ad_shift"]),
-        m["w1_name"], m["b1_name"], m["w2_name"], m["b2_name"],
-        proj.inputs[1], init("ap_s", aff_p[0]), init("ap_t", aff_p[1]),
-        m["res_name"] if m["res"] is not None else "",
-    ]
-    fused = Node(
-        op_type=FUSED_MBCONV_OP,
-        name=(mm["dw"].name or "mbconv") + "_fused_block",
-        inputs=inputs,
-        outputs=[m["out_node"].outputs[0]],
-        attrs={},
-    )
-    chain = mm["chain_up"] + m["chain"]
-    chain_set = set(map(id, chain))
-    first_idx = min(graph.nodes.index(n) for n in chain)
-    graph.nodes = [n for n in graph.nodes if id(n) not in chain_set]
-    graph.nodes.insert(first_idx, fused)
-    _drop_dead_inits(graph, chain)
-
-
-def _bn_fold(graph: Graph, bn: Node):
-    """(scale, shift) float32 vectors folding an initializer-backed
-    BatchNormalization's affine; None when any input is dynamic."""
-    arrs = []
-    for name in bn.inputs[1:5]:
-        t = graph.initializers.get(name)
-        if t is None or t.array is None or t.array.ndim != 1:
-            return None
-        arrs.append(np.asarray(t.array, np.float64))
-    s, b, mean, var = arrs
-    eps = bn.attr("epsilon", 1e-5)
-    scale = s / np.sqrt(var + eps)
-    shift = b - mean * scale
-    return scale.astype(np.float32), shift.astype(np.float32)
-
-
-def _apply_se(graph: Graph, m: dict) -> None:
-    if m["proj"] is not None:
-        bn_s_name = bn_t_name = ""
-        if m["bn"] is not None:
-            scale, shift = _bn_fold(graph, m["bn"])
-            bn_s_name = _fresh_init_name(
-                graph, m["bn"].inputs[1] + "__fused_se_scale")
-            bn_t_name = _fresh_init_name(
-                graph, m["bn"].inputs[1] + "__fused_se_shift")
-            graph.initializers[bn_s_name] = Tensor(
-                name=bn_s_name, dims=tuple(scale.shape), array=scale)
-            graph.initializers[bn_t_name] = Tensor(
-                name=bn_t_name, dims=tuple(shift.shape), array=shift)
-        fused = Node(
-            op_type=FUSED_SE_PROJECT_OP,
-            name=(m["pool"].name or "se") + "_fused_se_project",
-            inputs=[m["x"], m["w1_name"], m["b1_name"],
-                    m["w2_name"], m["b2_name"],
-                    m["wp_name"], m["bp_name"], bn_s_name, bn_t_name,
-                    m["res_name"] if m["res"] is not None else ""],
-            outputs=[m["out_node"].outputs[0]],
-            attrs={},
-        )
-    else:
-        fused = Node(
-            op_type=FUSED_SE_OP,
-            name=(m["pool"].name or "se") + "_fused_se",
-            inputs=[m["x"], m["w1_name"], m["b1_name"],
-                    m["w2_name"], m["b2_name"]],
-            outputs=[m["gate_mul"].outputs[0]],
-            attrs={},
-        )
-    chain_set = set(map(id, m["chain"]))
-    idx = graph.nodes.index(m["pool"])
-    graph.nodes = [n for n in graph.nodes if id(n) not in chain_set]
-    graph.nodes.insert(idx, fused)
-    # Drop initializers the chain alone consumed (raw BN stats after the
-    # fold, the ReduceMean axes tensor) — same discipline as the mel pass.
-    _drop_dead_inits(graph, m["chain"])
 
 
 def _apply(graph: Graph, m: dict) -> None:

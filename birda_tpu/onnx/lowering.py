@@ -999,191 +999,6 @@ class _Evaluator:
         mel = jnp.matmul(power, fbc, preferred_element_type=jnp.float32)
         return self._mm_out(jnp.log(mel + jnp.float32(eps)))
 
-    def op_BirdaFusedSE(self, node, x, w1, b1, w2, b2):
-        """Fused squeeze-and-excitation gate spliced in by
-        :func:`birda_tpu.onnx.fuse.fuse_se`: pool + gate MLP + multiply in
-        one VMEM-resident pass (``ops/se.py::fused_se``) — the slab is
-        read once instead of twice (reference model family spells this as
-        GlobalAveragePool/Conv/swish/Conv/Sigmoid/Mul around every MBConv
-        depthwise output). The fusion pass cannot see activation shapes,
-        so Mosaic geometry is re-checked here; a slab the kernel cannot
-        tile falls back to the same math as composed XLA ops."""
-        import jax.numpy as jnp
-
-        from ..ops import se as se_ops
-
-        w1m = jnp.asarray(w1)[:, :, 0, 0]
-        w2m = jnp.asarray(w2)[:, :, 0, 0]
-        c_se, c = w1m.shape
-        b1m = jnp.zeros(c_se, jnp.float32) if b1 is None else \
-            jnp.asarray(b1, jnp.float32)
-        b2m = jnp.zeros(c, jnp.float32) if b2 is None else \
-            jnp.asarray(b2, jnp.float32)
-        if not _is_host(x) and se_ops.geometry_ok(x.shape):
-            return se_ops.fused_se(x, w1m, b1m, w2m, b2m)
-        # Composed fallback (identical semantics at compute dtype).
-        m = self._lib(x)
-        s = m.mean(x, axis=tuple(range(2, x.ndim)), keepdims=True)
-        sq, w1c = self._mm_cast(s[:, :, 0, 0], w1m)
-        r = self._mm_out(m.matmul(
-            sq, w1c.T, **(
-                {} if m is np else {"preferred_element_type": jnp.float32})
-        ) + b1m)
-        r = r * self.op_Sigmoid(node, r)
-        rq, w2c = self._mm_cast(r, w2m)
-        g = m.matmul(
-            rq, w2c.T, **(
-                {} if m is np else {"preferred_element_type": jnp.float32})
-        ) + b2m
-        gate = self.op_Sigmoid(node, self._mm_out(g))
-        return x * gate[:, :, None, None].astype(x.dtype)
-
-    def op_BirdaFusedSEProject(self, node, x, w1, b1, w2, b2, wp, bp,
-                               bn_s=None, bn_t=None, x_res=None):
-        """SE gate + the MBConv block's 1x1 project conv (+ optionally the
-        folded BatchNorm affine and the residual Add) in one kernel
-        (``ops/se.py::fused_se_project``, spliced by ``fuse.fuse_se`` with
-        ``absorb_project``): the gated slab stays VMEM-resident and the
-        project output skips its own HBM round trip through the
-        elementwise BN+add fusion. Geometry the kernel cannot hold (or a
-        residual whose shape disagrees at runtime) falls back to the SE
-        handler plus plain matmul/affine/add — identical semantics at
-        compute dtype."""
-        import jax.numpy as jnp
-
-        from ..ops import se as se_ops
-
-        wpm = jnp.asarray(wp)[:, :, 0, 0]
-        o_ch = wpm.shape[0]
-        bpm = jnp.zeros(o_ch, jnp.float32) if bp is None else \
-            jnp.asarray(bp, jnp.float32)
-        res_ok = x_res is None or (
-            not _is_host(x_res) and tuple(x_res.shape)
-            == (x.shape[0], o_ch) + tuple(x.shape[2:]))
-        if (not _is_host(x) and o_ch % 8 == 0 and res_ok
-                and se_ops.geometry_ok_project(x.shape, o_ch,
-                                               has_res=x_res is not None)):
-            w1m = jnp.asarray(w1)[:, :, 0, 0]
-            w2m = jnp.asarray(w2)[:, :, 0, 0]
-            c_se, c = w1m.shape
-            b1m = jnp.zeros(c_se, jnp.float32) if b1 is None else \
-                jnp.asarray(b1, jnp.float32)
-            b2m = jnp.zeros(c, jnp.float32) if b2 is None else \
-                jnp.asarray(b2, jnp.float32)
-            return se_ops.fused_se_project(
-                x, w1m, b1m, w2m, b2m, wpm, bpm,
-                bn_scale=bn_s, bn_shift=bn_t, x_res=x_res)
-        gated = self.op_BirdaFusedSE(node, x, w1, b1, w2, b2)
-        m = self._lib(gated)
-        gq, wpc = self._mm_cast(gated, wpm)
-        # 1x1 conv as einsum over the channel axis (same math/dtypes as
-        # op_Conv's conv_general_dilated for kernel 1, stride 1, pad 0).
-        if m is np:
-            out = np.einsum("bchw,oc->bohw", gq, wpc)
-        else:
-            out = jnp.einsum("bchw,oc->bohw", gq, wpc,
-                             preferred_element_type=jnp.float32)
-        out = out + bpm.reshape(1, -1, 1, 1)
-        if bn_s is not None:
-            out = (out * m.asarray(bn_s).reshape(1, -1, 1, 1)
-                   + m.asarray(bn_t).reshape(1, -1, 1, 1))
-        out = self._mm_out(out) if not _is_host(out) else out
-        if x_res is not None:
-            out = out + x_res
-        return out
-
-    def op_BirdaFusedMBConvS1(self, node, x0, we, ae_s, ae_t, wd, ad_s,
-                              ad_t, w1, b1, w2, b2, wp, ap_s, ap_t,
-                              x_res=None):
-        """Whole stride-1 MBConv block in one kernel
-        (``ops/mbconv.py::fused_mbconv_s1``, spliced by
-        ``fuse.fuse_mbconv_s1``): expand 1x1 + affine + swish, depthwise
-        kxk SAME, affine + swish, SE gate, project 1x1 + affine, optional
-        residual — the 6x-expanded mid slab never leaves VMEM. BN affines
-        and conv biases arrive pre-folded as scale/shift initializers.
-        Geometry the kernel cannot hold falls back to composed ops with
-        identical semantics at compute dtype."""
-        import jax.numpy as jnp
-
-        from ..ops import mbconv as mb_ops
-
-        cm, kk = wd.shape
-        k = int(round(float(kk) ** 0.5))
-        w1m = jnp.asarray(w1)[:, :, 0, 0]
-        w2m = jnp.asarray(w2)[:, :, 0, 0]
-        wpm = jnp.asarray(wp)[:, :, 0, 0]
-        c_se = w1m.shape[0]
-        o_ch = wpm.shape[0]
-        wem = None if we is None else jnp.asarray(we)[:, :, 0, 0]
-        b1m = jnp.zeros(c_se, jnp.float32) if b1 is None else \
-            jnp.asarray(b1, jnp.float32)
-        b2m = jnp.zeros(cm, jnp.float32) if b2 is None else \
-            jnp.asarray(b2, jnp.float32)
-        has_expand = wem is not None
-        chan_ok = (x0.shape[1] == (wem.shape[1] if has_expand else cm))
-        res_ok = x_res is None or (
-            not _is_host(x_res) and tuple(x_res.shape)
-            == (x0.shape[0], o_ch) + tuple(x0.shape[2:]))
-        if (not _is_host(x0) and chan_ok and res_ok
-                and mb_ops.kernel_enabled(self.compute_dtype)
-                and mb_ops.geometry_ok(x0.shape, cm, o_ch, k, has_expand,
-                                       x_res is not None)):
-            return mb_ops.fused_mbconv_s1(
-                x0, wem, ae_s, ae_t, jnp.asarray(wd), ad_s, ad_t,
-                w1m, b1m, w2m, b2m, wpm, ap_s, ap_t, x_res=x_res)
-        # Composed fallback: identical semantics at compute dtype.
-        from jax import lax
-
-        m = self._lib(x0)
-        h = x0
-        if has_expand:
-            hq, wec = self._mm_cast(h, wem)
-            if m is np:
-                h = np.einsum("bchw,mc->bmhw", hq, wec)
-            else:
-                h = jnp.einsum("bchw,mc->bmhw", hq, wec,
-                               preferred_element_type=jnp.float32)
-            h = h * m.asarray(ae_s).reshape(1, -1, 1, 1) \
-                + m.asarray(ae_t).reshape(1, -1, 1, 1)
-            h = self._mm_out(h) if not _is_host(h) else h
-            h = h * self.op_Sigmoid(node, h)
-        wd4 = m.asarray(wd).reshape(cm, 1, k, k)
-        hq, wdc = self._mm_cast(h, wd4)
-        if m is np:
-            raise UnsupportedOnnxOp(
-                "BirdaFusedMBConvS1 on host constants")  # never spliced
-        dn = lax.conv_dimension_numbers(
-            hq.shape, wdc.shape, ("NCHW", "OIHW", "NCHW"))
-        p = k // 2
-        h = lax.conv_general_dilated(
-            jnp.asarray(hq), jnp.asarray(wdc), window_strides=(1, 1),
-            padding=[(p, p), (p, p)], dimension_numbers=dn,
-            feature_group_count=cm,
-            preferred_element_type=jnp.float32)
-        h = h * jnp.asarray(ad_s).reshape(1, -1, 1, 1) \
-            + jnp.asarray(ad_t).reshape(1, -1, 1, 1)
-        h = self._mm_out(h)
-        h = h * self.op_Sigmoid(node, h)
-        # SE gate + project + affine, sharing the SE fallback math.
-        s = jnp.mean(h, axis=(2, 3))
-        sq, w1c = self._mm_cast(s, w1m)
-        r = self._mm_out(jnp.matmul(
-            sq, w1c.T, preferred_element_type=jnp.float32) + b1m)
-        r = r * self.op_Sigmoid(node, r)
-        rq, w2c = self._mm_cast(r, w2m)
-        g = jnp.matmul(rq, w2c.T, preferred_element_type=jnp.float32) + b2m
-        gate = self.op_Sigmoid(node, self._mm_out(g))
-        gated = h * gate[:, :, None, None].astype(h.dtype)
-        gq, wpc = self._mm_cast(gated, wpm)
-        out = jnp.einsum("bchw,oc->bohw", gq, wpc,
-                         preferred_element_type=jnp.float32)
-        out = out * jnp.asarray(ap_s).reshape(1, -1, 1, 1) \
-            + jnp.asarray(ap_t).reshape(1, -1, 1, 1)
-        out = self._mm_out(out)
-        if x_res is not None:
-            out = out + x_res
-        return out
-
     def op_ConvTranspose(self, node, x, w, b=None):
         import jax.numpy as jnp
         from jax import lax
@@ -1387,16 +1202,21 @@ class _Evaluator:
         k = int(np.asarray(k).reshape(-1)[0])
         axis = node.attr("axis", -1)
         largest = node.attr("largest", 1)
-        if axis not in (-1, x.ndim - 1) or not largest:
-            raise UnsupportedOnnxOp("TopK only on last axis, largest=1")
+        if not largest:
+            raise UnsupportedOnnxOp("TopK with largest=0")
         if _is_host(x):
-            idx = np.argsort(-_np(x), axis=-1)[..., :k]
-            vals = np.take_along_axis(_np(x), idx, axis=-1)
-            return vals, idx.astype(np.int64)
+            xs = np.moveaxis(_np(x), axis, -1)
+            idx = np.argsort(-xs, axis=-1)[..., :k]
+            vals = np.take_along_axis(xs, idx, axis=-1)
+            return (np.moveaxis(vals, -1, axis),
+                    np.moveaxis(idx.astype(np.int64), -1, axis))
         import jax
 
-        vals, idx = jax.lax.top_k(x, k)
-        return vals, idx.astype(np.int64)
+        # lax.top_k ranks the last axis; any other axis moves there and
+        # back (a layout change XLA fuses, not a materialized transpose).
+        vals, idx = jax.lax.top_k(jnp.moveaxis(x, axis, -1), k)
+        return (jnp.moveaxis(vals, -1, axis),
+                jnp.moveaxis(idx.astype(jnp.int64), -1, axis))
 
     @staticmethod
     def _resize_coords(ct: str, d_in: int, d_out: int, scale: float):
@@ -1474,6 +1294,11 @@ class _Evaluator:
         raise UnsupportedOnnxOp(f"Resize mode {mode}")
 
     def op_Resize(self, node, x, roi=None, scales=None, sizes=None):
+        if self.opset and self.opset < 11 and scales is None and \
+                sizes is None and roi is not None:
+            # Opset-10 spelling: Resize(X, scales) — the second input is
+            # the scales tensor, not the roi.
+            scales, roi = roi, None
         mode = node.attr("mode", b"nearest")
         if isinstance(mode, bytes):
             mode = mode.decode()
@@ -2926,7 +2751,6 @@ def lower(model: Model | bytes | str, compute_dtype=None) -> "OnnxFunction":
         return OnnxFunction(model, compute_dtype=compute_dtype)
     model = load_model(model)
     maybe_fuse_frontend(model, compute_dtype)
-    maybe_fuse_se(model, compute_dtype)
     return OnnxFunction(model, compute_dtype=compute_dtype)
 
 
@@ -2942,29 +2766,6 @@ def maybe_fuse_frontend(model: Model, compute_dtype) -> int:
     from .fuse import fuse_mel_frontend
 
     return fuse_mel_frontend(model.graph)
-
-
-def maybe_fuse_se(model: Model, compute_dtype) -> int:
-    """Apply the whole-block and squeeze-and-excitation fusion passes
-    when their Pallas kernel paths are active (bf16 on TPU,
-    ``BIRDA_MBCONV_KERNEL`` / ``BIRDA_SE_KERNEL`` overridable); same
-    mutation contract as :func:`maybe_fuse_frontend`. Stride-1 MBConv
-    blocks fuse whole (``fuse_mbconv_s1``); remaining SE chains
-    (stride-2 blocks) fuse their gate/project."""
-    from ..ops import mbconv as mb_ops
-    from ..ops import se as se_ops
-
-    n = 0
-    if mb_ops.kernel_enabled(compute_dtype):
-        from .fuse import fuse_mbconv_s1
-
-        n += fuse_mbconv_s1(model.graph)
-    if se_ops.kernel_enabled(compute_dtype):
-        from .fuse import fuse_se
-
-        n += fuse_se(model.graph,
-                     absorb_project=se_ops.absorb_project_enabled())
-    return n
 
 
 class OnnxFunction:
