@@ -46,12 +46,15 @@ class Finding:
         return f"{self.op_type}{where}: {self.reason}"
 
 
-def _attr_findings(node) -> list[str]:
+def _attr_findings(node, opset: int = 0) -> list[str]:
     """Statically-checkable attribute limits of otherwise-supported ops.
 
     Conservative: only configurations the evaluator is *certain* to reject
     are flagged (attributes are static in the wire format; input-dependent
-    limits are left to runtime).
+    limits are left to runtime). ``tests/test_preflight_property.py`` pins
+    the invariant both ways: preflight-clean grids must execute without an
+    ``UnsupportedOnnxOp``, and every static runtime raise must have a rule
+    here.
     """
     reasons = []
     op = node.op_type
@@ -129,6 +132,8 @@ def _attr_findings(node) -> list[str]:
                 f"{node.attr('qk_matmul_output_mode')} is not supported "
                 "(only mode 0, the raw scaled QK matmul)")
     elif op == "MultiHeadAttention":
+        if node.attr("num_heads") is None:
+            reasons.append("MultiHeadAttention requires num_heads")
         if len(node.inputs) > 4 and node.inputs[4]:
             reasons.append(
                 "MultiHeadAttention key_padding_mask is not supported")
@@ -166,6 +171,48 @@ def _attr_findings(node) -> list[str]:
     elif op == "GroupNormalization":
         if node.attr("num_groups") is None:
             reasons.append("GroupNormalization requires num_groups")
+    elif op == "If":
+        if node.attr("then_branch") is None or \
+                node.attr("else_branch") is None:
+            reasons.append("If requires then_branch and else_branch "
+                           "subgraph attributes")
+    elif op == "Loop":
+        if node.attr("body") is None:
+            reasons.append("Loop requires a body subgraph attribute")
+        if len(node.inputs) < 2 or not any(node.inputs[:2]):
+            reasons.append(
+                "Loop with neither trip count nor condition input")
+    elif op == "Scan":
+        if opset == 8:
+            reasons.append(
+                "opset-8 Scan (sequence_lens/batch form) is not supported")
+        if node.attr("body") is None or \
+                node.attr("num_scan_inputs") is None:
+            reasons.append("Scan requires body and num_scan_inputs")
+    elif op == "QLinearAveragePool":
+        if node.attr("channels_last", 0):
+            reasons.append(
+                "QLinearAveragePool channels_last=1 is not supported")
+    return reasons
+
+
+def _input_findings(node, opset: int = 0) -> list[str]:
+    """Statically-checkable *input-presence* limits: which optional input
+    slots are wired is part of the serialized graph, so a missing required
+    input is as preflightable as a bad attribute."""
+    reasons = []
+    op = node.op_type
+    ins = list(node.inputs)
+    if op == "Resize":
+        if opset and opset < 11:
+            if len(ins) < 2 or not ins[1]:
+                reasons.append("opset-10 Resize requires a scales input")
+        elif not any(ins[2:4]):
+            reasons.append("Resize requires a scales or sizes input")
+    elif op == "Upsample":
+        if opset >= 9 and (len(ins) < 2 or not ins[1]) and \
+                node.attr("scales") is None:
+            reasons.append("Upsample requires scales (input or attribute)")
     return reasons
 
 
@@ -253,7 +300,10 @@ def preflight(model: Model | bytes | str, evaluator=None) -> list[Finding]:
                     f"op is not supported by the lowering{count}",
                 ))
             return
-        for reason in _attr_findings(node):
+        opset = model.opset
+        for reason in _attr_findings(node, opset):
+            findings.append(Finding(node.name, node.op_type, reason))
+        for reason in _input_findings(node, opset):
             findings.append(Finding(node.name, node.op_type, reason))
 
     _walk(graph)

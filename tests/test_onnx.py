@@ -1471,9 +1471,13 @@ class TestReviewFixes:
             outputs=[fo.value_info("s_final", [1, 1])],
             opset=8,
         )
-        fn = lower(mb)
-        with pytest.raises(UnsupportedOnnxOp, match="opset-8"):
-            fn(np.zeros((1, 1), np.float32))
+        # Statically knowable (the model's opset is in the wire format),
+        # so preflight refuses at build — with the aggregate error —
+        # rather than the evaluator raising at run time.
+        from birda_tpu.errors import OnnxGraphUnsupported
+
+        with pytest.raises(OnnxGraphUnsupported, match="opset-8"):
+            lower(mb)
 
 
 class TestRecurrentOps:
