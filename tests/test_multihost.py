@@ -51,6 +51,57 @@ class TestInitializeMultihost:
             )
 
 
+class TestRealTwoProcessPod:
+    """UNMOCKED ``jax.distributed``: two real CPU processes join over a
+    local TCP coordinator (XLA Gloo collectives), each contributing two
+    virtual devices; see ``multihost_child.py`` for what each asserts —
+    global mesh shape, rank-stamped locks, sharded-vs-single-process
+    predict equality on the production lowered graph."""
+
+    def test_two_processes_initialize_and_agree(self, tmp_path):
+        import os
+        import socket
+        import subprocess
+        import sys
+        from pathlib import Path
+
+        # A free port for the coordinator (bind-then-release: the child
+        # rebinds it immediately, races are a skip not a failure).
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+
+        child = Path(__file__).parent / "multihost_child.py"
+        env = dict(
+            os.environ,
+            BIRDA_COORDINATOR=f"127.0.0.1:{port}",
+            BIRDA_NUM_PROCESSES="2",
+            MH_TMP=str(tmp_path),
+        )
+        procs = []
+        for pid in range(2):
+            e = dict(env, BIRDA_PROCESS_ID=str(pid))
+            procs.append(subprocess.Popen(
+                [sys.executable, str(child), str(pid)],
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                text=True, env=e,
+            ))
+        outs = []
+        try:
+            for p in procs:
+                out, err = p.communicate(timeout=300)
+                outs.append((p.returncode, out, err))
+        except subprocess.TimeoutExpired:
+            for p in procs:
+                p.kill()
+            pytest.fail("two-process pod init timed out (300s)")
+        for rc, out, err in outs:
+            assert rc == 0, f"child failed rc={rc}\n{out}\n{err[-2000:]}"
+            line = json.loads(out.strip().splitlines()[-1])
+            assert line["ok"] is True
+            assert line["max_err"] < 1e-5
+
+
 class TestProcessIndexInLocks:
     def test_single_host_rank_zero_without_backend_touch(self):
         assert mesh.process_index() == 0
