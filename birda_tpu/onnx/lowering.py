@@ -937,167 +937,15 @@ class _Evaluator:
             if b is not None:
                 out = out + jnp.asarray(b).reshape(1, -1, 1)
             return self._mm_out(out)
-        import os
-
-        # Depthwise 2-D convs as explicit shift-multiply-accumulate
-        # (BIRDA_DEPTHWISE=shifts): k^2 strided slices of the padded
-        # tensor, each scaled by its per-channel tap and accumulated in
-        # fp32 — pure fused elementwise VPU work, bypassing XLA's grouped
-        # convolution lowering. Identical math, different schedule;
-        # A/B'd on chip by scripts/ab_backbone.py.
-        if (
-            os.environ.get("BIRDA_DEPTHWISE", "conv") == "shifts"
-            and spatial == 2 and group > 1 and group == x.shape[1]
-            and w.shape[0] == group and w.shape[1] == 1
-            and list(dilations) == [1, 1] and _dtype_kind(x) not in "iu"
-        ):
-            xq, wq = self._mm_cast(x, w)
-            (ph0, ph1), (pw0, pw1) = pads
-            xp = jnp.pad(jnp.asarray(xq),
-                         ((0, 0), (0, 0), (ph0, ph1), (pw0, pw1)))
-            kh, kw = int(w.shape[2]), int(w.shape[3])
-            sh, sw = strides
-            ho = (x.shape[2] + ph0 + ph1 - kh) // sh + 1
-            wo = (x.shape[3] + pw0 + pw1 - kw) // sw + 1
-            n, c = xp.shape[0], xp.shape[1]
-            acc = None
-            for dy in range(kh):
-                for dx in range(kw):
-                    sl = lax.slice(
-                        xp, (0, 0, dy, dx),
-                        (n, c, dy + (ho - 1) * sh + 1,
-                         dx + (wo - 1) * sw + 1),
-                        (1, 1, sh, sw),
-                    ).astype(jnp.float32)
-                    tap = jnp.asarray(wq)[:, 0, dy, dx].astype(
-                        jnp.float32).reshape(1, -1, 1, 1)
-                    term = sl * tap
-                    acc = term if acc is None else acc + term
-            if b is not None:
-                acc = acc + jnp.asarray(b).reshape(
-                    (1, -1) + (1,) * spatial)
-            return self._mm_out(acc)
-
-        # Batch-into-channel fold for depthwise convs (BIRDA_DW_BATCHFOLD=1):
-        # reshape (N,C,H,W) -> (1, N*C, H, W) with the per-channel taps
-        # tiled N times and feature_group_count = N*C. The early MBConv
-        # depthwise convs have 16-144 channels — far under the TPU tile
-        # widths — and folding the batch axis in hands XLA a wide,
-        # tile-aligned channel dim. Tap tiling costs N*C*k*k elements,
-        # negligible at these widths (hence the group cap). Identical
-        # math; A/B'd on chip by scripts/ab_backbone.py.
-        if (
-            os.environ.get("BIRDA_DW_BATCHFOLD") == "1"
-            and spatial == 2 and group > 1 and group == x.shape[1]
-            and w.shape[0] == group and w.shape[1] == 1 and group <= 192
-            and _dtype_kind(x) not in "iu"
-        ):
-            xq, wq = self._mm_cast(x, w)
-            n, c, h, wd = x.shape
-            xf = jnp.asarray(xq).reshape(1, n * c, h, wd)
-            wf = jnp.tile(jnp.asarray(wq), (n, 1, 1, 1))
-            dn = lax.conv_dimension_numbers(
-                xf.shape, wf.shape, ("NCHW", "OIHW", "NCHW"))
-            out = lax.conv_general_dilated(
-                xf, wf, window_strides=strides, padding=pads,
-                rhs_dilation=dilations, dimension_numbers=dn,
-                feature_group_count=n * c,
-                preferred_element_type=jnp.float32,
-            )
-            out = out.reshape(n, c, out.shape[2], out.shape[3])
-            if b is not None:
-                out = out + jnp.asarray(b).reshape(
-                    (1, -1) + (1,) * spatial)
-            return self._mm_out(out)
-
-        # Space-to-depth stem packing (BIRDA_STEM_S2D=1): a stride-2 3x3
-        # conv with tiny C_in (the EfficientNet stem reads the 1-channel
-        # mel image) re-expressed as a stride-1 2x2 VALID conv over the
-        # 2x2-space-to-depth-packed input — contraction depth 9C -> 16C
-        # (7/16 taps structurally zero) and the strided window reads
-        # become unit-stride. Identical math; A/B'd on chip by
-        # scripts/ab_backbone.py.
-        if (
-            os.environ.get("BIRDA_STEM_S2D") == "1"
-            and spatial == 2 and group == 1 and list(strides) == [2, 2]
-            and list(dilations) == [1, 1]
-            and w.shape[2] == 3 and w.shape[3] == 3 and x.shape[1] <= 4
-            and _dtype_kind(x) not in "iu"
-        ):
-            xq, wq = self._mm_cast(x, w)
-            (ph0, ph1), (pw0, pw1) = pads
-            n, c, h, wd = x.shape
-            ho = (h + ph0 + ph1 - 3) // 2 + 1
-            wo = (wd + pw0 + pw1 - 3) // 2 + 1
-            # Pad to exactly ho+1 / wo+1 blocks of 2: the extra rows feed
-            # only the structurally-zero taps (2e+a > 2), so zero-fill is
-            # exact regardless of the original right-edge padding.
-            hp, wp = 2 * (ho + 1), 2 * (wo + 1)
-            xp = jnp.pad(
-                jnp.asarray(xq),
-                ((0, 0), (0, 0), (ph0, hp - h - ph0), (pw0, wp - wd - pw0)),
-            )
-            # channel packing: packed ch = ci*4 + 2a + b for offset (a, b)
-            xs = (
-                xp.reshape(n, c, ho + 1, 2, wo + 1, 2)
-                .transpose(0, 1, 3, 5, 2, 4)
-                .reshape(n, c * 4, ho + 1, wo + 1)
-            )
-            wq = jnp.asarray(wq)
-            w2 = jnp.zeros((w.shape[0], c * 4, 2, 2), wq.dtype)
-            for a in range(2):
-                for bb in range(2):
-                    for e in range(2):
-                        for f in range(2):
-                            if 2 * e + a < 3 and 2 * f + bb < 3:
-                                w2 = w2.at[:, 2 * a + bb :: 4, e, f].set(
-                                    wq[:, :, 2 * e + a, 2 * f + bb])
-            dn = lax.conv_dimension_numbers(
-                xs.shape, w2.shape, ("NCHW", "OIHW", "NCHW"))
-            out = lax.conv_general_dilated(
-                xs, w2, window_strides=(1, 1), padding=[(0, 0), (0, 0)],
-                dimension_numbers=dn,
-                preferred_element_type=jnp.float32,
-            )
-            if b is not None:
-                out = out + jnp.asarray(b).reshape(
-                    (1, -1) + (1,) * spatial)
-            return self._mm_out(out)
-
         chars = "DHW"[3 - spatial :]
-        x, w = self._mm_cast(x, w)
-        # Integer convs (QLinear* paths) accumulate in int32 — exactness is
-        # the point; float convs accumulate fp32.
-        pref = jnp.int32 if _dtype_kind(x) in "iu" else jnp.float32
-
-        # NHWC experiment (BIRDA_CONV_LAYOUT=nhwc): run 2-D float convs
-        # with channels-minor logical dims; adjacent convs' transposes
-        # cancel in XLA and the conv itself may pick a better internal
-        # layout. A/B'd on chip by scripts/ab_backbone.py.
-        if (
-            os.environ.get("BIRDA_CONV_LAYOUT") == "nhwc"
-            and spatial == 2 and pref is jnp.float32
-        ):
-            xt = jnp.transpose(jnp.asarray(x), (0, 2, 3, 1))
-            wt = jnp.transpose(jnp.asarray(w), (2, 3, 1, 0))
-            dn = lax.conv_dimension_numbers(
-                xt.shape, wt.shape, ("NHWC", "HWIO", "NHWC"))
-            out = lax.conv_general_dilated(
-                xt, wt, window_strides=strides, padding=pads,
-                rhs_dilation=dilations, dimension_numbers=dn,
-                feature_group_count=group,
-                preferred_element_type=pref,
-            )
-            out = jnp.transpose(out, (0, 3, 1, 2))
-            if b is not None:
-                out = out + jnp.asarray(b).reshape(
-                    (1, -1) + (1,) * spatial)
-            return self._mm_out(out)
-
         dn = lax.conv_dimension_numbers(
             x.shape, w.shape,
             ("NC" + chars, "OI" + chars, "NC" + chars),
         )
+        x, w = self._mm_cast(x, w)
+        # Integer convs (QLinear* paths) accumulate in int32 — exactness is
+        # the point; float convs accumulate fp32.
+        pref = jnp.int32 if _dtype_kind(x) in "iu" else jnp.float32
         out = lax.conv_general_dilated(
             jnp.asarray(x), jnp.asarray(w),
             window_strides=strides, padding=pads,

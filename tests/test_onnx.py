@@ -2289,76 +2289,3 @@ class TestAttentionOps:
                                  align_corners=bool(align)).numpy()
             assert np.max(np.abs(got - want)) < 1e-5, align
 
-
-class TestExperimentalConvSpellings:
-    """The env-gated backbone conv spellings (BIRDA_DEPTHWISE=shifts,
-    BIRDA_CONV_LAYOUT=nhwc, BIRDA_DW_BATCHFOLD=1, BIRDA_STEM_S2D=1;
-    lowering.py::op_Conv) are identical math on a different schedule —
-    pinned against torch across the geometries the rewrites reshape:
-    asymmetric pads, stride 2, k5, odd/even spatial dims."""
-
-    def _run_conv(self, monkeypatch, env, x, w, *, strides, pads, group=1):
-        for k in ("BIRDA_DEPTHWISE", "BIRDA_CONV_LAYOUT",
-                  "BIRDA_DW_BATCHFOLD", "BIRDA_STEM_S2D"):
-            monkeypatch.delenv(k, raising=False)
-        for k, v in env.items():
-            monkeypatch.setenv(k, v)
-        ph0, pw0, ph1, pw1 = pads
-        want = F.conv2d(
-            F.pad(torch.from_numpy(x), (pw0, pw1, ph0, ph1)),
-            torch.from_numpy(w), stride=strides, groups=group).numpy()
-        mb = fo.model(
-            [fo.node("Conv", ["x", "w"], ["y"], attrs=[
-                fo.attr_ints("strides", list(strides)),
-                fo.attr_ints("pads", [ph0, pw0, ph1, pw1]),
-                fo.attr_int("group", group),
-            ])],
-            inputs=[fo.value_info("x", list(x.shape))],
-            outputs=[fo.value_info("y", list(want.shape))],
-            initializers=[fo.tensor("w", w)],
-        )
-        got = run_model(mb, x)
-        assert got.shape == want.shape
-        assert np.max(np.abs(got - want)) < 1e-4
-
-    @pytest.mark.parametrize("env", [
-        {"BIRDA_DEPTHWISE": "shifts"},
-        {"BIRDA_DW_BATCHFOLD": "1"},
-    ])
-    @pytest.mark.parametrize("geom", [
-        ((2, 8, 12, 12), (3, 3), (1, 1), (1, 1, 1, 1)),
-        ((2, 6, 13, 11), (5, 5), (2, 2), (2, 1, 1, 2)),
-        ((3, 4, 9, 14), (3, 3), (2, 1), (0, 1, 1, 0)),
-    ])
-    def test_depthwise_spellings(self, monkeypatch, env, geom):
-        xs, ks, strides, pads = geom
-        rng = np.random.default_rng(7)
-        x = rng.normal(size=xs).astype(np.float32)
-        w = rng.normal(size=(xs[1], 1) + ks).astype(np.float32)
-        self._run_conv(monkeypatch, env, x, w,
-                       strides=strides, pads=pads, group=xs[1])
-
-    @pytest.mark.parametrize("geom", [
-        ((2, 1, 97, 61), (1, 1, 1, 1)),
-        ((2, 1, 96, 60), (0, 0, 1, 1)),
-        ((1, 3, 95, 64), (0, 0, 0, 0)),
-        ((2, 4, 33, 47), (1, 1, 0, 0)),
-    ])
-    def test_stem_s2d(self, monkeypatch, geom):
-        xs, pads = geom
-        rng = np.random.default_rng(8)
-        x = rng.normal(size=xs).astype(np.float32)
-        w = rng.normal(size=(8, xs[1], 3, 3)).astype(np.float32)
-        self._run_conv(monkeypatch, {"BIRDA_STEM_S2D": "1"}, x, w,
-                       strides=(2, 2), pads=pads)
-
-    def test_nhwc_layout(self, monkeypatch):
-        rng = np.random.default_rng(9)
-        x = rng.normal(size=(2, 3, 16, 16)).astype(np.float32)
-        w = rng.normal(size=(8, 3, 3, 3)).astype(np.float32)
-        self._run_conv(monkeypatch, {"BIRDA_CONV_LAYOUT": "nhwc"}, x, w,
-                       strides=(2, 2), pads=(1, 1, 1, 1))
-        self._run_conv(monkeypatch, {"BIRDA_CONV_LAYOUT": "nhwc"}, x,
-                       rng.normal(size=(8, 1, 3, 3)).astype(np.float32)[
-                           :3][: x.shape[1]],
-                       strides=(1, 1), pads=(1, 1, 1, 1), group=3)
