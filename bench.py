@@ -256,7 +256,7 @@ def main() -> None:
     tunnel_error = None
     try:
         platform = jax.default_backend()
-    except RuntimeError as e:
+    except Exception as e:  # noqa: BLE001 — any plugin failure, not just RuntimeError
         # Accelerator plugin failed to initialize (tunnel outage). Confine
         # jax to CPU and report the smoke number with the failure noted —
         # a degraded-but-valid line beats a stack trace in the record.
@@ -398,5 +398,27 @@ def main() -> None:
     _emit(line(rt_v24))
 
 
+def _main_guarded() -> int:
+    """The one-JSON-line contract also covers *failures* of the headline
+    measurement itself (remote-compile 413/500, Pallas compile error,
+    tunnel drop mid-fetch): the watchdog only handles overruns, so any
+    exception out of main() must still print the best-so-far line (or a
+    zero-valued fallback naming the error) and exit 0."""
+    try:
+        main()
+    except BaseException as e:  # noqa: BLE001
+        with _lock:
+            line = _best
+        if line is not None:
+            line.setdefault("extra", {})["aborted_by"] = (
+                f"{type(e).__name__}: {str(e)[:200]}")
+            _emit(line)
+        else:
+            _emit(_fallback_line(f"{type(e).__name__}: {str(e)[:200]}"))
+        if isinstance(e, KeyboardInterrupt):
+            raise
+    return 0
+
+
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(_main_guarded())

@@ -105,7 +105,16 @@ class Int8AccuracyReport:
         cross = next((x for x in self.crossings
                       if abs(x.threshold - c.decision_threshold) < 1e-9),
                      None)
-        if cross is not None:
+        if cross is None:
+            # The missed/spurious criteria are the recall currency this
+            # protocol exists for: a report built without the decision
+            # threshold must fail loudly, never silently skip the check.
+            out.append(
+                f"decision threshold {c.decision_threshold} has no "
+                f"crossing counts in this report (computed: "
+                f"{[x.threshold for x in self.crossings]}) — rebuild with "
+                "compare_scores(..., thresholds=(...)) including it")
+        else:
             if cross.missed_rate > c.max_missed_rate:
                 out.append(
                     f"missed-detection rate {cross.missed_rate:.4f} at "

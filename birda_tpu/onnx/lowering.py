@@ -1211,6 +1211,7 @@ class _Evaluator:
             return (np.moveaxis(vals, -1, axis),
                     np.moveaxis(idx.astype(np.int64), -1, axis))
         import jax
+        import jax.numpy as jnp
 
         # lax.top_k ranks the last axis; any other axis moves there and
         # back (a layout change XLA fuses, not a materialized transpose).
@@ -1239,14 +1240,18 @@ class _Evaluator:
         raise UnsupportedOnnxOp(
             f"Resize coordinate_transformation_mode '{ct}'")
 
-    def _resize(self, node, x, out_shape, sc, mode: str, ct: str):
+    def _resize(self, node, x, out_shape, sc, mode: str, ct: str,
+                nm: str | None = None):
         """Shared Resize/Upsample body: exact ONNX semantics via per-axis
         gathers (nearest) / two-point lerps (linear) with host-computed
-        indices and weights."""
+        indices and weights. `nm` overrides the node's nearest_mode
+        (legacy opset-10 Resize has no such attribute; its defined
+        rounding is floor)."""
         m = self._lib(x)
         if mode == "nearest":
-            nm = node.attr("nearest_mode", b"round_prefer_floor")
-            nm = nm.decode() if isinstance(nm, bytes) else nm
+            if nm is None:
+                nm = node.attr("nearest_mode", b"round_prefer_floor")
+                nm = nm.decode() if isinstance(nm, bytes) else nm
             out = x
             for ax, (d_in, d_out) in enumerate(zip(x.shape, out_shape)):
                 if d_in == d_out:
@@ -1294,16 +1299,22 @@ class _Evaluator:
         raise UnsupportedOnnxOp(f"Resize mode {mode}")
 
     def op_Resize(self, node, x, roi=None, scales=None, sizes=None):
-        if self.opset and self.opset < 11 and scales is None and \
-                sizes is None and roi is not None:
+        legacy = bool(self.opset and self.opset < 11)
+        if legacy and scales is None and sizes is None and roi is not None:
             # Opset-10 spelling: Resize(X, scales) — the second input is
             # the scales tensor, not the roi.
             scales, roi = roi, None
         mode = node.attr("mode", b"nearest")
         if isinstance(mode, bytes):
             mode = mode.decode()
-        ct = node.attr("coordinate_transformation_mode", b"half_pixel")
-        ct = ct.decode() if isinstance(ct, bytes) else ct
+        if legacy:
+            # Resize-10 predates coordinate_transformation_mode /
+            # nearest_mode: its defined behavior is Upsample's —
+            # asymmetric coordinates with floor rounding (matches ORT).
+            ct = "asymmetric"
+        else:
+            ct = node.attr("coordinate_transformation_mode", b"half_pixel")
+            ct = ct.decode() if isinstance(ct, bytes) else ct
         if ct == "tf_crop_and_resize":
             raise UnsupportedOnnxOp("Resize tf_crop_and_resize")
         if node.attr("antialias", 0):
@@ -1346,7 +1357,8 @@ class _Evaluator:
             ]
         else:
             raise UnsupportedOnnxOp("Resize needs scales or sizes")
-        return self._resize(node, x, out_shape, sc, mode, ct)
+        return self._resize(node, x, out_shape, sc, mode, ct,
+                            nm="floor" if legacy else None)
 
     def op_Upsample(self, node, x, scales=None):
         # Deprecated (opset 7 attr / opset 9 input spelling); Resize

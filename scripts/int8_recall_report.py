@@ -30,6 +30,30 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
+def _collect_audio(spec: str) -> list[Path]:
+    """Resolve --audio/--calibration-audio to decodable files: a directory
+    keeps only supported audio extensions (a stray labels.txt or report
+    in a recordings dir must not crash the acceptance tool); an explicit
+    file path is passed through as given."""
+    from birda_tpu.constants import audio as audio_consts
+
+    root = Path(spec)
+    if not root.is_dir():
+        return [root]
+    exts = {"." + e for e in audio_consts.SUPPORTED_EXTENSIONS}
+    paths = [p for p in sorted(root.rglob("*"))
+             if p.is_file() and p.suffix.lower() in exts]
+    skipped = sum(1 for p in sorted(root.rglob("*"))
+                  if p.is_file() and p.suffix.lower() not in exts)
+    if skipped:
+        print(f"note: skipped {skipped} non-audio file(s) under {root}",
+              file=sys.stderr)
+    if not paths:
+        raise SystemExit(f"no supported audio files under {root} "
+                         f"(extensions: {sorted(exts)})")
+    return paths
+
+
 def _segments_from_audio(paths, sample_rate: int, seconds: float,
                          limit: int) -> np.ndarray:
     """Decode + window + (host-)resample through the production stack."""
@@ -83,18 +107,14 @@ def main() -> int:
     if args.reference:
         inputs = np.load(args.reference)["inputs"]
     else:
-        root = Path(args.audio)
-        paths = sorted(root.rglob("*")) if root.is_dir() else [root]
-        paths = [p for p in paths if p.is_file()]
-        inputs = _segments_from_audio(paths, args.sample_rate,
+        inputs = _segments_from_audio(_collect_audio(args.audio),
+                                      args.sample_rate,
                                       args.seconds, args.limit)
     inputs = inputs[:args.limit]
 
     calib = None
     if args.calibration_audio:
-        croot = Path(args.calibration_audio)
-        cpaths = sorted(croot.rglob("*")) if croot.is_dir() else [croot]
-        seg = _segments_from_audio([p for p in cpaths if p.is_file()],
+        seg = _segments_from_audio(_collect_audio(args.calibration_audio),
                                    args.sample_rate, args.seconds, 64)
         calib = [seg]
 

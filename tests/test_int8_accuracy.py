@@ -66,6 +66,18 @@ class TestCompareScores:
         with pytest.raises(ValueError):
             compare_scores(np.zeros((2, 3)), np.zeros((3, 3)))
 
+    def test_missing_decision_threshold_is_a_failure(self):
+        # Round-4 review: a report built without the criteria's
+        # decision_threshold used to silently skip the missed/spurious
+        # checks — an int8 model missing 20% of detections would pass.
+        s = np.random.default_rng(1).uniform(0, 1, (20, 12))
+        r = compare_scores(s, s, thresholds=(0.05, 0.25, 0.5))
+        fails = r.failures(Criteria(decision_threshold=0.1))
+        assert any("no crossing counts" in f for f in fails)
+        # ... and with the threshold present, identical scores pass.
+        r = compare_scores(s, s, thresholds=(0.05, 0.1, 0.25))
+        assert r.failures(Criteria(decision_threshold=0.1)) == []
+
 
 class TestEvaluateModelOnFixture:
     def test_full_protocol_on_synthetic_graph(self):

@@ -1357,6 +1357,57 @@ class TestReviewFixes:
         got = run_model(mb, x)
         assert got.shape == (1, 1, 8, 12)
 
+    def test_topk_under_jit(self):
+        # Round-4 review: the traced path used jnp without importing it;
+        # every existing test fed host numpy and took the host fast path,
+        # so only jit/device execution hit the NameError.
+        import jax
+
+        x = np.random.default_rng(3).normal(size=(3, 8)).astype(np.float32)
+        mb = fo.model(
+            [fo.node("TopK", ["x", "k"], ["vals", "idx"],
+                     attrs=[fo.attr_int("axis", 0)])],
+            inputs=[fo.value_info("x", [3, 8])],
+            outputs=[fo.value_info("vals", [2, 8]),
+                     fo.value_info("idx", [2, 8], elem_type=7)],
+            initializers=[fo.tensor("k", np.array([2], np.int64))],
+        )
+        fn = lower(mb)
+        vals, idx = jax.jit(lambda a: fn(a))(x)
+        tv, ti = torch.topk(torch.from_numpy(x), 2, dim=0)
+        assert np.allclose(np.asarray(vals), tv.numpy(), atol=1e-6)
+        assert np.array_equal(np.asarray(idx), ti.numpy())
+
+    def test_resize_opset10_legacy_semantics(self):
+        # Resize-10 predates coordinate_transformation_mode/nearest_mode:
+        # defined behavior is asymmetric coordinates + floor rounding
+        # (what ORT implements and op_Upsample documents). half_pixel +
+        # round_prefer_floor would give [0, 2, 4] here.
+        x = np.arange(5, dtype=np.float32)
+        mb = fo.model(
+            [fo.node("Resize", ["x", "sc"], ["y"],
+                     attrs=[fo.attr_str("mode", "nearest")])],
+            inputs=[fo.value_info("x", [5])],
+            outputs=[fo.value_info("y", [3])],
+            initializers=[fo.tensor("sc", np.array([0.6], np.float32))],
+            opset=10,
+        )
+        got = run_model(mb, x)
+        assert np.array_equal(got, np.array([0.0, 1.0, 3.0], np.float32))
+        # linear: asymmetric coordinates extrapolate the tail flat
+        # (half_pixel would start at -0.25 → clamp → 0, then 0.25, ...).
+        mb = fo.model(
+            [fo.node("Resize", ["x", "sc"], ["y"],
+                     attrs=[fo.attr_str("mode", "linear")])],
+            inputs=[fo.value_info("x", [4])],
+            outputs=[fo.value_info("y", [8])],
+            initializers=[fo.tensor("sc", np.array([2.0], np.float32))],
+            opset=10,
+        )
+        got = run_model(mb, np.array([0, 1, 2, 3], np.float32))
+        want = np.array([0, 0.5, 1, 1.5, 2, 2.5, 3, 3], np.float32)
+        assert np.allclose(got, want, atol=1e-6)
+
     def test_pool_ceil_mode_drops_padding_only_window(self):
         # stride > kernel: the ceil formula's extra window would start in
         # the right padding; ORT/torch drop it.
