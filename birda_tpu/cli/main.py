@@ -21,6 +21,7 @@ import click
 from .. import __version__, constants
 from ..config import file as config_file
 from ..config import paths as config_paths
+from ..config.bat import BatRegion
 from ..config.types import Config, InferenceDevice, ModelConfig, ModelType, OutputMode
 from ..errors import BirdaError
 from ..locking.file_lock import cleanup_all_locks
@@ -106,7 +107,8 @@ def cli(ctx):
               envvar="BIRDA_LABELS_PATH")
 @click.option("--model-type", type=click.Choice([t.value for t in ModelType]),
               envvar="BIRDA_MODEL_TYPE")
-@click.option("--bat", type=str, envvar="BIRDA_BAT",
+@click.option("--bat", envvar="BIRDA_BAT",
+              type=click.Choice([r.value for r in BatRegion]),
               help="Bat region (enables BattyBirdNET two-stage mode).")
 @click.option("-f", "--format", "formats", multiple=True,
               type=click.Choice([f.value for f in OutputFormat]),
@@ -1015,7 +1017,17 @@ def models_install(model_id, language, region, variant, set_default,
         if reg.range_filter is not None and supports_range_filter(
             bat_mode=False, model_type=ModelType(rm.model_type)
         ):
-            installer.install_range_filter(reg.range_filter)
+            try:
+                installer.install_range_filter(reg.range_filter)
+            except BirdaError as e:
+                # A failure here is a warning, not an error: the
+                # classifier itself installed fine and works without
+                # range filtering (reference lib.rs:2186-2196).
+                logging.getLogger("birda").warning(
+                    "Could not install the BirdNET Geomodel v3.0.2 range "
+                    "filter: %s. Run 'birda models install geomodel' to "
+                    "retry.", e,
+                )
 
         became_default = []
 
@@ -1268,7 +1280,16 @@ def main(argv=None):
     # no-subcommand analyze path).
     if argv and argv[0] not in SUBCOMMANDS and not argv[0] in ("--help", "-h", "--version"):
         argv = ["analyze", *argv]
-    return cli.main(args=argv, standalone_mode=True)
+    try:
+        return cli.main(args=argv, standalone_mode=True)
+    except BirdaError as e:
+        # The last-resort cause-chain printer (reference main.rs:43-52):
+        # per-command handlers render errors they expect, but a typed
+        # error escaping any command (e.g. a corrupt config surfacing
+        # from `config show`, a corrupt registry cache from
+        # `models install`) must never reach the user as a traceback.
+        print_error_chain(e)
+        sys.exit(1)
 
 
 if __name__ == "__main__":

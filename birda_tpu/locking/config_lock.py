@@ -71,6 +71,13 @@ class ConfigLock:
             finally:
                 os.close(fd)
             self._held = True
+            # Register AFTER the successful create — the opposite ordering
+            # from file_lock, and deliberate (reference config_lock.rs:
+            # 120-123): only paths we actually acquired are ever registered,
+            # so Ctrl+C cleanup can never remove a peer's lock. The cost is
+            # a Ctrl+C in this create-to-register gap leaking our OWN lock
+            # (loud: later writers fail ConfigLocked), which beats silently
+            # deleting a peer's (lost config update — the #313 bug again).
             with _registry_lock:
                 _registry.add(self.lock_path)
             return self

@@ -54,7 +54,15 @@ def _owned_by_this_process(path: Path) -> bool:
     if not body.strip():
         return False
     try:
-        return json.loads(body).get("pid") == os.getpid()
+        doc = json.loads(body)
+        return (
+            doc.get("pid") == os.getpid()
+            # Locks live next to the audio on what may be a SHARED
+            # filesystem (the multi-process sharing protocol's whole
+            # point): a pid match alone can be a coincidence with a
+            # process on another host, so the hostname must agree too.
+            and doc.get("hostname") == (socket.gethostname() or "unknown")
+        )
     except (ValueError, AttributeError):
         return False
 

@@ -500,9 +500,16 @@ def analyze_files(options: AnalyzeOptions, config: Config, reporter=None) -> int
         from .models.custom import CustomClassifier
         from .registry.installer import models_dir
 
-        bat_config = BatConfig.resolve(
-            BatRegion(options.bat), models_dir() / "bat"
-        )
+        try:
+            region = BatRegion(options.bat)
+        except ValueError:
+            # Typed at this layer too, not just click.Choice: the library
+            # API (api.py bat=...) reaches here without the CLI validator.
+            raise ConfigValidation(
+                f"unknown bat region '{options.bat}' (valid: "
+                f"{', '.join(r.value for r in BatRegion)})"
+            ) from None
+        bat_config = BatConfig.resolve(region, models_dir() / "bat")
         custom_classifier = CustomClassifier.from_onnx(
             bat_config.classifier_path, bat_config.labels_path,
             min_confidence=(
@@ -969,8 +976,20 @@ def _process_files_parallel(
                 int((time.monotonic() - start) * 1000),
             )
 
-    with ThreadPoolExecutor(max_workers=options.jobs) as pool:
-        list(pool.map(work, enumerate(files)))
+    # Not `with pool: pool.map(...)`: executor.map submits every file
+    # upfront and __exit__ does shutdown(wait=True) WITHOUT cancelling,
+    # so a Ctrl+C (SystemExit from the SIGINT handler, which has already
+    # released the live locks) would keep processing the whole queue —
+    # now-unlocked files a second process may concurrently pick up.
+    # cancel_futures drops the not-yet-started files; in-flight ones
+    # finish (their per-file isolation handles the rest).
+    pool = ThreadPoolExecutor(max_workers=options.jobs)
+    try:
+        futures = [pool.submit(work, item) for item in enumerate(files)]
+        for f in futures:
+            f.result()
+    finally:
+        pool.shutdown(wait=True, cancel_futures=True)
     return stats
 
 
@@ -1007,6 +1026,15 @@ def _combine_outputs(files, options, formats):
         combined = Path(out_root) / combined_name
         selection_id = 0
         with open(combined, "w", encoding="utf-8") as out:
+            if fmt == OutputFormat.CSV and not options.no_csv_bom:
+                # The per-file CSVs open with a BOM for Excel (reference
+                # csv.rs:29-31); the combined table is the file most
+                # likely to be opened in Excel, so it keeps the same
+                # semantics. Parts are read as utf-8-sig (BOM stripped),
+                # so exactly one BOM lands at the front.
+                from .constants import UTF8_BOM
+
+                out.write(UTF8_BOM.decode("utf-8"))
             for i, part in enumerate(parts):
                 text = part.read_text(encoding="utf-8-sig")
                 lines = text.splitlines(keepends=True)

@@ -100,7 +100,13 @@ class JsonReporter(ProgressReporter):
         self._buffered = buffered
         self._buffer: list[dict] = []
         self._throttler = ProgressThrottler()
-        self._lock = threading.Lock()
+        # RLock, not Lock: the SIGINT handler runs ON the main thread and
+        # calls cancelled()/finish(); if the interrupt lands while the
+        # main thread is inside _emit (holding the lock during a write to
+        # a possibly-slow stdout pipe), a non-reentrant lock deadlocks
+        # the handler forever. Same-thread reentry may interleave one
+        # line mid-write — acceptable for a process that exits next.
+        self._lock = threading.RLock()
 
     def _emit(self, event: EventType, payload: dict) -> None:
         doc = env.envelope(event, payload)

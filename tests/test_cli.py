@@ -709,3 +709,33 @@ class TestHelpBoundsPinned:
         assert v.parse_confidence("1.0") == 1.0
         with pytest.raises(v.ValidationFailure):
             v.parse_confidence("1.01")
+
+
+class TestLastResortErrorChain:
+    def test_escaping_birda_error_prints_chain_not_traceback(
+            self, home, monkeypatch, capsys):
+        """A typed error escaping ANY command must reach the user as the
+        cause chain (reference main.rs:43-52), never a traceback — the
+        per-command handlers render the errors they expect, this is the
+        wrapper for the ones they don't."""
+        from birda_tpu.cli import main as cli_main
+        from birda_tpu.errors import ConfigParse
+
+        def exploding(*a, **kw):
+            raise ConfigParse("config.toml", "boom at line 3")
+
+        monkeypatch.setattr(cli_main.cli, "main", exploding)
+        with pytest.raises(SystemExit) as ei:
+            cli_main.main(["version"])
+        assert ei.value.code == 1
+        err = capsys.readouterr().err
+        assert err.startswith("Error: ")
+        assert "boom at line 3" in err
+        assert "Traceback" not in err
+
+    def test_bat_region_choice_validated_at_cli(self, runner, home):
+        """--bat is a closed enum at the CLI layer (click.Choice), so a
+        typo fails before any model loads."""
+        r = runner.invoke(cli, ["analyze", "--bat", "narnia", "x.wav"])
+        assert r.exit_code == 2
+        assert "narnia" in r.output

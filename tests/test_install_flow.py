@@ -406,3 +406,90 @@ def test_install_structured_payload(home, tmp_path, monkeypatch):
     # new_default serializes even when promotion happened — and names the
     # promoted model (reference json_envelope.rs:633-643).
     assert p["new_default"] == "other"
+
+
+def test_range_filter_autoinstall_failure_is_warning(home, monkeypatch,
+                                                     caplog):
+    """The geomodel auto-installs alongside range-filter-capable
+    classifiers, and a failure there is a WARNING, not an error: the
+    classifier itself installed fine and works without range filtering
+    (reference lib.rs:2186-2196). Previously the error aborted the whole
+    install after the classifier had already landed."""
+    import logging
+
+    from birda_tpu.errors import DownloadFailed
+    from birda_tpu.registry import installer, loader
+    from birda_tpu.registry.schema import Registry
+
+    model_bytes = fo.make_fixture_geomodel(num_species=5)
+    labels_bytes = b"".join(f"Sp{i} x_C{i}\n".encode() for i in range(5))
+    registry_doc = {
+        "schema_version": "tpu-1.0", "registry_version": 1,
+        "models": [{
+            "id": "mini", "name": "Mini", "description": "fixture",
+            "vendor": "test", "version": "1.0",
+            "model_type": "birdnet-v24",
+            "license": {"type": "MIT", "commercial_use": True},
+            "files": {
+                "model": {"url": "https://example.com/mini.onnx",
+                          "filename": "mini.onnx",
+                          "sha256": hashlib.sha256(model_bytes).hexdigest()},
+                "labels": {
+                    "default_language": "en",
+                    "languages": [{
+                        "code": "en", "name": "English",
+                        "url": "https://example.com/mini-en.txt",
+                        "filename": "mini-en.txt"}],
+                },
+            },
+        }],
+        "range_filter": {
+            "id": "birdnet-geomodel-v3", "name": "BirdNET Geomodel v3.0.2",
+            "vendor": "Cornell", "version": "3.0.2", "species_count": 5,
+            "license": {"type": "CC-BY-SA-4.0", "commercial_use": True},
+            "model": {"url": "https://x/geo.onnx", "filename": "geo.onnx",
+                      "sha256": "0" * 64},
+            "labels": {"url": "https://x/geo.txt", "filename": "geo.txt",
+                       "sha256": "0" * 64},
+        },
+    }
+    monkeypatch.setattr(loader, "load_registry",
+                        lambda cache=None: Registry.from_dict(registry_doc))
+    downloads = {
+        "https://example.com/mini.onnx": model_bytes,
+        "https://example.com/mini-en.txt": labels_bytes,
+    }
+
+    class FakeRequests:
+        @staticmethod
+        def get(url, **kw):
+            return _Resp(downloads[url])
+
+    import birda_tpu.registry.installer as inst_mod
+
+    real_download = inst_mod.download_verified
+    monkeypatch.setattr(
+        inst_mod, "download_verified",
+        lambda fr, d, progress=None, session=None:
+            real_download(fr, d, progress, FakeRequests),
+    )
+
+    def failing_range_filter(entry):
+        raise DownloadFailed("https://x/geo.onnx", "connection reset")
+
+    monkeypatch.setattr(inst_mod, "install_range_filter",
+                        failing_range_filter)
+
+    runner = CliRunner()
+    with caplog.at_level(logging.WARNING, logger="birda"):
+        r = runner.invoke(cli, ["models", "install", "mini", "--default"])
+    assert r.exit_code == 0, r.output
+    assert "Installed mini" in r.output
+    assert any("models install geomodel" in rec.getMessage()
+               for rec in caplog.records)
+
+    # The classifier really is usable: it's in config as the default.
+    from birda_tpu.config import file as config_file
+
+    cfg = config_file.load_default_config()
+    assert "mini" in cfg.models

@@ -135,16 +135,27 @@ class TestLockOwnership:
 
         from birda_tpu.locking import file_lock as fl
 
+        import socket
+
         foreign = tmp_path / "x.wav.birda.lock"
         foreign.write_text(_json.dumps({"pid": os.getpid() + 99_999,
                                         "hostname": "other"}))
+        # Same pid, different host: locks live beside the audio on what may
+        # be a SHARED filesystem, where a pid collision with a process on
+        # another machine is perfectly possible — hostname must agree too.
+        same_pid_other_host = tmp_path / "z.wav.birda.lock"
+        same_pid_other_host.write_text(_json.dumps(
+            {"pid": os.getpid(), "hostname": "some-other-host"}))
         ours = tmp_path / "y.wav.birda.lock"
-        ours.write_text(_json.dumps({"pid": os.getpid()}))
+        ours.write_text(_json.dumps({"pid": os.getpid(),
+                                     "hostname": socket.gethostname()}))
         fl._register(foreign)
+        fl._register(same_pid_other_host)
         fl._register(ours)
         removed = fl.cleanup_all_locks()
         assert removed == 1
         assert foreign.exists()  # someone else's — untouched
+        assert same_pid_other_host.exists()
         assert not ours.exists()
 
     def test_config_lock_ctrl_c_cleanup(self, tmp_path):

@@ -366,3 +366,97 @@ class TestStdoutSequential:
         assert opts.jobs == 1
         assert any("ignoring --jobs" in r.getMessage()
                    for r in caplog.records)
+
+
+class TestReviewRegressionFixes:
+    """Pins for the round-4 self-review fixes (each was a live bug)."""
+
+    def test_combined_csv_keeps_bom(self, home, tmp_path):
+        """Per-file CSVs open with a UTF-8 BOM for Excel (reference
+        csv.rs:29-31); the combined table must keep exactly one BOM at the
+        front — previously it was silently dropped (parts were read with
+        utf-8-sig and re-written plain)."""
+        for i in range(2):
+            make_audio(tmp_path, name=f"r{i}.wav", secs=3.0)
+        out = tmp_path / "out"
+        opts = AnalyzeOptions(
+            inputs=[tmp_path], output_dir=out, formats=[OutputFormat.CSV],
+            min_confidence=0.0, device_flags={"cpu": True}, combine=True,
+        )
+        assert analyze_files(opts, synthetic_config()) == 0
+        raw = (out / "BirdNET_CombinedTable.csv").read_bytes()
+        assert raw.startswith(b"\xef\xbb\xbf")
+        assert not raw[3:].startswith(b"\xef\xbb\xbf")  # exactly one
+
+    def test_combined_csv_no_bom_when_disabled(self, home, tmp_path):
+        for i in range(2):
+            make_audio(tmp_path, name=f"r{i}.wav", secs=3.0)
+        out = tmp_path / "out"
+        opts = AnalyzeOptions(
+            inputs=[tmp_path], output_dir=out, formats=[OutputFormat.CSV],
+            min_confidence=0.0, device_flags={"cpu": True}, combine=True,
+            no_csv_bom=True,
+        )
+        assert analyze_files(opts, synthetic_config()) == 0
+        raw = (out / "BirdNET_CombinedTable.csv").read_bytes()
+        assert not raw.startswith(b"\xef\xbb\xbf")
+
+    def test_unknown_bat_region_is_typed(self, home, tmp_path):
+        """The library API (api.py bat=...) bypasses click.Choice, so the
+        orchestrator must raise a typed ConfigValidation — previously a
+        bare ValueError escaped to the caller."""
+        from birda_tpu.errors import ConfigValidation
+
+        audio = make_audio(tmp_path)
+        opts = AnalyzeOptions(
+            inputs=[audio], output_dir=tmp_path / "out",
+            formats=[OutputFormat.CSV], min_confidence=0.0,
+            device_flags={"cpu": True}, bat="narnia",
+        )
+        with pytest.raises(ConfigValidation, match="unknown bat region"):
+            analyze_files(opts, synthetic_config())
+
+    def test_jobs_ctrl_c_cancels_queued_files(self, home, tmp_path,
+                                              monkeypatch):
+        """A SIGINT during --jobs raises SystemExit on the main thread
+        (blocked in f.result()); the pool must CANCEL the not-yet-started
+        files — the SIGINT handler has already released the live locks, so
+        processing the rest of the queue would race a second process that
+        picked those files up. Previously `with pool: pool.map(...)`
+        drained the whole queue (shutdown(wait=True) never cancels)."""
+        import threading
+
+        import birda_tpu.orchestrator as orch
+
+        files = [make_audio(tmp_path, name=f"f{i}.wav", secs=3.0)
+                 for i in range(4)]
+        processed = []
+        never_set = threading.Event()
+
+        def fake_process_file(classifier, pcfg):
+            processed.append(pcfg.input_path.name)
+            if len(processed) == 1:
+                # Simulate the SIGINT landing while the main thread waits
+                # on this future's result: SystemExit is a BaseException,
+                # so it escapes the per-file isolation (which catches
+                # Exception only) and re-raises in the main f.result() loop.
+                raise SystemExit(130)
+            # A later file the worker grabbed before the cancel landed:
+            # park it so the sole worker is busy while the main thread runs
+            # its finally-cancel — making the assertion below deterministic
+            # (at most ONE post-SIGINT file can ever have started).
+            never_set.wait(timeout=2.0)
+
+        monkeypatch.setattr(orch, "process_file", fake_process_file)
+        opts = AnalyzeOptions(
+            inputs=files, output_dir=tmp_path / "out",
+            formats=[OutputFormat.CSV], min_confidence=0.0,
+            device_flags={"cpu": True}, jobs=1,
+        )
+        with pytest.raises(SystemExit):
+            analyze_files(opts, synthetic_config())
+        # jobs=1: f0 was in flight; the worker may have grabbed f1 in the
+        # instant before the cancel, but f2/f3 were still queued and MUST
+        # have been cancelled. The old `with pool: pool.map(...)` spelling
+        # drained all 4 (shutdown(wait=True) never cancels).
+        assert len(processed) <= 2

@@ -348,3 +348,30 @@ class TestReviewRegressions:
         with CsvWriter(p):
             pass
         assert p.exists()
+
+
+class TestSigintReentrancy:
+    def test_json_reporter_lock_is_reentrant(self):
+        """The SIGINT handler runs ON the main thread and emits through the
+        reporter (cancelled()/finish()); if the interrupt lands while the
+        main thread is inside _emit holding the lock, a non-reentrant lock
+        deadlocks the handler forever. Pin the RLock property directly."""
+        buf = io.StringIO()
+        r = JsonReporter(buf)
+        assert r._lock.acquire(blocking=False)
+        try:
+            # Same-thread reacquire must succeed (RLock); with a plain
+            # Lock this returns False — the deadlock in miniature.
+            assert r._lock.acquire(blocking=False)
+            r._lock.release()
+        finally:
+            r._lock.release()
+
+    def test_emit_inside_held_lock_completes(self):
+        """End-to-end shape of the SIGINT case: an emit while the same
+        thread already holds the reporter lock must complete, not block."""
+        buf = io.StringIO()
+        r = JsonReporter(buf)
+        with r._lock:
+            r.file_skipped("a.wav", FileStatus.LOCKED)
+        assert "locked" in buf.getvalue()
