@@ -1192,22 +1192,47 @@ def species(output, lat, lon, week, month, day, threshold, sort, model,
 
 
 @cli.command()
-@click.argument("files", nargs=-1, required=True, type=click.Path(path_type=Path))
+@click.argument("files", nargs=-1, type=click.Path(path_type=Path))
 @click.option("-o", "--output", type=click.Path(path_type=Path),
               default=Path(constants.clipper.DEFAULT_OUTPUT_DIR))
-@click.option("--audio", type=click.Path(path_type=Path))
+@click.option("--audio", type=click.Path(path_type=Path),
+              help="Source audio (direct mode; auto-detected in CSV mode).")
 @click.option("--base-dir", type=click.Path(path_type=Path))
-@click.option("--pre", type=float, default=constants.clipper.DEFAULT_PRE_PADDING)
-@click.option("--post", type=float, default=constants.clipper.DEFAULT_POST_PADDING)
+@click.option("--pre", callback=_validator(v.parse_padding),
+              default=constants.clipper.DEFAULT_PRE_PADDING)
+@click.option("--post", callback=_validator(v.parse_padding),
+              default=constants.clipper.DEFAULT_POST_PADDING)
 @click.option("--confidence", callback=_validator(v.parse_confidence), default=0.0)
 @click.option("--species", "species_")
-@click.option("--start", type=float)
-@click.option("--end", type=float)
+@click.option("--start", callback=_validator(v.parse_time), default=None)
+@click.option("--end", callback=_validator(v.parse_time), default=None)
 @click.option("--output-mode", type=click.Choice(["human", "json", "ndjson"]))
 def clip(files, output, audio, base_dir, pre, post, confidence, species_,
          start, end, output_mode):
     """Extract audio clips from detection results."""
     from ..clipper.command import ClipArgs, execute
+
+    # clap's pairing contract (reference clip.rs:48-54): a lone --start
+    # used to fall silently into CSV mode, which then tried to parse the
+    # audio files as detection CSVs.
+    if (start is None) != (end is None):
+        raise click.UsageError("--start and --end must be given together")
+    if start is not None:
+        # Direct mode. The reference's surface is `--audio <file> --start
+        # --end` with no positional FILES (clip.rs:17, 48); ours also
+        # accepts positional audio files (multi-file direct extraction,
+        # clipper/command.py) — but mixing both spellings is ambiguous.
+        if audio is not None and files:
+            raise click.UsageError(
+                "direct mode takes either --audio or positional FILES, "
+                "not both"
+            )
+        if audio is not None:
+            files = (audio,)
+        if not files:
+            raise click.UsageError("--start/--end requires --audio")
+    elif not files:
+        raise click.UsageError("Missing argument 'FILES...'.")
 
     args = ClipArgs(
         files=list(files), output=output, audio=audio, base_dir=base_dir,

@@ -76,6 +76,40 @@ def parse_overlap(s) -> float:
     return value
 
 
+def parse_padding(s) -> float:
+    """Clip padding: finite, non-negative, capped (reference
+    ``src/cli/clip.rs::parse_padding``). NaN must fail here: ``--pre nan``
+    used to be laundered by ``max(start - pre, 0.0)`` into clipping from
+    the start of the file, and ``--post nan`` turned the end bound into a
+    NaN that the seconds-to-samples cast made 0."""
+    from ..constants import clipper as clip_consts
+
+    value = _number(s)
+    if not math.isfinite(value) or value < 0.0:
+        raise ValidationFailure(
+            f"padding must be a finite non-negative number, got {value}"
+        )
+    if value > clip_consts.MAX_PADDING:
+        raise ValidationFailure(
+            f"padding cannot exceed {clip_consts.MAX_PADDING:g} seconds, "
+            f"got {value}"
+        )
+    return value
+
+
+def parse_time(s) -> float:
+    """Clip --start/--end: finite and non-negative (reference
+    ``src/cli/clip.rs::parse_time``). ``--end inf`` used to saturate the
+    seconds-to-samples cast; ``--start nan`` wrote a clip named after a
+    NaN over a range nobody asked for, exit 0."""
+    value = _number(s)
+    if not math.isfinite(value) or value < 0.0:
+        raise ValidationFailure(
+            f"time must be a finite non-negative number, got {value}"
+        )
+    return value
+
+
 def parse_batch_size(s) -> int:
     value = _number(s, int)
     if value < MIN_BATCH_SIZE:

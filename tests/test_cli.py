@@ -739,3 +739,68 @@ class TestLastResortErrorChain:
         r = runner.invoke(cli, ["analyze", "--bat", "narnia", "x.wav"])
         assert r.exit_code == 2
         assert "narnia" in r.output
+
+
+class TestClipCliContract:
+    """The clap contract on `clip` (reference clip.rs:17,48-54): --start
+    and --end pair up, direct mode needs a source, and times/paddings are
+    validated at parse (NaN/inf used to reach the extractor)."""
+
+    def _wav(self, tmp_path):
+        import numpy as np
+
+        p = tmp_path / "a.wav"
+        rate = 48000
+        write_wav(p, np.zeros(rate * 5, np.float32), rate)
+        return p
+
+    def test_lone_start_is_usage_error(self, runner, home, tmp_path):
+        """A lone --start used to fall silently into CSV mode, which then
+        tried to parse the audio file as a detection CSV."""
+        r = runner.invoke(cli, ["clip", "--start", "3", "x.csv"])
+        assert r.exit_code == 2
+        assert "must be given together" in r.output
+
+    def test_direct_mode_requires_source(self, runner, home):
+        r = runner.invoke(cli, ["clip", "--start", "1", "--end", "3"])
+        assert r.exit_code == 2
+        assert "requires --audio" in r.output
+
+    def test_direct_mode_audio_flag(self, runner, home, tmp_path):
+        """The reference's canonical direct invocation — `--audio <file>
+        --start --end` with no positional FILES — used to die on click's
+        required FILES argument."""
+        wav = self._wav(tmp_path)
+        r = runner.invoke(cli, [
+            "clip", "--audio", str(wav), "--start", "1", "--end", "3",
+            "-o", str(tmp_path / "clips"),
+        ])
+        assert r.exit_code == 0, r.output
+        assert "Extracted 1 clip(s)" in r.output
+
+    def test_direct_mode_audio_and_files_conflict(self, runner, home,
+                                                  tmp_path):
+        wav = self._wav(tmp_path)
+        r = runner.invoke(cli, [
+            "clip", str(wav), "--audio", str(wav),
+            "--start", "1", "--end", "3",
+        ])
+        assert r.exit_code == 2
+        assert "not both" in r.output
+
+    def test_non_finite_time_rejected_at_parse(self, runner, home, tmp_path):
+        wav = self._wav(tmp_path)
+        for bad in ("nan", "inf", "-1"):
+            r = runner.invoke(cli, [
+                "clip", "--audio", str(wav), "--start", bad, "--end", "3",
+            ])
+            assert r.exit_code == 2, (bad, r.output)
+            assert "finite non-negative" in r.output
+
+    def test_padding_bounds_at_parse(self, runner, home):
+        for bad, msg in (("nan", "finite non-negative"),
+                         ("-0.5", "finite non-negative"),
+                         ("301", "cannot exceed")):
+            r = runner.invoke(cli, ["clip", "--pre", bad, "x.csv"])
+            assert r.exit_code == 2, (bad, r.output)
+            assert msg in r.output
