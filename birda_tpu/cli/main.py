@@ -375,7 +375,8 @@ def config_init():
 
 
 @config.command("show")
-@click.option("--output-mode", type=click.Choice(["human", "json", "ndjson"]))
+@click.option("--output-mode", type=click.Choice(["human", "json", "ndjson"]),
+              envvar="BIRDA_OUTPUT_MODE")
 def config_show(output_mode):
     from ..utils import toml_writer
 
@@ -391,7 +392,8 @@ def config_show(output_mode):
 
 
 @config.command("path")
-@click.option("--output-mode", type=click.Choice(["human", "json", "ndjson"]))
+@click.option("--output-mode", type=click.Choice(["human", "json", "ndjson"]),
+              envvar="BIRDA_OUTPUT_MODE")
 def config_path(output_mode):
     path = config_paths.config_file_path()
     if output_mode in ("json", "ndjson"):
@@ -472,7 +474,8 @@ def models():
 
 
 @models.command("list")
-@click.option("--output-mode", type=click.Choice(["human", "json", "ndjson"]))
+@click.option("--output-mode", type=click.Choice(["human", "json", "ndjson"]),
+              envvar="BIRDA_OUTPUT_MODE")
 def models_list(output_mode):
     cfg = config_file.load_default_config()
     if output_mode in ("json", "ndjson"):
@@ -495,8 +498,24 @@ def models_list(output_mode):
         click.echo(f"{name}{default}: {m.model_type.value} at {m.path}")
 
 
+def _license_line(license_info) -> str:
+    """License id plus whichever restrictions apply (reference
+    registry/mod.rs::license_line): listing non-commercial and share-alike
+    separately for classifiers vs the range filter taught a falsehood —
+    birdnet-v24 and bsg-fi-v44 are share-alike too."""
+    notes = []
+    if not license_info.commercial_use:
+        notes.append("non-commercial")
+    if license_info.share_alike:
+        notes.append("share-alike")
+    if not notes:
+        return license_info.type
+    return f"{license_info.type} ({', '.join(notes)})"
+
+
 @models.command("list-available")
-@click.option("--output-mode", type=click.Choice(["human", "json", "ndjson"]))
+@click.option("--output-mode", type=click.Choice(["human", "json", "ndjson"]),
+              envvar="BIRDA_OUTPUT_MODE")
 def models_list_available(output_mode):
     from ..registry.loader import load_registry
 
@@ -543,7 +562,22 @@ def models_list_available(output_mode):
         variants = f" ({len(m.variants)} variants)" if m.has_variants else ""
         click.echo(f"{m.id}{rec}: {m.name} v{m.version}{variants}")
         click.echo(f"    {m.description}")
-        click.echo(f"    License: {m.license.type}")
+        click.echo(f"    License: {_license_line(m.license)}")
+    if reg.range_filter is not None:
+        # The geomodel lives in registry.range_filter, not registry.models,
+        # so every loop over models skips it; listing it here is what makes
+        # the asset every error message tells users to install actually
+        # discoverable (reference registry/mod.rs:83-98, #287 lineage).
+        from ..registry.installer import GEOMODEL_INSTALL_ID
+
+        e = reg.range_filter
+        click.echo()
+        click.echo("Range filter (shared by all classifiers):")
+        click.echo(f"  {GEOMODEL_INSTALL_ID}")
+        click.echo(f"    {e.name or e.id}")
+        click.echo(f"    Vendor: {e.vendor}")
+        click.echo(f"    License: {_license_line(e.license)}")
+        click.echo(f"    Covers {e.species_count} species")
 
 
 @models.command("add")
@@ -574,7 +608,8 @@ def models_add(name, path_, labels, type_, set_default):
 
 
 @models.command("check")
-@click.option("--output-mode", type=click.Choice(["human", "json", "ndjson"]))
+@click.option("--output-mode", type=click.Choice(["human", "json", "ndjson"]),
+              envvar="BIRDA_OUTPUT_MODE")
 @click.option("--no-graph", is_flag=True,
               help="Skip the ONNX graph preflight (file-existence checks "
                    "only).")
@@ -724,7 +759,8 @@ def _graph_preflight(m) -> list[str]:
 @models.command("info")
 @click.argument("model_id")
 @click.option("--languages", is_flag=True)
-@click.option("--output-mode", type=click.Choice(["human", "json", "ndjson"]))
+@click.option("--output-mode", type=click.Choice(["human", "json", "ndjson"]),
+              envvar="BIRDA_OUTPUT_MODE")
 def models_info(model_id, languages, output_mode):
     """Dispatch order matches the reference (``lib.rs:1735-1820``): the
     geomodel install handle first, then the registry, then the configured
@@ -761,14 +797,48 @@ def models_info(model_id, languages, output_mode):
             ))
             return
         click.echo(f"Range filter: {entry.name or entry.id}")
-        click.echo(f"  version: {entry.version}")
         if languages:
+            # One English labels file, no variants: say so rather than
+            # render an empty list that looks like a lookup failure
+            # (reference lib.rs:1755-1764).
+            click.echo()
             click.echo("The range filter has no label language variants. "
                        "Species names in output come from the active "
                        "classifier's own labels.")
             return
-        click.echo(f"  species: {entry.species_count}")
-        click.echo(f"  license: {entry.license.type}")
+        # The "what am I about to download?" rendering (reference
+        # registry/mod.rs::show_range_filter_info): the full license
+        # obligations — the geomodel's CC BY-SA share-alike differs from
+        # the classifiers' CC BY-NC-SA — and a RESOLVED download size.
+        from ..config.geomodel import human_size, total_download_size
+
+        click.echo(f"ID: {GEOMODEL_INSTALL_ID}")
+        click.echo(f"Version: {entry.version}")
+        click.echo(f"Vendor: {entry.vendor}")
+        click.echo()
+        click.echo("Description:")
+        click.echo(f"  Scores {entry.species_count} species by location and "
+                   "time of year. Shared by every")
+        click.echo("  classifier; it is not selectable with -m.")
+        click.echo()
+        click.echo("License:")
+        click.echo(f"  Type: {entry.license.type}")
+        click.echo(f"  URL: {entry.license.url}")
+        click.echo(
+            f"  Commercial use: "
+            f"{'Yes' if entry.license.commercial_use else 'No'}")
+        click.echo(
+            f"  Attribution required: "
+            f"{'Yes' if entry.license.attribution_required else 'No'}")
+        click.echo(
+            f"  Share-alike required: "
+            f"{'Yes' if entry.license.share_alike else 'No'}")
+        click.echo()
+        click.echo("Files:")
+        click.echo(f"  Model: {entry.model.url}")
+        click.echo(f"  Labels: {entry.labels.url}")
+        click.echo(f"  Download size: {human_size(total_download_size(entry))}")
+        click.echo()
         click.echo(f"To install: birda models install {GEOMODEL_INSTALL_ID}")
         return
 
@@ -826,7 +896,8 @@ def models_info(model_id, languages, output_mode):
 @models.command("remove")
 @click.argument("name")
 @click.option("--purge", is_flag=True)
-@click.option("--output-mode", type=click.Choice(["human", "json", "ndjson"]))
+@click.option("--output-mode", type=click.Choice(["human", "json", "ndjson"]),
+              envvar="BIRDA_OUTPUT_MODE")
 def models_remove(name, purge, output_mode):
     structured = output_mode in ("json", "ndjson")
     removed_paths = []
@@ -912,7 +983,8 @@ def models_regions(model_id):
 @click.option("--accept-license", is_flag=True)
 @click.option("-y", "--yes", is_flag=True,
               help="Assume yes for prompts (license acceptance).")
-@click.option("--output-mode", type=click.Choice(["human", "json", "ndjson"]))
+@click.option("--output-mode", type=click.Choice(["human", "json", "ndjson"]),
+              envvar="BIRDA_OUTPUT_MODE")
 def models_install(model_id, language, region, variant, set_default,
                    accept_license, yes, output_mode):
     accept_license = accept_license or yes
@@ -1073,7 +1145,8 @@ def models_install(model_id, language, region, variant, set_default,
 # ---------------------------------------------------------------------------
 
 @cli.command()
-@click.option("--output-mode", type=click.Choice(["human", "json", "ndjson"]))
+@click.option("--output-mode", type=click.Choice(["human", "json", "ndjson"]),
+              envvar="BIRDA_OUTPUT_MODE")
 def version(output_mode):
     """Show the birda version (VersionPayload in structured modes —
     the consumer GUIs use this to gate protocol features)."""
@@ -1086,7 +1159,8 @@ def version(output_mode):
 
 
 @cli.command()
-@click.option("--output-mode", type=click.Choice(["human", "json", "ndjson"]))
+@click.option("--output-mode", type=click.Choice(["human", "json", "ndjson"]),
+              envvar="BIRDA_OUTPUT_MODE")
 def providers(output_mode):
     """Show available inference backends."""
     # Bounded: a listing command must answer in seconds even when the
@@ -1136,7 +1210,8 @@ def providers(output_mode):
               help="Geomodel ONNX override; requires --geomodel-labels-path.")
 @click.option("--geomodel-labels-path", type=click.Path(path_type=Path),
               envvar="BIRDA_GEOMODEL_LABELS_PATH")
-@click.option("--output-mode", type=click.Choice(["human", "json", "ndjson"]))
+@click.option("--output-mode", type=click.Choice(["human", "json", "ndjson"]),
+              envvar="BIRDA_OUTPUT_MODE")
 def species(output, lat, lon, week, month, day, threshold, sort, model,
             geomodel_path, geomodel_labels_path, output_mode):
     """Generate a species list from the range filter."""
@@ -1206,7 +1281,8 @@ def species(output, lat, lon, week, month, day, threshold, sort, model,
 @click.option("--species", "species_")
 @click.option("--start", callback=_validator(v.parse_time), default=None)
 @click.option("--end", callback=_validator(v.parse_time), default=None)
-@click.option("--output-mode", type=click.Choice(["human", "json", "ndjson"]))
+@click.option("--output-mode", type=click.Choice(["human", "json", "ndjson"]),
+              envvar="BIRDA_OUTPUT_MODE")
 def clip(files, output, audio, base_dir, pre, post, confidence, species_,
          start, end, output_mode):
     """Extract audio clips from detection results."""
@@ -1301,6 +1377,25 @@ def update(check):
 
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
+    # Global `--output-mode` before the subcommand (reference args.rs:64:
+    # it is a top-level arg, so `birda --output-mode json models
+    # list-available` is the canonical structured spelling). Without this
+    # the analyze-prepend below would misroute that invocation into an
+    # analyze run over inputs named "models" and "list-available". The
+    # value travels via BIRDA_OUTPUT_MODE — the same env route the
+    # reference reads — so every subcommand's own --output-mode picks it
+    # up, and an explicit per-command flag still wins (click gives flags
+    # precedence over envvars).
+    while argv and (argv[0] == "--output-mode"
+                    or argv[0].startswith("--output-mode=")):
+        if argv[0] == "--output-mode":
+            if len(argv) < 2:
+                break  # let click report the missing value
+            os.environ["BIRDA_OUTPUT_MODE"] = argv[1]
+            argv = argv[2:]
+        else:
+            os.environ["BIRDA_OUTPUT_MODE"] = argv[0].split("=", 1)[1]
+            argv = argv[1:]
     # `birda file.wav` == `birda analyze file.wav` (the reference's
     # no-subcommand analyze path).
     if argv and argv[0] not in SUBCOMMANDS and not argv[0] in ("--help", "-h", "--version"):

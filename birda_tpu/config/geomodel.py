@@ -147,3 +147,25 @@ def require_geomodel(
     if resolved is None:
         raise GeomodelNotInstalled()
     return resolved
+
+
+def human_size(size_bytes: Optional[int]) -> str:
+    """Render a byte count for humans (reference ``config/geomodel.rs::
+    human_size``): MB past 1 MiB, KB below, "unknown size" for None —
+    the caller decides whether an unknown is acceptable."""
+    if size_bytes is None:
+        return "unknown size"
+    mib = 1024.0 * 1024.0
+    if size_bytes >= mib:
+        return f"{size_bytes / mib:.1f} MB"
+    return f"{size_bytes / 1024.0:.0f} KB"
+
+
+def total_download_size(entry) -> Optional[int]:
+    """Model + labels, or None unless BOTH sizes are declared — a
+    half-total reads as the whole (reference ``registry/mod.rs:160``)."""
+    model = getattr(entry.model, "size_bytes", None)
+    labels = getattr(entry.labels, "size_bytes", None)
+    if model is None or labels is None:
+        return None
+    return model + labels

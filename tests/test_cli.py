@@ -804,3 +804,104 @@ class TestClipCliContract:
             r = runner.invoke(cli, ["clip", "--pre", bad, "x.csv"])
             assert r.exit_code == 2, (bad, r.output)
             assert msg in r.output
+
+
+class TestGeomodelDiscoverability:
+    """Mirror of the reference's geomodel_discoverability suite (#287):
+    the geomodel lives in registry.range_filter, not registry.models, so
+    every dispatch and listing over models needs its own branch for it."""
+
+    def test_info_geomodel_shows_licence_terms(self, runner, home):
+        """The only place the CC BY-SA share-alike obligation surfaces
+        before the user commits to the download."""
+        r = runner.invoke(cli, ["models", "info", "geomodel"])
+        assert r.exit_code == 0, r.output
+        assert "BirdNET Geomodel" in r.output
+        assert "CC-BY-SA-4.0" in r.output
+        assert "Share-alike required: Yes" in r.output
+
+    def test_info_geomodel_shows_coverage_and_size(self, runner, home):
+        r = runner.invoke(cli, ["models", "info", "geomodel"])
+        assert r.exit_code == 0, r.output
+        assert "12012" in r.output
+        assert "Download size" in r.output
+        # The label alone proves nothing: human_size(None) renders
+        # "unknown size" under the same label — the size must RESOLVE.
+        assert "unknown size" not in r.output
+
+    def test_info_geomodel_languages_flag_handled(self, runner, home):
+        r = runner.invoke(cli, ["models", "info", "geomodel", "--languages"])
+        assert r.exit_code == 0, r.output
+        assert "no label language variants" in r.output
+
+    def test_info_rejects_registry_asset_id(self, runner, home):
+        """One canonical handle: `models install` accepts only "geomodel",
+        so `models info` must reject the internal asset id too — or the
+        two commands would disagree on what the user should type."""
+        r = runner.invoke(cli, ["models", "info", "birdnet-geomodel-v3"])
+        assert r.exit_code == 1
+        assert "birdnet-geomodel-v3" in r.output
+        assert "Range filter:" not in r.output
+
+    def test_list_available_mentions_range_filter(self, runner, home):
+        r = runner.invoke(cli, ["models", "list-available"])
+        assert r.exit_code == 0, r.output
+        assert "Range filter" in r.output
+        assert "geomodel" in r.output
+
+    def test_list_available_license_restriction_notes(self, runner, home):
+        """license_line names whichever restrictions apply on EVERY entry
+        (reference registry/mod.rs:117-139): birdnet-v24 must show both
+        non-commercial and share-alike, the geomodel share-alike only."""
+        r = runner.invoke(cli, ["models", "list-available"])
+        assert "non-commercial, share-alike" in r.output
+        assert "CC-BY-SA-4.0 (share-alike)" in r.output
+
+    def test_list_available_json_sibling_field(self, runner, home):
+        r = runner.invoke(cli, ["models", "list-available",
+                                "--output-mode", "json"])
+        assert r.exit_code == 0, r.output
+        doc = json.loads(r.output)
+        p = doc[0]["payload"] if isinstance(doc, list) else doc["payload"]
+        rf = p["available_range_filter"]
+        assert rf["id"] == "geomodel"  # the install handle a user types
+        assert rf["share_alike"] is True
+        assert rf["species_count"] == 12012
+        assert isinstance(rf["size_bytes"], int) and rf["size_bytes"] > 0
+        # The additive claim: the geomodel must NOT leak into models —
+        # a consumer building a -m picker would offer an entry that
+        # fails on use.
+        assert p["models"], "precondition: classifier list populated"
+        assert not any(m["id"] in ("geomodel", "birdnet-geomodel-v3")
+                       for m in p["models"])
+
+
+class TestGlobalOutputMode:
+    def test_global_flag_before_subcommand(self, runner, home):
+        """--output-mode is a top-level arg in the reference (args.rs:64):
+        `birda --output-mode json models list-available` must route to
+        the models command — previously the analyze-prepend heuristic
+        turned it into an analyze run over inputs named "models" and
+        "list-available"."""
+        import subprocess
+        import sys as _sys
+
+        r = subprocess.run(
+            [_sys.executable, "-m", "birda_tpu.cli.main",
+             "--output-mode", "json", "models", "list-available"],
+            capture_output=True, text=True, timeout=120,
+        )
+        assert r.returncode == 0, r.stderr
+        doc = json.loads(r.stdout)
+        p = doc[0]["payload"] if isinstance(doc, list) else doc["payload"]
+        assert p["result_type"] == "available_models"
+
+    def test_env_route_reaches_subcommands(self, runner, home, monkeypatch):
+        """BIRDA_OUTPUT_MODE is the reference's global env route; every
+        structured subcommand must read it, not just analyze."""
+        monkeypatch.setenv("BIRDA_OUTPUT_MODE", "json")
+        r = runner.invoke(cli, ["models", "list-available"])
+        assert r.exit_code == 0, r.output
+        doc = json.loads(r.output)
+        p = doc[0]["payload"] if isinstance(doc, list) else doc["payload"]
+        assert p["result_type"] == "available_models"
