@@ -56,15 +56,19 @@ def _validator(fn):
 
 def init_logging(verbose: int, quiet: bool):
     """Verbosity ladder -v/-vv/-vvv; logs to stderr, stdout stays clean for
-    the JSON protocol (reference ``lib.rs:1102-1127``)."""
+    the JSON protocol (reference ``lib.rs:1102-1127``).
+
+    The DEFAULT filter is info, same as the reference's ``"info,ort=off"``:
+    a bare ``birda rec.wav`` run reports "Processing:", the per-file
+    timing, and the "Complete:"/segments-per-sec summary without needing
+    -v. Python has no trace level, so -vv/-vvv both map to DEBUG and the
+    extra rungs only progressively unsilence jax below."""
     if quiet:
-        level = logging.ERROR
-    elif verbose >= 2:
+        level = logging.WARNING  # reference: "warn,ort=off"
+    elif verbose >= 1:
         level = logging.DEBUG
-    elif verbose == 1:
-        level = logging.INFO
     else:
-        level = logging.WARNING
+        level = logging.INFO
     logging.basicConfig(
         level=level,
         stream=sys.stderr,

@@ -1061,13 +1061,23 @@ def _report_summary(stats: RunStats, reporter=None):
         else PipelineStatus.PARTIAL_SUCCESS if stats.files_processed > 0
         else PipelineStatus.FAILED
     )
+    # The reference's two summary lines, info-level = visible by default
+    # (lib.rs:619, lib.rs:638).
     logger.info(
-        "Processed %d files (%d failed, %d skipped): %d detections, "
-        "%d segments in %.1fs (%.1f seg/s, %.1fx realtime)",
-        stats.files_processed, stats.files_failed, stats.files_skipped,
-        stats.total_detections, stats.total_segments, stats.duration_secs,
-        stats.segments_per_sec, stats.realtime_factor,
+        "Complete: %d processed, %d skipped, %d errors, %d total "
+        "detections in %.2fs",
+        stats.files_processed, stats.files_skipped, stats.files_failed,
+        stats.total_detections, stats.duration_secs,
     )
+    if stats.files_processed > 0:
+        logger.info(
+            "Performance: %.1f segments/sec overall, %.1fx realtime "
+            "(%.1fs total audio)",
+            stats.segments_per_sec, stats.realtime_factor,
+            stats.total_audio_secs,
+        )
+    if stats.files_failed > 0:
+        logger.warning("%d file(s) had errors", stats.files_failed)
     if reporter is not None:
         reporter.pipeline_completed(
             env.pipeline_completed_payload(

@@ -122,7 +122,11 @@ def process_file(classifier: BirdClassifier, config: ProcessingConfig) -> Proces
     """Process one audio file end to end. Caller handles ``FileLocked``."""
     start_time = time.monotonic()
 
+    # After the lock acquire, so a skipped (locked) file does not announce
+    # itself; visible at the DEFAULT verbosity, like the reference's
+    # info-level filter (processor.rs:445).
     lock = FileLock.acquire(config.input_path, config.output_dir)
+    logger.info("Processing: %s", config.input_path)
     decoder = None
     producer = None
     tx = None

@@ -905,3 +905,36 @@ class TestGlobalOutputMode:
         doc = json.loads(r.output)
         p = doc[0]["payload"] if isinstance(doc, list) else doc["payload"]
         assert p["result_type"] == "available_models"
+
+
+class TestDefaultVerbosityTimingMetrics:
+    def test_summary_visible_without_v(self, home, tmp_path):
+        """The reference's default filter is info (lib.rs init_logging:
+        "info,ort=off"), so a bare run reports Processing/Complete/
+        segments-per-sec without -v (cli_output_integration.rs::
+        test_timing_metrics_in_output). Ours used to default to WARNING —
+        a successful run printed nothing at all."""
+        import subprocess
+        import sys as _sys
+
+        wav = make_audio(tmp_path, name="t.wav")
+        r = subprocess.run(
+            [_sys.executable, "-m", "birda_tpu.cli.main",
+             "models", "add", "tiny", "--path", "synthetic:tiny",
+             "--labels", "synthetic:tiny", "--type", "birdnet-v24",
+             "--default"],
+            capture_output=True, text=True, timeout=120,
+        )
+        assert r.returncode == 0, r.stderr
+        r = subprocess.run(
+            [_sys.executable, "-m", "birda_tpu.cli.main",
+             "analyze", str(wav), "--output-dir", str(tmp_path / "out"),
+             "--cpu", "--min-confidence", "0"],
+            capture_output=True, text=True, timeout=300,
+        )
+        assert r.returncode == 0, r.stderr
+        assert "Processing:" in r.stderr
+        assert "segments/sec" in r.stderr
+        assert "Complete:" in r.stderr
+        # stdout stays clean for the JSON protocol (no stray prints).
+        assert "segments/sec" not in r.stdout
