@@ -425,38 +425,63 @@ def config_set(key, value):
 
 
 def _apply_config_set(cfg: Config, key: str, value: str):
+    from ..config.types import DefaultsConfig
     from ..errors import InvalidConfigKey
 
     d = cfg.defaults
+    # An EMPTY value clears the key on every arm (reference
+    # handle_config_set, lib.rs:1432+): back to None for the optional
+    # fields, back to the field default otherwise. It is the only route
+    # to "unset" short of hand-editing config.toml — e.g. returning
+    # day_of_year to auto-detect-from-mtime.
+    empty = value == ""
+    fresh = DefaultsConfig()
     try:
         if key == "defaults.model":
-            d.model = value
+            d.model = None if empty else value
         elif key == "defaults.min_confidence":
-            d.min_confidence = v.parse_confidence(value)
+            d.min_confidence = (fresh.min_confidence if empty
+                                else v.parse_confidence(value))
         elif key == "defaults.overlap":
-            d.overlap = v.parse_overlap(value)
+            d.overlap = fresh.overlap if empty else v.parse_overlap(value)
         elif key == "defaults.batch_size":
-            d.batch_size = v.parse_batch_size(value)
+            d.batch_size = None if empty else v.parse_batch_size(value)
         elif key == "defaults.latitude":
-            d.latitude = v.parse_latitude(value)
+            d.latitude = None if empty else v.parse_latitude(value)
         elif key == "defaults.longitude":
-            d.longitude = v.parse_longitude(value)
+            d.longitude = None if empty else v.parse_longitude(value)
         elif key == "defaults.range_threshold":
-            d.range_threshold = v.parse_confidence(value)
+            d.range_threshold = (fresh.range_threshold if empty
+                                 else v.parse_confidence(value))
         elif key == "defaults.range_unmatched":
             from ..inference.geomodel_filter import UnmatchedPolicy
 
-            d.range_unmatched = UnmatchedPolicy(value)
+            d.range_unmatched = (fresh.range_unmatched if empty
+                                 else UnmatchedPolicy(value))
         elif key == "defaults.day_of_year":
-            d.day_of_year = v.parse_day_of_year(value)
+            d.day_of_year = None if empty else v.parse_day_of_year(value)
+        elif key == "defaults.geomodel":
+            # Path arms (reference lib.rs:1520-1533): where `models
+            # install geomodel` records the shared range filter; settable
+            # by hand for a local copy.
+            d.geomodel = None if empty else Path(value)
+        elif key == "defaults.geomodel_labels":
+            d.geomodel_labels = None if empty else Path(value)
         elif key == "defaults.species_list_file":
-            d.species_list_file = Path(value)
+            d.species_list_file = None if empty else Path(value)
         elif key == "defaults.formats":
-            d.formats = [OutputFormat(f.strip()) for f in value.split(",")]
+            d.formats = (list(fresh.formats) if empty else
+                         [OutputFormat(f.strip()) for f in value.split(",")])
         elif key == "inference.device":
-            cfg.inference.device = InferenceDevice(value)
+            from ..config.types import InferenceConfig
+
+            cfg.inference.device = (InferenceConfig().device if empty
+                                    else InferenceDevice(value))
         elif key == "output.default_format":
-            cfg.output.default_format = OutputMode(value)
+            from ..config.types import OutputConfig
+
+            cfg.output.default_format = (OutputConfig().default_format
+                                         if empty else OutputMode(value))
         else:
             raise InvalidConfigKey(key)
     except (v.ValidationFailure, ValueError) as e:

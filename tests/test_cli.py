@@ -938,3 +938,64 @@ class TestDefaultVerbosityTimingMetrics:
         assert "Complete:" in r.stderr
         # stdout stays clean for the JSON protocol (no stray prints).
         assert "segments/sec" not in r.stdout
+
+
+class TestConfigSetClearsAndPathArms:
+    """Reference handle_config_set semantics (lib.rs:1432+): an empty
+    value clears every arm (None for optionals, the field default
+    otherwise) — the only route to "unset" short of hand-editing — and
+    the geomodel path arms exist so a local copy is settable."""
+
+    def test_empty_clears_optional(self, runner, home):
+        r = runner.invoke(cli, ["config", "set", "defaults.day_of_year",
+                                "200"])
+        assert r.exit_code == 0, r.output
+        r = runner.invoke(cli, ["config", "set", "defaults.day_of_year", ""])
+        assert r.exit_code == 0, r.output
+        from birda_tpu.config import file as config_file
+
+        cfg = config_file.load_default_config()
+        assert cfg.defaults.day_of_year is None  # back to mtime auto-detect
+
+    def test_empty_resets_defaulted_field(self, runner, home):
+        r = runner.invoke(cli, ["config", "set", "defaults.min_confidence",
+                                "0.9"])
+        assert r.exit_code == 0, r.output
+        r = runner.invoke(cli, ["config", "set", "defaults.min_confidence",
+                                ""])
+        assert r.exit_code == 0, r.output
+        from birda_tpu.config import file as config_file
+        from birda_tpu.config.types import DefaultsConfig
+
+        cfg = config_file.load_default_config()
+        assert cfg.defaults.min_confidence == DefaultsConfig().min_confidence
+
+    def test_geomodel_path_arms(self, runner, home, tmp_path):
+        geo = tmp_path / "geo.onnx"
+        labels = tmp_path / "geo.txt"
+        r = runner.invoke(cli, ["config", "set", "defaults.geomodel",
+                                str(geo)])
+        assert r.exit_code == 0, r.output
+        r = runner.invoke(cli, ["config", "set", "defaults.geomodel_labels",
+                                str(labels)])
+        assert r.exit_code == 0, r.output
+        from birda_tpu.config import file as config_file
+
+        cfg = config_file.load_default_config()
+        assert cfg.defaults.geomodel == geo
+        assert cfg.defaults.geomodel_labels == labels
+        # And both clear.
+        runner.invoke(cli, ["config", "set", "defaults.geomodel", ""])
+        runner.invoke(cli, ["config", "set", "defaults.geomodel_labels", ""])
+        cfg = config_file.load_default_config()
+        assert cfg.defaults.geomodel is None
+        assert cfg.defaults.geomodel_labels is None
+
+    def test_empty_model_clears_default(self, runner, home):
+        setup_synthetic_model(runner, home)
+        r = runner.invoke(cli, ["config", "set", "defaults.model", ""])
+        assert r.exit_code == 0, r.output
+        from birda_tpu.config import file as config_file
+
+        cfg = config_file.load_default_config()
+        assert cfg.defaults.model is None
