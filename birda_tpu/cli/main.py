@@ -889,14 +889,86 @@ def models_info(model_id, languages, output_mode):
                 id=rm.id, model_type=rm.model_type, source="registry",
             ))
             return
-        click.echo(f"{rm.id}: {rm.name} v{rm.version}")
+        if languages:
+            # Language list only (reference registry/mod.rs::show_languages);
+            # a variant family has no translations to list — saying that is
+            # more use than printing an empty list (ModelHasNoLanguages).
+            from ..errors import ModelHasNoLanguages
+
+            if rm.files is None:
+                print_error_chain(ModelHasNoLanguages(rm.id))
+                sys.exit(1)
+            click.echo(f"Model: {rm.name}")
+            click.echo()
+            click.echo("Available label languages:")
+            click.echo()
+            for lang in rm.files.languages:
+                marker = (" (default)"
+                          if lang.code == rm.files.default_language else "")
+                click.echo(f"  {lang.code} - {lang.name}{marker}")
+            click.echo()
+            click.echo("To install with specific language:")
+            click.echo(f"  birda models install {rm.id} --language <code>")
+            return
+        # Full rendering (reference registry/mod.rs::show_info).
+        from ..config.geomodel import human_size
+
+        click.echo(f"Model: {rm.name}")
+        click.echo(f"ID: {rm.id}")
+        if rm.build is not None:
+            # Upstream identity + OUR conversion revision of those weights:
+            # showing only the first would let two different files answer
+            # to one version string.
+            click.echo(f"Version: {rm.version} (build {rm.build})")
+        else:
+            click.echo(f"Version: {rm.version}")
+        click.echo(f"Vendor: {rm.vendor}")
+        click.echo()
+        click.echo("Description:")
         click.echo(f"  {rm.description}")
-        click.echo(f"  vendor: {rm.vendor}")
-        click.echo(f"  license: {rm.license.type}"
-                   + ("" if rm.license.commercial_use else " (non-commercial)"))
-        if languages and rm.files:
-            click.echo("  languages: "
-                       + ", ".join(l.code for l in rm.files.languages))
+        click.echo()
+        click.echo("License:")
+        click.echo(f"  Type: {rm.license.type}")
+        click.echo(f"  URL: {rm.license.url}")
+        click.echo(f"  Commercial use: "
+                   f"{'Yes' if rm.license.commercial_use else 'No'}")
+        click.echo(f"  Attribution required: "
+                   f"{'Yes' if rm.license.attribution_required else 'No'}")
+        click.echo(f"  Share-alike required: "
+                   f"{'Yes' if rm.license.share_alike else 'No'}")
+        click.echo()
+        if rm.files is not None:
+            click.echo("Files:")
+            click.echo(f"  Model: {rm.files.model.url}")
+            langs = rm.files.languages
+            default_lang = next(
+                (l.name for l in langs if l.code == rm.files.default_language),
+                "Unknown",
+            )
+            if len(langs) == 1:
+                click.echo(f"  Labels: {default_lang} only")
+            else:
+                click.echo(f"  Labels: {len(langs)} languages available "
+                           f"(default: {default_lang})")
+            click.echo()
+        if rm.has_variants:
+            global_variants = [v for v in rm.variants if v.region is None]
+            regions = sorted({v.region for v in rm.variants if v.region})
+            click.echo("Variants: "
+                       + ", ".join(v.id for v in global_variants))
+            default_v = next(
+                (v for v in global_variants if v.id == rm.default_variant),
+                None,
+            )
+            if default_v is not None:
+                count = (f"{default_v.classes} species" if default_v.classes
+                         else "species count not published")
+                click.echo(f"  Global model: {count}, "
+                           f"{human_size(default_v.model.size_bytes)}")
+            click.echo(f"  Regional models: {len(regions)} "
+                       f"(birda models regions {rm.id})")
+            click.echo()
+        click.echo(f"To install: birda models install {rm.id}")
         return
 
     cfg = config_file.load_default_config()
@@ -982,23 +1054,50 @@ def models_remove(name, purge, output_mode):
 @models.command("regions")
 @click.argument("model_id")
 def models_regions(model_id):
+    """List regional tiles grouped by continent (reference
+    registry/mod.rs::show_regions): a user picking a region is choosing
+    between memory footprints, so each tile carries its species count and
+    download size. Each region lists once, not once per hardware variant —
+    regions are what a user picks; the variant is picked for them."""
+    from ..config.geomodel import human_size
+    from ..errors import RegionsNotSupported
     from ..registry.loader import load_registry
 
     try:
         rm = load_registry().find_model(model_id)
+        regional = [vv for vv in rm.variants if vv.region]
+        if not regional:
+            raise RegionsNotSupported(model_id)
     except BirdaError as e:
         print_error_chain(e)
         sys.exit(1)
-    regional = [vv for vv in rm.variants if vv.region]
-    if not regional:
-        click.echo(f"{model_id} has no regional variants")
-        return
     seen = {}
     for vv in regional:
         seen.setdefault(vv.region, vv)
-    for region, vv in sorted(seen.items()):
-        click.echo(f"{region}: {vv.region_name or region}"
-                   + (f" ({vv.classes} classes)" if vv.classes else ""))
+    tiles = sorted(
+        seen.values(),
+        key=lambda vv: (vv.group_order, vv.group_name or "Other", vv.region),
+    )
+    click.echo(f"Regional variants of {rm.name}:")
+    click.echo()
+    current_group = None
+    for vv in tiles:
+        group = vv.group_name or "Other"
+        if group != current_group:
+            if current_group is not None:
+                click.echo()
+            click.echo(f"{group}:")
+            current_group = group
+        count = (f"{vv.classes} species" if vv.classes
+                 else "species count not published")
+        click.echo(f"  {vv.region:<24} {count:>28}   "
+                   f"{human_size(vv.model.size_bytes)}")
+    click.echo()
+    click.echo("A regional model scores only the species of that region, "
+               "which cuts")
+    click.echo("memory use and latency. It is otherwise the same model.")
+    click.echo()
+    click.echo(f"To install: birda models install {model_id} --region <slug>")
 
 
 @models.command("install")
@@ -1072,15 +1171,33 @@ def models_install(model_id, language, region, variant, set_default,
 
     try:
         rm = reg.find_model(model_id)
+        # Variant/region resolution BEFORE the license gate (reference
+        # lib.rs:2110-2172 orders selection first): a typo'd --region must
+        # fail naming the known regions, not stall at a license prompt.
+        chosen = None
+        if rm.has_variants:
+            chosen = select_variant(rm, explicit_variant=variant, region=region)
+        else:
+            # Silently ignoring these would install the GLOBAL model while
+            # the user believed they asked for a regional/variant one
+            # (reference lib.rs:2150-2158).
+            if region is not None:
+                from ..errors import RegionsNotSupported
+
+                raise RegionsNotSupported(model_id)
+            if variant is not None:
+                from ..errors import VariantNotFound
+
+                raise VariantNotFound(
+                    f"{variant} for {model_id} (none, this model publishes "
+                    "a single file)"
+                )
         if not license_mod.prompt_license_acceptance(
             rm.id, rm.name, rm.license, assume_yes=accept_license,
             vendor=rm.vendor,
         ):
             click.echo("License not accepted; aborting.")
             sys.exit(1)
-        chosen = None
-        if rm.has_variants:
-            chosen = select_variant(rm, explicit_variant=variant, region=region)
 
         # Download progress bar on stderr (reference shows indicatif bars;
         # the NDJSON download_progress payload covers structured mode).

@@ -234,7 +234,9 @@ ModelAlreadyExists = _mk(
     "ModelAlreadyExists", RegistryError, "model already exists: {0}"
 )
 ModelHasNoLanguages = _mk(
-    "ModelHasNoLanguages", RegistryError, "model {0} has no label languages"
+    "ModelHasNoLanguages", RegistryError,
+    "model {0} has no label language variants (variant families ship one "
+    "English labels file per region)"
 )
 LanguageNotFound = _mk(
     "LanguageNotFound", RegistryError, "language {0} not available for model {1}"
@@ -242,7 +244,7 @@ LanguageNotFound = _mk(
 VariantNotFound = _mk("VariantNotFound", RegistryError, "variant not found: {0}")
 RegionNotFound = _mk("RegionNotFound", RegistryError, "region not found: {0}")
 RegionsNotSupported = _mk(
-    "RegionsNotSupported", RegistryError, "model {0} does not support regions"
+    "RegionsNotSupported", RegistryError, "model {0} has no regional variants"
 )
 DownloadFailed = _mk("DownloadFailed", RegistryError, "download failed for {0}: {1}")
 DownloadInstallFailed = _mk(

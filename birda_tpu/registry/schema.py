@@ -130,6 +130,11 @@ class RegistryModel:
     files: Optional[ModelFiles] = None
     variants: list[Variant] = field(default_factory=list)
     default_variant: Optional[str] = None
+    #: Our conversion revision of the upstream weights. The version is the
+    #: exact upstream identity (preview status included); showing only it
+    #: would let two different files answer to one version string
+    #: (reference registry/mod.rs show_info).
+    build: Optional[int] = None
 
     @classmethod
     def from_dict(cls, d: dict) -> "RegistryModel":
@@ -145,6 +150,7 @@ class RegistryModel:
             files=ModelFiles.from_dict(d["files"]) if d.get("files") else None,
             variants=[Variant.from_dict(v) for v in d.get("variants", [])],
             default_variant=d.get("default_variant"),
+            build=d.get("build"),
         )
 
     @property

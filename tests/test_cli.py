@@ -144,14 +144,17 @@ class TestModelsCommands:
     def test_info_registry_model(self, runner, home):
         r = runner.invoke(cli, ["models", "info", "birdnet-v24", "--languages"])
         assert r.exit_code == 0
-        assert "fi" in r.output  # 37 languages listed
-        assert "non-commercial" in r.output
+        assert "fi - " in r.output  # 37 languages listed
+        assert "(default)" in r.output
+        r = runner.invoke(cli, ["models", "info", "birdnet-v24"])
+        assert "Commercial use: No" in r.output
 
     def test_regions(self, runner, home):
         r = runner.invoke(cli, ["models", "regions", "birdnet-v30"])
         assert r.exit_code == 0
-        assert "classes" in r.output
+        assert "species" in r.output
         r = runner.invoke(cli, ["models", "regions", "birdnet-v24"])
+        assert r.exit_code == 1
         assert "no regional variants" in r.output
 
 
@@ -999,3 +1002,89 @@ class TestConfigSetClearsAndPathArms:
 
         cfg = config_file.load_default_config()
         assert cfg.defaults.model is None
+
+
+class TestModelGalleryRegional:
+    """Mirror of the reference's model_gallery_regional suite: the regions
+    listing is a memory-footprint decision aid, info carries the exact
+    upstream identity + our build revision, and selection errors fire
+    BEFORE any license prompt or download."""
+
+    def test_regions_grouped_by_continent(self, runner, home):
+        r = runner.invoke(cli, ["models", "regions", "birdnet-v30"])
+        assert r.exit_code == 0, r.output
+        assert "Europe:" in r.output
+        assert "Asia:" in r.output
+        assert "nordic" in r.output
+
+    def test_regions_report_species_and_sizes(self, runner, home):
+        r = runner.invoke(cli, ["models", "regions", "birdnet-v30"])
+        assert "species" in r.output
+        assert "MB" in r.output
+
+    def test_regions_unknown_model_named(self, runner, home):
+        r = runner.invoke(cli, ["models", "regions", "not-a-model"])
+        assert r.exit_code == 1
+        assert "not-a-model" in r.output
+
+    def test_perch_publishes_regions_too(self, runner, home):
+        r = runner.invoke(cli, ["models", "regions", "perch-v2"])
+        assert r.exit_code == 0, r.output
+        assert "nordic" in r.output
+
+    def test_install_unknown_region_rejected_before_download(self, runner,
+                                                             home):
+        """Selection precedes the license gate (reference lib.rs:2110-2172):
+        the rejection must name the typo AND the valid regions — and fire
+        without -y, not stall at a license prompt."""
+        r = runner.invoke(cli, ["models", "install", "birdnet-v30",
+                                "--region", "atlantis"])
+        assert r.exit_code == 1
+        assert "atlantis" in r.output
+        assert "nordic" in r.output
+        assert "License" not in r.output
+
+    def test_install_unknown_variant_rejected(self, runner, home):
+        r = runner.invoke(cli, ["models", "install", "birdnet-v30",
+                                "--variant", "int4", "-y"])
+        assert r.exit_code == 1
+        assert "int4" in r.output
+
+    def test_install_region_on_regionless_model_rejected(self, runner, home):
+        """Silently ignoring --region would install the GLOBAL model while
+        the user believed they asked for a regional one."""
+        r = runner.invoke(cli, ["models", "install", "birdnet-v24",
+                                "--region", "nordic", "-y"])
+        assert r.exit_code == 1
+        assert "no regional variants" in r.output
+
+    def test_install_variant_on_single_file_model_rejected(self, runner,
+                                                           home):
+        r = runner.invoke(cli, ["models", "install", "birdnet-v24",
+                                "--variant", "fp16", "-y"])
+        assert r.exit_code == 1
+        assert "single file" in r.output
+
+    def test_info_shows_exact_upstream_version_and_build(self, runner, home):
+        """"3.0" would be a lie: the published weights are preview3.1, and
+        GA will be different weights under a version string that must not
+        collide; build is our conversion revision of those weights."""
+        r = runner.invoke(cli, ["models", "info", "birdnet-v30"])
+        assert "3.0-preview3.1" in r.output
+        assert "build 1" in r.output
+
+    def test_info_reports_variants_and_regional_count(self, runner, home):
+        r = runner.invoke(cli, ["models", "info", "birdnet-v30"])
+        assert "Variants:" in r.output
+        assert "Regional models: 39" in r.output
+
+    def test_info_legacy_entry_files_and_languages(self, runner, home):
+        r = runner.invoke(cli, ["models", "info", "birdnet-v24"])
+        assert "Files:" in r.output
+        assert "languages available" in r.output
+
+    def test_languages_flag_fails_on_variant_entry(self, runner, home):
+        r = runner.invoke(cli, ["models", "info", "birdnet-v30",
+                                "--languages"])
+        assert r.exit_code == 1
+        assert "language variants" in r.output
