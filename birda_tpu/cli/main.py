@@ -1327,12 +1327,26 @@ def providers(output_mode):
         ]))
         reporter.finish()
         return
+    # Header + usage footer mirror the reference's rendering
+    # (lib.rs:1202-1226), with the flag ladder redesigned to this
+    # backend's tpu/cpu/auto surface (SURVEY §2.1 row 2).
+    click.echo("Available execution providers:")
+    click.echo()
     for name in ("tpu", "cpu"):
         if name in avail:
             mark = provider_metadata(name)["description"]
         else:
             mark = "not available" + (f" ({note})" if note else "")
-        click.echo(f"{name}: {mark}")
+        click.echo(f"  {name}: {mark}")
+    click.echo()
+    click.echo("Usage:")
+    click.echo("  (default)      Auto-select (TPU if available, "
+               "silent CPU fallback)")
+    click.echo("  --cpu          Force CPU only")
+    click.echo("  --gpu          Prefer the accelerator; warn on fallback")
+    click.echo()
+    click.echo("Explicit providers (fail if unavailable):")
+    click.echo("  --tpu          Require the TPU")
 
 
 @cli.command()
@@ -1462,17 +1476,32 @@ def clip(files, output, audio, base_dir, pre, post, confidence, species_,
         start=start, end=end,
     )
     structured = output_mode in ("json", "ndjson")
+    reporter = create_reporter(output_mode) if structured else None
+    from ..errors import ClipBatchAllFailed
+
+    all_failed = False
     try:
-        summary = execute(args)
+        # Per-file error events stream in NDJSON mode only: plain json is
+        # a single document, and error objects ahead of it would make
+        # stdout N+1 top-level objects (reference command.rs:110-125).
+        summary = execute(
+            args, reporter=(reporter if output_mode == "ndjson" else None)
+        )
+    except ClipBatchAllFailed as e:
+        # Total failure still emits the one result document listing every
+        # failure, THEN exits non-zero (#319 contract: a machine consumer
+        # tells "no detections" apart from "every file failed").
+        summary = e.summary
+        all_failed = True
+        if not structured:
+            print_error_chain(e)
     except BirdaError as e:
         if structured:
-            reporter = create_reporter(output_mode)
             reporter.error("clip_extraction_failed", ErrorSeverity.FATAL, str(e))
             reporter.finish()
         print_error_chain(e)
         sys.exit(1)
     if structured:
-        reporter = create_reporter(output_mode)
         reporter.result(env.clip_extraction_payload(
             output_dir=str(args.output),
             total_clips=summary.total_clips,
@@ -1494,11 +1523,18 @@ def clip(files, output, audio, base_dir, pre, post, confidence, species_,
             ],
         ))
         reporter.finish()
+        if all_failed:
+            sys.exit(1)
         return
     click.echo(
         f"Extracted {summary.total_clips} clip(s) from "
         f"{summary.processed_files} file(s)"
     )
+    if summary.failures:
+        logger.warning("%d detection file(s) failed to process",
+                       len(summary.failures))
+    if all_failed:
+        sys.exit(1)
 
 
 @cli.command()

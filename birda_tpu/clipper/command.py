@@ -123,22 +123,48 @@ def find_source_audio(
 
 
 def execute(args: ClipArgs, reporter=None) -> ClipSummary:
+    """Run the batch and return its summary.
+
+    ``reporter`` streams one ``error`` event per failed file AS IT
+    HAPPENS — pass it only in ndjson mode (reference command.rs:110-125:
+    plain ``json`` output is a single document, and a stream of error
+    objects ahead of it would make stdout N+1 top-level objects; there
+    the same failures ride the result's ``failed_files`` instead).
+
+    A total failure raises :class:`ClipBatchAllFailed` with the summary
+    attached as ``.summary``, so structured modes can still emit the one
+    result document (with every failure listed) before exiting non-zero.
+    """
     validate_float_args(args)
     if args.start is not None and args.end is not None:
-        return _execute_direct(args)
+        return _execute_direct(args, reporter)
     return _execute_csv_mode(args, reporter)
 
 
-def _execute_direct(args: ClipArgs) -> ClipSummary:
+def _report_failure(reporter, file, message) -> None:
+    if reporter is not None:
+        from ..output.json_envelope import ErrorSeverity
+
+        reporter.error(CLIP_FILE_FAILED_CODE, ErrorSeverity.WARNING,
+                       f"failed to process {file}: {message}")
+
+
+def _execute_direct(args: ClipArgs, reporter=None) -> ClipSummary:
     validate_time_range(args.start, args.end)
     extractor = ClipExtractor()
     writer = WavWriter(args.output)
     summary = ClipSummary()
+    # Padding applies in direct mode too, and the generic clip is named
+    # after the RAW requested range (reference command.rs:190-198:
+    # "detection_5-10" even when the padded extraction is 4..11).
+    padded_start = max(args.start - args.pre, 0.0)
+    padded_end = args.end + args.post
+    default_name = f"detection_{args.start:.0f}-{args.end:.0f}"
     for audio_file in args.files:
         group = DetectionGroup(
-            scientific_name=args.species or "clip",
-            common_name=args.species or "clip",
-            start=args.start, end=args.end,
+            scientific_name=args.species or default_name,
+            common_name=args.species or "",
+            start=padded_start, end=padded_end,
             max_confidence=1.0, detection_count=1,
         )
         # Per-file isolation, same as CSV mode (the module contract: one
@@ -154,6 +180,7 @@ def _execute_direct(args: ClipArgs) -> ClipSummary:
             )
         except BirdaError as e:
             logger.warning("Failed to clip %s: %s", audio_file, e)
+            _report_failure(reporter, audio_file, e)
             summary.failures.append({
                 "file": str(audio_file),
                 "code": CLIP_FILE_FAILED_CODE,
@@ -170,9 +197,20 @@ def _execute_direct(args: ClipArgs) -> ClipSummary:
             "source_audio": str(audio_file),
             "confidence": group.max_confidence,
         })
-    if summary.processed_files == 0 and summary.failures:
-        raise ClipBatchAllFailed()
+    _raise_if_total_failure(summary)
     return summary
+
+
+def _raise_if_total_failure(summary: ClipSummary) -> None:
+    """A total failure is a batch that had files and NONE produced
+    anything; an empty batch or an all-below-threshold run is a
+    legitimate zero-clip run (reference command.rs:134-139). The summary
+    rides the exception so structured modes can still emit the single
+    result document listing every failure before exiting non-zero."""
+    if summary.processed_files == 0 and summary.failures:
+        e = ClipBatchAllFailed()
+        e.summary = summary
+        raise e
 
 
 def _execute_csv_mode(args: ClipArgs, reporter=None) -> ClipSummary:
@@ -190,14 +228,14 @@ def _execute_csv_mode(args: ClipArgs, reporter=None) -> ClipSummary:
             summary.clips.extend(clips)
         except BirdaError as e:
             logger.warning("Failed to process %s: %s", detection_file, e)
+            _report_failure(reporter, detection_file, e)
             summary.failures.append({
                 "file": str(detection_file),
                 "code": CLIP_FILE_FAILED_CODE,
                 "message": str(e),
             })
 
-    if summary.processed_files == 0 and summary.failures:
-        raise ClipBatchAllFailed()
+    _raise_if_total_failure(summary)
     return summary
 
 

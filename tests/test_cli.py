@@ -162,7 +162,14 @@ class TestProviders:
     def test_human(self, runner, home):
         r = runner.invoke(cli, ["providers"])
         assert r.exit_code == 0
+        assert "Available execution providers:" in r.output
         assert "cpu: CPU (always available)" in r.output
+        # The usage footer telling users how to select providers
+        # (reference providers_command_test.rs::shows_usage_help).
+        assert "Usage:" in r.output
+        assert "--cpu" in r.output
+        assert "--gpu" in r.output
+        assert "Explicit providers" in r.output
 
     def test_bounded_when_accelerator_unreachable(self, runner, home,
                                                   monkeypatch):
@@ -489,8 +496,12 @@ class TestStructuredCommandResults:
             "--output-mode", "ndjson",
         ])
         assert r.exit_code == 0, r.output
-        doc = json.loads(
-            [l for l in r.output.splitlines() if l.startswith("{")][0])
+        events = [json.loads(l) for l in r.output.splitlines()
+                  if l.startswith("{")]
+        # NDJSON streams a per-file `error` event for ghost.wav as it
+        # happens (#319) ahead of the final result.
+        assert any(e["event"] == "error" for e in events)
+        doc = [e for e in events if e["event"] == "result"][0]
         p = doc["payload"]
         assert p["total_clips"] == 1
         assert p["total_files"] == 1
@@ -1088,3 +1099,76 @@ class TestModelGalleryRegional:
                                 "--languages"])
         assert r.exit_code == 1
         assert "language variants" in r.output
+
+
+class TestClipStructuredFailureContract:
+    """The #319 failure channels (reference clip_integration_test.rs):
+    json stays ONE document even on total failure (failed_files inside
+    the result, exit 1); ndjson additionally streams per-file error
+    events; direct mode applies padding and the reference clip naming."""
+
+    def _bad_csv(self, tmp_path, name="rec.wav.BirdNET.results.csv"):
+        p = tmp_path / name
+        p.write_text("Start (s),End (s),Scientific name,Common name,"
+                     "Confidence\nabc,3.0,Parus major,Great Tit,0.85\n")
+        return p
+
+    def test_json_total_failure_single_document(self, runner, home,
+                                                tmp_path):
+        bad = self._bad_csv(tmp_path)
+        r = runner.invoke(cli, ["clip", str(bad), "-o",
+                                str(tmp_path / "clips"),
+                                "--output-mode", "json"])
+        assert r.exit_code == 1
+        docs = json.loads(r.output)  # must parse as ONE array document
+        assert len(docs) == 1
+        assert docs[0]["event"] == "result"
+        assert docs[0]["payload"]["result_type"] == "clip_extraction"
+        assert len(docs[0]["payload"]["failed_files"]) == 1
+
+    def test_ndjson_total_failure_streams_error_events(self, runner, home,
+                                                       tmp_path):
+        bad = self._bad_csv(tmp_path)
+        r = runner.invoke(cli, ["clip", str(bad), "-o",
+                                str(tmp_path / "clips"),
+                                "--output-mode", "ndjson"])
+        assert r.exit_code == 1
+        evs = [json.loads(l) for l in r.output.splitlines() if l.strip()]
+        assert any(e["event"] == "error" for e in evs)
+        res = [e for e in evs if e["event"] == "result"][0]
+        assert len(res["payload"]["failed_files"]) == 1
+
+    def test_json_partial_failure_exits_zero_single_doc(self, runner, home,
+                                                        tmp_path):
+        wav = make_audio(tmp_path, name="good.wav", secs=5.0)
+        good = tmp_path / "good.wav.BirdNET.results.csv"
+        good.write_text("Start (s),End (s),Scientific name,Common name,"
+                        "Confidence\n0.0,3.0,Parus major,Great Tit,0.85\n")
+        bad = self._bad_csv(tmp_path, "bad.wav.BirdNET.results.csv")
+        r = runner.invoke(cli, ["clip", str(good), str(bad), "-o",
+                                str(tmp_path / "clips"),
+                                "--output-mode", "json",
+                                "--pre", "0", "--post", "0"])
+        assert r.exit_code == 0, r.output
+        docs = json.loads(r.output)
+        assert len(docs) == 1
+        p = docs[0]["payload"]
+        assert p["total_clips"] == 1
+        assert len(p["failed_files"]) == 1
+
+    def test_direct_mode_applies_padding_and_reference_naming(self, runner,
+                                                              home,
+                                                              tmp_path):
+        """The generic clip is named after the RAW requested range while
+        the extraction uses the padded one (reference command.rs:190-198)."""
+        wav = make_audio(tmp_path, name="a.wav", secs=5.0)
+        out = tmp_path / "clips"
+        r = runner.invoke(cli, ["clip", "--audio", str(wav),
+                                "--start", "2", "--end", "3",
+                                "--pre", "1", "--post", "0.5",
+                                "-o", str(out)])
+        assert r.exit_code == 0, r.output
+        clips = list(out.rglob("*.wav"))
+        assert len(clips) == 1
+        assert clips[0].parent.name == "detection_2-3"
+        assert "1.0-3.5" in clips[0].name  # the padded extraction range
