@@ -276,4 +276,13 @@ def _process_detection_file(
         except BirdaError as e:
             logger.warning("clip %s %.1f-%.1f failed: %s",
                            group.scientific_name, group.start, group.end, e)
+    # The file HAD detections to extract but every one failed: that is a
+    # failed file, not the legitimate zero-clip result of an
+    # all-below-threshold file (which returned early above). Reporting it
+    # as a failure is what lets the batch exit non-zero when nothing was
+    # produced (#319, reference command.rs:367-379).
+    if groups and not clips:
+        from ..errors import ClipFileProducedNothing
+
+        raise ClipFileProducedNothing(str(detection_file), len(groups))
     return len(clips), clips

@@ -309,7 +309,8 @@ EmptyExtraction = _mk(
     "EmptyExtraction", ClipperError, "extraction produced no samples for {0}"
 )
 ClipFileProducedNothing = _mk(
-    "ClipFileProducedNothing", ClipperError, "no clips produced from {0}"
+    "ClipFileProducedNothing", ClipperError,
+    "no clips extracted from '{0}': all {1} detection(s) failed"
 )
 ClipBatchAllFailed = _mk(
     "ClipBatchAllFailed", ClipperError, "all detection files failed to produce clips"

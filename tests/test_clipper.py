@@ -301,3 +301,53 @@ class TestDirectModeIsolation:
 
         with _pytest.raises(ClipBatchAllFailed):
             execute(args_all_bad)
+
+
+class TestFileProducedNothing:
+    def test_csv_file_that_extracts_nothing_fails(self, tmp_path):
+        """A file whose detections all lie beyond EOF had work to do and
+        produced nothing — a FAILED file, distinct from the legitimate
+        zero-clip run of an all-below-threshold file (#319, reference
+        command.rs:367-379 + clip_integration_test.rs)."""
+        import numpy as np
+
+        from birda_tpu.clipper.command import ClipArgs, execute
+        from birda_tpu.errors import ClipBatchAllFailed
+
+        from fixtures_audio import write_wav
+
+        rate = 48000
+        write_wav(tmp_path / "rec.wav", np.zeros(rate * 5, np.float32), rate)
+        det = tmp_path / "rec.wav.BirdNET.results.csv"
+        det.write_text(
+            "Start (s),End (s),Scientific name,Common name,Confidence\n"
+            "100.0,105.0,Parus major,Great Tit,0.85\n"
+        )
+        with pytest.raises(ClipBatchAllFailed) as ei:
+            execute(ClipArgs(files=[det], output=tmp_path / "clips",
+                             pre=0.0, post=0.0))
+        # The summary rides the exception and names the empty file.
+        assert "no clips extracted" in ei.value.summary.failures[0]["message"]
+        assert not list((tmp_path / "clips").rglob("*.wav"))
+
+    def test_all_below_threshold_is_legitimate_zero(self, tmp_path):
+        """The early-return half of the distinction: no detections above
+        the threshold is a processed file with zero clips, not a failure."""
+        import numpy as np
+
+        from birda_tpu.clipper.command import ClipArgs, execute
+
+        from fixtures_audio import write_wav
+
+        rate = 48000
+        write_wav(tmp_path / "rec.wav", np.zeros(rate * 5, np.float32), rate)
+        det = tmp_path / "rec.wav.BirdNET.results.csv"
+        det.write_text(
+            "Start (s),End (s),Scientific name,Common name,Confidence\n"
+            "1.0,2.0,Parus major,Great Tit,0.10\n"
+        )
+        summary = execute(ClipArgs(files=[det], output=tmp_path / "clips",
+                                   confidence=0.5))
+        assert summary.processed_files == 1
+        assert summary.total_clips == 0
+        assert not summary.failures
