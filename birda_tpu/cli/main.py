@@ -1248,9 +1248,16 @@ def models_install(model_id, language, region, variant, set_default,
                 )
 
         became_default = []
+        # Regional installs get an `<id>-<region>` config key so a global
+        # and a regional install of the same family — or two regional
+        # ones — never fight over one entry (reference installer.rs:86-95,
+        # InstallProvenance::config_key). The key is what the user types
+        # with -m.
+        config_key = (f"{model_id}-{installed.region}"
+                      if installed.region else model_id)
 
         def mutate(cfg: Config):
-            cfg.models[model_id] = ModelConfig(
+            cfg.models[config_key] = ModelConfig(
                 path=installed.model_path,
                 labels=installed.labels_path,
                 model_type=ModelType(rm.model_type),
@@ -1263,8 +1270,8 @@ def models_install(model_id, language, region, variant, set_default,
                 bsg_distribution_maps=installed.extra.get("bsg_distribution_maps"),
             )
             if set_default or cfg.defaults.model is None:
-                cfg.defaults.model = model_id
-                became_default.append(model_id)
+                cfg.defaults.model = config_key
+                became_default.append(config_key)
 
         config_file.update_config(mutate)
     except BirdaError as e:
@@ -1277,13 +1284,13 @@ def models_install(model_id, language, region, variant, set_default,
     if structured:
         reporter = create_reporter(output_mode)
         reporter.result(env.model_installed_payload(
-            id=model_id, set_as_default=bool(became_default),
+            id=config_key, set_as_default=bool(became_default),
             model_path=str(installed.model_path),
             labels_path=str(installed.labels_path),
         ))
         reporter.finish()
         return
-    click.echo(f"Installed {model_id}")
+    click.echo(f"Installed {config_key}")
 
 
 # ---------------------------------------------------------------------------

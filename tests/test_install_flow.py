@@ -493,3 +493,88 @@ def test_range_filter_autoinstall_failure_is_warning(home, monkeypatch,
 
     cfg = config_file.load_default_config()
     assert "mini" in cfg.models
+
+
+def test_regional_install_gets_region_qualified_config_key(home, monkeypatch):
+    """A global and a regional install of one family must not fight over
+    one config key (reference installer.rs:86-95 config_key): regional
+    installs register as `<id>-<region>`, and that key is what -m takes."""
+    from birda_tpu.registry import loader
+    from birda_tpu.registry.schema import Registry
+
+    model_bytes = fo.make_fixture_geomodel(num_species=5)
+    labels_bytes = b"".join(f"Sp{i} x_C{i}\n".encode() for i in range(5))
+
+    def fref(url, data, name):
+        return {"url": url, "filename": name,
+                "sha256": hashlib.sha256(data).hexdigest()}
+
+    def variant(vid, region=None, group=None):
+        v = {
+            "id": vid,
+            "model": fref(f"https://x/{vid}-{region or 'global'}.onnx",
+                          model_bytes, f"{vid}-{region or 'global'}.onnx"),
+            "labels": fref(f"https://x/{vid}-{region or 'global'}.txt",
+                           labels_bytes, f"{vid}-{region or 'global'}.txt"),
+        }
+        if region:
+            v["region"] = region
+            v["region_name"] = region.title()
+            v["group_name"] = group or "Europe"
+            v["group_order"] = 1
+        return v
+
+    registry_doc = {
+        "schema_version": "tpu-1.0", "registry_version": 1,
+        "models": [{
+            "id": "vmod", "name": "VMod", "description": "fixture",
+            "vendor": "test", "version": "1.0",
+            "model_type": "birdnet-v24",
+            "license": {"type": "MIT", "commercial_use": True},
+            "default_variant": "fp32",
+            "variants": [variant("fp32"),
+                         variant("fp32", region="nordic")],
+        }],
+    }
+    monkeypatch.setattr(loader, "load_registry",
+                        lambda cache=None: Registry.from_dict(registry_doc))
+
+    downloads = {
+        "https://x/fp32-global.onnx": model_bytes,
+        "https://x/fp32-global.txt": labels_bytes,
+        "https://x/fp32-nordic.onnx": model_bytes,
+        "https://x/fp32-nordic.txt": labels_bytes,
+    }
+
+    class FakeRequests:
+        @staticmethod
+        def get(url, **kw):
+            return _Resp(downloads[url])
+
+    import birda_tpu.registry.installer as inst_mod
+
+    real_download = inst_mod.download_verified
+    monkeypatch.setattr(
+        inst_mod, "download_verified",
+        lambda fr, d, progress=None, session=None:
+            real_download(fr, d, progress, FakeRequests),
+    )
+
+    runner = CliRunner()
+    r = runner.invoke(cli, ["models", "install", "vmod", "--default"])
+    assert r.exit_code == 0, r.output
+    assert "Installed vmod" in r.output
+    r = runner.invoke(cli, ["models", "install", "vmod",
+                            "--region", "nordic"])
+    assert r.exit_code == 0, r.output
+    assert "Installed vmod-nordic" in r.output
+
+    from birda_tpu.config import file as config_file
+
+    cfg = config_file.load_default_config()
+    # Both coexist; the regional one did not clobber the global entry.
+    assert "vmod" in cfg.models
+    assert "vmod-nordic" in cfg.models
+    assert cfg.models["vmod-nordic"].region == "nordic"
+    assert cfg.models["vmod"].region is None
+    assert cfg.defaults.model == "vmod"  # --default on the global only
