@@ -159,10 +159,21 @@ def install_model(
 
     if model.has_variants:
         v = variant or _default_variant(model)
-        model_path = download_verified(v.model, dest, progress, session)
         if v.labels is None:
             raise ModelHasNoLanguages(model.id)
-        labels_path = download_verified(v.labels, dest, progress, session)
+        model_existed = (dest / v.model.filename).exists()
+        model_path = download_verified(v.model, dest, progress, session)
+        try:
+            labels_path = download_verified(v.labels, dest, progress, session)
+        except BaseException:
+            # A failed SECOND download must not leave a verified model
+            # with no labels: presence-based is_installed checks would
+            # then lie. Only files THIS install created are removed — a
+            # pre-existing model (reinstall/upgrade) stays (reference
+            # installer.rs:605-609, roll_back).
+            if not model_existed:
+                _roll_back([model_path])
+            raise
         return InstalledModel(model_path, labels_path,
                               variant=v.id, region=v.region)
 
@@ -179,15 +190,37 @@ def install_model(
     lang = model.language(code)
     if lang is None:
         raise LanguageNotFound(code, model.id)
-    model_path = download_verified(files.model, dest, progress, session)
-    labels_path = download_verified(
-        FileRef(url=lang.url, filename=lang.filename), dest, progress, session
-    )
-    extra = {
-        key: download_verified(ref, dest, progress, session)
-        for key, ref in files.extra.items()
-    }
+    created: list[Path] = []
+
+    def fetch(ref) -> Path:
+        existed = (dest / ref.filename).exists()
+        path = download_verified(ref, dest, progress, session)
+        if not existed:
+            created.append(path)
+        return path
+
+    try:
+        model_path = fetch(files.model)
+        labels_path = fetch(FileRef(url=lang.url, filename=lang.filename))
+        extra = {key: fetch(ref) for key, ref in files.extra.items()}
+    except BaseException:
+        # Roll back every file THIS install created so a failed
+        # multi-file install (model + labels + BSG extras) leaves
+        # nothing half-installed; pre-existing files stay (reference
+        # installer.rs:605-609, roll_back).
+        _roll_back(created)
+        raise
     return InstalledModel(model_path, labels_path, extra)
+
+
+def _roll_back(paths: list[Path]) -> None:
+    """Best-effort removal of files a FAILED install created (reference
+    installer.rs:629-637)."""
+    for p in paths:
+        try:
+            Path(p).unlink()
+        except OSError:
+            pass
 
 
 def _default_variant(model: RegistryModel) -> Variant:

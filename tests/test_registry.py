@@ -352,3 +352,79 @@ class TestLicenseSummaryContent:
         assert ok
         err = capsys.readouterr().err
         assert "Share-alike required: Yes" in err
+
+
+class TestInstallRollback:
+    """A failed multi-file install removes the files IT created and only
+    those (reference installer.rs:605-637, roll_back): a verified model
+    with no labels would make presence-based checks lie."""
+
+    def _model(self, model_bytes, labels_bytes, extra_fail=False):
+        import hashlib
+
+        from birda_tpu.registry.schema import RegistryModel
+
+        doc = {
+            "id": "m", "name": "M", "vendor": "t", "version": "1",
+            "model_type": "birdnet-v24",
+            "license": {"type": "MIT", "commercial_use": True},
+            "files": {
+                "model": {"url": "https://x/m.onnx", "filename": "m.onnx",
+                          "sha256": hashlib.sha256(model_bytes).hexdigest()},
+                "labels": {
+                    "default_language": "en",
+                    "languages": [{"code": "en", "name": "English",
+                                   "url": "https://x/m-en.txt",
+                                   "filename": "m-en.txt"}],
+                },
+            },
+        }
+        return RegistryModel.from_dict(doc)
+
+    def test_failed_labels_rolls_back_created_model(self, tmp_path,
+                                                    monkeypatch):
+        from birda_tpu.errors import DownloadFailed
+        from birda_tpu.registry import installer
+
+        model_bytes = b"model-bytes"
+        rm = self._model(model_bytes, b"labels")
+
+        def fake_download(ref, dest, progress=None, session=None):
+            p = dest / ref.filename
+            if ref.filename.endswith(".txt"):
+                raise DownloadFailed(ref.filename, "connection reset")
+            p.write_bytes(model_bytes)
+            return p
+
+        monkeypatch.setattr(installer, "download_verified", fake_download)
+        import pytest as _pytest
+
+        with _pytest.raises(DownloadFailed):
+            installer.install_model(rm, dest_dir=tmp_path)
+        assert not (tmp_path / "m.onnx").exists()
+
+    def test_preexisting_model_survives_failed_labels(self, tmp_path,
+                                                      monkeypatch):
+        """Only files THIS install created roll back: a reinstall whose
+        labels fetch fails must not delete the working model already on
+        disk."""
+        from birda_tpu.errors import DownloadFailed
+        from birda_tpu.registry import installer
+
+        model_bytes = b"model-bytes"
+        rm = self._model(model_bytes, b"labels")
+        (tmp_path / "m.onnx").write_bytes(model_bytes)  # pre-existing
+
+        def fake_download(ref, dest, progress=None, session=None):
+            p = dest / ref.filename
+            if ref.filename.endswith(".txt"):
+                raise DownloadFailed(ref.filename, "connection reset")
+            p.write_bytes(model_bytes)
+            return p
+
+        monkeypatch.setattr(installer, "download_verified", fake_download)
+        import pytest as _pytest
+
+        with _pytest.raises(DownloadFailed):
+            installer.install_model(rm, dest_dir=tmp_path)
+        assert (tmp_path / "m.onnx").exists()
