@@ -1071,9 +1071,17 @@ def models_regions(model_id):
     except BirdaError as e:
         print_error_chain(e)
         sys.exit(1)
+    # Each tile is represented by the variant an INSTALL would pick (the
+    # default variant), not the first in manifest order — those differ:
+    # Perch lists int8-arm before no-dft-fp32 for every region while the
+    # default is no-dft-fp32, so first-in-order would advertise a 42 MB
+    # download for a tile whose default install actually fetches 62 MB
+    # (reference types.rs:173-189).
     seen = {}
     for vv in regional:
         seen.setdefault(vv.region, vv)
+        if rm.default_variant is not None and vv.id == rm.default_variant:
+            seen[vv.region] = vv
     tiles = sorted(
         seen.values(),
         key=lambda vv: (vv.group_order, vv.group_name or "Other", vv.region),

@@ -1172,3 +1172,16 @@ class TestClipStructuredFailureContract:
         assert len(clips) == 1
         assert clips[0].parent.name == "detection_2-3"
         assert "1.0-3.5" in clips[0].name  # the padded extraction range
+
+
+class TestRegionsTileIsInstallPick:
+    def test_tile_shows_default_variant_size(self, runner, home):
+        """Each region tile is represented by the variant an install
+        would pick, not the first in manifest order (reference
+        types.rs:173-189): Perch lists int8-arm (42 MB) before the
+        default no-dft-fp32 (62 MB) for every region — first-in-order
+        would advertise a download size the install doesn't fetch."""
+        r = runner.invoke(cli, ["models", "regions", "perch-v2"])
+        assert r.exit_code == 0, r.output
+        nordic = [l for l in r.output.splitlines() if "nordic" in l][0]
+        assert "62.0 MB" in nordic, nordic
