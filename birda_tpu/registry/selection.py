@@ -74,12 +74,18 @@ def select_variant(
         if not candidates:
             candidates = model.variants
 
+    available = ", ".join(v.id for v in candidates)
     if explicit_variant is not None:
         for v in candidates:
             if v.id == explicit_variant:
                 return v
-        raise VariantNotFound(f"{explicit_variant} for {model.id}"
-                              + (f" region {region}" if region else ""))
+        # Name the valid ids — the rejection is useless without them
+        # (reference selection.rs:195-201).
+        raise VariantNotFound(
+            f"{explicit_variant} for {model.id}"
+            + (f" region {region}" if region else "")
+            + f" (available: {available})"
+        )
 
     for precision in _precision_order(probe):
         for v in candidates:
@@ -90,5 +96,18 @@ def select_variant(
         for v in candidates:
             if v.id == model.default_variant:
                 return v
+        # The family default is missing for this region: an error naming
+        # it, not a silent substitute (reference selection.rs:249-256).
+        raise VariantNotFound(
+            f"{model.default_variant} for {model.id}"
+            + (f" region {region}" if region else "")
+            + f" (available: {available})"
+        )
 
-    return candidates[0]
+    # No default declared and nothing on the precision ladder matched:
+    # guessing candidates[0] would install whatever sorts first in the
+    # manifest — error rather than guess (reference selection.rs:241-248).
+    raise VariantNotFound(
+        f"default for {model.id} (no default_variant declared; "
+        f"available: {available})"
+    )

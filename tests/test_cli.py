@@ -1060,6 +1060,9 @@ class TestModelGalleryRegional:
                                 "--variant", "int4", "-y"])
         assert r.exit_code == 1
         assert "int4" in r.output
+        # The rejection names the valid ids (reference
+        # selection.rs:195-201 + model_gallery_regional.rs).
+        assert "fp32" in r.output
 
     def test_install_region_on_regionless_model_rejected(self, runner, home):
         """Silently ignoring --region would install the GLOBAL model while

@@ -428,3 +428,53 @@ class TestInstallRollback:
         with _pytest.raises(DownloadFailed):
             installer.install_model(rm, dest_dir=tmp_path)
         assert (tmp_path / "m.onnx").exists()
+
+
+class TestSelectionErrorsNotGuesses:
+    def _model(self, variants, default=None):
+        from birda_tpu.registry.schema import RegistryModel
+
+        return RegistryModel.from_dict({
+            "id": "m", "name": "M", "vendor": "t", "version": "1",
+            "model_type": "birdnet-v24",
+            "license": {"type": "MIT", "commercial_use": True},
+            "default_variant": default,
+            "variants": [
+                {"id": vid,
+                 "model": {"url": f"https://x/{vid}.onnx",
+                           "filename": f"{vid}.onnx"},
+                 "labels": {"url": f"https://x/{vid}.txt",
+                            "filename": f"{vid}.txt"}}
+                for vid in variants
+            ],
+        })
+
+    def test_no_default_variant_errors_rather_than_guessing(self):
+        """Nothing on the precision ladder matches and no default is
+        declared: guessing would install whatever sorts first in the
+        manifest (reference selection.rs:241-248)."""
+        from birda_tpu.errors import VariantNotFound
+        from birda_tpu.registry.selection import SystemProbe, select_variant
+
+        m = self._model(["exotic-a", "exotic-b"], default=None)
+        with pytest.raises(VariantNotFound, match="no default_variant"):
+            select_variant(m, probe=SystemProbe.detect())
+
+    def test_unknown_explicit_variant_names_valid_ids(self):
+        from birda_tpu.errors import VariantNotFound
+        from birda_tpu.registry.selection import SystemProbe, select_variant
+
+        m = self._model(["fp32", "fp16"], default="fp32")
+        with pytest.raises(VariantNotFound, match="fp32, fp16"):
+            select_variant(m, explicit_variant="int4",
+                           probe=SystemProbe.detect())
+
+    def test_missing_default_for_region_is_an_error(self):
+        """The declared default does not exist among the candidates:
+        error naming it, not a silent substitute (selection.rs:249-256)."""
+        from birda_tpu.errors import VariantNotFound
+        from birda_tpu.registry.selection import SystemProbe, select_variant
+
+        m = self._model(["exotic-a"], default="no-dft-fp32")
+        with pytest.raises(VariantNotFound, match="no-dft-fp32"):
+            select_variant(m, probe=SystemProbe.detect())
