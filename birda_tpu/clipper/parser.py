@@ -20,6 +20,10 @@ logger = logging.getLogger(__name__)
 
 _REQUIRED = ("Start (s)", "End (s)", "Scientific name", "Common name", "Confidence")
 
+# Largest finite f32; confidences past this overflow the reference's f32
+# field to infinity and are skipped (parser.rs:41 + its 1e40 overflow test).
+_F32_MAX = 3.4028235e38
+
 
 @dataclass
 class ParsedDetection:
@@ -41,9 +45,12 @@ def parse_detection_file(path: Path | str) -> list[ParsedDetection]:
     skipped = 0
     with f:
         reader = csv.DictReader(f, skipinitialspace=True)
-        if reader.fieldnames is None or not set(_REQUIRED) <= {
-            n.strip() for n in reader.fieldnames
-        }:
+        if reader.fieldnames is None:
+            # A fully empty file is a legitimate zero-detection input, not a
+            # format error (reference parser.rs test_empty_file_returns_empty_vec:
+            # the csv crate yields no headers and no records).
+            return []
+        if not set(_REQUIRED) <= {n.strip() for n in reader.fieldnames}:
             raise InvalidDetectionFormat(
                 f"{path}: missing required columns {_REQUIRED}"
             )
@@ -66,6 +73,12 @@ def parse_detection_file(path: Path | str) -> list[ParsedDetection]:
                         "must both be finite", line_num, start, end,
                     )
                 continue
+            # The reference stores confidence as f32 (parser.rs:41): an
+            # ordinary decimal like 1e40 overflows f32 to +inf on the way in
+            # and the row is skipped — kept in f64 it would compare greater
+            # than every threshold downstream.
+            if math.isfinite(confidence) and abs(confidence) > _F32_MAX:
+                confidence = math.inf if confidence > 0 else -math.inf
             if not math.isfinite(confidence):
                 skipped += 1
                 if skipped <= clip_consts.MAX_SKIPPED_ROW_WARNINGS:

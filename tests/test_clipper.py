@@ -54,6 +54,24 @@ class TestParser:
         dets = parse_detection_file(p)
         assert [d.scientific_name for d in dets] == ["A a"]
 
+    def test_confidence_overflowing_f32_is_skipped(self, tmp_path):
+        # 1e40 is finite in f64 but overflows the reference's f32 confidence
+        # field to +inf; the row skips instead of out-comparing every
+        # threshold (reference parser.rs test_parse_skips_a_confidence_
+        # that_overflows_f32).
+        p = tmp_path / "r.csv"
+        make_csv(p, [(0.0, 3.0, "A a", "X", 1e40),
+                     (5.0, 8.0, "B b", "Y", 0.9)])
+        dets = parse_detection_file(p)
+        assert [d.scientific_name for d in dets] == ["B b"]
+
+    def test_empty_file_returns_empty_list(self, tmp_path):
+        # Reference parser.rs test_empty_file_returns_empty_vec: a fully
+        # empty file is a zero-detection input, not a format error.
+        p = tmp_path / "r.csv"
+        p.write_text("")
+        assert parse_detection_file(p) == []
+
     def test_end_before_start_is_hard_error(self, tmp_path):
         p = tmp_path / "r.csv"
         make_csv(p, [(3.0, 1.0, "A a", "X", 0.9)])
