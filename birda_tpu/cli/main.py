@@ -40,6 +40,27 @@ SUBCOMMANDS = {
 }
 
 
+def _parse_formats(ctx, param, value):
+    """Parse ``-f``/``--format`` occurrences, each possibly comma-separated
+    (reference args.rs:306 ``value_delimiter = ','``), into OutputFormat
+    members — case-insensitive, 'table' aliases raven (types.rs:358-365)."""
+    out = []
+    for occurrence in value:
+        for name in occurrence.split(","):
+            name = name.strip()
+            if not name:
+                continue
+            try:
+                out.append(OutputFormat(name))
+            except ValueError:
+                raise click.BadParameter(
+                    f"'{name}' is not one of "
+                    + ", ".join(f.value for f in OutputFormat)
+                    + " (or 'table' for raven)"
+                ) from None
+    return tuple(out)
+
+
 def _validator(fn):
     """Adapt a validators.py parser to a click callback."""
 
@@ -115,8 +136,10 @@ def cli(ctx):
               type=click.Choice([r.value for r in BatRegion]),
               help="Bat region (enables BattyBirdNET two-stage mode).")
 @click.option("-f", "--format", "formats", multiple=True,
-              type=click.Choice([f.value for f in OutputFormat]),
-              envvar="BIRDA_FORMAT")
+              callback=_parse_formats, envvar="BIRDA_FORMAT",
+              help="Output formats, comma-separated: "
+                   + ", ".join(f.value for f in OutputFormat)
+                   + " ('table' = raven).")
 @click.option("-o", "--output-dir", type=click.Path(path_type=Path),
               envvar="BIRDA_OUTPUT_DIR")
 @click.option("-c", "--min-confidence", callback=_validator(v.parse_confidence),

@@ -4,11 +4,13 @@ Resolves the BirdNET Geomodel v3.0.2 assets for range filtering:
 
 1. explicit ``defaults.geomodel``/``geomodel_labels`` paths from config;
 2. otherwise the standard install location under the models directory;
-3. when present, the sha256 is re-verified against the registry pin (a
-   corrupt 15 MB file should fail here, not as a graph-parse error);
-4. when missing, the caller chooses: offer an interactive download, degrade
-   to unfiltered analysis with a warning (analyze path), or fail
-   (``species`` command, where the geomodel IS the feature).
+3. only the copy birda manages (path == the registry install path) has its
+   sha256 re-verified against the registry pin — a user's own path is taken
+   on trust, it may legitimately be a different build (geomodel.rs:110-128);
+   a corrupt managed copy is re-downloaded, not loaded (geomodel.rs:131-138);
+4. when unavailable, a :class:`GeomodelUnavailable` carries the reason: the
+   analyze path degrades to unfiltered with a warning, the ``species``
+   command fails (the geomodel IS the feature there).
 """
 
 from __future__ import annotations
@@ -19,6 +21,7 @@ from pathlib import Path
 from typing import Optional
 
 from ..errors import GeomodelNotInstalled, GeomodelPathsIncomplete
+from ..registry.installer import GEOMODEL_INSTALL_ID
 from ..registry.schema import Registry
 from .types import Config
 
@@ -30,6 +33,16 @@ class InstalledRangeFilter:
     model_path: Path
     labels_path: Path
     verified: bool = False
+
+
+@dataclass
+class GeomodelUnavailable:
+    """The geomodel could not be resolved; ``reason`` says why (reference
+    ``GeomodelResolution::Unavailable``, config/geomodel.rs). On the analyze
+    path the caller logs "Range filtering disabled: {reason}" and continues
+    unfiltered (lib.rs:219-222); the species command treats it as fatal."""
+
+    reason: str
 
 
 def config_with_override(
@@ -64,14 +77,14 @@ def default_geomodel_paths(registry: Registry) -> Optional[tuple[Path, Path]]:
 
 
 def _verify(path: Path, expected_sha: Optional[str]) -> bool:
+    """True iff the digest matches. A read error is NOT a checksum failure:
+    re-downloading a file that is fine will not fix a failing disk, so the
+    OSError propagates as the real error (reference geomodel.rs:140-144)."""
     if not expected_sha:
         return True
     from ..registry.installer import sha256_file
 
-    try:
-        return sha256_file(path) == expected_sha
-    except OSError:
-        return False
+    return sha256_file(path) == expected_sha
 
 
 def resolve_geomodel(
@@ -80,12 +93,12 @@ def resolve_geomodel(
     allow_download: bool = False,
     progress=None,
     session=None,
-) -> Optional[InstalledRangeFilter]:
-    """Resolve geomodel assets; None when unavailable and not downloadable.
+) -> "InstalledRangeFilter | GeomodelUnavailable":
+    """Resolve geomodel assets, or say why they are unavailable.
 
-    Callers on the analyze path treat None as "degrade to unfiltered with a
-    warning" (reference ``lib.rs:967-976``); the species command raises
-    :class:`GeomodelNotInstalled` instead.
+    The analyze path logs ``Range filtering disabled: {reason}`` and
+    continues unfiltered (reference ``lib.rs:219-222``); the species command
+    raises :class:`GeomodelNotInstalled` instead (``require_geomodel``).
     """
     explicit_model = config.defaults.geomodel
     explicit_labels = config.defaults.geomodel_labels
@@ -95,35 +108,47 @@ def resolve_geomodel(
         )
 
     entry = registry.range_filter
+    registry_paths = default_geomodel_paths(registry)
 
     if explicit_model is not None:
-        if explicit_model.exists() and explicit_labels.exists():
-            verified = True
-            if entry is not None and explicit_model.name == entry.model.filename:
-                verified = _verify(explicit_model, entry.model.sha256)
-                if not verified:
-                    logger.warning(
-                        "geomodel %s fails its checksum; results may be wrong",
-                        explicit_model,
-                    )
-            return InstalledRangeFilter(explicit_model, explicit_labels, verified)
-        # Explicitly configured but missing is a config problem, not a
-        # silently-degrade situation.
-        raise GeomodelNotInstalled()
+        model_path, labels_path = explicit_model, explicit_labels
+    elif registry_paths is not None:
+        model_path, labels_path = registry_paths
+    else:
+        return GeomodelUnavailable("no geomodel asset in the registry")
 
-    paths = default_geomodel_paths(registry)
-    if paths is None:
-        return None
-    model_path, labels_path = paths
+    # "Ours to verify" is decided by which FILE this is, not by how the path
+    # was reached: 'models install geomodel' records its own install path in
+    # config, so keying on "came from config" would exempt exactly the copy
+    # birda manages (reference geomodel.rs:110-126).
+    birda_managed = (
+        registry_paths is not None
+        and (model_path, labels_path) == registry_paths
+    )
 
     if model_path.exists() and labels_path.exists():
-        verified = _verify(model_path, entry.model.sha256)
-        if not verified:
-            logger.warning(
-                "installed geomodel fails its checksum; re-run "
-                "'birda models install %s'", entry.id,
-            )
-        return InstalledRangeFilter(model_path, labels_path, verified)
+        if not birda_managed:
+            # A path pointing somewhere else is taken on trust: it may
+            # legitimately be a different build of the geomodel, and its
+            # checksum is not ours to police (geomodel.rs:124-128).
+            return InstalledRangeFilter(model_path, labels_path, verified=True)
+        if _verify(model_path, entry.model.sha256):
+            return InstalledRangeFilter(model_path, labels_path, verified=True)
+        # Genuine mismatch of the copy birda manages: re-download rather
+        # than load corrupt bytes on every later run (geomodel.rs:131-138).
+        logger.warning(
+            "Installed %s failed checksum verification and will be "
+            "downloaded again", entry.name or entry.id,
+        )
+    elif not birda_managed:
+        # A configured path pointing outside the models directory is a
+        # configuration error when missing — not something to paper over by
+        # downloading to a different location (geomodel.rs:147-157).
+        return GeomodelUnavailable(
+            f"configured geomodel path {model_path} does not exist; correct "
+            f"defaults.geomodel or run 'birda models install "
+            f"{GEOMODEL_INSTALL_ID}'"
+        )
 
     if allow_download:
         from ..registry.installer import install_range_filter
@@ -133,7 +158,10 @@ def resolve_geomodel(
         )
         return InstalledRangeFilter(model_path, labels_path, verified=True)
 
-    return None
+    return GeomodelUnavailable(
+        f"{entry.name or entry.id} is not installed; run 'birda models "
+        f"install {GEOMODEL_INSTALL_ID}' to enable range filtering"
+    )
 
 
 def require_geomodel(
@@ -144,7 +172,7 @@ def require_geomodel(
     resolved = resolve_geomodel(
         config, registry, allow_download, progress, session
     )
-    if resolved is None:
+    if isinstance(resolved, GeomodelUnavailable):
         raise GeomodelNotInstalled()
     return resolved
 

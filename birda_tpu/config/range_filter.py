@@ -95,6 +95,14 @@ def build_range_filter_request(
             week = date_to_week(month, day)
         else:
             return None
+    # The reference round-trips week -> (month, day) -> week: its
+    # range_filter.rs:106-123 re-encodes the week as the week's START date
+    # and birdnet-onnx re-derives a week from that date internally. We feed
+    # the user's week straight to the geomodel — the same linear
+    # floor((doy-1)/7.6)+1 calendar as the reference's date.rs — rather
+    # than reproduce a lossy round-trip through an opaque third-party
+    # re-encoding (observable only with the real crate; at most a one-week
+    # shift on boundary dates).
     if not supports_range_filter(bat_mode, model_type):
         return None
     return RangeFilterRequest(

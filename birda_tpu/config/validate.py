@@ -77,8 +77,12 @@ def _validate_defaults(config: Config) -> None:
         )
 
     if not d.formats:
+        # Reference validate.rs:176 wording — the message is the only route
+        # out of this state (no CLI flag writes an empty list), so it must
+        # say what to do.
         raise ConfigValidation(
-            "formats must not be empty; an empty list would skip every file"
+            "defaults.formats must list at least one output format; with an "
+            "empty list a run writes no output at all"
         )
 
     if d.model is not None and d.model not in config.models:

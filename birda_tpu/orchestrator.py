@@ -553,13 +553,15 @@ def analyze_files(options: AnalyzeOptions, config: Config, reporter=None) -> int
         installed_geomodel = geomodel_cfg.resolve_geomodel(
             cfg_for_geo, load_registry(), allow_download=options.allow_download
         )
-        if installed_geomodel is None:
+        if isinstance(installed_geomodel, geomodel_cfg.GeomodelUnavailable):
+            # Coordinates in config enable range filtering implicitly, so
+            # erroring here would break existing pipelines on upgrade —
+            # degrade with the resolver's reason (reference lib.rs:219-222).
             logger.warning(
-                "Range filtering requested but the geomodel is not installed; "
-                "continuing WITHOUT range filtering. Run 'birda models "
-                "install geomodel' to enable it."
+                "Range filtering disabled: %s", installed_geomodel.reason
             )
             range_request = None
+            installed_geomodel = None
 
     device = resolve_device(options, config)
     # The actual backend is resolved before lowering so mixed precision can

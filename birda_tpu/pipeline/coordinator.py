@@ -29,6 +29,21 @@ class OutputFormat(str, Enum):
     JSON = "json"
     PARQUET = "parquet"
 
+    @classmethod
+    def _missing_(cls, value):
+        # The reference parses format names case-insensitively and accepts
+        # "table" as an alias for the Raven selection table
+        # (config/types.rs:358-365) — every route (CLI, env, config set)
+        # funnels through this constructor.
+        if isinstance(value, str):
+            low = value.lower()
+            if low == "table":
+                return cls.RAVEN
+            for m in cls:
+                if m.value == low:
+                    return m
+        return None
+
 
 FORMAT_EXTENSIONS = {
     OutputFormat.CSV: output_extensions.CSV,

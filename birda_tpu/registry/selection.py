@@ -5,7 +5,8 @@ Candidates narrow by region first (like the reference's
 requested region's variants, or the global ones without ``--region`` — a
 regional-only variant id needs its region named). Within the candidates the
 priority is: explicit variant id > precision preferred by the backend >
-registry default > first candidate. On TPU the
+registry default; with none of those, selection errors rather than
+guesses (a manifest-order install is never what anyone asked for). On TPU the
 precision axis maps as: bf16-friendly fp32 weights are the safe default
 (XLA casts to bf16 on the MXU at run time); fp16 assets halve download and
 disk without changing the TPU compute path; int8-arm variants target ARM
@@ -72,7 +73,15 @@ def select_variant(
     else:
         candidates = [v for v in candidates if v.region is None]
         if not candidates:
-            candidates = model.variants
+            # No global variant at all is a broken registry, not a user typo
+            # — installing whichever region sorts first would be a guess.
+            # "No region 'global'" wording would send the user hunting for a
+            # region name that was never the problem (reference
+            # selection.rs:168-180).
+            raise VariantNotFound(
+                f"global for {model.id} (available: none, this model "
+                f"publishes regional variants only — name one with --region)"
+            )
 
     available = ", ".join(v.id for v in candidates)
     if explicit_variant is not None:

@@ -204,20 +204,59 @@ class TestGeomodelResolution:
         with pytest.raises(GeomodelPathsIncomplete):
             resolve_geomodel(cfg, reg)
 
-    def test_missing_explicit_is_fatal(self, tmp_path):
+    def test_missing_explicit_degrades_with_the_path_in_the_reason(
+            self, tmp_path):
+        # Reference geomodel.rs:147-157: a configured path pointing outside
+        # the models directory is Unavailable (warn-and-continue on the
+        # analyze path), never papered over by downloading elsewhere.
+        from birda_tpu.config.geomodel import GeomodelUnavailable
+
         reg = load_embedded()
         cfg = Config()
         cfg.defaults.geomodel = tmp_path / "ghost.onnx"
         cfg.defaults.geomodel_labels = tmp_path / "ghost.txt"
-        with pytest.raises(GeomodelNotInstalled):
-            resolve_geomodel(cfg, reg)
+        r = resolve_geomodel(cfg, reg)
+        assert isinstance(r, GeomodelUnavailable)
+        assert "ghost.onnx" in r.reason and "defaults.geomodel" in r.reason
 
-    def test_unavailable_returns_none(self, monkeypatch, tmp_path):
+    def test_explicit_path_is_taken_on_trust_no_checksum(self, tmp_path):
+        # A user's own copy may legitimately be a different build; its
+        # checksum is not ours to police (geomodel.rs:124-128) — even when
+        # the filename matches the registry's.
+        reg = load_embedded()
+        cfg = Config()
+        m = tmp_path / reg.range_filter.model.filename
+        l = tmp_path / reg.range_filter.labels.filename
+        m.write_bytes(b"definitely not the pinned bytes")
+        l.write_text("A a_X\n")
+        cfg.defaults.geomodel = m
+        cfg.defaults.geomodel_labels = l
+        r = resolve_geomodel(cfg, reg)
+        assert r.model_path == m and r.verified
+
+    def test_corrupt_managed_copy_is_not_loaded(self, monkeypatch, tmp_path):
+        # The copy birda manages re-verifies on every resolve; a mismatch
+        # means re-download, not "load the corrupt bytes with a warning"
+        # (geomodel.rs:116-138).
+        from birda_tpu.config.geomodel import GeomodelUnavailable
+        from birda_tpu.registry import installer
+
+        monkeypatch.setattr(installer, "models_dir", lambda: tmp_path)
+        reg = load_embedded()
+        (tmp_path / reg.range_filter.model.filename).write_bytes(b"corrupt")
+        (tmp_path / reg.range_filter.labels.filename).write_text("A a_X\n")
+        r = resolve_geomodel(Config(), reg)
+        assert isinstance(r, GeomodelUnavailable)
+
+    def test_unavailable_carries_the_install_hint(self, monkeypatch, tmp_path):
+        from birda_tpu.config.geomodel import GeomodelUnavailable
         from birda_tpu.registry import installer
 
         monkeypatch.setattr(installer, "models_dir", lambda: tmp_path / "none")
         reg = load_embedded()
-        assert resolve_geomodel(Config(), reg) is None
+        r = resolve_geomodel(Config(), reg)
+        assert isinstance(r, GeomodelUnavailable)
+        assert "models install geomodel" in r.reason
         with pytest.raises(GeomodelNotInstalled):
             require_geomodel(Config(), reg)
 

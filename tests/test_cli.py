@@ -226,6 +226,27 @@ class TestAnalyze:
         lines = csv_path.read_text(encoding="utf-8-sig").splitlines()
         assert len(lines) > 1
 
+    def test_format_comma_separated_table_alias_and_case(self, runner, home,
+                                                         tmp_path):
+        # Reference args.rs:306 (value_delimiter = ',') + types.rs:358-365:
+        # one -f may carry a comma list, 'table' aliases raven, and parsing
+        # is case-insensitive.
+        setup_synthetic_model(runner, home)
+        audio = make_audio(tmp_path)
+        out = tmp_path / "out"
+        r = runner.invoke(cli, [
+            "analyze", str(audio), "--cpu", "-o", str(out),
+            "-f", "CSV,table", "--min-confidence", "0",
+        ])
+        assert r.exit_code == 0, r.output
+        assert (out / "rec.BirdNET.results.csv").exists()
+        assert (out / "rec.BirdNET.selection.table.txt").exists()
+
+    def test_format_unknown_value_names_the_valid_set(self, runner, home):
+        r = runner.invoke(cli, ["analyze", "-f", "bogus", "--cpu", "x.wav"])
+        assert r.exit_code == 2
+        assert "bogus" in r.output and "kaleidoscope" in r.output
+
     def test_analyze_ndjson_stdout(self, runner, home, tmp_path):
         setup_synthetic_model(runner, home)
         audio = make_audio(tmp_path)

@@ -469,6 +469,26 @@ class TestSelectionErrorsNotGuesses:
             select_variant(m, explicit_variant="int4",
                            probe=SystemProbe.detect())
 
+    def test_regional_only_family_without_region_is_an_error(self):
+        """No global variant at all is a broken registry, not a region typo:
+        installing whichever region sorts first would be a guess, and a
+        "no region 'global'" message would send the user hunting for a
+        region name that was never the problem (selection.rs:168-180)."""
+        from birda_tpu.errors import VariantNotFound
+        from birda_tpu.registry.schema import RegistryModel
+        from birda_tpu.registry.selection import SystemProbe, select_variant
+
+        m = RegistryModel.from_dict({
+            "id": "m", "model_type": "birdnet-v24",
+            "variants": [
+                {"id": "fp32", "region": "nordic",
+                 "model": {"url": "https://x/m.onnx", "filename": "m.onnx"},
+                 "labels": {"url": "https://x/l.txt", "filename": "l.txt"}},
+            ],
+        })
+        with pytest.raises(VariantNotFound, match="regional variants only"):
+            select_variant(m, probe=SystemProbe.detect())
+
     def test_missing_default_for_region_is_an_error(self):
         """The declared default does not exist among the candidates:
         error naming it, not a silent substitute (selection.rs:249-256)."""
