@@ -1020,25 +1020,37 @@ def models_info(model_id, languages, output_mode):
 @models.command("remove")
 @click.argument("name")
 @click.option("--purge", is_flag=True)
+@click.option("-y", "--yes", is_flag=True,
+              help="Assume yes for the --purge confirmation prompt.")
 @click.option("--output-mode", type=click.Choice(["human", "json", "ndjson"]),
               envvar="BIRDA_OUTPUT_MODE")
-def models_remove(name, purge, output_mode):
+def models_remove(name, purge, yes, output_mode):
     structured = output_mode in ("json", "ndjson")
-    removed_paths = []
+    removed_entry = []
     promoted = []  # new default model id when removal promoted one
+
+    # Confirm before deleting files (skip in structured mode). Prompted
+    # BEFORE the lock: the prompt waits on the user, and holding the config
+    # lock across that would block every other config write for as long as
+    # the user takes to answer (reference lib.rs:1983-1992).
+    if purge and not structured and not yes:
+        if not click.confirm(
+            f"This will delete model files for '{name}' from disk. Continue?",
+            default=False,
+        ):
+            click.echo("Removal cancelled.")
+            return
 
     def mutate(cfg: Config):
         from ..errors import ModelNotFound
 
         if name not in cfg.models:
             raise ModelNotFound(name)
-        m = cfg.models.pop(name)
+        removed_entry.append(cfg.models.pop(name))
         if cfg.defaults.model == name:
             cfg.defaults.model = next(iter(cfg.models), None)
             if cfg.defaults.model is not None:
                 promoted.append(cfg.defaults.model)
-        if purge:
-            removed_paths.extend([m.path, m.labels])
 
     try:
         config_file.update_config(mutate)
@@ -1049,29 +1061,63 @@ def models_remove(name, purge, output_mode):
             reporter.finish()
         print_error_chain(e)
         sys.exit(1)
-    purged = 0
-    if purge:
-        from ..registry import cleanup
-        from ..registry.installer import models_dir
-        from ..registry.loader import load_registry
 
-        cfg = config_file.load_default_config()
-        orphans = cleanup.orphaned_files(models_dir(), cfg, load_registry())
-        purged = cleanup.remove_orphans(orphans)
+    first_error = None
+    if purge:
+        # Delete only the files THIS entry owned, skipping anything another
+        # entry still references — never a directory-wide sweep (reference
+        # lib.rs:2009-2051). Files are deleted after the config save, outside
+        # the lock: the config stays consistent even if a delete fails.
+        from ..registry.cleanup import owned_paths, referenced_model_paths
+
+        still_referenced = referenced_model_paths(
+            config_file.load_default_config()
+        )
+        for file in owned_paths(removed_entry[0]):
+            if file in still_referenced:
+                if not structured:
+                    click.echo(f"  Skipped (used by another model): {file}")
+                continue
+            try:
+                if file.exists():
+                    file.unlink()
+                    if not structured:
+                        click.echo(f"  Deleted: {file}")
+                elif not structured:
+                    click.echo(f"  Skipped (not found): {file}")
+            except OSError as e:
+                if not structured:
+                    click.echo(f"  Failed to delete: {file}")
+                if first_error is None:
+                    first_error = (file, e)
+
     if structured:
+        # Emitted before any deletion error surfaces, so a machine consumer
+        # knows the config change succeeded even though cleanup failed.
         reporter = create_reporter(output_mode)
         reporter.result(env.model_removed_payload(
             id=name, purge_requested=purge,
             new_default=promoted[0] if promoted else None,
         ))
         reporter.finish()
-        return
-    if purge:
-        click.echo(f"Removed model '{name}' and {purged} orphaned file(s)")
     else:
         click.echo(f"Removed model '{name}'")
-    if promoted:
-        click.echo(f"New default model: {promoted[0]}")
+        if promoted:
+            click.echo(f"New default model: {promoted[0]}")
+        else:
+            cfg_after = config_file.load_default_config()
+            if cfg_after.defaults.model is None and not cfg_after.models:
+                click.echo(
+                    "Warning: no models remaining. Set a new default with "
+                    "`birda models install`."
+                )
+    if first_error is not None:
+        from ..errors import FileDeletionFailed
+
+        e = FileDeletionFailed(str(first_error[0]), str(first_error[1]))
+        e.__cause__ = first_error[1]
+        print_error_chain(e)
+        sys.exit(1)
 
 
 @models.command("regions")
@@ -1287,7 +1333,21 @@ def models_install(model_id, language, region, variant, set_default,
         config_key = (f"{model_id}-{installed.region}"
                       if installed.region else model_id)
 
+        orphans = []
+
         def mutate(cfg: Config):
+            from ..registry.cleanup import orphaned_files
+
+            # Collected before the insert overwrites the entry that names
+            # them, and deleted only after the config is saved: a crash in
+            # between leaves a config that points exclusively at files which
+            # exist. Published filenames never change, so an upgrade writes
+            # new files beside the old ones — without this every upgrade
+            # leaks the previous download (reference lib.rs:2267-2305).
+            keeping = [installed.model_path, installed.labels_path]
+            keeping.extend(p for p in installed.extra.values() if p)
+            orphans[:] = orphaned_files(cfg, config_key, keeping)
+
             cfg.models[config_key] = ModelConfig(
                 path=installed.model_path,
                 labels=installed.labels_path,
@@ -1305,6 +1365,12 @@ def models_install(model_id, language, region, variant, set_default,
                 became_default.append(config_key)
 
         config_file.update_config(mutate)
+        from ..registry.cleanup import remove_orphans
+
+        for path, err in remove_orphans(orphans):
+            logger.warning(
+                "Could not remove the superseded model file %s: %s", path, err
+            )
     except BirdaError as e:
         if structured:
             reporter = create_reporter(output_mode)

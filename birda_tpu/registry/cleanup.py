@@ -1,82 +1,94 @@
-"""Orphaned model-file cleanup (reference ``src/registry/cleanup.rs``).
+"""Superseded-file cleanup (reference ``src/registry/cleanup.rs``).
 
-After a remove or reinstall, files in the models directory that no
-configured model references — and that match registry-known filenames or
-obsolete names from earlier versions — are candidates for deletion.
-Unknown files are never touched.
+Scope is one config entry: the files a removed or reinstalled entry owned
+(model, labels, BSG extras), minus anything the replacement keeps and
+anything another entry still references. Published filenames never change
+across versions, so an upgrade writes new files beside the old ones —
+without this every upgrade would leak the previous download (reference
+lib.rs:2303-2305). The scope matters: a directory-wide sweep of
+"registry-known but unreferenced" files would also delete downloads the
+user deliberately keeps un-configured.
 """
 
 from __future__ import annotations
 
 import logging
 from pathlib import Path
+from typing import Sequence
 
-from ..config.types import Config
-from ..constants import obsolete_files
-from .schema import Registry
+from ..config.types import Config, ModelConfig
 
 logger = logging.getLogger(__name__)
 
+_OWNED_ATTRS = (
+    "path", "labels", "meta_model",
+    "bsg_calibration", "bsg_migration", "bsg_distribution_maps",
+)
 
-def _referenced_paths(config: Config) -> set[Path]:
+
+def owned_paths(model: ModelConfig) -> list[Path]:
+    """Every file a config entry owns, in a stable order."""
+    out = []
+    for attr in _OWNED_ATTRS:
+        v = getattr(model, attr, None)
+        if v is not None:
+            out.append(Path(v))
+    return out
+
+
+def referenced_model_paths(config: Config) -> set[Path]:
+    """Files any configured entry (or the shared geomodel setting) owns."""
     refs: set[Path] = set()
     for m in config.models.values():
-        refs.add(m.path)
-        refs.add(m.labels)
-        for attr in ("bsg_calibration", "bsg_migration", "bsg_distribution_maps"):
-            v = getattr(m, attr)
-            if v is not None:
-                refs.add(v)
+        refs.update(owned_paths(m))
     for attr in ("geomodel", "geomodel_labels"):
         v = getattr(config.defaults, attr)
         if v is not None:
-            refs.add(v)
-    return {p.resolve() for p in refs}
+            refs.add(Path(v))
+    return refs
 
 
-def _known_filenames(registry: Registry) -> set[str]:
-    names: set[str] = set(obsolete_files.NAMES)
-    for m in registry.models:
-        if m.files is not None:
-            names.add(m.files.model.filename)
-            for lang in m.files.languages:
-                names.add(lang.filename)
-            for ref in m.files.extra.values():
-                names.add(ref.filename)
-        for v in m.variants:
-            names.add(v.model.filename)
-            if v.labels is not None:
-                names.add(v.labels.filename)
-    if registry.range_filter is not None:
-        names.add(registry.range_filter.model.filename)
-        names.add(registry.range_filter.labels.filename)
-    return names
+def orphaned_files(
+    config: Config, key: str, keeping: Sequence[Path] = (),
+) -> list[Path]:
+    """Files the entry at ``key`` owns that nothing else will reference.
 
-
-def orphaned_files(models_dir: Path, config: Config, registry: Registry) -> list[Path]:
-    """Registry-known files in the models dir that nothing references."""
-    if not models_dir.exists():
+    Call BEFORE overwriting/removing the entry (reference cleanup.rs:37-66):
+    ``config`` still holds the previous entry, ``keeping`` is what the
+    replacement install reuses. Deduped — an entry whose path and labels
+    are the same file would otherwise list twice.
+    """
+    previous = config.models.get(key)
+    if previous is None:
         return []
-    referenced = _referenced_paths(config)
-    known = _known_filenames(registry)
-    orphans = []
-    for entry in sorted(models_dir.iterdir()):
-        if not entry.is_file():
+    keeping_set = {Path(p) for p in keeping}
+    still_referenced: set[Path] = set()
+    for other_key, model in config.models.items():
+        if other_key != key:
+            still_referenced.update(owned_paths(model))
+    for attr in ("geomodel", "geomodel_labels"):
+        v = getattr(config.defaults, attr)
+        if v is not None:
+            still_referenced.add(Path(v))
+
+    orphans: list[Path] = []
+    for path in owned_paths(previous):
+        if path in keeping_set or path in still_referenced:
             continue
-        if entry.name not in known:
-            continue  # not ours to judge
-        if entry.resolve() in referenced:
+        if path in orphans:
             continue
-        orphans.append(entry)
+        orphans.append(path)
     return orphans
 
 
-def remove_orphans(orphans: list[Path]) -> int:
-    removed = 0
-    for p in orphans:
+def remove_orphans(paths: Sequence[Path]) -> list[tuple[Path, OSError]]:
+    """Best-effort deletion; returns the failures (reference
+    cleanup.rs:74-90). A missing file is already done, not a failure, and
+    one failure never skips the rest."""
+    failures: list[tuple[Path, OSError]] = []
+    for p in paths:
         try:
-            p.unlink()
-            removed += 1
+            Path(p).unlink(missing_ok=True)
         except OSError as e:
-            logger.warning("could not remove orphan %s: %s", p, e)
-    return removed
+            failures.append((Path(p), e))
+    return failures

@@ -49,18 +49,29 @@ def load_registry(cache: Path | None = None) -> Registry:
     embedded = load_embedded()
 
     if not cache.exists():
+        # Bootstrap the bundled registry onto disk (reference loader.rs
+        # test_a_missing_registry_is_bootstrapped_onto_disk): later reads —
+        # including other processes' — see the same file updates land in.
+        try:
+            cache.parent.mkdir(parents=True, exist_ok=True)
+            write_atomic(cache, embedded_registry_text().encode())
+        except OSError:
+            pass
         return embedded
 
     try:
-        raw = cache.read_text(encoding="utf-8")
+        raw_bytes = cache.read_bytes()
     except OSError as e:
         # Unreadable: use memory, never destroy the file.
         logger.warning("registry cache unreadable (%s); using embedded", e)
         return embedded
 
     try:
-        cached = Registry.from_dict(json.loads(raw))
-    except (json.JSONDecodeError, RegistryParse) as e:
+        # Non-UTF8 bytes are the same outcome as non-JSON bytes: the file is
+        # ours and it is broken, repair it (reference loader.rs
+        # test_a_registry_whose_bytes_are_not_utf8_is_repaired).
+        cached = Registry.from_dict(json.loads(raw_bytes.decode("utf-8")))
+    except (UnicodeDecodeError, json.JSONDecodeError, RegistryParse) as e:
         # Unparseable: it is our file and it is broken — replace it.
         logger.warning("registry cache corrupt (%s); replacing with embedded", e)
         try:

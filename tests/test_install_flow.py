@@ -408,6 +408,75 @@ def test_install_structured_payload(home, tmp_path, monkeypatch):
     assert p["new_default"] == "other"
 
 
+def test_remove_purge_prompts_and_scopes_to_the_entry(home, tmp_path):
+    """--purge confirms before deleting (reference lib.rs:1983-1992), and
+    deletes only the removed entry's own files, sparing anything another
+    entry references (lib.rs:2009-2027) and never sweeping the directory."""
+    from birda_tpu.config import file as config_file
+    from birda_tpu.config.types import Config, ModelConfig, ModelType
+
+    runner = CliRunner()
+    mine = tmp_path / "mine.onnx"
+    mine.write_bytes(b"m")
+    shared = tmp_path / "shared.txt"
+    shared.write_text("labels")
+    other = tmp_path / "other.onnx"
+    other.write_bytes(b"o")
+    # A registry-known filename nothing configures: the OLD sweep deleted it.
+    bystander = tmp_path / "birdnet-v24.onnx"
+    bystander.write_bytes(b"keep me")
+
+    def mutate(cfg: Config):
+        cfg.models["mine"] = ModelConfig(
+            path=mine, labels=shared, model_type=ModelType("birdnet-v24"))
+        cfg.models["other"] = ModelConfig(
+            path=other, labels=shared, model_type=ModelType("birdnet-v24"))
+
+    config_file.update_config(mutate)
+
+    # Declining the prompt leaves everything alone.
+    r = runner.invoke(cli, ["models", "remove", "mine", "--purge"], input="n\n")
+    assert r.exit_code == 0, r.output
+    assert "cancelled" in r.output.lower()
+    assert mine.exists()
+
+    # -y skips the prompt; only the entry's unshared file is deleted.
+    r = runner.invoke(cli, ["models", "remove", "mine", "--purge", "-y"])
+    assert r.exit_code == 0, r.output
+    assert not mine.exists()
+    assert shared.exists(), "a file another entry references must be spared"
+    assert bystander.exists(), "unconfigured files are not ours to sweep"
+    assert "Deleted" in r.output and "used by another model" in r.output
+
+
+def test_reinstall_removes_the_superseded_files(home, tmp_path):
+    """An install that overwrites a config entry reclaims the files the
+    previous entry owned (reference lib.rs:2267-2305) — without this every
+    upgrade leaks the previous download."""
+    from birda_tpu.cli.main import cli as _cli  # noqa: F401
+    from birda_tpu.config import file as config_file
+    from birda_tpu.config.types import Config, ModelConfig, ModelType
+    from birda_tpu.registry.cleanup import orphaned_files
+
+    old_model = tmp_path / "old-name.onnx"
+    old_model.write_bytes(b"old")
+    old_labels = tmp_path / "old-labels.txt"
+    old_labels.write_text("l")
+
+    def mutate(cfg: Config):
+        cfg.models["mini"] = ModelConfig(
+            path=old_model, labels=old_labels,
+            model_type=ModelType("birdnet-v24"))
+
+    config_file.update_config(mutate)
+    cfg = config_file.load_default_config()
+    orphans = orphaned_files(
+        cfg, "mini",
+        keeping=[tmp_path / "new-name.onnx", tmp_path / "new-labels.txt"],
+    )
+    assert sorted(orphans) == sorted([old_model, old_labels])
+
+
 def test_range_filter_autoinstall_failure_is_warning(home, monkeypatch,
                                                      caplog):
     """The geomodel auto-installs alongside range-filter-capable

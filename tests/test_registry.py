@@ -63,6 +63,33 @@ class TestLoaderPolicy:
         r = load_registry(cache=tmp_path / "registry.json")
         assert r.registry_version >= 1
 
+    def test_missing_cache_is_bootstrapped_onto_disk(self, tmp_path):
+        # Reference loader.rs test_a_missing_registry_is_bootstrapped_
+        # onto_disk: first load writes the bundled registry where updates
+        # (and other processes) will look for it.
+        cache = tmp_path / "nested" / "registry.json"
+        r = load_registry(cache=cache)
+        assert cache.exists()
+        assert json.loads(cache.read_text())["registry_version"] == \
+            r.registry_version
+
+    def test_equal_version_rewrites_nothing(self, tmp_path):
+        cache = tmp_path / "registry.json"
+        load_registry(cache=cache)
+        before = cache.stat().st_mtime_ns
+        load_registry(cache=cache)
+        assert cache.stat().st_mtime_ns == before
+
+    def test_non_utf8_cache_is_repaired(self, tmp_path):
+        # A UnicodeDecodeError used to escape both handlers and crash the
+        # load; broken bytes are the corrupt-cache outcome (reference
+        # loader.rs test_a_registry_whose_bytes_are_not_utf8_is_repaired).
+        cache = tmp_path / "registry.json"
+        cache.write_bytes(b"\xff\xfe broken")
+        r = load_registry(cache=cache)
+        assert r.models
+        assert json.loads(cache.read_text())["models"]
+
     def test_corrupt_cache_replaced(self, tmp_path):
         cache = tmp_path / "registry.json"
         cache.write_text("{ not json")
@@ -219,29 +246,64 @@ class TestLicense:
 
 
 class TestCleanup:
-    def test_orphans_detected(self, tmp_path):
-        reg = load_embedded()
-        models_dir = tmp_path / "models"
-        models_dir.mkdir()
-        # A registry-known filename nothing references -> orphan.
-        orphan = models_dir / "birdnet-v24.onnx"
-        orphan.write_bytes(b"x")
-        # An unknown file -> never touched.
-        stranger = models_dir / "my_notes.txt"
-        stranger.write_bytes(b"x")
-        # A referenced file -> kept.
-        kept = models_dir / "birdnet-v24-en.txt"
-        kept.write_text("labels")
+    """Reference cleanup.rs semantics: scope is ONE entry's previous files —
+    never a directory-wide sweep, which would delete downloads the user
+    deliberately keeps un-configured."""
+
+    def _cfg(self, tmp_path):
         cfg = Config()
         cfg.models["bn"] = ModelConfig(
-            path=models_dir / "other.onnx", labels=kept,
+            path=tmp_path / "old.onnx", labels=tmp_path / "shared-labels.txt",
             model_type=ModelType.BIRDNET_V24,
         )
-        orphans = cleanup.orphaned_files(models_dir, cfg, reg)
-        assert orphans == [orphan]
-        assert cleanup.remove_orphans(orphans) == 1
-        assert stranger.exists()
-        assert kept.exists()
+        cfg.models["other"] = ModelConfig(
+            path=tmp_path / "other.onnx",
+            labels=tmp_path / "shared-labels.txt",
+            model_type=ModelType.BIRDNET_V24,
+        )
+        return cfg
+
+    def test_previous_files_of_the_reinstalled_key(self, tmp_path):
+        cfg = self._cfg(tmp_path)
+        orphans = cleanup.orphaned_files(cfg, "bn", keeping=[])
+        # old.onnx is reclaimable; shared-labels.txt is still referenced by
+        # the other entry and must be spared.
+        assert orphans == [tmp_path / "old.onnx"]
+
+    def test_spares_files_the_new_install_reuses(self, tmp_path):
+        cfg = self._cfg(tmp_path)
+        orphans = cleanup.orphaned_files(
+            cfg, "bn", keeping=[tmp_path / "old.onnx"]
+        )
+        assert orphans == []
+
+    def test_unknown_key_is_a_first_install(self, tmp_path):
+        assert cleanup.orphaned_files(self._cfg(tmp_path), "new-key") == []
+
+    def test_same_path_and_labels_lists_once(self, tmp_path):
+        cfg = Config()
+        one = tmp_path / "one.onnx"
+        cfg.models["m"] = ModelConfig(
+            path=one, labels=one, model_type=ModelType.BIRDNET_V24,
+        )
+        assert cleanup.orphaned_files(cfg, "m") == [one]
+
+    def test_remove_orphans_missing_file_is_done_not_a_failure(self, tmp_path):
+        present = tmp_path / "a.onnx"
+        present.write_bytes(b"x")
+        failures = cleanup.remove_orphans([present, tmp_path / "gone.onnx"])
+        assert failures == []
+        assert not present.exists()
+
+    def test_remove_orphans_failure_does_not_skip_the_rest(self, tmp_path):
+        # A directory cannot be unlink()ed -> one failure, the rest removed.
+        blocker = tmp_path / "dir.onnx"
+        blocker.mkdir()
+        second = tmp_path / "b.onnx"
+        second.write_bytes(b"x")
+        failures = cleanup.remove_orphans([blocker, second])
+        assert [p for p, _ in failures] == [blocker]
+        assert not second.exists()
 
 
 class TestGenRegistryConsistency:
