@@ -84,7 +84,7 @@ def _verify(path: Path, expected_sha: Optional[str]) -> bool:
         return True
     from ..registry.installer import sha256_file
 
-    return sha256_file(path) == expected_sha
+    return sha256_file(path) == expected_sha.lower()
 
 
 def resolve_geomodel(

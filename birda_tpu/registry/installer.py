@@ -77,7 +77,7 @@ def download_verified(
     final = dest_dir / file_ref.filename
 
     if final.exists() and file_ref.sha256:
-        if sha256_file(final) == file_ref.sha256:
+        if sha256_file(final) == file_ref.sha256.lower():
             return final
         logger.warning("existing %s fails checksum; re-downloading", final.name)
 
@@ -116,7 +116,10 @@ def download_verified(
 
     if file_ref.sha256:
         got = h.hexdigest()
-        if got != file_ref.sha256:
+        # Expected digests compare case-insensitively: a manifest or .sha256
+        # sidecar may carry uppercase hex (reference update/checksum.rs
+        # test_verify_sha256_accepts_uppercase_expected).
+        if got != file_ref.sha256.lower():
             try:
                 part.unlink()
             except OSError:

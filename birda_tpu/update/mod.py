@@ -191,7 +191,8 @@ def perform_update(info: UpdateInfo, session=None,
 
     if info.sha256:
         got = hashlib.sha256(payload).hexdigest()
-        if got != info.sha256:
+        # Uppercase expected hex must still match (reference checksum.rs).
+        if got != info.sha256.lower():
             raise UpdateChecksumMismatch(info.sha256, got)
 
     with tempfile.TemporaryDirectory() as td:

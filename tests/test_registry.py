@@ -306,6 +306,25 @@ class TestCleanup:
         assert not second.exists()
 
 
+class TestUppercaseChecksums:
+    def test_download_short_circuit_accepts_uppercase_expected(self, tmp_path):
+        """Expected digests compare case-insensitively — a manifest or
+        .sha256 sidecar may carry uppercase hex (reference
+        update/checksum.rs test_verify_sha256_accepts_uppercase_expected)."""
+        import hashlib
+
+        from birda_tpu.registry.installer import download_verified
+        from birda_tpu.registry.schema import FileRef
+
+        data = b"asset bytes"
+        (tmp_path / "a.onnx").write_bytes(data)
+        ref = FileRef(url="https://nowhere.invalid/a.onnx", filename="a.onnx",
+                      sha256=hashlib.sha256(data).hexdigest().upper())
+        # An existing file with a matching (uppercase-pinned) hash is reused
+        # without touching the network.
+        assert download_verified(ref, tmp_path) == tmp_path / "a.onnx"
+
+
 class TestGenRegistryConsistency:
     def test_committed_registry_matches_regeneration(self):
         """The committed registry must match regeneration from the upstream
