@@ -1048,7 +1048,10 @@ def models_remove(name, purge, yes, output_mode):
             raise ModelNotFound(name)
         removed_entry.append(cfg.models.pop(name))
         if cfg.defaults.model == name:
-            cfg.defaults.model = next(iter(cfg.models), None)
+            # Promotion is alphabetical, not insertion order (reference
+            # lib.rs:1934 `.keys().min()`): deterministic across config
+            # files that list the same models in different orders.
+            cfg.defaults.model = min(cfg.models, default=None)
             if cfg.defaults.model is not None:
                 promoted.append(cfg.defaults.model)
 
@@ -1474,16 +1477,22 @@ def providers(output_mode):
               help="Geomodel ONNX override; requires --geomodel-labels-path.")
 @click.option("--geomodel-labels-path", type=click.Path(path_type=Path),
               envvar="BIRDA_GEOMODEL_LABELS_PATH")
+@click.option("-y", "--yes", is_flag=True,
+              help="Assume yes for prompts (geomodel download offer).")
 @click.option("--output-mode", type=click.Choice(["human", "json", "ndjson"]),
               envvar="BIRDA_OUTPUT_MODE")
 def species(output, lat, lon, week, month, day, threshold, sort, model,
-            geomodel_path, geomodel_labels_path, output_mode):
+            geomodel_path, geomodel_labels_path, yes, output_mode):
     """Generate a species list from the range filter."""
     from .species import (compute_species_list, generate_species_list,
                           split_species_label)
 
     if week is None and (month is None or day is None):
         raise click.UsageError("provide --week, or --month with --day")
+    if week is not None and (month is not None or day is not None):
+        # Same mutual exclusion as analyze (reference args.rs
+        # test_species_command_week_month_conflict).
+        raise click.UsageError("--week conflicts with --month/--day")
     if (geomodel_path is None) != (geomodel_labels_path is None):
         raise click.UsageError(
             "--geomodel-path and --geomodel-labels-path must be given together"
@@ -1498,6 +1507,7 @@ def species(output, lat, lon, week, month, day, threshold, sort, model,
                 threshold=threshold, sort=sort, model_name=model,
                 geomodel_path=geomodel_path,
                 geomodel_labels_path=geomodel_labels_path,
+                allow_download=yes,
             )
         else:
             path, count = generate_species_list(
@@ -1505,6 +1515,7 @@ def species(output, lat, lon, week, month, day, threshold, sort, model,
                 day=day, threshold=threshold, sort=sort, model_name=model,
                 geomodel_path=geomodel_path,
                 geomodel_labels_path=geomodel_labels_path,
+                allow_download=yes,
             )
     except BirdaError as e:
         if structured:

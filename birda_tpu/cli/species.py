@@ -47,6 +47,7 @@ def compute_species_list(
     model_name: Optional[str] = None,
     geomodel_path: Optional[Path] = None,
     geomodel_labels_path: Optional[Path] = None,
+    allow_download: bool = False,
 ) -> SpeciesListResult:
     """One geomodel pass at (lat, lon, week) → thresholded, sorted entries.
     Writes nothing: structured output modes report the list inline without
@@ -63,7 +64,9 @@ def compute_species_list(
     )
     registry = load_registry()
 
-    installed = geomodel_cfg.require_geomodel(config, registry)
+    installed = geomodel_cfg.require_geomodel(
+        config, registry, allow_download=allow_download
+    )
     geomodel_labels = read_geomodel_labels(installed.labels_path)
 
     # Classifier labels define the output label space when a model is
@@ -125,6 +128,7 @@ def generate_species_list(
     model_name: Optional[str] = None,
     geomodel_path: Optional[Path] = None,
     geomodel_labels_path: Optional[Path] = None,
+    allow_download: bool = False,
 ) -> tuple[Path, int]:
     """Compute the list and write it one label per line (human mode).
     Returns (output path, species count)."""
@@ -133,6 +137,7 @@ def generate_species_list(
         threshold=threshold, sort=sort, model_name=model_name,
         geomodel_path=geomodel_path,
         geomodel_labels_path=geomodel_labels_path,
+        allow_download=allow_download,
     )
     out_path = output if output is not None else Path(DEFAULT_OUTPUT)
     text = "".join(f"{label}\n" for label, _ in result.entries)

@@ -178,7 +178,13 @@ def parse_stale_lock_timeout(s) -> float:
     value = _number(s)
     if value <= 0:
         raise ValidationFailure("stale lock timeout must be positive")
-    return value * multiplier
+    total = value * multiplier
+    # The reference's u64 checked_mul guard (validators.rs:228): an absurd
+    # duration is a typo, not a request — and total seconds past 2**64
+    # cannot mean anything to a staleness clock.
+    if total > 2**64:
+        raise ValidationFailure("stale lock timeout is too large")
+    return total
 
 
 #: Constant-derived range strings for CLI help text. The range a flag's

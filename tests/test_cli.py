@@ -293,6 +293,14 @@ class TestSpeciesCommand:
         r = runner.invoke(cli, ["species", "--lat", "60", "--lon", "24"])
         assert r.exit_code != 0
 
+    def test_week_conflicts_with_month_day(self, runner, home):
+        # Reference args.rs test_species_command_week_month_conflict: one
+        # time spelling at a time, same rule as analyze.
+        r = runner.invoke(cli, ["species", "--lat", "60", "--lon", "24",
+                                "--week", "24", "--month", "6", "--day", "1"])
+        assert r.exit_code == 2
+        assert "conflicts" in r.output
+
     def test_geomodel_missing_is_fatal(self, runner, home):
         r = runner.invoke(cli, [
             "species", "--lat", "60", "--lon", "24", "--week", "24",

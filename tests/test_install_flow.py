@@ -408,6 +408,36 @@ def test_install_structured_payload(home, tmp_path, monkeypatch):
     assert p["new_default"] == "other"
 
 
+def test_remove_default_promotes_alphabetically(home, tmp_path):
+    """Promotion picks the alphabetically first remaining key (reference
+    lib.rs:1934 .keys().min()), not insertion order."""
+    import json
+
+    from birda_tpu.config import file as config_file
+    from birda_tpu.config.types import Config, ModelConfig, ModelType
+
+    runner = CliRunner()
+    p = tmp_path / "m.onnx"
+    p.write_bytes(b"x")
+    l = tmp_path / "l.txt"
+    l.write_text("l")
+
+    def mutate(cfg: Config):
+        # Insertion order: zulu, beta, alpha — alphabetical winner is alpha.
+        for key in ("zulu", "beta", "alpha"):
+            cfg.models[key] = ModelConfig(
+                path=p, labels=l, model_type=ModelType("birdnet-v24"))
+        cfg.defaults.model = "zulu"
+
+    config_file.update_config(mutate)
+    r = runner.invoke(cli, ["models", "remove", "zulu",
+                            "--output-mode", "ndjson"])
+    assert r.exit_code == 0, r.output
+    doc = json.loads(
+        [x for x in r.output.splitlines() if x.startswith("{")][0])
+    assert doc["payload"]["new_default"] == "alpha"
+
+
 def test_remove_purge_prompts_and_scopes_to_the_entry(home, tmp_path):
     """--purge confirms before deleting (reference lib.rs:1983-1992), and
     deletes only the removed entry's own files, sparing anything another
