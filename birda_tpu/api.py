@@ -153,6 +153,7 @@ def analyze(
     region_labels: Optional[Path | str] = None,
     jobs: int = 1,
     decode_workers: int = 0,
+    devices: Optional[int] = None,
     fail_fast: bool = False,
     force: bool = True,
     config=None,
@@ -162,7 +163,10 @@ def analyze(
     Model selection follows the CLI rules: a configured ``model`` name, or
     an ad-hoc ``model_path`` + ``labels_path`` + ``model_type`` triple, or
     the config default. ``device`` is ``auto``/``cpu``/``tpu``/``gpu``
-    (same ladder semantics as the CLI flags). ``force=True`` (the library
+    (same ladder semantics as the CLI flags). ``devices`` shards each
+    batch over N devices (data parallelism; None = every local
+    accelerator device, 1 = no sharding — the CLI's ``--devices``).
+    ``force=True`` (the library
     default, unlike the CLI) disables output-existence resume skipping —
     a programmatic caller asking for detections wants them computed.
 
@@ -230,6 +234,7 @@ def analyze(
         region_labels=Path(region_labels) if region_labels else None,
         jobs=jobs,
         decode_workers=decode_workers,
+        devices=devices,
         top_k=top_k if top_k is not None else constants.DEFAULT_TOP_K,
         precision=precision,
         stream_detections=True,

@@ -196,6 +196,11 @@ def cli(ctx):
               envvar="BIRDA_DECODE_WORKERS",
               help="Decode threads per file (seek-based span decoding). "
                    "0 = auto, 1 = single decode thread.")
+@click.option("--devices", type=click.IntRange(1, 4096), default=None,
+              envvar="BIRDA_DEVICES",
+              help="Accelerator devices to shard each batch over (data "
+                   "parallelism). Default: all local devices; 1 disables "
+                   "sharding (BIRDA_NO_SHARD=1 also disables it).")
 @click.option("--precision", type=click.Choice(["fp32", "bf16", "int8"]),
               default="fp32", envvar="BIRDA_PRECISION",
               help="ONNX graph precision: fp32 = bit-faithful scores; "
@@ -235,7 +240,7 @@ def analyze(inputs, model, model_path, labels_path, model_type, bat, formats,
             week, month, day, day_of_year, range_threshold, rerank,
             range_unmatched, slist, stale_lock_timeout, jobs, no_progress,
             stdout_mode, output_mode, accept_license, decode_workers,
-            precision, calibration_audio, region_labels, profile_dir,
+            devices, precision, calibration_audio, region_labels, profile_dir,
             geomodel_path, geomodel_labels_path, meta_model_path, yes):
     """Analyze audio files for bird detections."""
     init_logging(verbose, quiet)
@@ -325,6 +330,7 @@ def analyze(inputs, model, model_path, labels_path, model_type, bat, formats,
         geomodel_labels_path=geomodel_labels_path,
         region_labels=region_labels,
         decode_workers=decode_workers,
+        devices=devices,
         precision=precision,
         calibration_audio=calibration_audio,
     )

@@ -125,6 +125,14 @@ class AnalyzeOptions:
     #: receives per-file ``detections`` events keyed by path, so
     #: interleaving under ``--jobs`` is well-defined.
     stream_detections: bool = False
+    #: Devices to shard the segment batch over (data parallelism). None =
+    #: every local device of the actual backend (multi-chip hosts shard
+    #: automatically); 1 disables sharding. The batch axis is the
+    #: reference's entire device-parallelism story
+    #: (``processor.rs:242-258``); here it shards over ICI via a 1-D
+    #: ``jax.sharding.Mesh`` (SURVEY §7.9). ``BIRDA_NO_SHARD`` is the
+    #: environment kill switch.
+    devices: Optional[int] = None
 
 
 @dataclass
@@ -370,6 +378,65 @@ def _calibration_batches_from_audio(path: Path, sample_rate: int,
     return batches
 
 
+def resolve_mesh(options: AnalyzeOptions, devices: list,
+                 actual_backend: str):
+    """Build the production data-parallel mesh (or None for single-device).
+
+    Shards the segment batch over every *addressable* device of the actual
+    backend by default — the TPU-native form of the reference's batch
+    parallelism (its only on-device parallelism,
+    ``src/pipeline/processor.rs:242-258``). In a joined pod the selector
+    returns the GLOBAL device list, but hosts process *different files*
+    (lock-file work sharing), so the SPMD lockstep a global mesh requires
+    does not hold — each host shards over its own local devices and the
+    pod scales at the file level, like the reference's multi-host story.
+
+    ``options.devices=1`` or ``BIRDA_NO_SHARD`` disables sharding;
+    ``options.devices=N`` caps the mesh at N local devices.
+    """
+    import os
+
+    if os.environ.get("BIRDA_NO_SHARD"):
+        if options.devices is not None and options.devices > 1:
+            logger.warning(
+                "BIRDA_NO_SHARD is set; ignoring --devices %d",
+                options.devices,
+            )
+        logger.info("batch sharding disabled by BIRDA_NO_SHARD")
+        return None
+    import jax
+
+    local = [d for d in devices if d.process_index == jax.process_index()]
+    if options.devices is None and actual_backend == "cpu":
+        # XLA's "multiple CPU devices" are virtual host devices sharing the
+        # same cores (xla_force_host_platform_device_count) — sharding over
+        # them validates the mesh path but speeds nothing up, so CPU runs
+        # shard only on explicit --devices N opt-in.
+        return None
+    if options.devices is not None:
+        if options.devices < 1:
+            raise ConfigValidation(
+                f"--devices must be >= 1 (got {options.devices})")
+        if options.devices > len(local):
+            raise ConfigValidation(
+                f"--devices {options.devices} requested but only "
+                f"{len(local)} local {actual_backend} device(s) are "
+                "available"
+            )
+        local = local[: options.devices]
+    if len(local) <= 1:
+        return None
+    from .parallel.mesh import mesh_over
+
+    mesh = mesh_over(local)
+    logger.info(
+        "data parallelism: batch sharded over %d %s devices (disable "
+        "with --devices 1 or BIRDA_NO_SHARD=1)",
+        mesh.devices.size, actual_backend,
+    )
+    return mesh
+
+
 def resolve_device(options: AnalyzeOptions, config: Config) -> str:
     """First set device flag wins, else the config, mapped to the backend
     names the selector understands."""
@@ -477,7 +544,17 @@ def analyze_files(options: AnalyzeOptions, config: Config, reporter=None) -> int
     # established before any backend use; no-op on single hosts.
     from .parallel.mesh import initialize_multihost
 
-    initialize_multihost()
+    if initialize_multihost():
+        # Honest scaling story: a pod divides WORK at the file level (the
+        # lock-file protocol arbitrates, with pod rank in lock bodies);
+        # each host shards its segment batch over its own local devices
+        # (resolve_mesh below). A pod-global mesh would require every host
+        # to run the same batch in lockstep — the opposite of what the
+        # per-file division does.
+        logger.info(
+            "pod joined: files divide across hosts via lock files; each "
+            "host shards batches over its local devices"
+        )
 
     # Preflight (reference validate_analyze_args_preflight, lib.rs:462-470):
     # --stdout streams one file's detections; several would interleave.
@@ -569,7 +646,8 @@ def analyze_files(options: AnalyzeOptions, config: Config, reporter=None) -> int
     # XLA:CPU) instead of crashing in the first batch.
     from .inference.backend import select_backend
 
-    _, backend_status = select_backend(device)
+    backend_devices, backend_status = select_backend(device)
+    mesh = resolve_mesh(options, backend_devices, backend_status.actual)
     model = load_model_graph(
         mc, model_name, precision=options.precision,
         backend=backend_status.actual,
@@ -632,6 +710,7 @@ def analyze_files(options: AnalyzeOptions, config: Config, reporter=None) -> int
         range_filter_data=range_filter_data,
         species_list=species_list,
         want_embeddings=custom_classifier is not None,
+        mesh=mesh,
     )
 
     batch_size = (
@@ -643,6 +722,16 @@ def analyze_files(options: AnalyzeOptions, config: Config, reporter=None) -> int
             mc.model_type, classifier.backend_status.actual
         )
     )
+    if mesh is not None:
+        from .parallel.mesh import pad_to_multiple
+
+        padded = pad_to_multiple(batch_size, mesh)
+        if padded != batch_size:
+            logger.info(
+                "batch size %d padded to %d (multiple of the %d-device mesh)",
+                batch_size, padded, mesh.devices.size,
+            )
+            batch_size = padded
 
     overlap = (
         options.overlap if options.overlap is not None
@@ -651,11 +740,19 @@ def analyze_files(options: AnalyzeOptions, config: Config, reporter=None) -> int
     formats = options.formats or config.defaults.formats
 
     if reporter is not None:
+        sharding_info = None
+        if mesh is not None:
+            sharding_info = {
+                "devices": int(mesh.devices.size),
+                "axis": "data",
+                "backend": backend_status.actual,
+            }
         reporter.pipeline_started(
             len(files), model_name, min_confidence,
             classifier.backend_status.to_json_dict(),
             classifier.range_filter_info(),
             precision=model.precision_info,
+            sharding=sharding_info,
         )
 
     # Warm the steady-state program up front so the first real file does not

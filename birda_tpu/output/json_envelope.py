@@ -101,11 +101,14 @@ def pipeline_started_payload(
     execution_provider: dict,
     range_filter: Optional[dict] = None,
     precision: Optional[dict] = None,
+    sharding: Optional[dict] = None,
 ) -> dict:
-    # ``precision`` is an additive extension field (absent on the default
-    # fp32 path, so the spec-1.1 wire format golden is unchanged): reduced-
-    # precision runs report their mode and, for int8, the quantization
-    # counts the way execution_provider reports requested/actual.
+    # ``precision`` and ``sharding`` are additive extension fields (absent
+    # on the default fp32/single-device path, so the spec-1.1 wire format
+    # golden is unchanged): reduced-precision runs report their mode and,
+    # for int8, the quantization counts the way execution_provider reports
+    # requested/actual; sharded runs report the data-parallel mesh geometry
+    # (device count + axis) the batch is split over.
     return _clean({
         "total_files": total_files,
         "model": model,
@@ -113,6 +116,7 @@ def pipeline_started_payload(
         "execution_provider": execution_provider,
         "range_filter": range_filter,
         "precision": precision,
+        "sharding": sharding,
     })
 
 

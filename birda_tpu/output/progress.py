@@ -55,7 +55,7 @@ class HumanReporter:
 
     def pipeline_started(self, total_files, model, min_confidence,
                          execution_provider, range_filter=None,
-                         precision=None):
+                         precision=None, sharding=None):
         self._file_bar = create_file_progress(total_files, self.enabled)
 
     def file_started(self, file, index, estimated_segments, duration_seconds=None):

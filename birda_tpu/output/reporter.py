@@ -62,7 +62,7 @@ class ProgressReporter:
 
     def pipeline_started(self, total_files, model, min_confidence,
                          execution_provider, range_filter=None,
-                         precision=None): ...
+                         precision=None, sharding=None): ...
 
     def file_started(self, file, index, estimated_segments,
                      duration_seconds=None): ...
@@ -121,12 +121,12 @@ class JsonReporter(ProgressReporter):
 
     def pipeline_started(self, total_files, model, min_confidence,
                          execution_provider, range_filter=None,
-                         precision=None):
+                         precision=None, sharding=None):
         self._emit(
             EventType.PIPELINE_STARTED,
             env.pipeline_started_payload(
                 total_files, model, min_confidence, execution_provider,
-                range_filter, precision,
+                range_filter, precision, sharding,
             ),
         )
 

@@ -108,6 +108,20 @@ def make_mesh(n_devices: Optional[int] = None, backend: Optional[str] = None):
     return Mesh(np.asarray(devices), (DATA_AXIS,))
 
 
+def mesh_over(devices):
+    """1-D data mesh over an explicit device list.
+
+    The production analyze path passes the backend selector's
+    already-resolved devices here (rather than re-querying by platform
+    name through :func:`make_mesh`) so the mesh can never disagree with
+    the backend the run actually selected.
+    """
+    import numpy as np
+    from jax.sharding import Mesh
+
+    return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
 def pad_to_multiple(batch_size: int, mesh) -> int:
     """Smallest batch size >= ``batch_size`` divisible by the mesh size."""
     n = mesh.devices.size
