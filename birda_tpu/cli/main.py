@@ -326,6 +326,7 @@ def analyze(inputs, model, model_path, labels_path, model_type, bat, formats,
         stdout_mode=stdout_mode,
         dual_output_mode=dual,
         allow_download=accept_license or yes,
+        interactive=sys.stdin.isatty() and not mode.is_structured,
         geomodel_path=geomodel_path,
         geomodel_labels_path=geomodel_labels_path,
         region_labels=region_labels,
@@ -1040,10 +1041,19 @@ def models_remove(name, purge, yes, output_mode):
     # lock across that would block every other config write for as long as
     # the user takes to answer (reference lib.rs:1983-1992).
     if purge and not structured and not yes:
-        if not click.confirm(
-            f"This will delete model files for '{name}' from disk. Continue?",
-            default=False,
-        ):
+        # click.confirm raises Abort (exit 1, "Aborted!") on EOF/closed
+        # stdin; the reference reads a line and treats empty/non-'y' as a
+        # graceful cancel with exit 0 (lib.rs:1983-1992) — a scripted
+        # human-mode run without input must cancel, not error.
+        try:
+            confirmed = click.confirm(
+                f"This will delete model files for '{name}' from disk. "
+                "Continue?",
+                default=False,
+            )
+        except click.exceptions.Abort:
+            confirmed = False
+        if not confirmed:
             click.echo("Removal cancelled.")
             return
 
@@ -1522,6 +1532,7 @@ def species(output, lat, lon, week, month, day, threshold, sort, model,
                 geomodel_path=geomodel_path,
                 geomodel_labels_path=geomodel_labels_path,
                 allow_download=yes,
+                interactive=sys.stdin.isatty(),
             )
     except BirdaError as e:
         if structured:

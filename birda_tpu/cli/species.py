@@ -48,6 +48,7 @@ def compute_species_list(
     geomodel_path: Optional[Path] = None,
     geomodel_labels_path: Optional[Path] = None,
     allow_download: bool = False,
+    interactive: bool = False,
 ) -> SpeciesListResult:
     """One geomodel pass at (lat, lon, week) → thresholded, sorted entries.
     Writes nothing: structured output modes report the list inline without
@@ -65,7 +66,8 @@ def compute_species_list(
     registry = load_registry()
 
     installed = geomodel_cfg.require_geomodel(
-        config, registry, allow_download=allow_download
+        config, registry, allow_download=allow_download,
+        interactive=interactive,
     )
     geomodel_labels = read_geomodel_labels(installed.labels_path)
 
@@ -129,6 +131,7 @@ def generate_species_list(
     geomodel_path: Optional[Path] = None,
     geomodel_labels_path: Optional[Path] = None,
     allow_download: bool = False,
+    interactive: bool = False,
 ) -> tuple[Path, int]:
     """Compute the list and write it one label per line (human mode).
     Returns (output path, species count)."""
@@ -137,6 +140,7 @@ def generate_species_list(
         threshold=threshold, sort=sort, model_name=model_name,
         geomodel_path=geomodel_path,
         geomodel_labels_path=geomodel_labels_path,
+        interactive=interactive,
         allow_download=allow_download,
     )
     out_path = output if output is not None else Path(DEFAULT_OUTPUT)

@@ -180,9 +180,9 @@ def parse_stale_lock_timeout(s) -> float:
         raise ValidationFailure("stale lock timeout must be positive")
     total = value * multiplier
     # The reference's u64 checked_mul guard (validators.rs:228): an absurd
-    # duration is a typo, not a request — and total seconds past 2**64
-    # cannot mean anything to a staleness clock.
-    if total > 2**64:
+    # duration is a typo, not a request — and total seconds past the u64
+    # bound (2**64 - 1) cannot mean anything to a staleness clock.
+    if total >= 2**64:
         raise ValidationFailure("stale lock timeout is too large")
     return total
 

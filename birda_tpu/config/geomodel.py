@@ -87,18 +87,51 @@ def _verify(path: Path, expected_sha: Optional[str]) -> bool:
     return sha256_file(path) == expected_sha.lower()
 
 
+def prompt_for_download(entry) -> bool:
+    """Offer the geomodel download on a terminal (reference
+    ``geomodel.rs::prompt_for_download``).
+
+    Written to stderr, not stdout: interactivity is decided by stdin being
+    a terminal, so ``birda ... > results.txt`` from a terminal still
+    prompts; on stdout the prompt would land in the redirected file and the
+    user would see an unexplained hang on the read."""
+    import sys
+
+    license_type = getattr(getattr(entry, "license", None), "type", None)
+    sys.stderr.write(
+        f"Range filtering needs the {entry.name or entry.id}, which is "
+        "not installed.\n"
+        f"  Model: {human_size(getattr(entry.model, 'size_bytes', None))}"
+        f"    Labels: {human_size(getattr(entry.labels, 'size_bytes', None))}"
+        f"    Licence: {license_type or 'unknown'}\n"
+        "Download it now? [y/N]: "
+    )
+    sys.stderr.flush()
+    try:
+        line = sys.stdin.readline()
+    except OSError:
+        return False
+    return line.strip().lower() in ("y", "yes")
+
+
 def resolve_geomodel(
     config: Config,
     registry: Registry,
     allow_download: bool = False,
     progress=None,
     session=None,
+    interactive: bool = False,
 ) -> "InstalledRangeFilter | GeomodelUnavailable":
     """Resolve geomodel assets, or say why they are unavailable.
 
     The analyze path logs ``Range filtering disabled: {reason}`` and
     continues unfiltered (reference ``lib.rs:219-222``); the species command
     raises :class:`GeomodelNotInstalled` instead (``require_geomodel``).
+
+    ``interactive=True`` (stdin is a TTY and output is human-mode — the
+    caller decides, reference ``geomodel.rs:158``) offers the download on
+    stderr when it would otherwise be unavailable; ``allow_download``
+    (``-y``/``--accept-license``) skips the prompt entirely.
     """
     explicit_model = config.defaults.geomodel
     explicit_labels = config.defaults.geomodel_labels
@@ -126,6 +159,7 @@ def resolve_geomodel(
         and (model_path, labels_path) == registry_paths
     )
 
+    corrupt_managed = False
     if model_path.exists() and labels_path.exists():
         if not birda_managed:
             # A path pointing somewhere else is taken on trust: it may
@@ -136,10 +170,9 @@ def resolve_geomodel(
             return InstalledRangeFilter(model_path, labels_path, verified=True)
         # Genuine mismatch of the copy birda manages: re-download rather
         # than load corrupt bytes on every later run (geomodel.rs:131-138).
-        logger.warning(
-            "Installed %s failed checksum verification and will be "
-            "downloaded again", entry.name or entry.id,
-        )
+        # The "will be downloaded again" promise is only made below, on
+        # the branches that actually download.
+        corrupt_managed = True
     elif not birda_managed:
         # A configured path pointing outside the models directory is a
         # configuration error when missing — not something to paper over by
@@ -150,27 +183,49 @@ def resolve_geomodel(
             f"{GEOMODEL_INSTALL_ID}'"
         )
 
-    if allow_download:
-        from ..registry.installer import install_range_filter
+    name = entry.name or entry.id
+    install_hint = (f"run 'birda models install {GEOMODEL_INSTALL_ID}' to "
+                    "enable range filtering")
+    if not allow_download:
+        # A missing geomodel is never a hard error here: coordinates in
+        # config enable range filtering implicitly, so failing would break
+        # automated pipelines on upgrade. Non-interactive runs degrade with
+        # the reason; a terminal user is offered the download
+        # (geomodel.rs::acquire).
+        if not interactive:
+            if corrupt_managed:
+                return GeomodelUnavailable(
+                    f"the installed copy of {name} failed checksum "
+                    f"verification; re-run 'birda models install "
+                    f"{GEOMODEL_INSTALL_ID}' to replace it"
+                )
+            return GeomodelUnavailable(
+                f"{name} is not installed; {install_hint}"
+            )
+        if not prompt_for_download(entry):
+            return GeomodelUnavailable(f"download declined; {install_hint}")
 
-        model_path, labels_path = install_range_filter(
-            entry, progress=progress, session=session
+    if corrupt_managed:
+        logger.warning(
+            "Installed %s failed checksum verification and will be "
+            "downloaded again", name,
         )
-        return InstalledRangeFilter(model_path, labels_path, verified=True)
+    from ..registry.installer import install_range_filter
 
-    return GeomodelUnavailable(
-        f"{entry.name or entry.id} is not installed; run 'birda models "
-        f"install {GEOMODEL_INSTALL_ID}' to enable range filtering"
+    model_path, labels_path = install_range_filter(
+        entry, progress=progress, session=session
     )
+    return InstalledRangeFilter(model_path, labels_path, verified=True)
 
 
 def require_geomodel(
     config: Config, registry: Registry, allow_download: bool = False,
-    progress=None, session=None,
+    progress=None, session=None, interactive: bool = False,
 ) -> InstalledRangeFilter:
     """Fatal variant for commands where the geomodel is the feature."""
     resolved = resolve_geomodel(
-        config, registry, allow_download, progress, session
+        config, registry, allow_download, progress, session,
+        interactive=interactive,
     )
     if isinstance(resolved, GeomodelUnavailable):
         raise GeomodelNotInstalled()

@@ -133,6 +133,10 @@ class AnalyzeOptions:
     #: ``jax.sharding.Mesh`` (SURVEY §7.9). ``BIRDA_NO_SHARD`` is the
     #: environment kill switch.
     devices: Optional[int] = None
+    #: stdin is a terminal AND output is human-mode: a missing geomodel may
+    #: be offered for download on stderr (reference ``geomodel.rs:158``).
+    #: The CLI computes this; the library API never prompts.
+    interactive: bool = False
 
 
 @dataclass
@@ -628,7 +632,9 @@ def analyze_files(options: AnalyzeOptions, config: Config, reporter=None) -> int
             config, options.geomodel_path, options.geomodel_labels_path
         )
         installed_geomodel = geomodel_cfg.resolve_geomodel(
-            cfg_for_geo, load_registry(), allow_download=options.allow_download
+            cfg_for_geo, load_registry(),
+            allow_download=options.allow_download,
+            interactive=options.interactive,
         )
         if isinstance(installed_geomodel, geomodel_cfg.GeomodelUnavailable):
             # Coordinates in config enable range filtering implicitly, so

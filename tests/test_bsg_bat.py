@@ -260,6 +260,66 @@ class TestGeomodelResolution:
         with pytest.raises(GeomodelNotInstalled):
             require_geomodel(Config(), reg)
 
+    def test_corrupt_managed_reason_names_verification(self, monkeypatch,
+                                                       tmp_path):
+        """ADVICE r4: with a corrupt managed copy and no download allowed,
+        the reason must say the installed copy failed verification — not
+        promise a download that never happens, nor claim 'not installed'
+        when a (corrupt) copy exists."""
+        from birda_tpu.config.geomodel import GeomodelUnavailable
+        from birda_tpu.registry import installer
+
+        monkeypatch.setattr(installer, "models_dir", lambda: tmp_path)
+        reg = load_embedded()
+        (tmp_path / reg.range_filter.model.filename).write_bytes(b"corrupt")
+        (tmp_path / reg.range_filter.labels.filename).write_text("A a_X\n")
+        r = resolve_geomodel(Config(), reg)
+        assert isinstance(r, GeomodelUnavailable)
+        assert "failed checksum verification" in r.reason
+        assert "not installed" not in r.reason
+
+    def test_interactive_prompt_yes_downloads(self, monkeypatch, tmp_path,
+                                              capsys):
+        """Reference geomodel.rs::prompt_for_download: a terminal user is
+        offered the download on stderr (name, sizes, licence); 'y' runs the
+        install, anything else degrades with 'download declined'."""
+        import io
+
+        import birda_tpu.config.geomodel as gm
+        from birda_tpu.registry import installer
+
+        monkeypatch.setattr(installer, "models_dir",
+                            lambda: tmp_path / "none")
+        reg = load_embedded()
+        installed = []
+        monkeypatch.setattr(
+            installer, "install_range_filter",
+            lambda entry, progress=None, session=None: (
+                installed.append(entry.id),
+                (tmp_path / "m.onnx", tmp_path / "l.txt"),
+            )[1],
+        )
+        monkeypatch.setattr("sys.stdin", io.StringIO("y\n"))
+        r = resolve_geomodel(Config(), reg, interactive=True)
+        assert installed and not isinstance(r, gm.GeomodelUnavailable)
+        err = capsys.readouterr().err
+        assert "Download it now? [y/N]" in err
+        assert "Range filtering needs" in err
+
+    def test_interactive_prompt_declined(self, monkeypatch, tmp_path):
+        import io
+
+        from birda_tpu.config.geomodel import GeomodelUnavailable
+        from birda_tpu.registry import installer
+
+        monkeypatch.setattr(installer, "models_dir",
+                            lambda: tmp_path / "none")
+        reg = load_embedded()
+        monkeypatch.setattr("sys.stdin", io.StringIO("\n"))
+        r = resolve_geomodel(Config(), reg, interactive=True)
+        assert isinstance(r, GeomodelUnavailable)
+        assert "download declined" in r.reason
+
 
 class TestBsgAnalyzeWiring:
     def test_calibration_applies_through_analyze(self, tmp_path, monkeypatch):

@@ -79,6 +79,16 @@ class TestValidators:
         with pytest.raises(v.ValidationFailure):
             v.parse_stale_lock_timeout("-5s")
 
+    def test_stale_lock_timeout_u64_bound_exact(self):
+        # The reference's u64 checked_mul rejects anything ABOVE
+        # 2**64 - 1; 2**64 itself must fail too (ADVICE r4 off-by-one).
+        # The parser works in floats (fractional durations are legal), and
+        # float(2**64 - 1) rounds to 2**64 — so the largest representable
+        # accepted value below the bound is what we pin.
+        assert v.parse_stale_lock_timeout(str(2**63)) == 2**63
+        with pytest.raises(v.ValidationFailure):
+            v.parse_stale_lock_timeout(str(2**64))
+
 
 class TestConfigCommands:
     def test_init_show_path(self, runner, home):
@@ -134,6 +144,18 @@ class TestModelsCommands:
         assert r.exit_code == 0
         r = runner.invoke(cli, ["models", "list"])
         assert "No models configured" in r.output
+
+    def test_remove_purge_eof_cancels_gracefully(self, runner, home):
+        """ADVICE r4: a scripted human-mode `models remove --purge` with
+        closed stdin must cancel with exit 0 ('Removal cancelled.'), like
+        the reference's read-a-line prompt — not click's Abort (exit 1)."""
+        setup_synthetic_model(runner, home)
+        r = runner.invoke(cli, ["models", "remove", "tiny", "--purge"],
+                          input="")
+        assert r.exit_code == 0, r.output
+        assert "Removal cancelled." in r.output
+        r = runner.invoke(cli, ["models", "list"])
+        assert "tiny" in r.output  # nothing was removed
 
     def test_list_available(self, runner, home):
         r = runner.invoke(cli, ["models", "list-available"])
