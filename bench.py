@@ -236,6 +236,91 @@ def _bench_native(batch, iters):
     return _measure(step, 0, (iters, batch, 144_000), 3.0, iters)
 
 
+def _bench_e2e(seconds: int = 300, n_files: int = 4, spec=None,
+               batch: int = 128):
+    """END-TO-END realtime: synthesized WAVs -> native decode -> int16
+    chunk transport -> device windowing + mel + backbone + top-k -> CSV on
+    disk, through the REAL analyze path (orchestrator + pipeline +
+    writers), full-scale BirdNET v2.4, bf16.
+
+    BASELINE.md's floor is ">=50x realtime/chip end-to-end"; the
+    reference's own end-to-end bound is decode-side (547x CPU realtime,
+    README.md:652, processor.rs:23-46). Here the bound is the dev
+    tunnel's host->device bandwidth (docs/performance.md "End-to-end"):
+    the chunk upload dominates, so this number proves the floor rather
+    than the inference ceiling.
+
+    Methodology: a warmup analyze on one file absorbs the chunk-program
+    compile (the persistent cache makes that a one-time cost in
+    production too); the timed run analyzes ``n_files`` five-minute files
+    in ONE invocation — the directory-scan shape a production run has —
+    and the number is total audio seconds / wall seconds, CSV outputs
+    verified non-empty.
+    """
+    import tempfile
+    import wave
+    from pathlib import Path
+
+    from birda_tpu.config.types import Config, ModelType
+    from birda_tpu.models.zoo import synthetic_labels
+    from birda_tpu.onnx import fullscale as fs
+    from birda_tpu.orchestrator import AnalyzeOptions, analyze_files
+    from birda_tpu.pipeline.coordinator import OutputFormat
+
+    tmp = Path(tempfile.mkdtemp(prefix="birda_bench_e2e_"))
+    rate = 48_000
+    t = np.arange(rate * seconds, dtype=np.float64) / rate
+    tone = 0.25 * np.sin(2 * np.pi * 3000.0 * t)
+    wavs = []
+    for i in range(n_files):
+        rng = np.random.default_rng(100 + i)
+        x = tone + 0.08 * rng.normal(0, 1, t.size)
+        pcm = np.clip(x * 24000.0, -32767, 32767).astype(np.int16)
+        p = tmp / f"rec{i}.wav"
+        with wave.open(str(p), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(pcm.tobytes())
+        wavs.append(p)
+
+    g = fs.cached_build(spec if spec is not None else fs.BIRDNET_V24_SPEC,
+                        seed=1)
+    model_path = tmp / "v24.onnx"
+    model_path.write_bytes(g.model_bytes)
+    labels_path = tmp / "labels.txt"
+    labels_path.write_text("\n".join(synthetic_labels(g.spec.num_classes)))
+
+    def opts(inputs):
+        return AnalyzeOptions(
+            inputs=inputs,
+            model_path=model_path,
+            labels_path=labels_path,
+            model_type=ModelType.BIRDNET_V24,
+            formats=[OutputFormat.CSV],
+            output_dir=tmp / "out",
+            min_confidence=0.1,
+            overlap=0.0,
+            # Pinned so the warmup and the timed run share one compiled
+            # chunk program (est_segments quantizes the effective batch).
+            batch_size=batch,
+            force=True,
+            precision="bf16",
+        )
+
+    if analyze_files(opts([wavs[0]]), Config()) != 0:  # compile + warm
+        raise RuntimeError("e2e warmup analyze failed")
+    t0 = time.perf_counter()
+    code = analyze_files(opts(wavs), Config())
+    dt = time.perf_counter() - t0
+    if code != 0:
+        raise RuntimeError(f"analyze exit code {code}")
+    csvs = list((tmp / "out").glob("*.csv"))
+    if len(csvs) != n_files or any(c.stat().st_size == 0 for c in csvs):
+        raise RuntimeError("analyze produced missing/empty CSV output")
+    return n_files * seconds / dt
+
+
 def main() -> None:
     global _init_done
 
@@ -311,7 +396,7 @@ def main() -> None:
 
     durations: dict[str, float] = {"bf16": cost_head}
 
-    def run_extra(key, kind, est_scale, fn, always_if_s=None):
+    def run_extra(key, kind, est_scale, fn, always_if_s=None, derive=None):
         """Run one extra measurement if the remaining budget covers its
         estimated cost (scaled from the measured cost of the most recent
         run of the same kind, falling back to the headline's).
@@ -322,7 +407,13 @@ def main() -> None:
         the only cost of optimism is losing later, lesser extras. A cold
         headline inflates the estimate (round 4: a 609 s first compile
         priced int8 at 975 s and skipped it when it would have been
-        warm-cached and fast)."""
+        warm-cached and fast).
+
+        ``derive``: value -> dict of derived keys (``*_vs_baseline``),
+        written into ``extra`` BEFORE the best-so-far snapshot — round 4's
+        driver artifact lost ``perch_v2_vs_its_baseline`` because the
+        derived key landed after ``_set_best`` and the watchdog printed
+        the stale snapshot."""
         est = durations.get(kind, cost_head) * est_scale
         skip = _remaining() < est * 1.2 + 20
         if skip and always_if_s is not None and _remaining() >= always_if_s:
@@ -341,38 +432,54 @@ def main() -> None:
             return None
         durations[kind] = time.monotonic() - t0
         extra[key + "_x_realtime"] = round(val, 0)
+        if derive is not None:
+            extra.update(derive(val))
         _set_best(line(rt_v24))
         return val
 
-    # int8 headline extra first (the 1.90x number); cold calibration pays
-    # an extra pass, covered by the 1.6x scale + watchdog.
-    v = run_extra("birdnet_v24_int8", "int8", 1.6,
-                  lambda: _bench_onnx_int8(fs.BIRDNET_V24_SPEC,
-                                           batch=1024, iters=6),
-                  always_if_s=180)
-    if v is not None:
-        extra["birdnet_v24_int8_vs_baseline"] = round(
-            v / BASELINE_BIRDNET_V24, 3)
+    # The six family numbers (v2.4/Perch/v3.0 x bf16/int8) are the round
+    # artifact's must-haves: they run first, each with an always-attempt
+    # floor, so a cold cache sheds only the informational extras at the
+    # tail (native ceiling, headline remeasure). int8 first (the 1.9x
+    # number); cold calibration pays an extra pass, covered by the 1.6x
+    # scale + watchdog.
+    run_extra("birdnet_v24_int8", "int8", 1.6,
+              lambda: _bench_onnx_int8(fs.BIRDNET_V24_SPEC,
+                                       batch=1024, iters=6),
+              always_if_s=180,
+              derive=lambda v: {"birdnet_v24_int8_vs_baseline": round(
+                  v / BASELINE_BIRDNET_V24, 3)})
 
-    v = run_extra("perch_v2", "bf16", 0.8,
-                  lambda: _bench_onnx(fs.PERCH_V2_SPEC,
-                                      batch=256, iters=6)[0])
-    if v is not None:
-        extra["perch_v2_vs_its_baseline"] = round(v / BASELINE_PERCH_V2, 2)
+    run_extra("perch_v2", "bf16", 0.8,
+              lambda: _bench_onnx(fs.PERCH_V2_SPEC,
+                                  batch=256, iters=6)[0],
+              always_if_s=150,
+              derive=lambda v: {"perch_v2_vs_its_baseline": round(
+                  v / BASELINE_PERCH_V2, 2)})
 
-    v = run_extra("perch_v2_int8", "int8", 0.8,
-                  lambda: _bench_onnx_int8(fs.PERCH_V2_SPEC,
-                                           batch=256, iters=6))
-    if v is not None:
-        extra["perch_v2_int8_vs_its_baseline"] = round(
-            v / BASELINE_PERCH_V2, 2)
+    run_extra("perch_v2_int8", "int8", 0.8,
+              lambda: _bench_onnx_int8(fs.PERCH_V2_SPEC,
+                                       batch=256, iters=6),
+              always_if_s=150,
+              derive=lambda v: {"perch_v2_int8_vs_its_baseline": round(
+                  v / BASELINE_PERCH_V2, 2)})
 
     run_extra("birdnet_v30", "bf16", 1.0,
               lambda: _bench_onnx(fs.BIRDNET_V30_SPEC,
-                                  batch=256, iters=6)[0])
+                                  batch=256, iters=6)[0],
+              always_if_s=150)
     run_extra("birdnet_v30_int8", "int8", 1.0,
               lambda: _bench_onnx_int8(fs.BIRDNET_V30_SPEC,
-                                       batch=256, iters=6))
+                                       batch=256, iters=6),
+              always_if_s=150)
+
+    # End-to-end (BASELINE.md's ">=50x realtime/chip end-to-end" floor):
+    # decode -> chunk runner -> CSV through the real analyze path. Its
+    # own kind: the cost is upload + one chunk-program compile, unrelated
+    # to the scan benches.
+    durations["e2e"] = 150.0  # first-run estimate (compile + 3 passes)
+    run_extra("e2e", "e2e", 1.0, _bench_e2e, always_if_s=150)
+
     run_extra("native_flax_v24", "bf16", 0.6,
               lambda: _bench_native(batch=256, iters=8))
 
@@ -385,6 +492,7 @@ def main() -> None:
             rt2, _ = _bench_onnx(fs.BIRDNET_V24_SPEC, batch=768, iters=6)
             extra["headline_remeasure_x_realtime"] = round(rt2, 0)
             rt_v24 = max(rt_v24, rt2)
+            _set_best(line(rt_v24))
         except Exception as e:  # noqa: BLE001
             extra["headline_remeasure_error"] = str(e)[:200]
 

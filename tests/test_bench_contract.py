@@ -137,3 +137,68 @@ class TestWatchdog:
         assert calls["code"] == 0
         line = json.loads(buf.getvalue().strip())
         assert "backend init exceeded" in line["extra"]["error"]
+
+
+class TestExtraSchedule:
+    """The extras schedule: all six family numbers land in the artifact,
+    derived *_vs_baseline keys snapshot BEFORE _set_best (round 4's
+    driver artifact lost perch_v2_vs_its_baseline to that ordering), and
+    the e2e extra drives the real pipeline."""
+
+    def _run_main_with_fakes(self, monkeypatch):
+        bench = _fresh_bench()
+        import jax
+
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        monkeypatch.setattr(bench, "_bench_onnx",
+                            lambda spec, batch, iters, seed=1: (17000.0, None))
+        monkeypatch.setattr(bench, "_bench_onnx_int8",
+                            lambda spec, batch, iters, seed=1: 20000.0)
+        monkeypatch.setattr(bench, "_bench_native",
+                            lambda batch, iters: 80000.0)
+        monkeypatch.setattr(bench, "_bench_e2e", lambda: 310.0)
+        snapshots = []
+        real_set_best = bench._set_best
+
+        def spy(obj):
+            snapshots.append(json.loads(json.dumps(obj)))
+            real_set_best(obj)
+
+        monkeypatch.setattr(bench, "_set_best", spy)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            bench.main()
+        return json.loads(buf.getvalue().strip()), snapshots
+
+    def test_all_family_numbers_and_e2e_present(self, monkeypatch):
+        line, _ = self._run_main_with_fakes(monkeypatch)
+        extra = line["extra"]
+        for key in ("birdnet_v24_int8", "perch_v2", "perch_v2_int8",
+                    "birdnet_v30", "birdnet_v30_int8", "e2e",
+                    "native_flax_v24"):
+            assert f"{key}_x_realtime" in extra, extra
+        assert "birdnet_v24_int8_vs_baseline" in extra
+        assert "perch_v2_vs_its_baseline" in extra
+        assert "perch_v2_int8_vs_its_baseline" in extra
+        assert "budget_exhausted_at_s" not in extra
+
+    def test_derived_keys_snapshot_with_their_value(self, monkeypatch):
+        _, snapshots = self._run_main_with_fakes(monkeypatch)
+        first_perch = next(
+            s for s in snapshots
+            if "perch_v2_x_realtime" in s.get("extra", {}))
+        assert "perch_v2_vs_its_baseline" in first_perch["extra"], (
+            "derived key must be in the SAME snapshot as its value — a "
+            "watchdog firing between them loses it from the artifact")
+
+
+def test_e2e_extra_runs_the_real_pipeline_cpu_tiny():
+    """_bench_e2e drives the real analyze path (decode -> chunk runner ->
+    CSV) and returns audio/wall; exercised here at CI scale (tiny graph,
+    short files) on CPU."""
+    bench = _fresh_bench()
+    from birda_tpu.onnx import fullscale as fs
+
+    rt = bench._bench_e2e(seconds=7, n_files=2,
+                          spec=fs.tiny_spec(fs.BIRDNET_V24_SPEC), batch=8)
+    assert rt > 0.0
