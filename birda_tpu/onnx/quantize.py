@@ -694,7 +694,12 @@ def lower_int8(
       into the consumer without forcing a materialization;
     - ``"all"``: frontier, plus int8-store every large calibrated
       intermediate that no matmul/conv reads (the SE pool/gate streams —
-      the biggest tensors the consumer-derived policies can't reach).
+      the biggest tensors the consumer-derived policies can't reach);
+    - ``"storage"``: int8 STORAGE ONLY — no node quantizes (weights and
+      compute stay at ``compute_dtype``); the "all" walk int8-materializes
+      the large streams and every consumer dequantizes on read. The
+      mixed-storage mode for A/B-ing the byte savings on the bf16 path
+      (``scripts/ab_int8_boundary.py``'s ``bf16_storage`` variant).
     The result is a drop-in :class:`OnnxFunction`: quantized weights live
     in ``params`` as int8 (half the bf16 HBM footprint), and extra
     attributes report the selection — ``quantized_nodes`` (list of node
@@ -707,6 +712,14 @@ def lower_int8(
 
         if jax.default_backend() == "tpu":
             compute_dtype = jnp.bfloat16
+    storage_only = boundary_store == "storage"
+    if storage_only:
+        # Mixed storage: nothing quantizes — force every selection gate
+        # shut so qnodes/wscale stay empty and only the boundary walk
+        # below acts.
+        min_weight_bytes = float("inf")
+        min_act_elems = None
+        smooth_alpha = None
     if not isinstance(model, Model):
         model = load_model(model)
         # The float DSP front-end benefits from the fused Pallas kernel in
@@ -865,14 +878,17 @@ def lower_int8(
     # everyone else transparently dequantizes on read via ``_fetch``
     # (fused into the consumer's own fusion). Policy per ``boundary_store``
     # (see docstring). Graph outputs always stay float.
-    if boundary_store not in ("strict", "tolerant", "frontier", "all"):
+    if boundary_store not in ("strict", "tolerant", "frontier", "all",
+                              "storage"):
         raise ValueError(f"unknown boundary_store policy {boundary_store!r}")
     out_names = {vi.name for vi in graph.outputs}
     if boundary_store == "all" and not qnodes:
-        # Nothing quantized (e.g. every node guarded off): storage-only
-        # int8 is untested territory — behave like frontier (a no-op).
+        # Nothing quantized (e.g. every node guarded off) under the
+        # DEFAULT policy: storage-only int8 is a deliberate opt-in
+        # ("storage"), not something "all" should back into — behave like
+        # frontier (a no-op).
         boundary_store = "frontier"
-    if boundary_store == "all":
+    if boundary_store in ("all", "storage"):
         # "all" = frontier + int8-store large calibrated intermediates no
         # matmul/conv reads (SE pool/gate streams — the biggest tensors the
         # consumer-based policies can't reach). Same heavy-tail guard as

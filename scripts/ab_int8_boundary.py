@@ -94,6 +94,13 @@ def main() -> None:
         "ship_all": lambda: lower_int8(g.model_bytes, calib,
                                        min_act_elems=1 << 60,
                                        boundary_store="all"),
+        # Mixed storage on the bf16 path (round-5 A/B): NOTHING quantizes,
+        # compute stays bf16; only the large streams (SE pool/gate — the
+        # bytes measured decisive in int8 mode) int8-materialize, every
+        # consumer dequantizing on read. Pair against "bf16" at b768.
+        "bf16_storage": lambda: lower_int8(g.model_bytes, calib,
+                                           compute_dtype=jnp.bfloat16,
+                                           boundary_store="storage"),
     }
     import os
     pick = os.environ.get("AB_VARIANTS")

@@ -765,6 +765,54 @@ class TestBoundaryStorePolicies:
         with pytest.raises(ValueError):
             lower_int8(mb, calib, boundary_store="eager")
 
+    def test_storage_policy_stores_without_quantizing(self):
+        """"storage" is the mixed-storage mode: NO node quantizes (weights
+        and compute stay at compute_dtype) but the "all" walk still
+        int8-materializes the large streams, every consumer dequantizing
+        on read. The round-5 bf16-path byte-saving A/B rides this."""
+        import jax
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(34)
+        w1 = rng.normal(0, 0.15, (16, 16, 3, 3)).astype(np.float32)
+        w2 = rng.normal(0, 0.15, (16, 16, 3, 3)).astype(np.float32)
+        nodes = [
+            fo.node("Conv", ["x", "w1"], ["c1"], attrs=[
+                fo.attr_ints("pads", [1, 1, 1, 1]),
+            ]),
+            fo.node("Relu", ["c1"], ["r"]),
+            fo.node("GlobalAveragePool", ["r"], ["g"]),
+            fo.node("Sigmoid", ["g"], ["s"]),
+            fo.node("Mul", ["r", "s"], ["m"]),
+            fo.node("Conv", ["m", "w2"], ["y"], attrs=[
+                fo.attr_ints("pads", [1, 1, 1, 1]),
+            ]),
+        ]
+        mb = fo.model(
+            nodes,
+            inputs=[fo.value_info("x", ["batch", 16, 32, 32])],
+            outputs=[fo.value_info("y", ["batch", 16, 32, 32])],
+            initializers=[fo.tensor("w1", w1), fo.tensor("w2", w2)],
+        )
+        x = rng.normal(0, 0.5, (2, 16, 32, 32)).astype(np.float32)
+        calib = calibrate(mb, [x])
+        q = lower_int8(mb, calib, compute_dtype=jnp.float32,
+                       protect_outputs=False, boundary_store="storage")
+        # Nothing quantizes: weights ship float, no node runs int8.
+        assert q.quantized_nodes == []
+        assert all(arr.dtype != np.int8 for arr in q.params.values())
+        # But the large streams still store int8 (r AND the single-
+        # consumer gated stream m — with no quantized reader anywhere,
+        # frontier's sole-quantized-consumer exemption never applies).
+        assert "r" in q.int8_boundary_tensors
+        assert "m" in q.int8_boundary_tensors
+        want_fn = lower(mb)
+        want = np.asarray(want_fn(x, params=want_fn.params), np.float32)
+        got = np.asarray(jax.jit(
+            lambda p, a: q(a, params=p))(q.params, x), np.float32)
+        # Only storage rounding separates the two paths.
+        assert np.max(np.abs(got - want)) < 0.06 * np.max(np.abs(want))
+
     def test_fetch_dequant_accounted_in_cost_report(self):
         import jax
 
