@@ -221,6 +221,39 @@ def _bench_onnx_int8(spec, batch, iters, seed=1):
     )
 
 
+def _bench_onnx_mixed(spec, batch, iters, seed=1):
+    """`--precision mixed`: bf16 compute + calibrated int8 STORAGE of the
+    large fusion-boundary streams (docs/performance.md "Mixed int8
+    storage"). Reuses the int8 extra's cached calibration scales (same
+    graph digest)."""
+    import jax
+    import jax.numpy as jnp
+
+    from birda_tpu.onnx import fullscale as fs
+    from birda_tpu.onnx.quantize import cached_calibration, lower_int8
+
+    g = fs.cached_build(spec, seed=seed)
+    calib, _ = cached_calibration(g.model_bytes, spec.sample_count)
+    fn = lower_int8(g.model_bytes, calib, compute_dtype=jnp.bfloat16,
+                    boundary_store="storage")
+    params = {
+        k: jax.device_put(
+            np.asarray(v, jnp.bfloat16)
+            if np.asarray(v).dtype.kind == "f" else np.asarray(v)
+        )
+        for k, v in fn.params.items()
+    }
+
+    def step(p, x):
+        scores = fn(x, params=p)[0].astype(jnp.float32)
+        return jax.lax.top_k(scores, 5)
+
+    return _measure(
+        step, params, (iters, batch, spec.sample_count),
+        spec.sample_count / spec.sample_rate, iters,
+    )
+
+
 def _bench_native(batch, iters):
     import jax
     import jax.numpy as jnp
@@ -479,6 +512,16 @@ def main() -> None:
     # to the scan benches.
     durations["e2e"] = 150.0  # first-run estimate (compile + 3 passes)
     run_extra("e2e", "e2e", 1.0, _bench_e2e, always_if_s=150)
+
+    # Opportunistic (no always-floor): the round-5 `--precision mixed`
+    # mode — bf16 compute + int8 boundary storage, measured +10.5% over
+    # bf16 at b768. Calibration scales are already cached by the int8
+    # extra above (same graph digest), so the cost is one bf16-kind run.
+    run_extra("birdnet_v24_mixed", "bf16", 1.1,
+              lambda: _bench_onnx_mixed(fs.BIRDNET_V24_SPEC,
+                                        batch=768, iters=6),
+              derive=lambda v: {"birdnet_v24_mixed_vs_baseline": round(
+                  v / BASELINE_BIRDNET_V24, 3)})
 
     run_extra("native_flax_v24", "bf16", 0.6,
               lambda: _bench_native(batch=256, iters=8))

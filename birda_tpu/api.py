@@ -186,9 +186,10 @@ def analyze(
     if device not in _DEVICES:
         raise ConfigValidation(
             f"device must be one of {', '.join(_DEVICES)} (got '{device}')")
-    if precision not in ("fp32", "bf16", "int8"):
+    if precision not in ("fp32", "bf16", "mixed", "int8"):
         raise ConfigValidation(
-            f"precision must be fp32, bf16 or int8 (got '{precision}')")
+            "precision must be fp32, bf16, mixed or int8 "
+            f"(got '{precision}')")
     if range_unmatched not in (None, "keep", "drop"):
         raise ConfigValidation(
             f"range_unmatched must be keep or drop (got '{range_unmatched}')")

@@ -201,18 +201,23 @@ def cli(ctx):
               help="Accelerator devices to shard each batch over (data "
                    "parallelism). Default: all local devices; 1 disables "
                    "sharding (BIRDA_NO_SHARD=1 also disables it).")
-@click.option("--precision", type=click.Choice(["fp32", "bf16", "int8"]),
+@click.option("--precision",
+              type=click.Choice(["fp32", "bf16", "mixed", "int8"]),
               default="fp32", envvar="BIRDA_PRECISION",
               help="ONNX graph precision: fp32 = bit-faithful scores; "
                    "bf16 = +25%% throughput, scores drift up to ~5e-3 "
-                   "(fp32 accumulation either way); int8 = calibrated "
+                   "(fp32 accumulation either way); mixed = bf16 compute "
+                   "with calibrated int8 STORAGE of the large fusion-"
+                   "boundary streams (+10%% over bf16 on bandwidth-bound "
+                   "graphs, ~4e-3 extra drift); int8 = calibrated "
                    "quantization of the heavy matmuls/convs with int32 "
                    "accumulation (the TensorRT-int8 analogue).")
 @click.option("--calibration-audio", type=click.Path(path_type=Path),
               envvar="BIRDA_CALIBRATION_AUDIO",
               help="Representative audio (file or directory) to calibrate "
-                   "int8 activation scales on; default is a built-in "
-                   "synthetic set whose scales are cached per graph.")
+                   "int8 activation scales on (--precision int8/mixed); "
+                   "default is a built-in synthetic set whose scales are "
+                   "cached per graph.")
 @click.option("--region-labels", type=click.Path(path_type=Path),
               envvar="BIRDA_REGION_LABELS",
               help="Slice the model to this regional label file (subset of "
@@ -267,9 +272,9 @@ def analyze(inputs, model, model_path, labels_path, model_type, bat, formats,
         raise click.UsageError(
             "--stdout conflicts with --combine/--output-dir/--format"
         )
-    if calibration_audio is not None and precision != "int8":
+    if calibration_audio is not None and precision not in ("int8", "mixed"):
         raise click.UsageError(
-            "--calibration-audio only applies with --precision int8"
+            "--calibration-audio only applies with --precision int8/mixed"
         )
 
     try:

@@ -206,6 +206,7 @@ def onnx_model_int8(
     labels: list[str],
     calibration,
     compute_dtype=None,
+    storage_only: bool = False,
 ) -> LoadedModel:
     """Load an ONNX graph with calibrated int8 execution (the TensorRT-int8
     analogue; see :mod:`birda_tpu.onnx.quantize` for the scheme and the
@@ -215,6 +216,12 @@ def onnx_model_int8(
     from :func:`~birda_tpu.onnx.quantize.calibrate`. ``compute_dtype``
     governs the non-quantized ops (None = bf16 on TPU, fp32 elsewhere);
     quantized weights ship/live as int8 (half the bf16 footprint).
+
+    ``storage_only=True`` is ``--precision mixed``: no node quantizes —
+    compute (and weights) stay at ``compute_dtype`` and the calibration
+    scales only back int8 *storage* of the large fusion-boundary streams
+    (``boundary_store="storage"``; +10.5% over bf16 on v2.4 at b768,
+    ~4e-3 extra drift — docs/performance.md "Mixed int8 storage").
     """
     import os
 
@@ -224,8 +231,12 @@ def onnx_model_int8(
     # policy default ("all") is the measured optimum on the synthetic
     # full-scale graphs (docs/performance.md "Fusion-boundary storage
     # policy"); a real export with a different fusion landscape can be
-    # re-tuned without a code change.
-    boundary = os.environ.get("BIRDA_INT8_BOUNDARY", "all")
+    # re-tuned without a code change. Mixed mode IS a storage policy, so
+    # the env knob does not apply there.
+    if storage_only:
+        boundary = "storage"
+    else:
+        boundary = os.environ.get("BIRDA_INT8_BOUNDARY", "all")
     fn = lower_int8(path if isinstance(path, bytes) else str(path),
                     calibration, compute_dtype=compute_dtype,
                     boundary_store=boundary)
@@ -236,14 +247,23 @@ def onnx_model_int8(
     else:
         cast_float = compute_dtype == jnp.bfloat16
     model = _loaded_from_onnx_fn(fn, config, labels, cast_float=cast_float,
-                                 source="onnx-int8")
+                                 source="onnx-mixed" if storage_only
+                                 else "onnx-int8")
     model.precision_info = {
-        "mode": "int8",
+        "mode": "mixed" if storage_only else "int8",
         "quantized_nodes": len(fn.quantized_nodes),
         "int8_boundary_tensors": len(fn.int8_boundary_tensors),
         "boundary_store": boundary,
         "skipped_nodes": len(fn.skipped_nodes),
     }
+    if storage_only:
+        # Mixed mode never attempts node quantization (the selection gates
+        # are forced shut), so "skipped" counts would misread as selection
+        # failures; and the advisory below is about int8 COMPUTE epilogues,
+        # which mixed has none of (dequant-on-read fuses into each
+        # consumer).
+        del model.precision_info["skipped_nodes"]
+        return model
     # Static throughput advisory (the selection-never-picks-a-known-worse-
     # variant analogue, reference src/registry/selection.rs:160): warn when
     # the graph is compute-shaped and int8's quantize/requantize epilogues

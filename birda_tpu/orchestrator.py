@@ -111,9 +111,12 @@ class AnalyzeOptions:
     #: (the ≤1e-3 parity route); "bf16" runs matmuls/convs in bf16 with
     #: fp32 accumulation and bf16 activations (+25% on bandwidth-bound
     #: graphs, ≤5e-3 score drift — the TensorRT-fp16-engine analogue);
-    #: "int8" additionally executes the heavy matmuls/convs as int8 with
-    #: int32 accumulation from a calibration pass — the TensorRT-int8
-    #: analogue (:mod:`birda_tpu.onnx.quantize`).
+    #: "mixed" keeps bf16 compute but int8-materializes the large
+    #: fusion-boundary streams from a calibration pass (+10% over bf16 on
+    #: bandwidth-bound graphs, ~4e-3 extra drift — docs/performance.md
+    #: "Mixed int8 storage"); "int8" additionally executes the heavy
+    #: matmuls/convs as int8 with int32 accumulation from a calibration
+    #: pass — the TensorRT-int8 analogue (:mod:`birda_tpu.onnx.quantize`).
     precision: str = "fp32"
     #: Representative audio (file or directory) to calibrate int8
     #: activation scales on; None = the built-in synthetic calibration set
@@ -273,15 +276,16 @@ def load_model_graph(mc: ModelConfig, name: str,
     validate_model_config(name, mc)
     labels = read_geomodel_labels(mc.labels)  # same one-label-per-line format
     on_cpu = backend == "cpu"
-    if precision in ("bf16", "int8") and on_cpu:
+    if precision in ("bf16", "mixed", "int8") and on_cpu:
         logger.warning(
             "--precision %s requested but the actual backend is CPU; "
             "non-quantized compute runs fp32 there", precision,
         )
     try:
-        if precision == "int8":
+        if precision in ("int8", "mixed"):
             return _load_int8_model(mc, family, labels, calibration_audio,
-                                    on_cpu=on_cpu)
+                                    on_cpu=on_cpu,
+                                    storage_only=precision == "mixed")
         dtype = None
         if precision == "bf16" and not on_cpu:
             import jax.numpy as jnp
@@ -297,7 +301,8 @@ def load_model_graph(mc: ModelConfig, name: str,
 
 def _load_int8_model(mc: ModelConfig, family, labels: list[str],
                      calibration_audio: Optional[Path],
-                     on_cpu: bool = False) -> LoadedModel:
+                     on_cpu: bool = False,
+                     storage_only: bool = False) -> LoadedModel:
     """Calibrated int8 execution of a float graph (the TensorRT-int8
     engine analogue — reference ``src/inference/classifier.rs:994-1057``
     caches those engines; we cache the calibration scales).
@@ -307,6 +312,11 @@ def _load_int8_model(mc: ModelConfig, family, labels: list[str],
     the way a TensorRT cache load skips the engine build. Explicit
     ``--calibration-audio`` always recalibrates (representative audio is
     the user's statement that the synthetic set isn't).
+
+    ``storage_only=True`` is ``--precision mixed``: no node quantizes
+    (compute stays ``compute_dtype``); the calibration scales only back
+    int8 *storage* of the large fusion-boundary streams
+    (docs/performance.md "Mixed int8 storage on the bf16 path").
     """
     import jax.numpy as jnp
 
@@ -331,7 +341,8 @@ def _load_int8_model(mc: ModelConfig, family, labels: list[str],
         )
     compute = jnp.float32 if on_cpu else jnp.bfloat16
     return onnx_model_int8(data, contract, labels, calib,
-                           compute_dtype=compute)
+                           compute_dtype=compute,
+                           storage_only=storage_only)
 
 
 def _calibration_batches_from_audio(path: Path, sample_rate: int,

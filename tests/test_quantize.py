@@ -977,6 +977,114 @@ class TestEndToEndParity:
         rows_q2 = run("int8", "out_q2")
         assert rows_q2 == rows_q
 
+    def test_mixed_precision_through_analyze(self, tmp_path, monkeypatch):
+        """`--precision mixed` (bf16 compute + calibrated int8 STORAGE of
+        the large boundary streams, docs/performance.md "Mixed int8
+        storage") end to end through the product: nothing quantizes, the
+        streams store int8, detections track the fp32 run, and the
+        precision payload reports mode "mixed"."""
+        import csv
+
+        from birda_tpu.config.types import Config, ModelConfig, ModelType
+        from birda_tpu.models.zoo import synthetic_labels
+        from birda_tpu.orchestrator import (
+            AnalyzeOptions,
+            analyze_files,
+            load_model_graph,
+        )
+        from fixtures_audio import write_wav
+
+        monkeypatch.setenv("XDG_CONFIG_HOME", str(tmp_path / "config"))
+        monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path / "cache"))
+        monkeypatch.setenv("XDG_DATA_HOME", str(tmp_path / "data"))
+        monkeypatch.setenv("BIRDA_NO_COMPILE_CACHE", "1")
+
+        g = fs.cached_build(fs.tiny_spec(fs.BIRDNET_V24_SPEC), seed=1)
+        model_file = tmp_path / "tiny-v24.onnx"
+        model_file.write_bytes(g.model_bytes)
+        labels_file = tmp_path / "labels.txt"
+        labels_file.write_text(
+            "".join(f"{s}\n" for s in synthetic_labels(g.spec.num_classes)))
+        cfg = Config()
+        cfg.models["tiny-onnx"] = ModelConfig(
+            path=model_file, labels=labels_file,
+            model_type=ModelType.BIRDNET_V24)
+        cfg.defaults.model = "tiny-onnx"
+
+        model = load_model_graph(cfg.models["tiny-onnx"], "tiny-onnx",
+                                 precision="mixed", backend="cpu")
+        info = model.precision_info
+        assert info["mode"] == "mixed"
+        assert info["boundary_store"] == "storage"
+        assert info["quantized_nodes"] == 0  # compute never changes dtype
+        # The tiny graph's streams sit below DEFAULT_MIN_ACT_ELEMS, so
+        # nothing stores here (storage kicks in at full scale; the policy
+        # itself is pinned on a storing graph in
+        # TestBoundaryStorePolicies.test_storage_policy_stores_without_
+        # quantizing).
+        assert info["int8_boundary_tensors"] == 0
+        assert "advisory" not in info  # compute-shape advisory is int8-only
+
+        rate = 48_000
+        t = np.arange(rate * 6) / rate
+        audio = tmp_path / "rec.wav"
+        write_wav(audio, (0.4 * np.sin(2 * np.pi * 2500 * t)).astype(
+            np.float32), rate)
+
+        def run(precision, outdir):
+            opts = AnalyzeOptions(
+                inputs=[audio], output_dir=tmp_path / outdir,
+                device_flags={"cpu": True}, precision=precision,
+                min_confidence=0.05,
+            )
+            assert analyze_files(opts, cfg) == 0
+            with open(tmp_path / outdir / "rec.BirdNET.results.csv",
+                      encoding="utf-8-sig") as f:
+                return list(csv.DictReader(f))
+
+        rows_f = run("fp32", "out_f")
+        rows_m = run("mixed", "out_m")
+        key = lambda r: (r["Start (s)"], r["Scientific name"])  # noqa: E731
+        fmap = {key(r): float(r["Confidence"]) for r in rows_f}
+        mmap = {key(r): float(r["Confidence"]) for r in rows_m}
+        assert fmap and set(fmap) == set(mmap)
+        for k, v in fmap.items():
+            # Only storage rounding separates the paths (CPU compute is
+            # fp32 either way): one int8 step through the gates.
+            assert abs(mmap[k] - v) < 0.05
+
+    def test_mixed_precision_cli_parse_and_api_validation(self, tmp_path):
+        """The CLI accepts --precision mixed (with --calibration-audio) and
+        the library API's validation admits "mixed"; bf16 still rejects
+        --calibration-audio."""
+        from click.testing import CliRunner
+
+        import birda_tpu
+        from birda_tpu.cli.main import cli
+        from birda_tpu.errors import ConfigValidation
+
+        runner = CliRunner()
+        audio = tmp_path / "a.wav"
+        audio.write_bytes(b"")
+        r = runner.invoke(cli, [
+            "analyze", str(audio), "--cpu", "--precision", "bf16",
+            "--calibration-audio", str(audio),
+        ])
+        assert r.exit_code == 2
+        assert "--precision int8/mixed" in r.output
+        # mixed passes the parse-time gate (it then fails later on the
+        # empty wav, which is fine — exit code 1, not a UsageError 2).
+        r = runner.invoke(cli, [
+            "analyze", str(audio), "--cpu", "--precision", "mixed",
+            "--calibration-audio", str(audio),
+        ])
+        assert r.exit_code != 2
+
+        with pytest.raises(ConfigValidation, match="precision"):
+            birda_tpu.analyze([audio], precision="fp16")
+        with pytest.raises(ConfigValidation, match="precision"):
+            birda_tpu.analyze([audio], precision="storage")
+
     def test_int8_model_shards_over_the_mesh(self):
         """The int8-executed graph runs under the data-parallel sharded
         chunk runner (virtual 8-device mesh) with results matching the
