@@ -64,6 +64,14 @@ _best: dict | None = None
 _init_done = False
 
 
+def _log(msg: str) -> None:
+    """Stage progress to STDERR (the stdout contract is ONE JSON line):
+    when a run sheds extras on budget, the record must say where the
+    time went."""
+    print(f"[bench +{time.monotonic() - _T0:7.1f}s] {msg}",
+          file=sys.stderr, flush=True)
+
+
 def _emit(obj: dict) -> None:
     """Print the one JSON line exactly once (main thread or watchdog)."""
     global _printed
@@ -121,13 +129,27 @@ def _remaining() -> float:
     return _BUDGET - (time.monotonic() - _T0)
 
 
-def _measure(step_fn, args, xs_shape, seconds_per_segment, iters):
+_xs_cache: dict = {}
+
+
+def _measure(step_fn, args, xs_shape, seconds_per_segment, iters,
+             reuse_inputs=False):
     """Upload fresh-random inputs, scan once inside jit, fetch results.
 
     int16 transport (default) uploads the inputs as int16 and dequantizes
     in-graph — the production chunk transport
     (``inference/classifier.py``) and half the tunnel upload. The dequant
     multiply is inside the timed step (honest: production pays it too).
+
+    ``reuse_inputs=True`` caches the uploaded device buffer per (shape,
+    transport) and reuses it across measurements: on a congested tunnel
+    the ~0.5-1.3 GB incompressible upload dominates each extra's cost
+    (round-5 driver runs shed half the suite to it), and Perch/v3.0
+    bf16+int8 all share one shape. Honest because the server-side dedup
+    hazard (CLAUDE.md) is about identical *executions* — each reuse runs
+    a DIFFERENT compiled program over the buffer. Measurements that rerun
+    the SAME program (the headline remeasure) must pass False and pay
+    the fresh upload.
     """
     import jax
     import jax.numpy as jnp
@@ -135,15 +157,20 @@ def _measure(step_fn, args, xs_shape, seconds_per_segment, iters):
 
     int16_transport = (
         os.environ.get("BIRDA_BENCH_TRANSPORT", "int16") != "float32")
-    rng = np.random.default_rng(int(time.time() * 1000) % 2**31)
-    host = rng.normal(0, 0.1, xs_shape).astype(np.float32)
-    if int16_transport:
-        xs = jax.device_put(
-            np.clip(host * 32767.0, -32768, 32767).astype(np.int16))
-    else:
-        xs = jax.device_put(host)
-    del host
-    _ = np.asarray(xs[(0,) * (len(xs_shape) - 1) + (slice(0, 2),)])
+    cache_key = (xs_shape, int16_transport)
+    xs = _xs_cache.get(cache_key) if reuse_inputs else None
+    if xs is None:
+        rng = np.random.default_rng(int(time.time() * 1000) % 2**31)
+        host = rng.normal(0, 0.1, xs_shape).astype(np.float32)
+        if int16_transport:
+            xs = jax.device_put(
+                np.clip(host * 32767.0, -32768, 32767).astype(np.int16))
+        else:
+            xs = jax.device_put(host)
+        del host
+        _ = np.asarray(xs[(0,) * (len(xs_shape) - 1) + (slice(0, 2),)])
+        if reuse_inputs:
+            _xs_cache[cache_key] = xs
 
     @jax.jit
     def multi(a, stacked):
@@ -165,7 +192,7 @@ def _measure(step_fn, args, xs_shape, seconds_per_segment, iters):
     return seg_per_sec * seconds_per_segment
 
 
-def _bench_onnx(spec, batch, iters, seed=1):
+def _bench_onnx(spec, batch, iters, seed=1, reuse_inputs=True):
     import jax
     import jax.numpy as jnp
 
@@ -186,14 +213,20 @@ def _bench_onnx(spec, batch, iters, seed=1):
     rt = _measure(
         step, params, (iters, batch, spec.sample_count),
         spec.sample_count / spec.sample_rate, iters,
+        reuse_inputs=reuse_inputs,
     )
     return rt, g
 
 
-def _bench_onnx_int8(spec, batch, iters, seed=1):
+def _bench_onnx_int8(spec, batch, iters, seed=1, storage_only=False):
     """Calibrated int8 execution (birda_tpu/onnx/quantize.py); calibration
     scales are cached per graph digest, so only the first run pays the
-    calibration pass."""
+    calibration pass.
+
+    ``storage_only=True`` is `--precision mixed`: bf16 compute +
+    calibrated int8 STORAGE of the large fusion-boundary streams
+    (docs/performance.md "Mixed int8 storage"); same calibration cache.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -202,7 +235,11 @@ def _bench_onnx_int8(spec, batch, iters, seed=1):
 
     g = fs.cached_build(spec, seed=seed)
     calib, _ = cached_calibration(g.model_bytes, spec.sample_count)
-    fn = lower_int8(g.model_bytes, calib)
+    if storage_only:
+        fn = lower_int8(g.model_bytes, calib, compute_dtype=jnp.bfloat16,
+                        boundary_store="storage")
+    else:
+        fn = lower_int8(g.model_bytes, calib)
     params = {
         k: jax.device_put(
             np.asarray(v, jnp.bfloat16)
@@ -218,39 +255,7 @@ def _bench_onnx_int8(spec, batch, iters, seed=1):
     return _measure(
         step, params, (iters, batch, spec.sample_count),
         spec.sample_count / spec.sample_rate, iters,
-    )
-
-
-def _bench_onnx_mixed(spec, batch, iters, seed=1):
-    """`--precision mixed`: bf16 compute + calibrated int8 STORAGE of the
-    large fusion-boundary streams (docs/performance.md "Mixed int8
-    storage"). Reuses the int8 extra's cached calibration scales (same
-    graph digest)."""
-    import jax
-    import jax.numpy as jnp
-
-    from birda_tpu.onnx import fullscale as fs
-    from birda_tpu.onnx.quantize import cached_calibration, lower_int8
-
-    g = fs.cached_build(spec, seed=seed)
-    calib, _ = cached_calibration(g.model_bytes, spec.sample_count)
-    fn = lower_int8(g.model_bytes, calib, compute_dtype=jnp.bfloat16,
-                    boundary_store="storage")
-    params = {
-        k: jax.device_put(
-            np.asarray(v, jnp.bfloat16)
-            if np.asarray(v).dtype.kind == "f" else np.asarray(v)
-        )
-        for k, v in fn.params.items()
-    }
-
-    def step(p, x):
-        scores = fn(x, params=p)[0].astype(jnp.float32)
-        return jax.lax.top_k(scores, 5)
-
-    return _measure(
-        step, params, (iters, batch, spec.sample_count),
-        spec.sample_count / spec.sample_rate, iters,
+        reuse_inputs=True,
     )
 
 
@@ -269,7 +274,7 @@ def _bench_native(batch, iters):
     return _measure(step, 0, (iters, batch, 144_000), 3.0, iters)
 
 
-def _bench_e2e(seconds: int = 300, n_files: int = 4, spec=None,
+def _bench_e2e(seconds: int = 600, n_files: int = 4, spec=None,
                batch: int = 128):
     """END-TO-END realtime: synthesized WAVs -> native decode -> int16
     chunk transport -> device windowing + mel + backbone + top-k -> CSV on
@@ -285,10 +290,12 @@ def _bench_e2e(seconds: int = 300, n_files: int = 4, spec=None,
 
     Methodology: a warmup analyze on one file absorbs the chunk-program
     compile (the persistent cache makes that a one-time cost in
-    production too); the timed run analyzes ``n_files`` five-minute files
+    production too); the timed run analyzes ``n_files`` ten-minute files
     in ONE invocation — the directory-scan shape a production run has —
     and the number is total audio seconds / wall seconds, CSV outputs
-    verified non-empty.
+    verified non-empty. File length amortizes the per-invocation
+    classifier build + warmup (~10 s), which dominated at 5-minute files
+    (59x measured); production directories are long-recording shaped.
     """
     import tempfile
     import wave
@@ -422,9 +429,11 @@ def main() -> None:
     # tunnel's fixed per-dispatch overhead under-amortizes (measured
     # round 4: the same program read 13.9k at iters=4 minutes after
     # 17.9k at iters=6).
+    _log("headline: v2.4 bf16 b768")
     t_head = time.monotonic()
     rt_v24, _ = _bench_onnx(fs.BIRDNET_V24_SPEC, batch=768, iters=6)
     cost_head = time.monotonic() - t_head
+    _log(f"headline done: {rt_v24:,.0f}x in {cost_head:.1f}s")
     _set_best(line(rt_v24))
 
     durations: dict[str, float] = {"bf16": cost_head}
@@ -452,18 +461,22 @@ def main() -> None:
         if skip and always_if_s is not None and _remaining() >= always_if_s:
             skip = False
         if skip:
+            _log(f"{key}: SKIP ({_remaining():.0f}s left < ~{est:.0f}s est)")
             extra[key + "_skipped"] = (
                 f"budget: {_remaining():.0f}s left < ~{est:.0f}s estimated")
             _set_best(line(rt_v24))
             return None
+        _log(f"{key}: start ({_remaining():.0f}s left, ~{est:.0f}s est)")
         t0 = time.monotonic()
         try:
             val = fn()
         except Exception as e:  # noqa: BLE001
+            _log(f"{key}: ERROR {type(e).__name__}: {str(e)[:120]}")
             extra[key + "_error"] = str(e)[:200]
             _set_best(line(rt_v24))
             return None
         durations[kind] = time.monotonic() - t0
+        _log(f"{key}: {val:,.0f}x in {durations[kind]:.1f}s")
         extra[key + "_x_realtime"] = round(val, 0)
         if derive is not None:
             extra.update(derive(val))
@@ -515,11 +528,17 @@ def main() -> None:
 
     # Opportunistic (no always-floor): the round-5 `--precision mixed`
     # mode — bf16 compute + int8 boundary storage, measured +10.5% over
-    # bf16 at b768. Calibration scales are already cached by the int8
-    # extra above (same graph digest), so the cost is one bf16-kind run.
-    run_extra("birdnet_v24_mixed", "bf16", 1.1,
-              lambda: _bench_onnx_mixed(fs.BIRDNET_V24_SPEC,
-                                        batch=768, iters=6),
+    # bf16 at b768. When the v2.4 int8 extra ran, its calibration scales
+    # are cached (same graph digest) and this costs one bf16-kind run;
+    # when it was skipped/failed, price in the cold calibration pass by
+    # using the int8 kind's cost model instead.
+    mixed_warm = "birdnet_v24_int8_x_realtime" in extra
+    run_extra("birdnet_v24_mixed",
+              "bf16" if mixed_warm else "int8",
+              1.1 if mixed_warm else 1.6,
+              lambda: _bench_onnx_int8(fs.BIRDNET_V24_SPEC,
+                                       batch=768, iters=6,
+                                       storage_only=True),
               derive=lambda v: {"birdnet_v24_mixed_vs_baseline": round(
                   v / BASELINE_BIRDNET_V24, 3)})
 
@@ -532,7 +551,11 @@ def main() -> None:
     # one-off tunnel-congestion dip; report the max (steady-state rate).
     if _remaining() > 0.5 * cost_head + 60:
         try:
-            rt2, _ = _bench_onnx(fs.BIRDNET_V24_SPEC, batch=768, iters=6)
+            # reuse_inputs=False: the remeasure reruns the SAME compiled
+            # program as the headline — reusing the cached buffer would
+            # make it an identical execution, which the tunnel dedupes.
+            rt2, _ = _bench_onnx(fs.BIRDNET_V24_SPEC, batch=768, iters=6,
+                                 reuse_inputs=False)
             extra["headline_remeasure_x_realtime"] = round(rt2, 0)
             rt_v24 = max(rt_v24, rt2)
             _set_best(line(rt_v24))

@@ -87,20 +87,25 @@ def _verify(path: Path, expected_sha: Optional[str]) -> bool:
     return sha256_file(path) == expected_sha.lower()
 
 
-def prompt_for_download(entry) -> bool:
+def prompt_for_download(entry, corrupt: bool = False) -> bool:
     """Offer the geomodel download on a terminal (reference
     ``geomodel.rs::prompt_for_download``).
 
     Written to stderr, not stdout: interactivity is decided by stdin being
     a terminal, so ``birda ... > results.txt`` from a terminal still
     prompts; on stdout the prompt would land in the redirected file and the
-    user would see an unexplained hang on the read."""
+    user would see an unexplained hang on the read.
+
+    ``corrupt=True``: an installed copy exists but failed checksum
+    verification — say that, not "not installed" (a user who just
+    installed it would conclude the install silently failed)."""
     import sys
 
     license_type = getattr(getattr(entry, "license", None), "type", None)
+    state = ("whose installed copy failed checksum verification"
+             if corrupt else "which is not installed")
     sys.stderr.write(
-        f"Range filtering needs the {entry.name or entry.id}, which is "
-        "not installed.\n"
+        f"Range filtering needs the {entry.name or entry.id}, {state}.\n"
         f"  Model: {human_size(getattr(entry.model, 'size_bytes', None))}"
         f"    Labels: {human_size(getattr(entry.labels, 'size_bytes', None))}"
         f"    Licence: {license_type or 'unknown'}\n"
@@ -202,7 +207,7 @@ def resolve_geomodel(
             return GeomodelUnavailable(
                 f"{name} is not installed; {install_hint}"
             )
-        if not prompt_for_download(entry):
+        if not prompt_for_download(entry, corrupt=corrupt_managed):
             return GeomodelUnavailable(f"download declined; {install_hint}")
 
     if corrupt_managed:

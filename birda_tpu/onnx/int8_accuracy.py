@@ -197,21 +197,32 @@ def compare_scores(fp32_scores, int8_scores,
 
 def evaluate_model(model, inputs, calibration_batches=None,
                    thresholds=DEFAULT_THRESHOLDS,
-                   batch: int = 64) -> Int8AccuracyReport:
+                   batch: int = 64,
+                   calibration_rows: int = 16) -> Int8AccuracyReport:
     """fp32-lower and int8-lower ``model``, score ``inputs`` through both,
-    and compare. ``calibration_batches`` defaults to the first input batch
-    (self-calibration — the conservative floor; pass representative audio
-    segments for the production number)."""
+    and compare. ``calibration_batches`` defaults to the first
+    ``calibration_rows`` inputs (self-calibration — the conservative
+    floor; pass representative audio segments for the production number).
+
+    Scoring runs JIT-compiled (two compiles max: the full batch shape and
+    the tail): eager per-op evaluation of a full-scale graph over a
+    64-sample eval set takes tens of minutes on a small host. Calibration
+    stays eager by design (it records per-tensor stats) and is bounded by
+    ``calibration_rows`` for the same reason.
+    """
+    import jax
+
     from .lowering import lower
     from .quantize import calibrate, lower_int8
 
     fn32 = lower(model)
 
     def run(fn):
+        jfn = jax.jit(lambda p, a: fn(a, params=p))
         outs = []
         for i in range(0, len(inputs), batch):
             chunk = np.ascontiguousarray(inputs[i:i + batch], np.float32)
-            o = fn(chunk, params=fn.params)
+            o = jfn(fn.params, chunk)
             o = o[0] if isinstance(o, tuple) else o
             outs.append(np.asarray(o, np.float32))
         return np.concatenate(outs, axis=0)
@@ -219,7 +230,8 @@ def evaluate_model(model, inputs, calibration_batches=None,
     scores32 = run(fn32)
     calib_in = calibration_batches
     if calib_in is None:
-        calib_in = [np.ascontiguousarray(inputs[:batch], np.float32)]
+        calib_in = [np.ascontiguousarray(inputs[:calibration_rows],
+                                         np.float32)]
     calib = calibrate(model, calib_in)
     fn8 = lower_int8(model, calib)
     scores8 = run(fn8)

@@ -141,9 +141,26 @@ class _Evaluator:
     # -- execution ----------------------------------------------------------
 
     def run(self, feeds: dict[str, Any]) -> dict[str, Any]:
+        import contextlib
+
+        import jax
+
         env: dict[str, Any] = dict(self.const)
         env.update(feeds)
         env[""] = None  # optional (absent) inputs
+        # The fp32 path is the BIT-FAITHFUL parity route (SURVEY §6, ≤1e-3
+        # vs ONNX Runtime CPU): on TPU, XLA's DEFAULT dot/conv precision
+        # computes f32 matmuls with bf16 passes, which alone costs ~2e-3
+        # of score drift on the real op mix (measured on-chip via
+        # scripts/accept_asset.py, round 5). HIGHEST forces exact f32 MXU
+        # arithmetic. It lives HERE (not in OnnxFunction.__call__) so
+        # every execution route — including the parity bisector's direct
+        # capture_activations run — shares one numeric regime. The perf
+        # modes (bf16/int8) keep DEFAULT; their drift budget is
+        # documented separately.
+        precision_ctx = (jax.default_matmul_precision("highest")
+                         if self.compute_dtype is None
+                         else contextlib.nullcontext())
         # Control-flow handlers (If/Loop) need the live environment for
         # outer-scope closure; a per-thread stack keeps concurrent traces
         # of the same function (per-shape warmups under --jobs) isolated.
@@ -152,24 +169,26 @@ class _Evaluator:
             stack = self._tls.envs = []
         stack.append(env)
         try:
-            for node in self.graph.nodes:
-                if node.op_type == "Constant":
-                    continue
-                handler = getattr(self, f"op_{node.op_type}", None)
-                if handler is None:
-                    raise UnsupportedOnnxOp(
-                        f"ONNX op '{node.op_type}' (node '{node.name}') is not supported"
-                    )
-                args = [
-                    self._fetch(node, pos, i, env[i]) if i else None
-                    for pos, i in enumerate(node.inputs)
-                ]
-                result = handler(node, *args)
-                if not isinstance(result, tuple):
-                    result = (result,)
-                for out_name, val in zip(node.outputs, result):
-                    if out_name:
-                        env[out_name] = self._store(out_name, val)
+            with precision_ctx:
+                for node in self.graph.nodes:
+                    if node.op_type == "Constant":
+                        continue
+                    handler = getattr(self, f"op_{node.op_type}", None)
+                    if handler is None:
+                        raise UnsupportedOnnxOp(
+                            f"ONNX op '{node.op_type}' (node '{node.name}') "
+                            "is not supported"
+                        )
+                    args = [
+                        self._fetch(node, pos, i, env[i]) if i else None
+                        for pos, i in enumerate(node.inputs)
+                    ]
+                    result = handler(node, *args)
+                    if not isinstance(result, tuple):
+                        result = (result,)
+                    for out_name, val in zip(node.outputs, result):
+                        if out_name:
+                            env[out_name] = self._store(out_name, val)
         finally:
             stack.pop()
         return env
@@ -2864,8 +2883,6 @@ class OnnxFunction:
         return [vi for vi in self.graph.inputs if vi.name in self.input_names]
 
     def __call__(self, *args, params=None, **feeds):
-        import jax
-
         if args:
             feeds = dict(zip(self.input_names, args)) | feeds
         missing = [n for n in self.input_names if n not in feeds]
@@ -2873,17 +2890,8 @@ class OnnxFunction:
             raise ValueError(f"missing graph inputs: {missing}")
         env = dict(params if params is not None else self.params)
         env.update(feeds)
-        # The fp32 path is the BIT-FAITHFUL parity route (SURVEY §6,
-        # ≤1e-3 vs ONNX Runtime CPU): on TPU, XLA's DEFAULT dot/conv
-        # precision computes f32 matmuls with bf16 passes, which alone
-        # costs ~2e-3 of score drift on the real op mix (measured on-chip
-        # via scripts/accept_asset.py, round 5). HIGHEST forces exact f32
-        # MXU arithmetic; the perf modes (bf16/int8) keep DEFAULT — their
-        # drift budget is documented separately.
-        if self._eval.compute_dtype is None:
-            with jax.default_matmul_precision("highest"):
-                env = self._eval.run(env)
-        else:
-            env = self._eval.run(env)
+        # fp32 runs under HIGHEST matmul precision inside _Evaluator.run
+        # (shared with every direct-run route, e.g. the parity bisector).
+        env = self._eval.run(env)
         outs = tuple(env[n] for n in self.output_names)
         return outs[0] if len(outs) == 1 else outs

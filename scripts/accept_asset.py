@@ -216,14 +216,32 @@ def main(argv=None) -> int:
         try:
             from birda_tpu.onnx.int8_accuracy import Criteria, evaluate_model
 
-            report = evaluate_model(model_bytes, inputs)
+            # A dedicated eval set, NOT the parity batch: top-1 agreement
+            # against the 0.98 criterion needs enough samples that one
+            # near-tie flip is not an automatic failure (8 rows make the
+            # bar "zero flips allowed"). 64 rows of the calibration-signal
+            # family (pink noise + chirps) when the input is [B, samples];
+            # random normal otherwise.
+            _, in_shape = _input_spec(model)
+            if len(in_shape) == 2:
+                from birda_tpu.onnx.quantize import calibration_signals
+
+                eval_in = np.concatenate([
+                    b for b in calibration_signals(
+                        in_shape[-1], batch=16, n_batches=4, seed=7)
+                ])
+            else:
+                eval_in = np.random.default_rng(7).normal(
+                    0, 0.1, (64,) + in_shape[1:]).astype(np.float32)
+            report = evaluate_model(model_bytes, eval_in)
             fails = report.failures(Criteria())
             if fails:
                 gate.add("int8", "FAIL", "; ".join(fails))
             else:
                 gate.add("int8", "PASS",
                          f"max |Δ| {report.max_abs_delta:.4f}, top-1 "
-                         f"agreement {report.top1_agreement:.3f}")
+                         f"agreement {report.top1_agreement:.3f} "
+                         f"({len(eval_in)} samples)")
         except Exception as e:  # noqa: BLE001
             gate.add("int8", "FAIL", f"{type(e).__name__}: {e}")
 
@@ -233,12 +251,30 @@ def main(argv=None) -> int:
     else:
         try:
             import jax
+            import jax.numpy as jnp
+            from jax import lax
 
+            # The tunnel lies to naive timers (CLAUDE.md): identical
+            # executions dedupe server-side and each fetch is a round
+            # trip. Same honest recipe as bench.py at small scale: fresh
+            # random inputs per step, one lax.scan inside one jit,
+            # outputs consumed to a checksum, fetched once.
             x = inputs
-            out = _scores_of(fn(x))  # compile + warm
+            xs = np.random.default_rng(11).normal(
+                0, 0.1, (args.bench_iters,) + x.shape).astype(np.float32)
+            xs_dev = jax.device_put(xs)
+
+            @jax.jit
+            def _multi(p, stacked):
+                def body(carry, xi):
+                    out = fn(xi, params=p)
+                    s = out[0] if isinstance(out, tuple) else out
+                    return carry, jnp.sum(s.astype(jnp.float32))
+                return lax.scan(body, jnp.int32(0), stacked)[1]
+
+            _ = np.asarray(_multi(fn.params, xs_dev))  # compile + warm
             t0 = time.perf_counter()
-            for _ in range(args.bench_iters):
-                out = _scores_of(fn(x))
+            _ = np.asarray(_multi(fn.params, xs_dev))
             dt = time.perf_counter() - t0
             seg_per_sec = x.shape[0] * args.bench_iters / dt
             seconds_per_segment = x.shape[-1] / args.sample_rate
@@ -246,8 +282,8 @@ def main(argv=None) -> int:
                 "bench", "PASS",
                 f"{seg_per_sec:,.0f} segments/s = "
                 f"{seg_per_sec * seconds_per_segment:,.0f}x realtime "
-                f"(batch {x.shape[0]}, {jax.default_backend()}; the "
-                f"canonical number is bench.py's scan+fetch methodology)")
+                f"(batch {x.shape[0]}, {jax.default_backend()}, "
+                f"scan+fetch; the canonical number is bench.py)")
         except Exception as e:  # noqa: BLE001
             gate.add("bench", "FAIL", f"{type(e).__name__}: {e}")
 

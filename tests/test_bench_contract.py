@@ -153,7 +153,8 @@ class TestExtraSchedule:
         monkeypatch.setattr(bench, "_bench_onnx",
                             lambda spec, batch, iters, seed=1: (17000.0, None))
         monkeypatch.setattr(bench, "_bench_onnx_int8",
-                            lambda spec, batch, iters, seed=1: 20000.0)
+                            lambda spec, batch, iters, seed=1,
+                            storage_only=False: 20000.0)
         monkeypatch.setattr(bench, "_bench_native",
                             lambda batch, iters: 80000.0)
         monkeypatch.setattr(bench, "_bench_e2e", lambda: 310.0)

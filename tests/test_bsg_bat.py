@@ -320,6 +320,27 @@ class TestGeomodelResolution:
         assert isinstance(r, GeomodelUnavailable)
         assert "download declined" in r.reason
 
+    def test_interactive_prompt_corrupt_copy_wording(self, monkeypatch,
+                                                     tmp_path, capsys):
+        """A corrupt birda-managed copy prompts with 'failed checksum
+        verification', never 'not installed' — a user who just installed
+        it would read 'not installed' as the install silently failing."""
+        import io
+
+        from birda_tpu.config.geomodel import GeomodelUnavailable
+        from birda_tpu.registry import installer
+
+        monkeypatch.setattr(installer, "models_dir", lambda: tmp_path)
+        reg = load_embedded()
+        (tmp_path / reg.range_filter.model.filename).write_bytes(b"corrupt")
+        (tmp_path / reg.range_filter.labels.filename).write_text("A a_X\n")
+        monkeypatch.setattr("sys.stdin", io.StringIO("\n"))
+        r = resolve_geomodel(Config(), reg, interactive=True)
+        assert isinstance(r, GeomodelUnavailable)
+        err = capsys.readouterr().err
+        assert "failed checksum verification" in err
+        assert "not installed" not in err
+
 
 class TestBsgAnalyzeWiring:
     def test_calibration_applies_through_analyze(self, tmp_path, monkeypatch):
