@@ -15,6 +15,9 @@ argmax per family.
 Usage: python scripts/sweep_int8_batch.py [family ...]
        (default: perch-v2 birdnet-v30)
        BATCHES=256,512,768,1024 overrides the sweep grid.
+       STORAGE_ONLY=1 sweeps `--precision mixed` (bf16 compute + int8
+       boundary storage) instead of full int8 — the round-5 mode whose
+       traffic cut may move its optimum up the way v2.4 int8's did.
 """
 
 from __future__ import annotations
@@ -48,19 +51,23 @@ def main() -> None:
     if not on_tpu:
         grid = [8, 16]
     iters = 6 if on_tpu else 2
+    storage_only = bool(os.environ.get("STORAGE_ONLY"))
+    mode = "mixed" if storage_only else "int8"
 
     best = {}
     for fam in families:
         spec = fs.SPECS[fam] if on_tpu else fs.tiny_spec(fs.SPECS[fam])
         for batch in grid:
             try:
-                rt = bench._bench_onnx_int8(spec, batch=batch, iters=iters)
+                rt = bench._bench_onnx_int8(spec, batch=batch, iters=iters,
+                                            storage_only=storage_only)
             except Exception as e:  # noqa: BLE001 — OOM at big b is data
                 print(json.dumps({"family": fam, "batch": batch,
+                                  "mode": mode,
                                   "error": f"{type(e).__name__}: {e}"[:200]}),
                       flush=True)
                 continue
-            print(json.dumps({"family": fam, "batch": batch,
+            print(json.dumps({"family": fam, "batch": batch, "mode": mode,
                               "x_realtime": round(rt, 0)}), flush=True)
             if rt > best.get(fam, (0, 0))[1]:
                 best[fam] = (batch, rt)
