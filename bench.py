@@ -522,9 +522,17 @@ def main() -> None:
     # End-to-end (BASELINE.md's ">=50x realtime/chip end-to-end" floor):
     # decode -> chunk runner -> CSV through the real analyze path. Its
     # own kind: the cost is upload + one chunk-program compile, unrelated
-    # to the scan benches.
+    # to the scan benches. The number is bound by the DEV TUNNEL's
+    # host->device bandwidth, not the chip — round 5 measured 26x
+    # (congested) to 116x (quiet) for the same code — so the artifact
+    # carries the bound next to the number.
     durations["e2e"] = 150.0  # first-run estimate (compile + 3 passes)
-    run_extra("e2e", "e2e", 1.0, _bench_e2e, always_if_s=150)
+    run_extra("e2e", "e2e", 1.0, _bench_e2e, always_if_s=150,
+              derive=lambda v: {"e2e_note": (
+                  "bound by the dev tunnel's host->device bandwidth "
+                  "(26-116x measured across congestion levels for this "
+                  "code); production PCIe raises the bound to ~10^4-10^5x "
+                  "- docs/performance.md 'The transport equation'")})
 
     # Opportunistic (no always-floor): the round-5 `--precision mixed`
     # mode — bf16 compute + int8 boundary storage, measured +10.5% over
