@@ -130,6 +130,23 @@ def _remaining() -> float:
 
 
 _xs_cache: dict = {}
+# HBM discipline: cached input buffers are multi-GB (b768 v2.4 = 1.27 GB
+# int16); unbounded growth would pin enough HBM to push large-batch sweep
+# points into spurious OOM that scripts/sweep_int8_batch.py would record
+# as that batch's own limit. Evict oldest-inserted beyond this budget.
+_XS_CACHE_BUDGET_BYTES = 4 << 30
+
+
+def _xs_cache_put(key, xs) -> None:
+    _xs_cache[key] = xs
+    total = sum(v.nbytes for v in _xs_cache.values())
+    while total > _XS_CACHE_BUDGET_BYTES and len(_xs_cache) > 1:
+        old_key = next(iter(_xs_cache))
+        if old_key == key:
+            break
+        victim = _xs_cache.pop(old_key)
+        total -= victim.nbytes
+        del victim
 
 
 def _measure(step_fn, args, xs_shape, seconds_per_segment, iters,
@@ -170,7 +187,7 @@ def _measure(step_fn, args, xs_shape, seconds_per_segment, iters,
         del host
         _ = np.asarray(xs[(0,) * (len(xs_shape) - 1) + (slice(0, 2),)])
         if reuse_inputs:
-            _xs_cache[cache_key] = xs
+            _xs_cache_put(cache_key, xs)
 
     @jax.jit
     def multi(a, stacked):
@@ -526,7 +543,9 @@ def main() -> None:
     # host->device bandwidth, not the chip — round 5 measured 26x
     # (congested) to 116x (quiet) for the same code — so the artifact
     # carries the bound next to the number.
-    durations["e2e"] = 150.0  # first-run estimate (compile + 3 passes)
+    # First-run estimate: synthesis + one 10-min warmup analyze + four
+    # 10-min timed files (~230 s measured quiet, more congested).
+    durations["e2e"] = 250.0
     run_extra("e2e", "e2e", 1.0, _bench_e2e, always_if_s=150,
               derive=lambda v: {"e2e_note": (
                   "bound by the dev tunnel's host->device bandwidth "
@@ -540,9 +559,14 @@ def main() -> None:
     # are cached (same graph digest) and this costs one bf16-kind run;
     # when it was skipped/failed, price in the cold calibration pass by
     # using the int8 kind's cost model instead.
+    # Cold pricing keys off a kind never yet in ``durations`` ("mixed"),
+    # so the estimate falls back to the v2.4-scale headline cost — NOT
+    # durations["int8"], which by now holds the cheapest recent b256
+    # Perch/v3.0 run and would under-price a v2.4 b768 run plus a cold
+    # calibration pass.
     mixed_warm = "birdnet_v24_int8_x_realtime" in extra
     run_extra("birdnet_v24_mixed",
-              "bf16" if mixed_warm else "int8",
+              "bf16" if mixed_warm else "mixed",
               1.1 if mixed_warm else 1.6,
               lambda: _bench_onnx_int8(fs.BIRDNET_V24_SPEC,
                                        batch=768, iters=6,
@@ -560,8 +584,12 @@ def main() -> None:
     if _remaining() > 0.5 * cost_head + 60:
         try:
             # reuse_inputs=False: the remeasure reruns the SAME compiled
-            # program as the headline — reusing the cached buffer would
-            # make it an identical execution, which the tunnel dedupes.
+            # program as the headline. Empirically the warm+timed rerun
+            # inside _measure is NOT deduped (A/Bs respond to program
+            # changes and numbers scale with batch), but CLAUDE.md has
+            # observed identical-execution dedup in other patterns, and
+            # this measurement's entire purpose is independence — pay
+            # the fresh upload as insurance.
             rt2, _ = _bench_onnx(fs.BIRDNET_V24_SPEC, batch=768, iters=6,
                                  reuse_inputs=False)
             extra["headline_remeasure_x_realtime"] = round(rt2, 0)

@@ -114,7 +114,9 @@ def prompt_for_download(entry, corrupt: bool = False) -> bool:
     sys.stderr.flush()
     try:
         line = sys.stdin.readline()
-    except OSError:
+    except (OSError, ValueError):
+        # ValueError: stdin CLOSED (not just EOF) — an embedding app;
+        # decline gracefully like every other closed-stdin prompt.
         return False
     return line.strip().lower() in ("y", "yes")
 

@@ -150,8 +150,10 @@ class TestExtraSchedule:
         import jax
 
         monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
-        monkeypatch.setattr(bench, "_bench_onnx",
-                            lambda spec, batch, iters, seed=1: (17000.0, None))
+        monkeypatch.setattr(
+            bench, "_bench_onnx",
+            lambda spec, batch, iters, seed=1, reuse_inputs=True:
+            (17000.0, None))
         monkeypatch.setattr(bench, "_bench_onnx_int8",
                             lambda spec, batch, iters, seed=1,
                             storage_only=False: 20000.0)

@@ -320,6 +320,26 @@ class TestGeomodelResolution:
         assert isinstance(r, GeomodelUnavailable)
         assert "download declined" in r.reason
 
+    def test_interactive_prompt_closed_stdin_declines(self, monkeypatch,
+                                                      tmp_path):
+        """A CLOSED stdin (ValueError from readline, not just EOF) must
+        decline gracefully, not crash resolve_geomodel — an embedding app
+        may close stdin entirely."""
+        import io
+
+        from birda_tpu.config.geomodel import GeomodelUnavailable
+        from birda_tpu.registry import installer
+
+        monkeypatch.setattr(installer, "models_dir",
+                            lambda: tmp_path / "none")
+        reg = load_embedded()
+        closed = io.StringIO()
+        closed.close()
+        monkeypatch.setattr("sys.stdin", closed)
+        r = resolve_geomodel(Config(), reg, interactive=True)
+        assert isinstance(r, GeomodelUnavailable)
+        assert "download declined" in r.reason
+
     def test_interactive_prompt_corrupt_copy_wording(self, monkeypatch,
                                                      tmp_path, capsys):
         """A corrupt birda-managed copy prompts with 'failed checksum
