@@ -195,6 +195,35 @@ class TestExtraSchedule:
             "watchdog firing between them loses it from the artifact")
 
 
+class TestXsCacheEviction:
+    """The uploaded-input cache must stay under its HBM budget: an
+    unbounded cache pins enough device memory to fake OOM at large sweep
+    batches (and the sweep's except clause would record it as that
+    batch's own limit)."""
+
+    class _Buf:
+        def __init__(self, nbytes):
+            self.nbytes = nbytes
+
+    def test_evicts_oldest_beyond_budget(self, monkeypatch):
+        bench = _fresh_bench()
+        monkeypatch.setattr(bench, "_XS_CACHE_BUDGET_BYTES", 100)
+        bench._xs_cache_put("a", self._Buf(40))
+        bench._xs_cache_put("b", self._Buf(40))
+        bench._xs_cache_put("c", self._Buf(40))  # 120 > 100: evict "a"
+        assert set(bench._xs_cache) == {"b", "c"}
+        bench._xs_cache_put("d", self._Buf(90))  # evict "b" AND "c"
+        assert set(bench._xs_cache) == {"d"}
+
+    def test_single_oversized_entry_is_kept(self, monkeypatch):
+        """The newest buffer always survives even if it alone exceeds the
+        budget — evicting it would break the caller holding it."""
+        bench = _fresh_bench()
+        monkeypatch.setattr(bench, "_XS_CACHE_BUDGET_BYTES", 100)
+        bench._xs_cache_put("big", self._Buf(500))
+        assert set(bench._xs_cache) == {"big"}
+
+
 def test_e2e_extra_runs_the_real_pipeline_cpu_tiny():
     """_bench_e2e drives the real analyze path (decode -> chunk runner ->
     CSV) and returns audio/wall; exercised here at CI scale (tiny graph,
